@@ -1,0 +1,86 @@
+"""The ``english_folded`` analyzer chain, re-implemented natively.
+
+Reference behavior (retrieval/es_create_index_final.py:20-28): ES custom
+analyzer = standard tokenizer -> lowercase filter -> porter_stem filter,
+applied identically at index time and query time. BM25 token identity is
+defined by this chain, so the engine (Spark pandas UDFs) and the oracle
+(pure Python/numpy) share the exact same code path below.
+
+Vectorization strategy (input_hint: "no per-row Python"): inside each
+Arrow batch we tokenize with pandas vectorized string ops and stem each
+*unique* token once (Zipf makes the per-batch vocabulary tiny relative to
+token occurrences), then map back — per-unique-token Python, not per-row.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .porter import CachedStemmer, stem
+
+# Word characters only, applied to lowercased text. Approximates the ES
+# "standard" (UAX#29) tokenizer for alphanumeric text: splits on whitespace
+# and punctuation, keeps digit runs.
+TOKEN_RE = re.compile(r"[a-z0-9]+")
+
+
+def analyze(text: str, stemmer=stem) -> list[str]:
+    """Analyze one string -> list of index terms. Oracle-side entry point."""
+    if not text:
+        return []
+    return [stemmer(t) for t in TOKEN_RE.findall(text.lower())]
+
+
+def analyze_series(texts: pd.Series) -> pd.Series:
+    """Vectorized analyzer over a pandas Series of strings.
+
+    Tokenization is pandas-native (C-level regex over the batch); stemming
+    is memoized over the batch vocabulary.
+    """
+    toks = texts.fillna("").str.lower().str.findall(TOKEN_RE)
+    stemmer = CachedStemmer()
+    return toks.map(lambda ts: [stemmer(t) for t in ts])
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def tokenize_udf(texts: pd.Series) -> pd.Series:
+    """Scalar pandas UDF: text -> array<string> of analyzed terms (F1)."""
+    return analyze_series(texts)
+
+
+@F.pandas_udf(T.IntegerType())
+def token_count_udf(texts: pd.Series) -> pd.Series:
+    """Per-turn token count = doc length ``dl`` (reference A4:
+    database/scripts/chunk_pdfs_oai.py:86,129 computes token_count per
+    chunk; here dl is the analyzed-token count of the turn text)."""
+    toks = texts.fillna("").str.lower().str.findall(TOKEN_RE)
+    return toks.str.len().astype("int32")
+
+
+def analyze_query(query: str) -> list[tuple[str, int]]:
+    """Analyze a query string -> [(term, query_tf)] sorted by term.
+
+    Duplicate query terms score multiplicatively (each occurrence is a
+    separate bool-should clause in the reference's ES DSL,
+    retrieval/es_search_final.py:13-34).
+    """
+    terms = analyze(query)
+    counts: dict[str, int] = {}
+    for t in terms:
+        counts[t] = counts.get(t, 0) + 1
+    return sorted(counts.items())
+
+
+def mapinpandas_tokenize(
+    it: Iterator[pd.DataFrame], text_col: str = "text"
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas-shaped tokenizer for pipelines that want one pass."""
+    for pdf in it:
+        pdf = pdf.copy()
+        pdf["terms"] = analyze_series(pdf[text_col])
+        yield pdf

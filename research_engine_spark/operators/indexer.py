@@ -1,0 +1,341 @@
+"""SPIMI-style inverted index build (the engine's EP3, SURVEY.md §3).
+
+Reference behavior being re-expressed: the reference pushes chunk rows into
+Elasticsearch (retrieval/es_index_chunks_final.py:47-56) and Lucene builds
+the inverted index internally. Here the index IS a set of Spark tables:
+
+- ``docs``          doc_id, conv_id, turn_idx, role, text, dl, ts
+- ``postings``      term, bucket, salt, block_id, first_doc_id,
+                    posting_count, max_tf, min_dl, block_max_score,
+                    doc_gaps/tfs/dls (varbyte binaries)  [partitioned by bucket]
+- ``term_stats``    term, bucket, df, cf, max_tf, min_dl  [partitioned by bucket]
+- ``corpus_stats``  n_docs, avgdl, total_tokens
+- ``lineage``       partition_id, term_lo, term_hi, n_terms, posting_count,
+                    bytes, wall_ms, snapshot_id  [north-rule metrics table]
+
+Scale design decisions (10^12 turns):
+- per-doc term frequencies are computed INSIDE the tokenize UDF (a doc's
+  tokens never span rows), so the explode emits (term, doc) pairs already
+  tf-aggregated — the only O(postings) shuffle is the repartition by
+  (term, salt) feeding the SPIMI pack;
+- hot terms (df > max_group_postings) are salted by hash(doc_id) so no
+  single task ever materializes a full hot-term posting list; blocks use
+  block-local delta encoding (first docID absolute per block), so salted
+  partial runs need NO second re-encode pass — the posting list of a term
+  is simply all of its blocks, independently decodable (also what
+  block-max WAND needs);
+- postings/term_stats are hash-bucketed by term into directory partitions
+  so query-time term lookup prunes files (Catalyst partition pruning).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.analyzer import analyze_series
+from .codec import vb_encode, delta_encode
+from .docids import with_doc_ids
+
+BLOCK_SIZE = 128
+
+POSTINGS_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType()),
+        T.StructField("salt", T.IntegerType()),
+        T.StructField("block_id", T.IntegerType()),
+        T.StructField("first_doc_id", T.LongType()),
+        T.StructField("last_doc_id", T.LongType()),
+        T.StructField("posting_count", T.IntegerType()),
+        T.StructField("max_tf", T.IntegerType()),
+        T.StructField("min_dl", T.IntegerType()),
+        T.StructField("block_max_score", T.DoubleType()),
+        T.StructField("doc_gaps", T.BinaryType()),
+        T.StructField("tfs", T.BinaryType()),
+        T.StructField("dls", T.BinaryType()),
+        T.StructField("partition_id", T.IntegerType()),
+        T.StructField("wall_ms", T.DoubleType()),
+    ]
+)
+
+TERMDOC_SCHEMA = (
+    "doc_id bigint, dl int, term string, tf int"
+)
+
+
+def bm25_idf(n_docs: int, df: np.ndarray | int) -> np.ndarray | float:
+    """Lucene BM25 idf: ln(1 + (N - df + 0.5)/(df + 0.5))."""
+    return np.log(1.0 + (n_docs - np.asarray(df, dtype=np.float64) + 0.5)
+                  / (np.asarray(df, dtype=np.float64) + 0.5))
+
+
+def bm25_tf_part(tf, dl, avgdl: float, k1: float, b: float):
+    """Lucene BM25 tf normalization: tf / (tf + k1*(1-b+b*dl/avgdl))."""
+    tf = np.asarray(tf, dtype=np.float64)
+    dl = np.asarray(dl, dtype=np.float64)
+    return tf / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+def term_doc_pairs(docs_with_ids: DataFrame) -> DataFrame:
+    """(doc_id, dl, term, tf) pairs — tf computed map-side inside the
+    tokenizer UDF (SURVEY.md A6 without the O(tokens) groupBy shuffle)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            terms = analyze_series(pdf["text"])
+            rows_doc, rows_dl, rows_term, rows_tf = [], [], [], []
+            for doc_id, toks in zip(pdf["doc_id"].to_numpy(), terms):
+                if not toks:
+                    continue
+                vals, counts = np.unique(np.asarray(toks, dtype=object),
+                                         return_counts=True)
+                rows_doc.append(np.full(vals.size, doc_id, dtype=np.int64))
+                rows_dl.append(np.full(vals.size, len(toks), dtype=np.int32))
+                rows_term.append(vals)
+                rows_tf.append(counts.astype(np.int32))
+            if rows_doc:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(rows_doc),
+                        "dl": np.concatenate(rows_dl),
+                        "term": np.concatenate(rows_term),
+                        "tf": np.concatenate(rows_tf),
+                    }
+                )
+
+    return docs_with_ids.select("doc_id", "text").mapInPandas(
+        gen, schema=TERMDOC_SCHEMA
+    )
+
+
+def _pack_blocks_factory(n_docs: int, avgdl: float, k1: float, b: float):
+    """mapInPandas SPIMI packer: one physical partition of (term, salt,
+    doc_id, tf, dl, df) rows -> posting blocks + in-band lineage fields."""
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        t0 = time.monotonic()
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+        parts = [pdf for pdf in batches]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        del parts
+        pdf = pdf.sort_values(["term", "salt", "doc_id"], kind="mergesort")
+        out: dict[str, list] = {k: [] for k in (
+            "term", "salt", "block_id", "first_doc_id", "last_doc_id",
+            "posting_count", "max_tf", "min_dl", "block_max_score",
+            "doc_gaps", "tfs", "dls",
+        )}
+        for (term, salt), grp in pdf.groupby(["term", "salt"], sort=False):
+            doc_ids = grp["doc_id"].to_numpy(dtype=np.int64)
+            tfs = grp["tf"].to_numpy(dtype=np.int64)
+            dls = grp["dl"].to_numpy(dtype=np.int64)
+            df_t = int(grp["df"].iloc[0])
+            idf = float(bm25_idf(n_docs, df_t))
+            scores = idf * bm25_tf_part(tfs, dls, avgdl, k1, b)
+            n = doc_ids.size
+            for blk, start in enumerate(range(0, n, BLOCK_SIZE)):
+                end = min(start + BLOCK_SIZE, n)
+                ids_b = doc_ids[start:end]
+                tfs_b = tfs[start:end]
+                dls_b = dls[start:end]
+                out["term"].append(term)
+                out["salt"].append(salt)
+                out["block_id"].append(blk)
+                out["first_doc_id"].append(int(ids_b[0]))
+                out["last_doc_id"].append(int(ids_b[-1]))
+                out["posting_count"].append(end - start)
+                out["max_tf"].append(int(tfs_b.max()))
+                out["min_dl"].append(int(dls_b.min()))
+                out["block_max_score"].append(float(scores[start:end].max()))
+                out["doc_gaps"].append(vb_encode(delta_encode(ids_b)))
+                out["tfs"].append(vb_encode(tfs_b.astype(np.uint64)))
+                out["dls"].append(vb_encode(dls_b.astype(np.uint64)))
+        wall_ms = (time.monotonic() - t0) * 1000.0
+        res = pd.DataFrame(out)
+        res["partition_id"] = np.int32(pid)
+        res["wall_ms"] = np.float64(wall_ms)
+        yield res
+
+    return pack
+
+
+def build_index(
+    transcripts: DataFrame,
+    out_dir: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+    n_buckets: int = 32,
+    max_group_postings: int = 500_000,
+    n_partitions: int | None = None,
+    snapshot_id: str = "s0",
+    buckets_subset: list[int] | None = None,
+    mode: str = "overwrite",
+) -> dict:
+    """Build the full index table set under ``out_dir``.
+
+    buckets_subset/mode allow partial builds + resume (see resume()).
+    Returns a stats dict (n_docs, avgdl, n_terms, wall-times).
+    """
+    spark = transcripts.sparkSession
+    if n_partitions is None:
+        n_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    os.makedirs(out_dir, exist_ok=True)
+    t_start = time.monotonic()
+
+    # --- docs + doc stats -------------------------------------------------
+    docs = with_doc_ids(transcripts)
+    from ..functions.analyzer import token_count_udf
+
+    docs = docs.withColumn("dl", token_count_udf(F.col("text")))
+    docs_path = os.path.join(out_dir, "docs")
+    if mode == "overwrite" or not os.path.exists(docs_path):
+        (
+            docs.select("doc_id", "conv_id", "turn_idx", "role", "text",
+                        "dl", "ts")
+            .write.mode("overwrite")
+            .parquet(docs_path)
+        )
+    docs_tbl = spark.read.parquet(docs_path)
+
+    # total_tokens summed in int64 (exact) so avgdl is bit-identical across
+    # partitionings and to the oracle — a float-summed avgdl would make
+    # every BM25 score differ at the ulp level between runs.
+    stats_row = docs_tbl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("dl").cast("long")).alias("total_tokens"),
+    ).collect()[0]
+    n_docs = int(stats_row["n_docs"])
+    total_tokens = int(stats_row["total_tokens"] or 0)
+    avgdl = total_tokens / n_docs if n_docs else 0.0
+    corpus_stats = {"n_docs": n_docs, "avgdl": avgdl,
+                    "total_tokens": total_tokens, "k1": k1, "b": b,
+                    "n_buckets": n_buckets, "block_size": BLOCK_SIZE}
+    with open(os.path.join(out_dir, "corpus_stats.json"), "w") as f:
+        json.dump(corpus_stats, f)
+
+    # --- (term, doc) pairs with map-side tf -------------------------------
+    # Persisted (memory-then-disk spill) because both the term_stats agg and
+    # the SPIMI pack consume it — tokenization is the most expensive map
+    # stage and must run exactly once (SPIMI run-spill analog).
+    from pyspark import StorageLevel
+
+    pairs = term_doc_pairs(docs_tbl).withColumn(
+        "bucket", F.pmod(F.hash("term"), F.lit(n_buckets)).cast("int")
+    )
+    if buckets_subset is not None:
+        pairs = pairs.filter(F.col("bucket").isin([int(x) for x in buckets_subset]))
+    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+
+    # --- term stats (df, cf, bounds) — also drives salting -----------------
+    term_stats = pairs.groupBy("term", "bucket").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("cf"),
+        F.max("tf").alias("max_tf"),
+        F.min("dl").alias("min_dl"),
+    )
+    ts_path = os.path.join(out_dir, "term_stats")
+    term_stats.write.mode(mode).partitionBy("bucket").parquet(ts_path)
+    term_stats = spark.read.parquet(ts_path)
+    if buckets_subset is not None:
+        term_stats = term_stats.filter(
+            F.col("bucket").isin([int(x) for x in buckets_subset]))
+
+    # --- salted SPIMI pack --------------------------------------------------
+    # n_salts(term) = ceil(df / max_group_postings): hot terms split so no
+    # task holds a full hot posting list (north rule: salted-key skew).
+    salted = (
+        pairs.join(term_stats.select("term", "df"), "term")
+        .withColumn(
+            "n_salts",
+            F.greatest(
+                F.lit(1),
+                F.ceil(F.col("df") / F.lit(max_group_postings)).cast("int"),
+            ),
+        )
+        .withColumn(
+            "salt",
+            F.when(F.col("n_salts") <= 1, F.lit(0)).otherwise(
+                F.pmod(F.hash("doc_id"), F.col("n_salts"))
+            ).cast("int"),
+        )
+        .select("term", "salt", "doc_id", "tf", "dl", "df")
+    )
+    packed = salted.repartition(n_partitions, "term", "salt").mapInPandas(
+        _pack_blocks_factory(n_docs, avgdl, k1, b), schema=POSTINGS_SCHEMA
+    ).withColumn("bucket", F.pmod(F.hash("term"), F.lit(n_buckets)).cast("int"))
+
+    post_path = os.path.join(out_dir, "postings")
+    packed.write.mode(mode).partitionBy("bucket").parquet(post_path)
+    pairs.unpersist()
+
+    # --- lineage/metrics table (north rule fields) -------------------------
+    postings_tbl = spark.read.parquet(post_path)
+    lineage = (
+        postings_tbl.groupBy("partition_id")
+        .agg(
+            F.min("term").alias("term_lo"),
+            F.max("term").alias("term_hi"),
+            F.countDistinct("term").alias("n_terms"),
+            F.sum("posting_count").alias("posting_count"),
+            F.sum(
+                F.octet_length("doc_gaps")
+                + F.octet_length("tfs")
+                + F.octet_length("dls")
+            ).alias("bytes"),
+            F.max("wall_ms").alias("wall_ms"),
+        )
+        .withColumn("snapshot_id", F.lit(snapshot_id))
+    )
+    lineage.write.mode(mode).parquet(os.path.join(out_dir, "lineage"))
+
+    # --- snapshot manifest (Iceberg-snapshot analog for resume) ------------
+    manifest_path = os.path.join(out_dir, "manifest.json")
+    done: set[int] = set()
+    if mode == "append" and os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            done = set(json.load(f)["completed_buckets"])
+    done |= set(buckets_subset if buckets_subset is not None
+                else range(n_buckets))
+    with open(manifest_path, "w") as f:
+        json.dump({"completed_buckets": sorted(done),
+                   "n_buckets": n_buckets, "snapshot_id": snapshot_id}, f)
+
+    wall = time.monotonic() - t_start
+    return {**corpus_stats, "build_wall_sec": wall,
+            "turns_per_sec": (n_docs / wall if wall > 0 else float("inf"))}
+
+
+def resume_index(transcripts: DataFrame, out_dir: str, **kwargs) -> dict:
+    """Resume a partially-built index: consult the snapshot manifest,
+    rebuild only the missing term buckets, append atomically (S7/§4
+    checkpoint-resume analog of download_oai.py:33-43 offset checkpoints).
+    """
+    manifest_path = os.path.join(out_dir, "manifest.json")
+    n_buckets = kwargs.get("n_buckets", 32)
+    done: set[int] = set()
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            m = json.load(f)
+        done = set(m["completed_buckets"])
+        n_buckets = m["n_buckets"]
+    missing = [i for i in range(n_buckets) if i not in done]
+    if not missing:
+        with open(os.path.join(out_dir, "corpus_stats.json")) as f:
+            return json.load(f)
+    kwargs["n_buckets"] = n_buckets
+    kwargs["buckets_subset"] = missing
+    kwargs["mode"] = "append"
+    kwargs.setdefault("snapshot_id", f"s{len(done)}")
+    return build_index(transcripts, out_dir, **kwargs)

@@ -1,0 +1,319 @@
+"""Query-time BM25 top-k over the compressed postings index (R1/T1/J6).
+
+Reference behavior being re-expressed natively: retrieval/es_search_final.py
+:12-41 sends a bool/should DSL to Elasticsearch; Lucene analyzes the query
+with the same ``english_folded`` chain, walks postings with block-max WAND
+and returns the top-k heap. Here the lifecycle is (SURVEY.md §3):
+
+1. query string -> shared analyzer -> [(term, qtf)] (driver-side, tiny)
+2. term metadata lookup on ``term_stats`` with bucket partition pruning
+   (the J6 "query-term ⋈ term dictionary" join; O(#query terms) collect)
+3. block-max pruning, EXACT two-phase variant (distributed BMW analog):
+     phase A: skip block B of term t iff ub(B) < θ − Σ_{t'≠t} gub(t')
+              (θ = lower bound on the k-th final score, from exactly
+              scoring a few best blocks of the strongest term). Claim: any
+              doc whose blocks are ALL skipped has score < θ — for
+              t* = argmax_t ub(B_t(d)):
+              score(d) ≤ ub(B_{t*}(d)) + Σ_{t'≠t*} gub(t') < θ.
+              So the true top-k all appear in phase-A output; but their
+              phase-A scores may be partial (some of their blocks skipped).
+     phase B: per-doc upper bound ub_total(d) = approx(d) +
+              Σ_{t not contributing to d} gub(t) ≥ score(d). Candidates
+              C = {d : ub_total(d) ≥ θ''} with θ'' = max(θ, k-th approx
+              score) — still a valid lower bound on s_k because
+              approx ≤ true. True top-k ⊆ C. Exactly rescore ONLY C
+              (blocks range-skipped via [first_doc_id, last_doc_id] vs C's
+              id range, decode filtered to C) -> exact scores.
+   The skip predicates are plain column comparisons on block metadata —
+   evaluated JVM-side before any decode, eligible for parquet row-group
+   stat skipping.
+4. surviving blocks decode + score inside vectorized pandas UDFs (numpy
+   varbyte decode, float64 BM25)
+5. per-doc deterministic summation (term-sorted fold order — bit-identical
+   scores regardless of partitioning) -> TakeOrderedAndProject top-k with
+   (score desc, doc_id asc) tiebreak.
+
+Parameterized k1/b (north rule): stored ``block_max_score`` is exact for
+the build-time defaults; for other (k1, b) the block bound is recomputed at
+query time from (max_tf, min_dl) — valid since the BM25 term partial is
+increasing in tf and decreasing in dl.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.analyzer import analyze_query
+from .codec import vb_decode, delta_decode
+from .indexer import bm25_idf, bm25_tf_part
+
+PARTIAL_SCHEMA = "doc_id bigint, term string, partial double, gub double"
+
+
+@dataclass
+class IndexReader:
+    """Handle on an index directory produced by build_index()."""
+
+    spark: SparkSession
+    index_dir: str
+
+    def __post_init__(self) -> None:
+        with open(os.path.join(self.index_dir, "corpus_stats.json")) as f:
+            self.stats = json.load(f)
+        self.n_buckets = int(self.stats["n_buckets"])
+
+    @property
+    def postings(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_dir, "postings"))
+
+    @property
+    def term_stats(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_dir, "term_stats"))
+
+    @property
+    def docs(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_dir, "docs"))
+
+    @property
+    def lineage(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_dir, "lineage"))
+
+    def bucket_of(self, terms: list[str]) -> dict[str, int]:
+        """Murmur3 term->bucket via the same JVM expression used at build
+        time (F.hash), so build/query bucketing can never drift."""
+        if not terms:
+            return {}
+        df = self.spark.createDataFrame([(t,) for t in set(terms)], "term string")
+        rows = df.withColumn(
+            "bucket", F.pmod(F.hash("term"), F.lit(self.n_buckets)).cast("int")
+        ).collect()
+        return {r["term"]: r["bucket"] for r in rows}
+
+
+def _term_meta(reader: IndexReader, qterms: list[tuple[str, int]],
+               k1: float, b: float) -> pd.DataFrame:
+    """df/max_tf/min_dl for the query terms (bucket-pruned scan) + idf and
+    the per-term global score upper bound gub."""
+    terms = [t for t, _ in qterms]
+    buckets = reader.bucket_of(terms)
+    ts = (
+        reader.term_stats.filter(
+            F.col("bucket").isin(sorted(set(buckets.values())))
+            & F.col("term").isin(terms)
+        )
+        .select("term", "df", "max_tf", "min_dl")
+        .toPandas()
+    )
+    meta = pd.DataFrame(qterms, columns=["term", "qtf"]).merge(
+        ts, on="term", how="inner")
+    if meta.empty:
+        return meta.assign(idf=pd.Series(dtype=float),
+                           gub=pd.Series(dtype=float))
+    n_docs, avgdl = reader.stats["n_docs"], reader.stats["avgdl"]
+    meta["idf"] = bm25_idf(n_docs, meta["df"].to_numpy())
+    meta["gub"] = (
+        meta["qtf"].to_numpy() * meta["idf"].to_numpy()
+        * bm25_tf_part(meta["max_tf"].to_numpy(), meta["min_dl"].to_numpy(),
+                       avgdl, k1, b)
+    )
+    return meta.sort_values("term").reset_index(drop=True)
+
+
+def _theta(reader: IndexReader, meta: pd.DataFrame, k: int,
+           k1: float, b: float) -> float:
+    """Lower bound θ on the final k-th best score: exactly score the
+    highest-ub blocks of the strongest term (driver-side; blocks are ≤128
+    postings each, so this is a few KB)."""
+    best = meta.loc[meta["gub"].idxmax()]
+    bucket = reader.bucket_of([best["term"]])[best["term"]]
+    n_blocks = max(2, (int(k) // 128) + 2)
+    rows = (
+        reader.postings.filter(
+            (F.col("bucket") == int(bucket)) & (F.col("term") == best["term"])
+        )
+        .select("tfs", "dls", "block_max_score")
+        .orderBy(F.desc("block_max_score"))
+        .limit(n_blocks)
+        .collect()
+    )
+    if not rows:
+        return float("-inf")
+    avgdl = reader.stats["avgdl"]
+    parts = [
+        float(best["qtf"]) * float(best["idf"])
+        * bm25_tf_part(vb_decode(bytes(r["tfs"])).astype(np.int64),
+                       vb_decode(bytes(r["dls"])).astype(np.int64),
+                       avgdl, k1, b)
+        for r in rows
+    ]
+    allp = np.sort(np.concatenate(parts))[::-1]
+    return float(allp[k - 1]) if allp.size >= k else float("-inf")
+
+
+def _decode_partials_factory(avgdl: float, k1: float, b: float,
+                             keep_ids: np.ndarray | None = None):
+    """mapInPandas block decoder -> (doc_id, term, partial, gub) rows.
+    keep_ids: optional sorted int64 array; only emit those docs (phase B)."""
+
+    def score_blocks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids_l, term_l, part_l, gub_l = [], [], [], []
+            for row in pdf.itertuples(index=False):
+                doc_ids = delta_decode(vb_decode(bytes(row.doc_gaps)))
+                tfs = vb_decode(bytes(row.tfs)).astype(np.int64)
+                dls = vb_decode(bytes(row.dls)).astype(np.int64)
+                if keep_ids is not None:
+                    m = np.isin(doc_ids, keep_ids)
+                    if not m.any():
+                        continue
+                    doc_ids, tfs, dls = doc_ids[m], tfs[m], dls[m]
+                part = row.qtf * row.idf * bm25_tf_part(tfs, dls, avgdl, k1, b)
+                ids_l.append(doc_ids)
+                term_l.append(np.full(doc_ids.size, row.term, dtype=object))
+                part_l.append(part)
+                gub_l.append(np.full(doc_ids.size, row.gub, dtype=np.float64))
+            if ids_l:
+                yield pd.DataFrame({
+                    "doc_id": np.concatenate(ids_l),
+                    "term": np.concatenate(term_l),
+                    "partial": np.concatenate(part_l),
+                    "gub": np.concatenate(gub_l),
+                })
+
+    return score_blocks
+
+
+def _sum_deterministic(partials: DataFrame) -> DataFrame:
+    """Per-doc score = fold of partials in term-sorted order (float64
+    determinism across partitionings/runs; SURVEY §7 hard-part 1)."""
+    return partials.groupBy("doc_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("term", "partial"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["partial"],
+        ).alias("score"),
+        F.sum("gub").alias("contrib_gub"),
+    )
+
+
+def search(
+    reader: IndexReader,
+    query: str,
+    k: int = 10,
+    k1: float | None = None,
+    b: float | None = None,
+    prune: bool = False,
+    with_text: bool = True,
+) -> DataFrame:
+    """Top-k BM25. Returns (doc_id, score, conv_id, turn_idx[, text])
+    ordered by (score desc, doc_id asc). prune=True enables the exact
+    two-phase block-max path (identical results, fewer decoded blocks)."""
+    spark = reader.spark
+    k1 = reader.stats["k1"] if k1 is None else k1
+    b = reader.stats["b"] if b is None else b
+    qterms = analyze_query(query)
+    empty = spark.createDataFrame(
+        [], "doc_id bigint, score double, conv_id string, turn_idx int"
+        + (", text string" if with_text else ""))
+    if not qterms:
+        return empty
+    meta = _term_meta(reader, qterms, k1, b)
+    if meta.empty:
+        return empty
+    avgdl = reader.stats["avgdl"]
+    default_params = (k1 == reader.stats["k1"] and b == reader.stats["b"])
+    total_gub = float(meta["gub"].sum())
+
+    buckets = sorted({int(v) for v in
+                      reader.bucket_of(meta["term"].tolist()).values()})
+    info = spark.createDataFrame(
+        meta[["term", "qtf", "idf", "gub"]],
+        "term string, qtf int, idf double, gub double",
+    )
+    matching = (
+        reader.postings.filter(
+            F.col("bucket").isin(buckets) & F.col("term").isin(
+                meta["term"].tolist())
+        ).join(F.broadcast(info), "term", "inner")
+    )
+    if default_params:
+        block_ub = F.col("qtf") * F.col("block_max_score")
+    else:
+        norm = F.lit(k1) * (F.lit(1.0 - b)
+                            + F.lit(b) * F.col("min_dl") / F.lit(avgdl))
+        block_ub = (F.col("qtf") * F.col("idf") * F.col("max_tf")
+                    / (F.col("max_tf") + norm))
+
+    payload_cols = ["term", "qtf", "idf", "gub", "doc_gaps", "tfs", "dls"]
+
+    if not prune:
+        partials = matching.select(*payload_cols).mapInPandas(
+            _decode_partials_factory(avgdl, k1, b), schema=PARTIAL_SCHEMA)
+        topk = (_sum_deterministic(partials)
+                .select("doc_id", "score")
+                .orderBy(F.desc("score"), F.asc("doc_id")).limit(int(k)))
+    else:
+        theta = _theta(reader, meta, k, k1, b)
+        # phase A: per-term cutoff, metadata-level block skip
+        cutoff = {t: theta - (total_gub - g)
+                  for t, g in zip(meta["term"], meta["gub"])}
+        cutoff_df = spark.createDataFrame(
+            list(cutoff.items()), "term string, cutoff double")
+        pruned = (matching.join(F.broadcast(cutoff_df), "term")
+                  .filter(block_ub >= F.col("cutoff")))
+        approx = _sum_deterministic(
+            pruned.select(*payload_cols).mapInPandas(
+                _decode_partials_factory(avgdl, k1, b),
+                schema=PARTIAL_SCHEMA)
+        )
+        # θ'' = max(θ, k-th approx) — approx ≤ true, so still a valid
+        # lower bound on the true k-th score.
+        kth_rows = (approx.select("score")
+                    .orderBy(F.desc("score")).limit(int(k)).collect())
+        theta2 = max(theta, float(kth_rows[-1]["score"])
+                     if len(kth_rows) >= k else float("-inf"))
+        # candidates: ub_total = approx + gub of non-contributing terms
+        cand_ids = (
+            approx.filter(
+                F.col("score") + (F.lit(total_gub) - F.col("contrib_gub"))
+                >= F.lit(theta2)
+            ).select("doc_id").toPandas()["doc_id"].to_numpy(np.int64)
+        )
+        cand_ids = np.sort(cand_ids)
+        if cand_ids.size == 0:
+            topk = spark.createDataFrame([], "doc_id bigint, score double")
+        else:
+            lo, hi = int(cand_ids[0]), int(cand_ids[-1])
+            rescored = (
+                matching.filter(
+                    (F.col("last_doc_id") >= F.lit(lo))
+                    & (F.col("first_doc_id") <= F.lit(hi))
+                )
+                .select(*payload_cols)
+                .mapInPandas(
+                    _decode_partials_factory(avgdl, k1, b, keep_ids=cand_ids),
+                    schema=PARTIAL_SCHEMA)
+            )
+            topk = (_sum_deterministic(rescored)
+                    .select("doc_id", "score")
+                    .orderBy(F.desc("score"), F.asc("doc_id")).limit(int(k)))
+
+    if not with_text:
+        return topk
+    docs = reader.docs.select("doc_id", "conv_id", "turn_idx", "text")
+    # J2: k-row hits broadcast against the forward docs table.
+    return (
+        docs.join(F.broadcast(topk), "doc_id")
+        .select("doc_id", "score", "conv_id", "turn_idx", "text")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )

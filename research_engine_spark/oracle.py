@@ -1,0 +1,84 @@
+"""Pure-Python/numpy BM25 oracle (SURVEY.md §5 item 1).
+
+Plays the role Elasticsearch/Lucene plays in the reference: an independent,
+single-process ground truth the Spark engine must match rank-identically
+(top-k docIDs AND float64 scores) on the reference query set.
+
+Shares the exact analyzer code path with the engine
+(research_engine_spark.functions.analyzer.analyze) so token identity is
+bit-identical; sums per-doc partials in term-sorted order, matching the
+engine's deterministic fold.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .functions.analyzer import analyze, analyze_query
+from .functions.porter import CachedStemmer
+from .operators.indexer import bm25_idf, bm25_tf_part
+
+
+class BM25Oracle:
+    def __init__(self, transcripts: pd.DataFrame, k1: float = 1.2,
+                 b: float = 0.75) -> None:
+        """transcripts: pandas DF with conv_id, turn_idx, text columns."""
+        self.k1, self.b = k1, b
+        df = transcripts.sort_values(["conv_id", "turn_idx"],
+                                     kind="mergesort").reset_index(drop=True)
+        self.doc_ids = np.arange(len(df), dtype=np.int64)
+        self.conv_id = df["conv_id"].to_numpy()
+        self.turn_idx = df["turn_idx"].to_numpy()
+        self.text = df["text"].fillna("").to_numpy()
+        stemmer = CachedStemmer()
+        toks = [analyze(t, stemmer) for t in self.text]
+        self.dl = np.array([len(t) for t in toks], dtype=np.int64)
+        self.n_docs = len(df)
+        # exact int64 token total -> bit-identical avgdl with the engine
+        self.avgdl = int(self.dl.sum()) / self.n_docs if self.n_docs else 0.0
+        # inverted index: term -> (doc_ids asc, tfs)
+        self.index: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        tmp: dict[str, dict[int, int]] = {}
+        for d, ts in enumerate(toks):
+            for t in ts:
+                tmp.setdefault(t, {})
+                tmp[t][d] = tmp[t].get(d, 0) + 1
+        for t, postings in tmp.items():
+            ids = np.array(sorted(postings), dtype=np.int64)
+            tfs = np.array([postings[i] for i in ids], dtype=np.int64)
+            self.index[t] = (ids, tfs)
+
+    def idf(self, term: str) -> float:
+        df_t = self.index[term][0].size if term in self.index else 0
+        return float(bm25_idf(self.n_docs, df_t))
+
+    def search(self, query: str, k: int = 10, k1: float | None = None,
+               b: float | None = None) -> pd.DataFrame:
+        """Top-k: DataFrame(doc_id, score, conv_id, turn_idx, text),
+        (score desc, doc_id asc) ordering, float64 scores."""
+        k1 = self.k1 if k1 is None else k1
+        b = self.b if b is None else b
+        scores: dict[int, float] = {}
+        for term, qtf in analyze_query(query):  # term-sorted fold order
+            if term not in self.index:
+                continue
+            ids, tfs = self.index[term]
+            dls = self.dl[ids]
+            # identical float op order to the engine's scorer UDF
+            part = (qtf * self.idf(term)
+                    * bm25_tf_part(tfs, dls, self.avgdl, k1, b))
+            for d, p in zip(ids, part):
+                scores[int(d)] = scores.get(int(d), 0.0) + float(p)
+        if not scores:
+            return pd.DataFrame(
+                columns=["doc_id", "score", "conv_id", "turn_idx", "text"])
+        items = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        ids = np.array([d for d, _ in items], dtype=np.int64)
+        return pd.DataFrame({
+            "doc_id": ids,
+            "score": [s for _, s in items],
+            "conv_id": self.conv_id[ids],
+            "turn_idx": self.turn_idx[ids],
+            "text": self.text[ids],
+        })

@@ -1,0 +1,70 @@
+"""Shared fixtures: one SparkSession, one synthetic corpus, one built index
+per test session (index builds are the slow part — build once, query many).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+from research_engine_spark.corpus import synth_transcripts, transcripts_pandas
+from research_engine_spark.operators.indexer import build_index
+from research_engine_spark.operators.scorer import IndexReader
+from research_engine_spark.oracle import BM25Oracle
+from research_engine_spark.session import get_spark
+
+N_CONVS = 80
+SEED = 42
+
+# Reference query set (FIXTURES.md §6; reference es_search_final.py:56-62,
+# test_rag.py:35-40, inspect_vector_store.py:107, es_search.py:23).
+REFERENCE_QUERIES = [
+    "neural networks",
+    "transformer architecture",
+    "language models",
+    "machine learning",
+    "natural language processing",
+    "What are transformer architectures?",
+    "How does attention mechanism work?",
+    "What is BERT and how does it work?",
+    "Recent advances in natural language processing",
+    "machine learning in healthcare",
+    "contrastive pretraining retrieval augmentation",
+]
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="tests", cores=8, shuffle_partitions=16)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def transcripts_pd():
+    return transcripts_pandas(n_convs=N_CONVS, seed=SEED)
+
+
+@pytest.fixture(scope="session")
+def transcripts_df(spark):
+    return synth_transcripts(spark, n_convs=N_CONVS, seed=SEED)
+
+
+@pytest.fixture(scope="session")
+def index_dir(spark, transcripts_df):
+    d = tempfile.mkdtemp(prefix="res_idx_")
+    build_index(transcripts_df, d, n_buckets=8)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture(scope="session")
+def reader(spark, index_dir):
+    return IndexReader(spark, index_dir)
+
+
+@pytest.fixture(scope="session")
+def oracle(transcripts_pd):
+    return BM25Oracle(transcripts_pd)

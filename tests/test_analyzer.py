@@ -1,0 +1,44 @@
+"""Analyzer chain tests — token identity between the oracle path
+(analyze) and the vectorized pandas path (analyze_series) must be exact,
+since BM25 rank-identity depends on it (SURVEY.md §2.8 F1)."""
+
+import pandas as pd
+
+from research_engine_spark.functions.analyzer import (
+    analyze,
+    analyze_query,
+    analyze_series,
+)
+
+
+def test_basic_chain():
+    assert analyze("Neural Networks!") == ["neural", "network"]
+    assert analyze("The transformers' attention-mechanisms.") == [
+        "the", "transform", "attent", "mechan"]
+
+
+def test_empty_and_whitespace():
+    assert analyze("") == []
+    assert analyze("   \t\n ") == []
+    assert analyze(None if False else "...!!!") == []
+
+
+def test_digits_kept():
+    assert analyze("GPT-4 scored 95.5%") == ["gpt", "4", "score", "95", "5"]
+
+
+def test_series_matches_scalar():
+    texts = pd.Series([
+        "Neural Networks are great", "", "   ", "BERT, RoBERTa; GPT!",
+        "running runner ran", None, "Attention mechanisms work",
+    ])
+    vec = analyze_series(texts)
+    for t, v in zip(texts, vec):
+        assert v == analyze(t or "")
+
+
+def test_analyze_query_qtf_and_order():
+    # duplicate terms accumulate query-tf; output sorted by term
+    q = analyze_query("networks network neural")
+    assert q == [("network", 2), ("neural", 1)]
+    assert analyze_query("") == []

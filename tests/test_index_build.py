@@ -1,0 +1,161 @@
+"""Index-build structural tests: docID stability, corpus invariants
+(ported from the reference's runtime asserts, SURVEY.md §5 item 3),
+skew salting, resume, lineage.
+"""
+
+import os
+import shutil
+import tempfile
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from research_engine_spark.corpus import synth_transcripts
+from research_engine_spark.operators.docids import with_doc_ids
+from research_engine_spark.operators.indexer import build_index, resume_index
+from research_engine_spark.operators.scorer import IndexReader, search
+
+
+def test_doc_ids_match_global_sort(spark, transcripts_df, transcripts_pd):
+    """Distributed offset-based docIDs == the global-sort answer."""
+    got = (
+        with_doc_ids(transcripts_df)
+        .select("conv_id", "turn_idx", "doc_id")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        transcripts_pd.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    assert list(got["doc_id"]) == list(range(len(want)))
+    assert list(got["conv_id"]) == list(want["conv_id"])
+    assert list(got["turn_idx"]) == list(want["turn_idx"])
+
+
+def test_docs_text_roundtrip(reader, transcripts_pd):
+    """Per-turn text equality under stable ordering for EVERY turn — the
+    forward table reconstructs the input exactly (input_hint invariant;
+    analog of vector_store.py:76-79 alignment assert)."""
+    docs = reader.docs.select("conv_id", "turn_idx", "text").toPandas()
+    docs = docs.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    src = transcripts_pd.sort_values(["conv_id", "turn_idx"]).reset_index(
+        drop=True)
+    assert len(docs) == len(src)
+    assert docs["text"].fillna("").equals(src["text"].fillna(""))
+
+
+def test_postings_referential_integrity(reader):
+    """Every term in postings exists in term_stats with matching df."""
+    post_df = (
+        reader.postings.groupBy("term")
+        .agg(F.sum("posting_count").alias("n"))
+    )
+    ts = reader.term_stats.select("term", "df")
+    joined = post_df.join(ts, "term", "full_outer").filter(
+        F.col("n").isNull() | F.col("df").isNull() | (F.col("n") != F.col("df"))
+    )
+    assert joined.count() == 0
+
+
+def test_corpus_stats_consistency(reader):
+    n_docs = reader.docs.count()
+    assert reader.stats["n_docs"] == n_docs
+    total = reader.docs.agg(F.sum("dl")).collect()[0][0]
+    assert abs(reader.stats["avgdl"] - total / n_docs) < 1e-12
+
+
+def test_lineage_rows(reader):
+    """North-rule metrics fields: partition id, term range, posting count,
+    bytes, wall-time, snapshot id."""
+    lin = reader.lineage.toPandas()
+    assert len(lin) > 0
+    for col in ["partition_id", "term_lo", "term_hi", "posting_count",
+                "bytes", "wall_ms", "snapshot_id"]:
+        assert col in lin.columns
+    assert (lin["posting_count"] > 0).all()
+    assert (lin["bytes"] > 0).all()
+    assert (lin["term_lo"] <= lin["term_hi"]).all()
+    # lineage covers every posting
+    total = reader.postings.agg(F.sum("posting_count")).collect()[0][0]
+    assert int(lin["posting_count"].sum()) == int(total)
+
+
+@pytest.fixture(scope="module")
+def small_tx(spark):
+    return synth_transcripts(spark, n_convs=30, seed=7)
+
+
+def test_salted_equals_unsalted(spark, small_tx):
+    """Forcing aggressive salting (tiny max_group_postings) must not change
+    any query result — salted partial runs merge losslessly because blocks
+    are independently decodable (SURVEY §7 hard-part 4)."""
+    d1, d2 = tempfile.mkdtemp(), tempfile.mkdtemp()
+    try:
+        build_index(small_tx, d1, n_buckets=4, max_group_postings=10)
+        build_index(small_tx, d2, n_buckets=4, max_group_postings=500_000)
+        r1, r2 = IndexReader(spark, d1), IndexReader(spark, d2)
+        # salting actually kicked in
+        assert r1.postings.agg(F.max("salt")).collect()[0][0] > 0
+        assert r2.postings.agg(F.max("salt")).collect()[0][0] == 0
+        for q in ["neural networks", "machine learning", "the of and"]:
+            a = search(r1, q, k=10, with_text=False).toPandas()
+            b = search(r2, q, k=10, with_text=False).toPandas()
+            assert list(a["doc_id"]) == list(b["doc_id"]), q
+            assert np.allclose(a["score"], b["score"], rtol=0, atol=0), q
+    finally:
+        shutil.rmtree(d1, ignore_errors=True)
+        shutil.rmtree(d2, ignore_errors=True)
+
+
+def test_resume_completes_partial_build(spark, small_tx):
+    """Kill/resume: build only a subset of term buckets (simulated partial
+    failure at a partition boundary), resume, and verify the result equals
+    a from-scratch full build — identical postings and query results."""
+    d_full, d_part = tempfile.mkdtemp(), tempfile.mkdtemp()
+    try:
+        build_index(small_tx, d_full, n_buckets=4)
+        build_index(small_tx, d_part, n_buckets=4, buckets_subset=[0, 1])
+        # manifest records the partial state
+        r_part = IndexReader(spark, d_part)
+        import json
+
+        with open(os.path.join(d_part, "manifest.json")) as f:
+            assert json.load(f)["completed_buckets"] == [0, 1]
+        resume_index(small_tx, d_part)
+        with open(os.path.join(d_part, "manifest.json")) as f:
+            assert json.load(f)["completed_buckets"] == [0, 1, 2, 3]
+        r_full = IndexReader(spark, d_full)
+        r_res = IndexReader(spark, d_part)
+        cols = ["term", "salt", "block_id", "first_doc_id", "posting_count"]
+        a = r_full.postings.select(cols).toPandas().sort_values(cols).reset_index(drop=True)
+        b = r_res.postings.select(cols).toPandas().sort_values(cols).reset_index(drop=True)
+        assert a.equals(b)
+        for q in ["neural networks", "transformer architecture"]:
+            qa = search(r_full, q, k=10, with_text=False).toPandas()
+            qb = search(r_res, q, k=10, with_text=False).toPandas()
+            assert list(qa["doc_id"]) == list(qb["doc_id"])
+            assert np.allclose(qa["score"], qb["score"], rtol=0, atol=0)
+    finally:
+        shutil.rmtree(d_full, ignore_errors=True)
+        shutil.rmtree(d_part, ignore_errors=True)
+
+
+def test_build_determinism(spark, small_tx):
+    """Two independent builds produce identical postings bytes."""
+    d1, d2 = tempfile.mkdtemp(), tempfile.mkdtemp()
+    try:
+        build_index(small_tx, d1, n_buckets=4)
+        build_index(small_tx, d2, n_buckets=4)
+        cols = ["term", "salt", "block_id", "doc_gaps", "tfs", "dls",
+                "block_max_score"]
+        a = (IndexReader(spark, d1).postings.select(cols).toPandas()
+             .sort_values(["term", "salt", "block_id"]).reset_index(drop=True))
+        b = (IndexReader(spark, d2).postings.select(cols).toPandas()
+             .sort_values(["term", "salt", "block_id"]).reset_index(drop=True))
+        assert a.equals(b)
+    finally:
+        shutil.rmtree(d1, ignore_errors=True)
+        shutil.rmtree(d2, ignore_errors=True)

@@ -1,0 +1,88 @@
+"""The correctness gate (north rule): top-k docIDs AND BM25 scores from the
+Spark engine must be rank-identical to the oracle on the full reference
+query set, at every reference k, for default and non-default (k1, b), with
+the exact two-phase block-max pruned path agreeing with the unpruned path.
+"""
+
+import numpy as np
+import pytest
+
+from research_engine_spark.operators.scorer import search
+from tests.conftest import REFERENCE_QUERIES
+
+KS = [3, 5, 10, 15]  # es_search_final.py:66 / app.py:42 / rag_service.py:24
+
+
+def _assert_rank_identical(eng, ora, label=""):
+    assert list(eng["doc_id"]) == list(ora["doc_id"]), label
+    assert np.allclose(eng["score"], ora["score"], rtol=0, atol=0), (
+        f"{label}: scores not bit-identical")
+
+
+@pytest.mark.parametrize("query", REFERENCE_QUERIES)
+def test_reference_queries_default_params(reader, oracle, query):
+    for k in KS:
+        eng = search(reader, query, k=k, with_text=False).toPandas()
+        ora = oracle.search(query, k=k)
+        _assert_rank_identical(eng, ora, f"{query!r} k={k}")
+
+
+@pytest.mark.parametrize("query", REFERENCE_QUERIES[:4])
+def test_parameterized_k1_b(reader, oracle, query):
+    # non-default BM25 parameters (FIXTURES.md §6: k1=0.9, b=0.4)
+    eng = search(reader, query, k=10, k1=0.9, b=0.4, with_text=False).toPandas()
+    ora = oracle.search(query, k=10, k1=0.9, b=0.4)
+    _assert_rank_identical(eng, ora, f"{query!r} k1=0.9 b=0.4")
+
+
+@pytest.mark.parametrize("query", REFERENCE_QUERIES)
+def test_pruned_equals_unpruned(reader, query):
+    pruned = search(reader, query, k=10, prune=True, with_text=False).toPandas()
+    full = search(reader, query, k=10, prune=False, with_text=False).toPandas()
+    assert list(pruned["doc_id"]) == list(full["doc_id"])
+    assert np.allclose(pruned["score"], full["score"], rtol=0, atol=0)
+
+
+def test_pruned_custom_params(reader, oracle):
+    q = "machine learning"
+    eng = search(reader, q, k=5, k1=0.9, b=0.4, prune=True,
+                 with_text=False).toPandas()
+    ora = oracle.search(q, k=5, k1=0.9, b=0.4)
+    _assert_rank_identical(eng, ora, "pruned custom params")
+
+
+def test_empty_query(reader):
+    assert search(reader, "", k=5).count() == 0
+    assert search(reader, "   !!! ...", k=5).count() == 0
+
+
+def test_absent_term(reader, oracle):
+    q = "zzzxqwyy nonexistentterm99"
+    assert search(reader, q, k=5).count() == 0
+    assert len(oracle.search(q, k=5)) == 0
+
+
+def test_mixed_present_absent(reader, oracle):
+    q = "neural zzzxqwyy"
+    eng = search(reader, q, k=5, with_text=False).toPandas()
+    ora = oracle.search(q, k=5)
+    _assert_rank_identical(eng, ora, "mixed present/absent")
+
+
+def test_hit_text_equality(reader, oracle, transcripts_pd):
+    """Per-turn text equality invariant (input_hint): the text returned
+    with each hit equals the input text for that (conv_id, turn_idx)."""
+    src = transcripts_pd.set_index(["conv_id", "turn_idx"])["text"]
+    eng = search(reader, "neural networks", k=10, with_text=True).toPandas()
+    assert len(eng) > 0
+    for row in eng.itertuples(index=False):
+        assert row.text == src.loc[(row.conv_id, row.turn_idx)]
+
+
+def test_query_determinism(reader):
+    a = search(reader, "natural language processing", k=15,
+               with_text=False).toPandas()
+    b = search(reader, "natural language processing", k=15,
+               with_text=False).toPandas()
+    assert list(a["doc_id"]) == list(b["doc_id"])
+    assert np.array_equal(a["score"].to_numpy(), b["score"].to_numpy())
