@@ -1,0 +1,97 @@
+"""Benchmark harness (driver-run per round; also used for the N vs 4N
+scaling evidence via scripts/scaling_bench.py).
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+ "sf": ..., plus engine-specific extras (turns_per_sec, n_turns, cores)}.
+
+Workload:
+1. index-build throughput: deterministic synthetic transcript corpus sized
+   by sf -> full SPIMI build (turns/sec is the north-rule metric);
+2. BM25 top-k latency over the reference query set on the built index;
+3. a sample of the relational/text operator suite at the sf dir.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.1
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from research_engine_spark.corpus import synth_transcripts
+    from research_engine_spark.operators.indexer import build_index
+    from research_engine_spark.operators.scorer import IndexReader, search
+    from research_engine_spark.queries import Q
+    from research_engine_spark.session import get_spark
+    from tests.conftest import REFERENCE_QUERIES
+
+    spark = get_spark(
+        app_name="bench", cores=cores, shuffle_partitions=max(cores, 16),
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+
+    queries_sec: dict[str, float] = {}
+    t_total = time.monotonic()
+
+    # --- 1. index build ----------------------------------------------------
+    n_convs = max(int(200_000 * sf), 200)
+    tx = synth_transcripts(spark, n_convs=n_convs, seed=42,
+                           n_partitions=max(cores * 2, 16))
+    idx_dir = tempfile.mkdtemp(prefix="bench_idx_")
+    t0 = time.monotonic()
+    stats = build_index(tx, idx_dir, n_buckets=max(cores, 16),
+                        n_partitions=max(cores * 2, 16))
+    build_sec = time.monotonic() - t0
+    queries_sec["index_build"] = round(build_sec, 3)
+    n_turns = stats["n_docs"]
+    turns_per_sec = n_turns / build_sec
+
+    # --- 2. BM25 query latency --------------------------------------------
+    reader = IndexReader(spark, idx_dir)
+    bm25_total = 0.0
+    for i, q in enumerate(REFERENCE_QUERIES):
+        t0 = time.monotonic()
+        search(reader, q, k=10, with_text=False).collect()
+        dt = time.monotonic() - t0
+        queries_sec[f"bm25_q{i+1:02d}"] = round(dt, 3)
+        bm25_total += dt
+
+    # --- 3. operator suite sample at the sf dir ----------------------------
+    for name in ["q01_pricing_summary", "q03_top_orders", "term_frequencies",
+                 "exact_dedup_documents", "rrf_user_fusion",
+                 "embedding_cosine_topk", "bm25_documents"]:
+        t0 = time.monotonic()
+        Q[name](spark, sf_dir).collect()
+        queries_sec[name] = round(time.monotonic() - t0, 3)
+
+    total = time.monotonic() - t_total
+    out = {
+        "metric": "index_build_throughput_plus_bm25_latency",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": queries_sec,
+        "sf": sf,
+        "n_turns": int(n_turns),
+        "index_build_sec": round(build_sec, 3),
+        "turns_per_sec": round(turns_per_sec, 1),
+        "bm25_mean_latency_sec": round(bm25_total / len(REFERENCE_QUERIES), 3),
+        "cores": cores,
+    }
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

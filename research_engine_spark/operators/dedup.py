@@ -1,0 +1,233 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's exact id-dedup (database/scripts/combine_csv.py:36
+``drop_duplicates(subset=["id"])`` -> A7), this module provides the
+near-dup family a 100 TB corpus pipeline needs. All are pure DataFrame
+compositions (shuffle-conscious: shingle/band joins instead of O(n²)
+cross joins) except SimHash's bit packing, which is a vectorized pandas UDF.
+
+Scale notes:
+- exact dedup: hash-groupBy on a digest column — one shuffle, map-side
+  partial aggregation; never compares full texts pairwise.
+- MinHash+LSH: docs -> shingles -> per-(doc, seed) min-hash -> band
+  signatures -> candidates join on (band_id, band_hash). The only O(n²)
+  term is within a MATCHING band bucket (true near-dups + controlled
+  false positives), never across the corpus.
+- hot buckets (boilerplate shingles) are the skew risk: candidate pairs
+  per bucket are capped by construction (band hash includes all rows of
+  the band), and the pair join uses AQE skew handling.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_text(col):
+    """Canonical form for fingerprinting: lowercase, collapse whitespace,
+    strip (reference F3: database/scripts/text_clean.py:14,23)."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by content digest: keep the lowest-id doc per distinct
+    normalized text. Returns the surviving rows of ``df``."""
+    digests = df.withColumn("_fp", F.md5(normalize_text(F.col(text_col))))
+    keeper = digests.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    return digests.join(keeper, ["_fp", id_col], "inner").drop("_fp")
+
+
+def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3,
+                  id_col: str = "doc_id") -> DataFrame:
+    """(id, shingle) pairs: distinct n-word shingles of the normalized
+    text. Built-in expressions only (split + transform + slice)."""
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    k = F.size(toks) - F.lit(n - 1)
+    # guard: Spark sequence(1, k) with k < 1 yields a DESCENDING sequence,
+    # not empty — short docs must produce zero shingles explicitly
+    shingles = F.when(
+        k >= 1,
+        F.transform(F.sequence(F.lit(1), k),
+                    lambda i: F.array_join(F.slice(toks, i, n), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col), F.explode(F.array_distinct(shingles))
+                  .alias("shingle"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+
+    |A∩B| via a self-join on shingle + count; |A∪B| = |A|+|B|-|A∩B|.
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+    """
+    sh = word_shingles(df, text_col, n, id_col)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                 F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed(id_col, "id_a")
+                   .withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b")
+              .withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    n_hashes: int = 16,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash signatures via portable md5(seed || shingle) minima.
+
+    md5 is identical across Spark/DuckDB/Python, which keeps the operator
+    oracle-checkable; the min over hex digests of a shingle set is a valid
+    min-wise permutation sketch. Returns (id, seed, minhash).
+    """
+    sh = word_shingles(df, text_col, n, id_col)
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed")
+    return (
+        sh.select(id_col, "shingle", seeds)
+        .withColumn(
+            "h", F.md5(F.concat(F.col("seed").cast("string"),
+                                F.lit(":"), F.col("shingle")))
+        )
+        .groupBy(id_col, "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    n_hashes: int = 16,
+    band_size: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash-LSH near-dup candidates: band the signature, join on
+    (band_id, band_hash). Returns distinct (id_a, id_b), id_a < id_b."""
+    sig = minhash_signatures(df, n_hashes, n, text_col, id_col)
+    bands = (
+        sig.withColumn("band_id", (F.col("seed") / band_size).cast("int"))
+        .groupBy(id_col, "band_id")
+        .agg(F.md5(F.concat_ws("|", F.sort_array(
+            F.collect_list(F.concat_ws("=", F.col("seed").cast("string"),
+                                       F.col("minhash")))))).alias("band_hash"))
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+               & (F.col("a.band_hash") == F.col("b.band_hash")))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+SIMHASH_BITS = 64
+
+
+def simhash(df: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over word tokens (vectorized pandas UDF).
+
+    Token hash = first 8 bytes of md5 (stable across platforms); bit j of
+    the fingerprint = sign of the weighted bit-count over tokens.
+    Returns (id, simhash:long).
+    """
+    import hashlib
+
+    @F.pandas_udf("long")
+    def _simhash(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts.fillna("")):
+            toks = t.lower().split()
+            if not toks:
+                continue
+            vals, counts = np.unique(np.asarray(toks, dtype=object),
+                                     return_counts=True)
+            hs = np.array(
+                [int.from_bytes(hashlib.md5(v.encode()).digest()[:8], "big")
+                 for v in vals],
+                dtype=np.uint64,
+            )
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1
+                    ).astype(np.int64)
+            acc = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
+            fp = np.uint64(0)
+            for j in range(64):
+                if acc[j] > 0:
+                    fp |= np.uint64(1) << np.uint64(j)
+            out[i] = np.int64(fp.astype(np.int64))
+        return pd.Series(out)
+
+    return df.select(id_col, _simhash(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming, using the
+    pigeonhole trick: split 64 bits into (max_hamming+1) chunks; any pair
+    within distance must agree exactly on ≥1 chunk -> join per chunk,
+    then verify distance with bit_count (JVM-side)."""
+    n_chunks = max_hamming + 1
+    chunk_bits = SIMHASH_BITS // n_chunks
+    sh = simhash(df, text_col, id_col)
+    chunks = sh.select(
+        id_col, "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(n_chunks - 1))).alias("chunk"),
+    ).withColumn(
+        "chunk_val",
+        F.expr(f"shiftrightunsigned(simhash, chunk * {chunk_bits}) "
+               f"& {(1 << chunk_bits) - 1}"),
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
+               & (F.col("a.chunk_val") == F.col("b.chunk_val")))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.col("a.simhash").alias("sh_a"),
+                F.col("b.simhash").alias("sh_b"))
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

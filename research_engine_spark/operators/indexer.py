@@ -225,7 +225,50 @@ def build_index(
     with open(os.path.join(out_dir, "corpus_stats.json"), "w") as f:
         json.dump(corpus_stats, f)
 
-    # --- (term, doc) pairs with map-side tf -------------------------------
+    _pack_segment(
+        docs_tbl, out_dir, n_docs=n_docs, avgdl=avgdl, k1=k1, b=b,
+        n_buckets=n_buckets, max_group_postings=max_group_postings,
+        n_partitions=n_partitions, snapshot_id=snapshot_id,
+        buckets_subset=buckets_subset, mode=mode,
+    )
+
+    # --- snapshot manifest (Iceberg-snapshot analog for resume) ------------
+    manifest_path = os.path.join(out_dir, "manifest.json")
+    done: set[int] = set()
+    if mode == "append" and os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            done = set(json.load(f)["completed_buckets"])
+    done |= set(buckets_subset if buckets_subset is not None
+                else range(n_buckets))
+    with open(manifest_path, "w") as f:
+        json.dump({"completed_buckets": sorted(done),
+                   "n_buckets": n_buckets, "snapshot_id": snapshot_id}, f)
+
+    wall = time.monotonic() - t_start
+    return {**corpus_stats, "build_wall_sec": wall,
+            "turns_per_sec": (n_docs / wall if wall > 0 else float("inf"))}
+
+
+def _pack_segment(
+    docs_tbl: DataFrame,
+    out_dir: str,
+    n_docs: int,
+    avgdl: float,
+    k1: float,
+    b: float,
+    n_buckets: int,
+    max_group_postings: int,
+    n_partitions: int,
+    snapshot_id: str,
+    buckets_subset: list[int] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Shared pack pipeline: (term, doc) pairs -> term_stats -> salted SPIMI
+    blocks -> postings + lineage. Used by full builds, bucket-resume, and
+    streaming segment appends (docs_tbl = just the new segment there, with
+    n_docs/avgdl the GLOBAL totals so idf/norms reflect the whole corpus).
+    """
+    spark = docs_tbl.sparkSession
     # Persisted (memory-then-disk spill) because both the term_stats agg and
     # the SPIMI pack consume it — tokenization is the most expensive map
     # stage and must run exactly once (SPIMI run-spill analog).
@@ -244,10 +287,15 @@ def build_index(
         F.sum("tf").alias("cf"),
         F.max("tf").alias("max_tf"),
         F.min("dl").alias("min_dl"),
-    )
+    ).withColumn("snapshot_id", F.lit(snapshot_id))
     ts_path = os.path.join(out_dir, "term_stats")
-    term_stats.write.mode(mode).partitionBy("bucket").parquet(ts_path)
-    term_stats = spark.read.parquet(ts_path)
+    # cluster by bucket before the partitioned write: one-ish file per
+    # bucket dir instead of (tasks × buckets) shards — term lookups at
+    # query time read a single small file per bucket
+    term_stats.repartition(n_buckets, "bucket").write.mode(mode).partitionBy(
+        "bucket").parquet(ts_path)
+    term_stats = spark.read.parquet(ts_path).filter(
+        F.col("snapshot_id") == snapshot_id)
     if buckets_subset is not None:
         term_stats = term_stats.filter(
             F.col("bucket").isin([int(x) for x in buckets_subset]))
@@ -277,7 +325,10 @@ def build_index(
     ).withColumn("bucket", F.pmod(F.hash("term"), F.lit(n_buckets)).cast("int"))
 
     post_path = os.path.join(out_dir, "postings")
-    packed.write.mode(mode).partitionBy("bucket").parquet(post_path)
+    # same clustering rationale as term_stats; blocks are already packed
+    # binaries so this shuffle moves ~1/100th of the pair volume
+    packed.repartition(n_buckets, "bucket").write.mode(mode).partitionBy(
+        "bucket").parquet(post_path)
     pairs.unpersist()
 
     # --- lineage/metrics table (north rule fields) -------------------------
@@ -300,21 +351,53 @@ def build_index(
     )
     lineage.write.mode(mode).parquet(os.path.join(out_dir, "lineage"))
 
-    # --- snapshot manifest (Iceberg-snapshot analog for resume) ------------
-    manifest_path = os.path.join(out_dir, "manifest.json")
-    done: set[int] = set()
-    if mode == "append" and os.path.exists(manifest_path):
-        with open(manifest_path) as f:
-            done = set(json.load(f)["completed_buckets"])
-    done |= set(buckets_subset if buckets_subset is not None
-                else range(n_buckets))
-    with open(manifest_path, "w") as f:
-        json.dump({"completed_buckets": sorted(done),
-                   "n_buckets": n_buckets, "snapshot_id": snapshot_id}, f)
 
-    wall = time.monotonic() - t_start
-    return {**corpus_stats, "build_wall_sec": wall,
-            "turns_per_sec": (n_docs / wall if wall > 0 else float("inf"))}
+def append_segment(transcripts: DataFrame, out_dir: str,
+                   n_partitions: int | None = None,
+                   snapshot_id: str | None = None) -> dict:
+    """Append a new segment of transcript turns to an existing index
+    (streaming micro-batch path; Lucene-segment analog).
+
+    New docs get docIDs after the current maximum, stably ordered by
+    (conv_id, turn_idx) WITHIN the segment (cross-segment order is commit
+    order, as in Lucene). Corpus stats are updated incrementally; idf and
+    block upper bounds are computed at query time from the aggregated
+    term_stats, so existing postings stay valid without rewriting.
+    """
+    spark = transcripts.sparkSession
+    if n_partitions is None:
+        n_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    with open(os.path.join(out_dir, "corpus_stats.json")) as f:
+        stats = json.load(f)
+    base = int(stats["n_docs"])
+    from ..functions.analyzer import token_count_udf
+
+    docs = (
+        with_doc_ids(transcripts)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(base))
+        .withColumn("dl", token_count_udf(F.col("text")))
+    )
+    docs.select("doc_id", "conv_id", "turn_idx", "role", "text", "dl", "ts"
+                ).write.mode("append").parquet(os.path.join(out_dir, "docs"))
+    seg = spark.read.parquet(os.path.join(out_dir, "docs")).filter(
+        F.col("doc_id") >= base)
+    row = seg.agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(F.col("dl").cast("long")).alias("tok")).collect()[0]
+    stats["n_docs"] = base + int(row["n"])
+    stats["total_tokens"] = int(stats["total_tokens"]) + int(row["tok"] or 0)
+    stats["avgdl"] = (stats["total_tokens"] / stats["n_docs"]
+                      if stats["n_docs"] else 0.0)
+    if snapshot_id is None:
+        snapshot_id = f"seg_{base}"
+    _pack_segment(
+        seg, out_dir, n_docs=stats["n_docs"], avgdl=stats["avgdl"],
+        k1=stats["k1"], b=stats["b"], n_buckets=int(stats["n_buckets"]),
+        max_group_postings=500_000, n_partitions=n_partitions,
+        snapshot_id=snapshot_id, mode="append",
+    )
+    with open(os.path.join(out_dir, "corpus_stats.json"), "w") as f:
+        json.dump(stats, f)
+    return stats
 
 
 def resume_index(transcripts: DataFrame, out_dir: str, **kwargs) -> dict:

@@ -60,7 +60,14 @@ PARTIAL_SCHEMA = "doc_id bigint, term string, partial double, gub double"
 
 @dataclass
 class IndexReader:
-    """Handle on an index directory produced by build_index()."""
+    """Handle on an index directory produced by build_index().
+
+    Spark DataFrames are memoized (one InMemoryFileIndex per table per
+    reader — repeated searches don't re-list files); pure-metadata lookups
+    (term dictionary, bucket routing) are driver-side with pyarrow and a
+    Spark-bit-identical Python Murmur3 — a search issues exactly ONE Spark
+    job (the scoring scan) in the unpruned path.
+    """
 
     spark: SparkSession
     index_dir: str
@@ -69,49 +76,72 @@ class IndexReader:
         with open(os.path.join(self.index_dir, "corpus_stats.json")) as f:
             self.stats = json.load(f)
         self.n_buckets = int(self.stats["n_buckets"])
+        self._cache: dict[str, DataFrame] = {}
+
+    def _tbl(self, name: str) -> DataFrame:
+        if name not in self._cache:
+            self._cache[name] = self.spark.read.parquet(
+                os.path.join(self.index_dir, name))
+        return self._cache[name]
 
     @property
     def postings(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.index_dir, "postings"))
+        return self._tbl("postings")
 
     @property
     def term_stats(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.index_dir, "term_stats"))
+        return self._tbl("term_stats")
 
     @property
     def docs(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.index_dir, "docs"))
+        return self._tbl("docs")
 
     @property
     def lineage(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.index_dir, "lineage"))
+        return self._tbl("lineage")
 
     def bucket_of(self, terms: list[str]) -> dict[str, int]:
-        """Murmur3 term->bucket via the same JVM expression used at build
-        time (F.hash), so build/query bucketing can never drift."""
-        if not terms:
-            return {}
-        df = self.spark.createDataFrame([(t,) for t in set(terms)], "term string")
-        rows = df.withColumn(
-            "bucket", F.pmod(F.hash("term"), F.lit(self.n_buckets)).cast("int")
-        ).collect()
-        return {r["term"]: r["bucket"] for r in rows}
+        """term->bucket via driver-side Murmur3 (bit-identical to the
+        build-time ``pmod(hash(term), n_buckets)``; verified in tests)."""
+        from ..functions.mmh3 import bucket_of_term
+
+        return {t: bucket_of_term(t, self.n_buckets) for t in set(terms)}
+
+    def term_stats_arrow(self, terms: list[str]) -> pd.DataFrame:
+        """Driver-side term-dictionary lookup: read only the needed bucket
+        partitions of term_stats with pyarrow (a bucket holds vocab/B rows
+        — small even at 10^12 turns), filter to the query terms, aggregate
+        across segments. No Spark job."""
+        import pyarrow.dataset as pads
+
+        buckets = sorted(set(self.bucket_of(terms).values()))
+        frames = []
+        for bkt in buckets:
+            p = os.path.join(self.index_dir, "term_stats", f"bucket={bkt}")
+            if not os.path.exists(p):
+                continue
+            ds = pads.dataset(p, format="parquet")
+            tbl = ds.to_table(
+                columns=["term", "df", "max_tf", "min_dl"],
+                filter=pads.field("term").isin(terms),
+            )
+            frames.append(tbl.to_pandas())
+        if not frames:
+            return pd.DataFrame(columns=["term", "df", "max_tf", "min_dl"])
+        allts = pd.concat(frames, ignore_index=True)
+        return (
+            allts.groupby("term", as_index=False)
+            .agg(df=("df", "sum"), max_tf=("max_tf", "max"),
+                 min_dl=("min_dl", "min"))
+        )
 
 
 def _term_meta(reader: IndexReader, qterms: list[tuple[str, int]],
                k1: float, b: float) -> pd.DataFrame:
-    """df/max_tf/min_dl for the query terms (bucket-pruned scan) + idf and
-    the per-term global score upper bound gub."""
+    """df/max_tf/min_dl for the query terms (bucket-pruned, driver-side)
+    + idf and the per-term global score upper bound gub."""
     terms = [t for t, _ in qterms]
-    buckets = reader.bucket_of(terms)
-    ts = (
-        reader.term_stats.filter(
-            F.col("bucket").isin(sorted(set(buckets.values())))
-            & F.col("term").isin(terms)
-        )
-        .select("term", "df", "max_tf", "min_dl")
-        .toPandas()
-    )
+    ts = reader.term_stats_arrow(terms)
     meta = pd.DataFrame(qterms, columns=["term", "qtf"]).merge(
         ts, on="term", how="inner")
     if meta.empty:
@@ -231,7 +261,6 @@ def search(
     if meta.empty:
         return empty
     avgdl = reader.stats["avgdl"]
-    default_params = (k1 == reader.stats["k1"] and b == reader.stats["b"])
     total_gub = float(meta["gub"].sum())
 
     buckets = sorted({int(v) for v in
@@ -246,13 +275,14 @@ def search(
                 meta["term"].tolist())
         ).join(F.broadcast(info), "term", "inner")
     )
-    if default_params:
-        block_ub = F.col("qtf") * F.col("block_max_score")
-    else:
-        norm = F.lit(k1) * (F.lit(1.0 - b)
-                            + F.lit(b) * F.col("min_dl") / F.lit(avgdl))
-        block_ub = (F.col("qtf") * F.col("idf") * F.col("max_tf")
-                    / (F.col("max_tf") + norm))
+    # Block upper bound recomputed at query time from (max_tf, min_dl):
+    # valid for any (k1, b) AND robust to incremental appends, which change
+    # N/avgdl and make build-time block_max_score stale. Still a pure
+    # column expression (JVM-side, evaluated before any decode).
+    norm = F.lit(k1) * (F.lit(1.0 - b)
+                        + F.lit(b) * F.col("min_dl") / F.lit(avgdl))
+    block_ub = (F.col("qtf") * F.col("idf") * F.col("max_tf")
+                / (F.col("max_tf") + norm))
 
     payload_cols = ["term", "qtf", "idf", "gub", "doc_gaps", "tfs", "dls"]
 

@@ -1,0 +1,609 @@
+"""Driver-contract queries: one entry per implemented operator family
+(SURVEY.md §2 + training-data ops), each as a (Spark callable, DuckDB
+oracle SQL) pair over the /root/testdata parquet tables.
+
+Conventions for exact cross-engine agreement:
+- every computed double is round()-ed in BOTH engines (ulp-level float
+  differences must not flip the driver's value hash);
+- every LIMIT/top-k has a fully deterministic ORDER BY (ties broken by
+  keys) in BOTH engines;
+- aliases match exactly between the Spark plan and the SQL text.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import textstats as TS
+from .operators import dedup as DD
+from .operators.fusion import rrf_fuse, with_rank
+
+Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+SQL: dict[str, str] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        Q[name] = fn
+        if sql is not None:
+            SQL[name] = sql
+        return fn
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Relational core (scans S1/S3, filters P1-P4, joins J1-J6, aggs A1-A8,
+# windows W2/W3, top-k T1-T6, set ops U1-U3)
+# ---------------------------------------------------------------------------
+
+@register("q01_pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                   AS sum_qty,
+       round(sum(l_extendedprice), 2)                              AS sum_base,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc,
+       round(avg(l_quantity), 4)                                   AS avg_qty,
+       count(*)                                                    AS n
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""")
+def q01(spark, sf_dir):
+    """TPC-H Q1 shape: grouped aggregate with map-side partials (A1/A5)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                    2).alias("sum_disc"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register("q03_top_orders", """
+SELECT o.o_orderkey AS orderkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderkey
+ORDER BY revenue DESC, orderkey ASC
+LIMIT 10
+""")
+def q03(spark, sf_dir):
+    """Join chain + grouped agg + distributed top-k (J2/A3/T1)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("o_orderkey").alias("orderkey"))
+        .agg(F.round(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("orderkey"))
+        .limit(10)
+    )
+
+
+@register("q05_region_revenue", """
+SELECT r.r_name AS region,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       count(DISTINCT c.c_custkey) AS n_customers
+FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY r.r_name
+""")
+def q05(spark, sf_dir):
+    """Star join through two broadcast-able dims (J2 broadcast + A2/A3)."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice")
+                          * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+        )
+    )
+
+
+@register("anti_join_inactive_customers", """
+SELECT c.c_custkey AS custkey, c.c_nationkey AS nationkey
+FROM customer c ANTI JOIN orders o ON o.o_custkey = c.c_custkey
+""")
+def anti_join(spark, sf_dir):
+    """Left-anti existence filter (P7/J5/U3: combine_csv dedup, snowball
+    visited-set)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select(F.col("c_custkey").alias("custkey"),
+                F.col("c_nationkey").alias("nationkey"))
+    )
+
+
+@register("union_distinct_orders", """
+SELECT DISTINCT o_orderkey AS orderkey FROM (
+  SELECT o_orderkey FROM orders WHERE o_totalprice > 200000
+  UNION ALL
+  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+""")
+def union_distinct(spark, sf_dir):
+    """Union-all + distinct (U1/U2: combine_csv.py:27-36)."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_totalprice") > 200000).select("o_orderkey")
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    return (a.unionAll(b).distinct()
+            .select(F.col("o_orderkey").alias("orderkey")))
+
+
+@register("window_rank_orders", """
+SELECT custkey, orderkey, rn FROM (
+  SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn <= 2
+""")
+def window_rank(spark, sf_dir):
+    """Per-group top-n via ranking window (W2/W3)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select(F.col("o_custkey").alias("custkey"),
+                F.col("o_orderkey").alias("orderkey"), "rn")
+    )
+
+
+@register("history_last_n_events", """
+SELECT user_id, event_id, rn FROM (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn <= 4
+""")
+def history_last_n(spark, sf_dir):
+    """Last-4 history slice per conversation/user (T6:
+    rag_service.py:129-131 history[-4:])."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 4)
+        .select("user_id", "event_id", "rn")
+    )
+
+
+@register("grouped_event_stats", """
+SELECT event_type,
+       count(*) AS n,
+       count(DISTINCT user_id) AS n_users,
+       round(sum(value), 4) AS sum_value,
+       round(avg(value), 4) AS avg_value
+FROM events GROUP BY event_type
+""")
+def grouped_event_stats(spark, sf_dir):
+    """Grouped agg + count-distinct (A1/A2/A3)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+
+
+@register("sessionize_events", """
+SELECT user_id, count(*) AS n_events, sum(new_sess) + 1 AS n_sessions FROM (
+  SELECT user_id,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+) GROUP BY user_id
+""")
+def sessionize(spark, sf_dir):
+    """Sessionization: lag + gap threshold + running session count (the
+    classic streaming-adjacent window pattern)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    return (
+        e.withColumn("new_sess", F.when(gap > 1800, 1).otherwise(0))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             (F.sum("new_sess") + 1).alias("n_sessions"))
+    )
+
+
+@register("events_daily_pivot", """
+SELECT CAST(ts AS DATE) AS day,
+       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)    AS clicks,
+       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)     AS views,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases
+FROM events GROUP BY CAST(ts AS DATE)
+""")
+def events_daily_pivot(spark, sf_dir):
+    """Pivot-shaped conditional aggregation."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .alias("clicks"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .alias("views"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .alias("purchases"),
+    )
+
+
+@register("rrf_user_fusion", """
+WITH by_count AS (
+  SELECT user_id, row_number() OVER (ORDER BY count(*) DESC, user_id ASC) AS rank
+  FROM events GROUP BY user_id
+), by_value AS (
+  SELECT user_id, row_number() OVER (ORDER BY sum(value) DESC, user_id ASC) AS rank
+  FROM events GROUP BY user_id
+), unioned AS (
+  SELECT * FROM by_count UNION ALL SELECT * FROM by_value
+)
+SELECT user_id, round(sum(1.0 / (60 + rank)), 6) AS rrf_score
+FROM unioned GROUP BY user_id
+ORDER BY rrf_score DESC, user_id ASC
+LIMIT 20
+""")
+def rrf_user_fusion(spark, sf_dir):
+    """Reciprocal Rank Fusion (R7: query_retriever.py:66-74, k=60) over two
+    independent rankings."""
+    e = _t(spark, sf_dir, "events")
+    by_count = with_rank(
+        e.groupBy("user_id").agg(F.count(F.lit(1)).alias("s")), "s", "user_id")
+    by_value = with_rank(
+        e.groupBy("user_id").agg(F.sum("value").alias("s")), "s", "user_id")
+    fused = rrf_fuse([by_count, by_value], ["user_id"], k=60, top_n=20)
+    return fused.select("user_id", F.round("rrf_score", 6).alias("rrf_score"))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis / training-data ops over `documents`
+# ---------------------------------------------------------------------------
+
+_TOK_SQL = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+
+@register("filter_project_documents", """
+SELECT doc_id, source, n_chars FROM documents
+WHERE n_chars >= 200 AND n_chars <= 400 AND lang = 'en'
+""")
+def filter_project(spark, sf_dir):
+    """Projection + conjunctive predicates, pushed to the parquet scan
+    (P1-P4)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.filter((F.col("n_chars") >= 200) & (F.col("n_chars") <= 400)
+                 & (F.col("lang") == "en"))
+        .select("doc_id", "source", "n_chars")
+    )
+
+
+@register("term_frequencies", f"""
+SELECT term, count(*) AS freq
+FROM (SELECT unnest({_TOK_SQL}) AS term FROM documents)
+GROUP BY term
+ORDER BY freq DESC, term ASC
+LIMIT 40
+""")
+def term_frequencies(spark, sf_dir):
+    """Tokenize + explode + term-frequency aggregate (A6/F1, the SPIMI map
+    stage over the documents analog)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), r"[^a-z0-9]+"),
+                    lambda t: t != "")
+    return (
+        d.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("term"))
+        .limit(40)
+    )
+
+
+@register("corpus_stats_documents", f"""
+SELECT count(*) AS n_docs,
+       count(DISTINCT source) AS n_sources,
+       round(avg(len({_TOK_SQL})), 4) AS avgdl,
+       sum(len({_TOK_SQL})) AS total_tokens
+FROM documents
+""")
+def corpus_stats_documents(spark, sf_dir):
+    """Corpus statistics for BM25 (A5: N, avgdl, total tokens)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), r"[^a-z0-9]+"),
+                    lambda t: t != "")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.round(F.avg(F.size(toks)), 4).alias("avgdl"),
+        F.sum(F.size(toks)).alias("total_tokens"),
+    )
+
+
+@register("text_quality_stats", f"""
+SELECT doc_id,
+       len({_TOK_SQL}) AS n_tokens,
+       round(len(list_filter({_TOK_SQL},
+             t -> t IN ('the','and','of','to','in','is','that','it','for',
+                        'with','a','an','on','as','by','be','are','was',
+                        'this','we'))) * 1.0
+             / greatest(len({_TOK_SQL}), 1), 4) AS stop_ratio
+FROM documents
+""")
+def text_quality_stats(spark, sf_dir):
+    """Quality-scoring signals (P5 analog: chunk_pdfs_final.py:133-160) —
+    token count + stopword ratio as JVM-side expressions."""
+    d = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    toks = TS.tokens_col(c)
+    sw = F.array(*[F.lit(s) for s in TS.EN_STOPWORDS])
+    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.round(n_sw * F.lit(1.0) / F.greatest(F.size(toks), F.lit(1)), 4)
+        .alias("stop_ratio"),
+    )
+
+
+@register("lang_id_heuristic", f"""
+SELECT doc_id,
+       CASE WHEN len(list_filter({_TOK_SQL},
+                 t -> t IN ('the','and','of','to','in','is','that','it',
+                            'for','with'))) * 1.0
+                 / greatest(len({_TOK_SQL}), 1) >= 0.05
+            THEN 'en' ELSE 'und' END AS lang_guess
+FROM documents
+""")
+def lang_id_heuristic(spark, sf_dir):
+    """Language-ID heuristic via function-word density."""
+    d = _t(spark, sf_dir, "documents")
+    toks = TS.tokens_col(F.col("text"))
+    markers = F.array(*[F.lit(m) for m in TS.LANG_MARKERS["en"]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+    ratio = hits * F.lit(1.0) / F.greatest(F.size(toks), F.lit(1))
+    return d.select(
+        "doc_id",
+        F.when(ratio >= 0.05, "en").otherwise("und").alias("lang_guess"),
+    )
+
+
+@register("doc_fingerprints", """
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+       AS fingerprint
+FROM documents
+""")
+def doc_fingerprints(spark, sf_dir):
+    """Content fingerprinting (md5 over normalized text — portable across
+    engines; the rolling-hash analog for exact dedup)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", TS.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@register("exact_dedup_documents", """
+WITH fp AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+  FROM documents
+)
+SELECT f AS fingerprint, min(doc_id) AS keeper, count(*) AS n_dups
+FROM fp GROUP BY f
+""")
+def exact_dedup_documents(spark, sf_dir):
+    """Exact dedup by digest: keeper per duplicate group (A7 scaled —
+    hash-groupBy, never pairwise)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("fingerprint", TS.fingerprint(F.col("text")))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+_SHINGLES_CTE = f"""
+toks AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS tk FROM documents
+),
+shingles AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(tk, i, i + 2), ' ') AS shingle
+  FROM toks, unnest(generate_series(1, greatest(len(tk) - 2, 0))) AS g(i)
+)
+"""
+
+
+@register("minhash_signatures", f"""
+WITH {_SHINGLES_CTE}
+SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS minhash
+FROM shingles, unnest(generate_series(0, 7)) AS s(seed)
+WHERE doc_id < 40
+GROUP BY doc_id, seed
+""")
+def minhash_signatures_q(spark, sf_dir):
+    """MinHash signatures (portable md5 minima over 3-word shingles)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    sig = DD.minhash_signatures(d, n_hashes=8, n=3)
+    return sig.select("doc_id", F.col("seed").cast("long").alias("seed"),
+                      "minhash")
+
+
+@register("ngram_jaccard_pairs", f"""
+WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       round(i * 1.0 / (sa.sz + sb.sz - i), 4) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.2
+""")
+def ngram_jaccard_q(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs via shingle self-join (never a
+    full cross join)."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(d, threshold=0.2, n=3)
+    return pairs.select("id_a", "id_b",
+                        F.round("jaccard", 4).alias("jaccard"))
+
+
+@register("embedding_cosine_topk", """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                    CAST(qv AS DOUBLE[])), 4) AS cosine
+FROM embeddings, q
+WHERE vec_id <> 0
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 10
+""")
+def embedding_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k (R6/T2: vector_store.py:146-161) — exact
+    baseline for ANN."""
+    from .operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    top = brute_force_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10)
+    return top.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+@register("bm25_documents", f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+corpus AS (SELECT count(*) AS n, sum(dl) AS tok FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+qterms AS (SELECT unnest(['spark','join','shuffle']) AS term),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks
+  WHERE term IN (SELECT term FROM qterms) GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (corpus.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                         / (corpus.tok * 1.0 / corpus.n))) ) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), corpus
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 4) AS score FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+""")
+def bm25_documents(spark, sf_dir):
+    """Flagship: BM25 top-k computed with pure DataFrame ops over the
+    documents table (R1/A5/A6/J6/T1 in one plan; SQL-portable analyzer —
+    regex tokens, no stemming — so DuckDB can replay it exactly)."""
+    d = _t(spark, sf_dir, "documents")
+    qset = ["spark", "join", "shuffle"]
+    toks_arr = F.filter(F.split(F.lower(F.col("text")), r"[^a-z0-9]+"),
+                        lambda t: t != "")
+    toks = d.select("doc_id", F.explode(toks_arr).alias("term"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    corpus = dl.agg(F.count(F.lit(1)).alias("n"),
+                    F.sum("dl").alias("tok")).collect()[0]
+    n_docs, avgdl = int(corpus["n"]), float(corpus["tok"]) / int(corpus["n"])
+    tf = (toks.filter(F.col("term").isin(qset))
+          .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")))
+    df_t = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(1.0 + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    scored = (
+        tf.join(F.broadcast(df_t.withColumn("idf", idf).select("term", "idf")),
+                "term")
+        .join(dl, "doc_id")
+        .withColumn(
+            "partial",
+            F.col("idf") * F.col("tf")
+            / (F.col("tf") + 1.2 * (1 - 0.75 + 0.75 * F.col("dl")
+                                    / F.lit(avgdl))),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("partial").alias("score"))
+    )
+    return (scored.select("doc_id", F.round("score", 4).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(10))
+
+
+# --- rows-only entries (no SQL oracle: non-SQL-expressible semantics) -----
+
+@register("simhash_near_pairs")
+def simhash_near_pairs_q(spark, sf_dir):
+    """SimHash near-dup pairs (pigeonhole chunk join + bit_count verify).
+    Rows-only check: the 64-bit packing UDF is not SQL-portable."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return DD.simhash_near_pairs(d, max_hamming=16)
+
+
+@register("lsh_ann_topk")
+def lsh_ann_topk(spark, sf_dir):
+    """LSH-bucketed approximate NN (random hyperplanes; scale path for
+    similarity search). Rows-only: bucket membership depends on seeded
+    hyperplanes, not SQL-expressible."""
+    from .operators.similarity import lsh_bucketed_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    top = lsh_bucketed_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10)
+    return top.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+@register("transcript_bm25_engine")
+def transcript_bm25_engine(spark, sf_dir):
+    """The real engine end-to-end on synthetic transcripts: build the
+    compressed SPIMI index (in a temp dir) and run a reference query.
+    Rows-only for the driver; rank-identity vs the numpy oracle is enforced
+    in pytest (tests/test_rank_identity.py)."""
+    import tempfile
+
+    from .corpus import synth_transcripts
+    from .operators.indexer import build_index
+    from .operators.scorer import IndexReader, search
+
+    tx = synth_transcripts(spark, n_convs=30, seed=42)
+    d = tempfile.mkdtemp(prefix="entry_idx_")
+    build_index(tx, d, n_buckets=4)
+    reader = IndexReader(spark, d)
+    return search(reader, "neural networks", k=10, with_text=False)
