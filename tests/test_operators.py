@@ -1,0 +1,193 @@
+"""Operator-level tests: dedup family vs brute-force ground truth,
+similarity search recall, text stats, fusion, murmur3 parity, multimodal
+plumbing."""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from research_engine_spark.functions.mmh3 import spark_hash_string
+from research_engine_spark.operators import dedup as DD
+from research_engine_spark.operators import similarity as SIM
+from research_engine_spark.operators.fusion import rrf_fuse, with_rank
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),        # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy cat"),        # near dup of 0
+    (3, "completely different content about spark joins"),
+    (4, "  The   QUICK brown fox jumps over the lazy dog  "),  # ws/case dup of 0
+    (5, "spark joins require shuffle unless broadcast is used"),
+    (6, "tiny"),                                               # < n tokens
+    (7, ""),                                                   # empty
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def _py_shingles(text: str, n: int = 3) -> set[str]:
+    toks = " ".join(text.lower().split()).split(" ") if text.strip() else []
+    return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+
+def test_exact_dedup(docs_df):
+    kept = sorted(r["doc_id"] for r in DD.exact_dedup(docs_df).collect())
+    # 0,1,4 collapse (normalization folds case+whitespace); keeper is min id
+    assert 0 in kept and 1 not in kept and 4 not in kept
+    assert set(kept) >= {0, 2, 3, 5, 6, 7}
+
+
+def test_word_shingles_match_python(docs_df):
+    got = (DD.word_shingles(docs_df).groupBy("doc_id")
+           .agg(F.collect_set("shingle").alias("s")).collect())
+    got = {r["doc_id"]: set(r["s"]) for r in got}
+    for doc_id, text in DOCS:
+        want = _py_shingles(text)
+        assert got.get(doc_id, set()) == want, doc_id
+
+
+def test_ngram_jaccard_vs_bruteforce(docs_df):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in DD.ngram_jaccard_pairs(docs_df, threshold=0.1).collect()}
+    for (ia, ta), (ib, tb) in itertools.combinations(DOCS, 2):
+        sa, sb = _py_shingles(ta), _py_shingles(tb)
+        if not sa or not sb:
+            continue
+        j = len(sa & sb) / len(sa | sb)
+        if j >= 0.1:
+            assert (ia, ib) in pairs
+            assert abs(pairs[(ia, ib)] - j) < 1e-12
+        else:
+            assert (ia, ib) not in pairs
+
+
+def test_lsh_candidates_superset_of_high_jaccard(docs_df):
+    # banding guarantee: identical signatures in >=1 band -> candidate;
+    # exact dups must always be candidates
+    cands = {(r["id_a"], r["id_b"])
+             for r in DD.lsh_candidate_pairs(docs_df).collect()}
+    assert (0, 1) in cands and (0, 4) in cands and (1, 4) in cands
+
+
+def test_simhash_properties(spark, docs_df):
+    sh = {r["doc_id"]: r["simhash"] for r in DD.simhash(docs_df).collect()}
+    assert sh[0] == sh[1]  # identical text -> identical fingerprint
+    h02 = bin(sh[0] ^ sh[2]).count("1")
+    h03 = bin(sh[0] ^ sh[3]).count("1")
+    assert h02 < h03  # near dup closer than unrelated
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in DD.simhash_near_pairs(docs_df, max_hamming=3).collect()}
+    assert pairs.get((0, 1)) == 0
+
+
+def test_mmh3_matches_spark_hash(spark):
+    terms = ["neural", "network", "", "a", "架构", "café", "x" * 100,
+             "term00042", "UPPER case", "123", "\t\n"]
+    rows = spark.createDataFrame([(t,) for t in terms], "t string").select(
+        "t", F.hash("t").alias("h")).collect()
+    for r in rows:
+        assert spark_hash_string(r["t"]) == r["h"], r["t"]
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((100, 16))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    vecs[7] = vecs[0] * 0.999 + 0.001 * vecs[1]  # near-dup of 0
+    pdf = pd.DataFrame({"vec_id": range(100),
+                        "embedding": [v.astype(np.float32).tolist()
+                                      for v in vecs]})
+    return (spark.createDataFrame(pdf), vecs)
+
+
+def test_brute_force_cosine_matches_numpy(emb_df):
+    df, vecs = emb_df
+    q = vecs[0].tolist()
+    got = SIM.brute_force_topk(df.filter(F.col("vec_id") != 0), q, k=5).collect()
+    f32 = np.array([np.asarray(v, dtype=np.float32) for v in vecs])
+    cos = (f32 @ np.asarray(q)) / (np.linalg.norm(f32, axis=1)
+                                   * np.linalg.norm(q))
+    cos[0] = -np.inf
+    want = np.argsort(-cos, kind="stable")[:5]
+    assert [r["vec_id"] for r in got] == list(want)
+    assert got[0]["vec_id"] == 7  # the planted near-dup
+
+
+def test_lsh_ann_finds_near_dup(emb_df):
+    df, vecs = emb_df
+    q = vecs[0].tolist()
+    got = SIM.lsh_bucketed_topk(df.filter(F.col("vec_id") != 0), q, k=5,
+                                n_planes=6, n_tables=6)
+    ids = [r["vec_id"] for r in got.collect()]
+    assert 7 in ids  # near-identical vector lands in the query's bucket
+
+
+def test_embedding_near_dup_pairs(emb_df):
+    df, _ = emb_df
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             SIM.embedding_near_dup_pairs(df, threshold=0.99).collect()}
+    assert (0, 7) in pairs
+
+
+def test_rrf_matches_reference_formula(spark):
+    # reference: scores[doc] += 1/(k + rank), k=60 (query_retriever.py:66-74)
+    l1 = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc long, rank int")
+    l2 = spark.createDataFrame([(3, 1), (1, 2), (4, 3)], "doc long, rank int")
+    got = {r["doc"]: r["rrf_score"]
+           for r in rrf_fuse([l1, l2], ["doc"], k=60).collect()}
+    assert abs(got[1] - (1 / 61 + 1 / 62)) < 1e-12
+    assert abs(got[3] - (1 / 63 + 1 / 61)) < 1e-12
+    assert abs(got[4] - 1 / 63) < 1e-12
+
+
+def test_with_rank_deterministic_ties(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 5.0), (3, 4.0)], "id long, s double")
+    got = {r["id"]: r["rank"] for r in with_rank(df, "s", "id").collect()}
+    assert got == {1: 1, 2: 2, 3: 3}
+
+
+def test_multimodal_plumbing(spark):
+    from research_engine_spark.operators.multimodal import (
+        extract_features, frame_sample_plan, synth_media)
+
+    media = synth_media(spark, n=12, seed=1)
+    feats = extract_features(media, dim=8).collect()
+    assert len(feats) == 12
+    assert all(len(r["feature"]) == 8 for r in feats)
+    # deterministic: same payload -> same features
+    feats2 = extract_features(synth_media(spark, n=12, seed=1), dim=8).collect()
+    f1 = {r["media_id"]: r["feature"] for r in feats}
+    f2 = {r["media_id"]: r["feature"] for r in feats2}
+    assert f1 == f2
+    with pytest.raises(NotImplementedError):
+        extract_features(media, fake=False)
+    plan = frame_sample_plan(media, every_ms=500)
+    assert plan.count() > 0
+
+
+def test_textstats(spark):
+    from research_engine_spark.functions.textstats import with_text_stats
+
+    df = spark.createDataFrame(
+        [(0, "The quick brown fox and the lazy dog are friends."),
+         (1, "!!! ??? ###"),
+         (2, ""),
+         (3, "der die das und ist nicht ein mit für immer")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in with_text_stats(df).collect()}
+    assert rows[0]["lang_guess"] == "en"
+    assert rows[3]["lang_guess"] == "de"
+    assert rows[0]["n_tokens"] == 10
+    assert rows[2]["n_tokens"] == 0
+    assert rows[0]["quality"] > rows[1]["quality"]
+    assert rows[0]["fingerprint"] is not None
