@@ -1,0 +1,92 @@
+"""Multi-field BM25 with per-field boosts — ES multi_match best_fields.
+
+Reference: retrieval/es_search_final.py:16-23 queries
+``fields: ["chunk_text^3", "title^2", "authors"]`` with best_fields (score
+= max over per-field scores; tie_breaker defaults to 0), and v1 uses
+``chunk_text^4`` (es_search.py:12-15). Lucene keeps SEPARATE statistics
+(df, avgdl, norms) per field — so the faithful Spark design is one
+sub-index per field sharing the SAME docID space (docIDs derive
+deterministically from (conv_id, turn_idx), so alignment is free), with
+query-time max-combination:
+
+    score(d) = max_f boost_f * bm25_f(d)   (+ tie_breaker * sum of others)
+
+Each sub-index is a full build_index() product, so everything (salting,
+buckets, pruning, resume, lineage) applies per field unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .indexer import build_index
+from .scorer import IndexReader, search
+
+
+def build_multifield_index(
+    transcripts: DataFrame,
+    out_dir: str,
+    fields: dict[str, float],
+    **build_kwargs,
+) -> dict:
+    """One sub-index per field. ``fields`` maps column name -> boost.
+    Columns are indexed as text (cast to string)."""
+    os.makedirs(out_dir, exist_ok=True)
+    stats = {}
+    for field in sorted(fields):
+        sub = transcripts.withColumn(
+            "text", F.coalesce(F.col(field).cast("string"), F.lit("")))
+        stats[field] = build_index(
+            sub, os.path.join(out_dir, f"field={field}"), **build_kwargs)
+    with open(os.path.join(out_dir, "fields.json"), "w") as f:
+        json.dump({"fields": fields}, f)
+    return stats
+
+
+class MultiFieldReader:
+    def __init__(self, spark, out_dir: str) -> None:
+        with open(os.path.join(out_dir, "fields.json")) as f:
+            self.boosts: dict[str, float] = json.load(f)["fields"]
+        self.readers = {
+            field: IndexReader(spark, os.path.join(out_dir, f"field={field}"))
+            for field in self.boosts
+        }
+        self.spark = spark
+
+
+def search_multifield(
+    mf: MultiFieldReader,
+    query: str,
+    k: int = 10,
+    tie_breaker: float = 0.0,
+    k1: float | None = None,
+    b: float | None = None,
+) -> DataFrame:
+    """best_fields combination over the per-field sub-indexes.
+
+    Per-field candidate top-k is NOT enough for exact max-combination (a
+    doc can be k+1-th in every field yet top-k combined only when
+    tie_breaker > 0), so each field contributes its FULL scored set for
+    the query terms (still only matching postings) and the combination is
+    a union + max/sum aggregate + distributed top-k.
+    """
+    parts = []
+    for field, reader in mf.readers.items():
+        boost = float(mf.boosts[field])
+        scored = search(reader, query, k=k, k1=k1, b=b, with_text=False,
+                        _all_matches=True)
+        parts.append(scored.select(
+            "doc_id", (F.col("score") * F.lit(boost)).alias("fscore")))
+    if not parts:
+        return mf.spark.createDataFrame([], "doc_id bigint, score double")
+    unioned = reduce(DataFrame.unionByName, parts)
+    combined = unioned.groupBy("doc_id").agg(
+        (F.max("fscore")
+         + F.lit(float(tie_breaker))
+         * (F.sum("fscore") - F.max("fscore"))).alias("score"))
+    return combined.orderBy(F.desc("score"), F.asc("doc_id")).limit(int(k))

@@ -1,0 +1,153 @@
+"""Secondary retrieval operators: multi-query RRF retrieval (R8),
+highlighting (R9), context assembly (F11/T6), sliding-window re-chunking
+(W1).
+
+Reference behaviors re-expressed:
+- R8: retrieval/query_retriever.py:239-296,314-355 — expand a query into n
+  variants (there: via an LLM — out of engine scope; here the variants are
+  caller-provided), retrieve per variant, fuse with RRF.
+- R9: retrieval/rag_generator.py:154-158 — ES highlight fragments around
+  matches; here `locate` + `substring` column expressions.
+- F11/T6: website/backend/rag_service.py:120,129-131 — join top-k chunk
+  texts with a separator, keep the last-N conversation turns.
+- W1: database/scripts/chunk_pdfs_oai.py:72-86 — 800-token windows with
+  200-token overlap, step = size - overlap, per document; chunk_index
+  enumerated per doc. Here per-conversation over the concatenated turn
+  stream via applyInPandas (windows are over token arrays, not rows, so a
+  rowsBetween window cannot express it).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .fusion import RRF_K, rrf_fuse
+from .scorer import IndexReader, search
+
+
+def multi_query_search(
+    reader: IndexReader,
+    queries: list[str],
+    k: int = 10,
+    per_query_k: int | None = None,
+    rrf_k: int = RRF_K,
+    k1: float | None = None,
+    b: float | None = None,
+) -> DataFrame:
+    """R8: run each query variant, fuse ranked lists with RRF, return the
+    fused top-k (doc_id, rrf_score) with deterministic tiebreaks."""
+    spark = reader.spark
+    per_query_k = per_query_k or max(k * 3, 15)
+    ranked = []
+    for q in queries:
+        hits = search(reader, q, k=per_query_k, k1=k1, b=b, with_text=False)
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        ranked.append(hits.withColumn("rank", F.row_number().over(w)))
+    if not ranked:
+        return spark.createDataFrame([], "doc_id bigint, rrf_score double")
+    return rrf_fuse(ranked, ["doc_id"], k=rrf_k, top_n=k)
+
+
+def with_highlights(hits: DataFrame, query: str, text_col: str = "text",
+                    width: int = 60) -> DataFrame:
+    """R9: first-match fragment of ±width chars around the first query
+    term occurrence (case-insensitive), pure column expressions."""
+    from ..functions.analyzer import analyze_query
+
+    terms = [t for t, _ in analyze_query(query)]
+    if not terms:
+        return hits.withColumn("highlight", F.lit(""))
+    lower = F.lower(F.col(text_col))
+    # first occurrence position among all query terms (0 if none)
+    pos = None
+    for t in terms:
+        p = F.locate(t, lower)
+        pos = p if pos is None else F.when(
+            (p > 0) & ((pos == 0) | (p < pos)), p).otherwise(pos)
+    start = F.greatest(pos - F.lit(width // 2), F.lit(1))
+    frag = F.when(pos > 0,
+                  F.substring(F.col(text_col), start, width)
+                  ).otherwise(F.substring(F.col(text_col), 1, width))
+    return hits.withColumn("highlight", frag)
+
+
+def assemble_context(hits: DataFrame, text_col: str = "text",
+                     max_chunks: int = 5, sep: str = "\n\n") -> str:
+    """F11/T6: driver-side context assembly — join the top chunk texts
+    (rag_service.py:120 '\\n\\n'.join; :172 sources[:5])."""
+    rows = (hits.orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(max_chunks).select(text_col).collect())
+    return sep.join(r[0] for r in rows if r[0])
+
+
+def last_n_turns(transcripts: DataFrame, n: int = 4) -> DataFrame:
+    """T6 history slice: last n turns per conversation by turn_idx
+    (rag_service.py:129-131 history[-4:])."""
+    w = Window.partitionBy("conv_id").orderBy(F.desc("turn_idx"))
+    return (transcripts.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= n).drop("_rn"))
+
+
+CHUNK_SCHEMA = ("conv_id string, chunk_index int, chunk_text string, "
+                "token_count int")
+
+
+def rechunk_conversations(
+    transcripts: DataFrame,
+    window_tokens: int = 800,
+    overlap: int = 200,
+    min_doc_tokens: int = 50,
+    min_chunk_tokens: int = 100,
+) -> DataFrame:
+    """W1: sliding token windows over each conversation's concatenated turn
+    stream (reference geometry: 800/200, MIN_DOC_TOKENS=50,
+    MIN_CHUNK_TOKENS=100 — chunk_pdfs_oai.py:31-34, chunk_pdfs_final.py:44).
+
+    applyInPandas per conversation: turns sorted by turn_idx, whitespace
+    tokens concatenated, windows of `window_tokens` stepping by
+    (window - overlap); short docs and short trailing chunks are dropped
+    exactly like the reference (chunk_pdfs_oai.py:119-120, :314-315 analog).
+    """
+    step = window_tokens - overlap
+
+    def chunk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("turn_idx")
+        toks: list[str] = []
+        for t in pdf["text"]:
+            if t:
+                toks.extend(t.split())
+        if len(toks) < min_doc_tokens:
+            return pd.DataFrame(
+                columns=["conv_id", "chunk_index", "chunk_text",
+                         "token_count"])
+        # exact reference boundary semantics (chunk_pdfs_oai.py:71-80):
+        # i=0; while i<n: yield [i, min(n, i+size)); stop once the window
+        # reaches the end; step = size - overlap. Short chunks dropped
+        # afterwards (chunk_pdfs_final.py:314-315).
+        rows = []
+        idx = 0
+        n = len(toks)
+        i = 0
+        while i < n:
+            j = min(n, i + window_tokens)
+            window = toks[i:j]
+            if len(window) >= min_chunk_tokens:
+                rows.append({
+                    "conv_id": pdf["conv_id"].iloc[0],
+                    "chunk_index": idx,
+                    "chunk_text": " ".join(window),
+                    "token_count": len(window),
+                })
+                idx += 1
+            if j >= n:
+                break
+            i += step
+        return pd.DataFrame(rows, columns=["conv_id", "chunk_index",
+                                           "chunk_text", "token_count"])
+
+    return (transcripts.select("conv_id", "turn_idx", "text")
+            .groupBy("conv_id").applyInPandas(chunk, schema=CHUNK_SCHEMA))

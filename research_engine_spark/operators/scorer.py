@@ -244,10 +244,13 @@ def search(
     b: float | None = None,
     prune: bool = False,
     with_text: bool = True,
+    _all_matches: bool = False,
 ) -> DataFrame:
     """Top-k BM25. Returns (doc_id, score, conv_id, turn_idx[, text])
     ordered by (score desc, doc_id asc). prune=True enables the exact
-    two-phase block-max path (identical results, fewer decoded blocks)."""
+    two-phase block-max path (identical results, fewer decoded blocks).
+    _all_matches=True returns the FULL scored set (doc_id, score) with no
+    limit — the exact-combination input for multi-field best_fields."""
     spark = reader.spark
     k1 = reader.stats["k1"] if k1 is None else k1
     b = reader.stats["b"] if b is None else b
@@ -285,6 +288,11 @@ def search(
                 / (F.col("max_tf") + norm))
 
     payload_cols = ["term", "qtf", "idf", "gub", "doc_gaps", "tfs", "dls"]
+
+    if _all_matches:
+        partials = matching.select(*payload_cols).mapInPandas(
+            _decode_partials_factory(avgdl, k1, b), schema=PARTIAL_SCHEMA)
+        return _sum_deterministic(partials).select("doc_id", "score")
 
     if not prune:
         partials = matching.select(*payload_cols).mapInPandas(

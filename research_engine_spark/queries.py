@@ -566,6 +566,114 @@ def bm25_documents(spark, sf_dir):
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(10))
 
 
+_BM25_CTE = f"""
+toks AS (
+  SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+corpus AS (SELECT count(*) AS n, sum(dl) AS tok FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + (corpus.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+         * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                    / (corpus.tok * 1.0 / corpus.n))) AS partial
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id), corpus
+)
+"""
+
+
+@register("bm25_rrf_documents", f"""
+WITH {_BM25_CTE},
+qa AS (
+  SELECT doc_id, row_number() OVER (ORDER BY sum(partial) DESC, doc_id ASC)
+         AS rank
+  FROM scored WHERE term IN ('spark', 'join') GROUP BY doc_id
+  ORDER BY rank LIMIT 30
+),
+qb AS (
+  SELECT doc_id, row_number() OVER (ORDER BY sum(partial) DESC, doc_id ASC)
+         AS rank
+  FROM scored WHERE term IN ('hash', 'table') GROUP BY doc_id
+  ORDER BY rank LIMIT 30
+)
+SELECT doc_id, round(sum(1.0 / (60 + rank)), 6) AS rrf_score
+FROM (SELECT * FROM qa UNION ALL SELECT * FROM qb)
+GROUP BY doc_id
+ORDER BY rrf_score DESC, doc_id ASC
+LIMIT 10
+""")
+def bm25_rrf_documents(spark, sf_dir):
+    """R8 multi-query retrieval + R7 RRF fusion, DuckDB-checked: two BM25
+    rankings (different query term sets) fused with 1/(60+rank)."""
+    d = _t(spark, sf_dir, "documents")
+    toks_arr = F.filter(F.split(F.lower(F.col("text")), r"[^a-z0-9]+"),
+                        lambda t: t != "")
+    toks = d.select("doc_id", F.explode(toks_arr).alias("term"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    corpus = dl.agg(F.count(F.lit(1)).alias("n"),
+                    F.sum("dl").alias("tok")).collect()[0]
+    n_docs, avgdl = int(corpus["n"]), float(corpus["tok"]) / int(corpus["n"])
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(1.0 + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    scored = (
+        tf.join(F.broadcast(df_t.withColumn("idf", idf)
+                            .select("term", "idf")), "term")
+        .join(dl, "doc_id")
+        .withColumn(
+            "partial",
+            F.col("idf") * F.col("tf")
+            / (F.col("tf") + 1.2 * (1 - 0.75 + 0.75 * F.col("dl")
+                                    / F.lit(avgdl))),
+        )
+    )
+
+    def ranking(terms):
+        agg = (scored.filter(F.col("term").isin(terms))
+               .groupBy("doc_id").agg(F.sum("partial").alias("s")))
+        return with_rank(agg, "s", "doc_id").limit(30).select("doc_id", "rank")
+
+    fused = rrf_fuse([ranking(["spark", "join"]), ranking(["hash", "table"])],
+                     ["doc_id"], k=60, top_n=10)
+    return fused.select("doc_id", F.round("rrf_score", 6).alias("rrf_score"))
+
+
+@register("rechunk_documents", f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, tk, len(tk) AS n, i
+  FROM toks, unnest(generate_series(0, greatest(len(tk) - 1, 0), 15)) AS g(i)
+  WHERE len(tk) >= 10 AND (i = 0 OR i - 15 + 20 < len(tk))
+)
+SELECT doc_id,
+       row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS chunk_index,
+       array_to_string(list_slice(tk, i + 1, least(i + 20, n)), ' ')
+         AS chunk_text,
+       least(i + 20, n) - i AS token_count
+FROM starts
+WHERE least(i + 20, n) - i >= 5
+""")
+def rechunk_documents(spark, sf_dir):
+    """W1 sliding-window re-chunker (reference geometry scaled down to the
+    short documents: window 20, overlap 5, min_doc 10, min_chunk 5),
+    DuckDB-checked against the same boundary semantics."""
+    from .operators.retrieval_extras import rechunk_conversations
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"), "text")
+    chunks = rechunk_conversations(d, window_tokens=20, overlap=5,
+                                   min_doc_tokens=10, min_chunk_tokens=5)
+    return chunks.select(F.col("conv_id").cast("long").alias("doc_id"),
+                         "chunk_index", "chunk_text", "token_count")
+
+
 # --- rows-only entries (no SQL oracle: non-SQL-expressible semantics) -----
 
 @register("simhash_near_pairs")
