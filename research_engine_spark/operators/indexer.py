@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.analyzer import analyze_series
-from .codec import vb_encode, delta_encode
+from .codec import delta_encode, vb_decode, vb_encode
 from .docids import with_doc_ids
 
 BLOCK_SIZE = 128
@@ -62,6 +62,7 @@ POSTINGS_SCHEMA = T.StructType(
         T.StructField("doc_gaps", T.BinaryType()),
         T.StructField("tfs", T.BinaryType()),
         T.StructField("dls", T.BinaryType()),
+        T.StructField("poss", T.BinaryType(), True),
         T.StructField("partition_id", T.IntegerType()),
         T.StructField("wall_ms", T.DoubleType()),
     ]
@@ -70,6 +71,38 @@ POSTINGS_SCHEMA = T.StructType(
 TERMDOC_SCHEMA = (
     "doc_id bigint, dl int, term string, tf int"
 )
+
+TERMDOC_POS_SCHEMA = (
+    "doc_id bigint, dl int, term string, tf int, positions array<int>"
+)
+
+
+def encode_positions_block(pos_lists: list[np.ndarray]) -> bytes:
+    """One varbyte stream per block: for each posting, [n_pos] followed by
+    delta-encoded positions (first absolute). Sequentially decodable."""
+    chunks = []
+    for p in pos_lists:
+        arr = np.asarray(p, dtype=np.int64)
+        stream = np.empty(arr.size + 1, dtype=np.uint64)
+        stream[0] = arr.size
+        if arr.size:
+            stream[1] = arr[0]
+            stream[2:] = np.diff(arr).astype(np.uint64)
+        chunks.append(vb_encode(stream))
+    return b"".join(chunks)
+
+
+def decode_positions_block(buf: bytes, n_postings: int) -> list[np.ndarray]:
+    """Inverse of encode_positions_block."""
+    flat = vb_decode(buf).astype(np.int64)
+    out = []
+    i = 0
+    for _ in range(n_postings):
+        n = int(flat[i])
+        vals = np.cumsum(flat[i + 1:i + 1 + n]) if n else np.empty(0, np.int64)
+        out.append(vals)
+        i += 1 + n
+    return out
 
 
 def bm25_idf(n_docs: int, df: np.ndarray | int) -> np.ndarray | float:
@@ -85,35 +118,52 @@ def bm25_tf_part(tf, dl, avgdl: float, k1: float, b: float):
     return tf / (tf + k1 * (1.0 - b + b * dl / avgdl))
 
 
-def term_doc_pairs(docs_with_ids: DataFrame) -> DataFrame:
-    """(doc_id, dl, term, tf) pairs — tf computed map-side inside the
-    tokenizer UDF (SURVEY.md A6 without the O(tokens) groupBy shuffle)."""
+def term_doc_pairs(docs_with_ids: DataFrame,
+                   with_positions: bool = False) -> DataFrame:
+    """(doc_id, dl, term, tf[, positions]) pairs — tf (and per-term token
+    positions, for phrase queries) computed map-side inside the tokenizer
+    UDF (SURVEY.md A6 without the O(tokens) groupBy shuffle)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             terms = analyze_series(pdf["text"])
             rows_doc, rows_dl, rows_term, rows_tf = [], [], [], []
+            rows_pos: list = []
             for doc_id, toks in zip(pdf["doc_id"].to_numpy(), terms):
                 if not toks:
                     continue
-                vals, counts = np.unique(np.asarray(toks, dtype=object),
-                                         return_counts=True)
+                arr = np.asarray(toks, dtype=object)
+                if with_positions:
+                    # stable argsort groups equal terms while keeping their
+                    # token positions ascending within each group
+                    order = np.argsort(arr, kind="stable")
+                    sorted_t = arr[order]
+                    bounds = np.flatnonzero(
+                        np.concatenate(([True], sorted_t[1:] != sorted_t[:-1])))
+                    vals = sorted_t[bounds]
+                    counts = np.diff(np.concatenate((bounds, [arr.size])))
+                    for s, c in zip(bounds, counts):
+                        rows_pos.append(
+                            order[s:s + c].astype(np.int32).tolist())
+                else:
+                    vals, counts = np.unique(arr, return_counts=True)
                 rows_doc.append(np.full(vals.size, doc_id, dtype=np.int64))
                 rows_dl.append(np.full(vals.size, len(toks), dtype=np.int32))
                 rows_term.append(vals)
                 rows_tf.append(counts.astype(np.int32))
             if rows_doc:
-                yield pd.DataFrame(
-                    {
-                        "doc_id": np.concatenate(rows_doc),
-                        "dl": np.concatenate(rows_dl),
-                        "term": np.concatenate(rows_term),
-                        "tf": np.concatenate(rows_tf),
-                    }
-                )
+                data = {
+                    "doc_id": np.concatenate(rows_doc),
+                    "dl": np.concatenate(rows_dl),
+                    "term": np.concatenate(rows_term),
+                    "tf": np.concatenate(rows_tf),
+                }
+                if with_positions:
+                    data["positions"] = rows_pos
+                yield pd.DataFrame(data)
 
     return docs_with_ids.select("doc_id", "text").mapInPandas(
-        gen, schema=TERMDOC_SCHEMA
+        gen, schema=TERMDOC_POS_SCHEMA if with_positions else TERMDOC_SCHEMA
     )
 
 
@@ -132,15 +182,17 @@ def _pack_blocks_factory(n_docs: int, avgdl: float, k1: float, b: float):
         pdf = pd.concat(parts, ignore_index=True)
         del parts
         pdf = pdf.sort_values(["term", "salt", "doc_id"], kind="mergesort")
+        has_pos = "positions" in pdf.columns
         out: dict[str, list] = {k: [] for k in (
             "term", "salt", "block_id", "first_doc_id", "last_doc_id",
             "posting_count", "max_tf", "min_dl", "block_max_score",
-            "doc_gaps", "tfs", "dls",
+            "doc_gaps", "tfs", "dls", "poss",
         )}
         for (term, salt), grp in pdf.groupby(["term", "salt"], sort=False):
             doc_ids = grp["doc_id"].to_numpy(dtype=np.int64)
             tfs = grp["tf"].to_numpy(dtype=np.int64)
             dls = grp["dl"].to_numpy(dtype=np.int64)
+            pos = grp["positions"].tolist() if has_pos else None
             df_t = int(grp["df"].iloc[0])
             idf = float(bm25_idf(n_docs, df_t))
             scores = idf * bm25_tf_part(tfs, dls, avgdl, k1, b)
@@ -162,6 +214,8 @@ def _pack_blocks_factory(n_docs: int, avgdl: float, k1: float, b: float):
                 out["doc_gaps"].append(vb_encode(delta_encode(ids_b)))
                 out["tfs"].append(vb_encode(tfs_b.astype(np.uint64)))
                 out["dls"].append(vb_encode(dls_b.astype(np.uint64)))
+                out["poss"].append(
+                    encode_positions_block(pos[start:end]) if has_pos else None)
         wall_ms = (time.monotonic() - t0) * 1000.0
         res = pd.DataFrame(out)
         res["partition_id"] = np.int32(pid)
@@ -182,6 +236,7 @@ def build_index(
     snapshot_id: str = "s0",
     buckets_subset: list[int] | None = None,
     mode: str = "overwrite",
+    with_positions: bool = False,
 ) -> dict:
     """Build the full index table set under ``out_dir``.
 
@@ -193,6 +248,7 @@ def build_index(
         n_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     os.makedirs(out_dir, exist_ok=True)
     t_start = time.monotonic()
+    timings: dict[str, float] = {}
 
     # --- docs + doc stats -------------------------------------------------
     docs = with_doc_ids(transcripts)
@@ -208,29 +264,47 @@ def build_index(
             .parquet(docs_path)
         )
     docs_tbl = spark.read.parquet(docs_path)
+    timings["docs_write_sec"] = round(time.monotonic() - t_start, 3)
 
     # total_tokens summed in int64 (exact) so avgdl is bit-identical across
     # partitionings and to the oracle — a float-summed avgdl would make
-    # every BM25 score differ at the ulp level between runs.
-    stats_row = docs_tbl.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.col("dl").cast("long")).alias("total_tokens"),
-    ).collect()[0]
-    n_docs = int(stats_row["n_docs"])
-    total_tokens = int(stats_row["total_tokens"] or 0)
+    # every BM25 score differ at the ulp level between runs. Computed
+    # driver-side with pyarrow over the just-written dl column (row count
+    # from footer metadata, one int32 column streamed) — saves a Spark job;
+    # falls back to a Spark agg if the path isn't locally readable.
+    try:
+        import pyarrow.dataset as pads
+
+        ds = pads.dataset(docs_path, format="parquet")
+        n_docs = int(ds.count_rows())
+        tbl = ds.to_table(columns=["dl"])
+        import pyarrow.compute as pc
+
+        total_tokens = int(pc.sum(tbl["dl"]).as_py() or 0)
+    except Exception:
+        stats_row = docs_tbl.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("dl").cast("long")).alias("total_tokens"),
+        ).collect()[0]
+        n_docs = int(stats_row["n_docs"])
+        total_tokens = int(stats_row["total_tokens"] or 0)
     avgdl = total_tokens / n_docs if n_docs else 0.0
     corpus_stats = {"n_docs": n_docs, "avgdl": avgdl,
                     "total_tokens": total_tokens, "k1": k1, "b": b,
-                    "n_buckets": n_buckets, "block_size": BLOCK_SIZE}
+                    "n_buckets": n_buckets, "block_size": BLOCK_SIZE,
+                    "positions": bool(with_positions)}
     with open(os.path.join(out_dir, "corpus_stats.json"), "w") as f:
         json.dump(corpus_stats, f)
 
-    _pack_segment(
+    t_pack = time.monotonic()
+    timings.update(_pack_segment(
         docs_tbl, out_dir, n_docs=n_docs, avgdl=avgdl, k1=k1, b=b,
         n_buckets=n_buckets, max_group_postings=max_group_postings,
         n_partitions=n_partitions, snapshot_id=snapshot_id,
         buckets_subset=buckets_subset, mode=mode,
-    )
+        with_positions=with_positions,
+    ))
+    timings["pack_total_sec"] = round(time.monotonic() - t_pack, 3)
 
     # --- snapshot manifest (Iceberg-snapshot analog for resume) ------------
     manifest_path = os.path.join(out_dir, "manifest.json")
@@ -246,6 +320,7 @@ def build_index(
 
     wall = time.monotonic() - t_start
     return {**corpus_stats, "build_wall_sec": wall,
+            "timings": timings,
             "turns_per_sec": (n_docs / wall if wall > 0 else float("inf"))}
 
 
@@ -262,19 +337,22 @@ def _pack_segment(
     snapshot_id: str,
     buckets_subset: list[int] | None = None,
     mode: str = "overwrite",
-) -> None:
+    with_positions: bool = False,
+) -> dict:
     """Shared pack pipeline: (term, doc) pairs -> term_stats -> salted SPIMI
     blocks -> postings + lineage. Used by full builds, bucket-resume, and
     streaming segment appends (docs_tbl = just the new segment there, with
     n_docs/avgdl the GLOBAL totals so idf/norms reflect the whole corpus).
     """
     spark = docs_tbl.sparkSession
+    timings: dict[str, float] = {}
+    t0 = time.monotonic()
     # Persisted (memory-then-disk spill) because both the term_stats agg and
     # the SPIMI pack consume it — tokenization is the most expensive map
     # stage and must run exactly once (SPIMI run-spill analog).
     from pyspark import StorageLevel
 
-    pairs = term_doc_pairs(docs_tbl).withColumn(
+    pairs = term_doc_pairs(docs_tbl, with_positions).withColumn(
         "bucket", F.pmod(F.hash("term"), F.lit(n_buckets)).cast("int")
     )
     if buckets_subset is not None:
@@ -294,6 +372,8 @@ def _pack_segment(
     # query time read a single small file per bucket
     term_stats.repartition(n_buckets, "bucket").write.mode(mode).partitionBy(
         "bucket").parquet(ts_path)
+    timings["term_stats_sec"] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
     term_stats = spark.read.parquet(ts_path).filter(
         F.col("snapshot_id") == snapshot_id)
     if buckets_subset is not None:
@@ -318,7 +398,8 @@ def _pack_segment(
                 F.pmod(F.hash("doc_id"), F.col("n_salts"))
             ).cast("int"),
         )
-        .select("term", "salt", "doc_id", "tf", "dl", "df")
+        .select("term", "salt", "doc_id", "tf", "dl", "df",
+                *(["positions"] if with_positions else []))
     )
     packed = salted.repartition(n_partitions, "term", "salt").mapInPandas(
         _pack_blocks_factory(n_docs, avgdl, k1, b), schema=POSTINGS_SCHEMA
@@ -330,6 +411,8 @@ def _pack_segment(
     packed.repartition(n_buckets, "bucket").write.mode(mode).partitionBy(
         "bucket").parquet(post_path)
     pairs.unpersist()
+    timings["spimi_pack_sec"] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
 
     # --- lineage/metrics table (north rule fields) -------------------------
     postings_tbl = spark.read.parquet(post_path)
@@ -350,6 +433,8 @@ def _pack_segment(
         .withColumn("snapshot_id", F.lit(snapshot_id))
     )
     lineage.write.mode(mode).parquet(os.path.join(out_dir, "lineage"))
+    timings["lineage_sec"] = round(time.monotonic() - t0, 3)
+    return timings
 
 
 def append_segment(transcripts: DataFrame, out_dir: str,
@@ -394,6 +479,7 @@ def append_segment(transcripts: DataFrame, out_dir: str,
         k1=stats["k1"], b=stats["b"], n_buckets=int(stats["n_buckets"]),
         max_group_postings=500_000, n_partitions=n_partitions,
         snapshot_id=snapshot_id, mode="append",
+        with_positions=bool(stats.get("positions", False)),
     )
     with open(os.path.join(out_dir, "corpus_stats.json"), "w") as f:
         json.dump(stats, f)

@@ -355,3 +355,137 @@ def search(
         .select("doc_id", "score", "conv_id", "turn_idx", "text")
         .orderBy(F.desc("score"), F.asc("doc_id"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Phrase queries (R3/R4) over positional postings
+# ---------------------------------------------------------------------------
+
+PHRASE_ROW_SCHEMA = "doc_id bigint, term string, dl int, positions array<int>"
+
+
+def _decode_positions_factory():
+    from .indexer import decode_positions_block
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = {"doc_id": [], "term": [], "dl": [], "positions": []}
+            for row in pdf.itertuples(index=False):
+                doc_ids = delta_decode(vb_decode(bytes(row.doc_gaps)))
+                dls = vb_decode(bytes(row.dls)).astype(np.int64)
+                poss = decode_positions_block(bytes(row.poss), doc_ids.size)
+                rows["doc_id"].extend(doc_ids.tolist())
+                rows["term"].extend([row.term] * doc_ids.size)
+                rows["dl"].extend(dls.tolist())
+                rows["positions"].extend(
+                    [p.astype(np.int32).tolist() for p in poss])
+            yield pd.DataFrame(rows)
+
+    return run
+
+
+def phrase_scores(reader: IndexReader, phrase: str,
+                  k1: float | None = None, b: float | None = None) -> DataFrame:
+    """Exact-phrase scoring over positional postings (R3: the reference's
+    match_phrase clause, retrieval/es_search_final.py:24-31).
+
+    Lucene-PhraseQuery-shaped semantics: with ordered analyzed terms
+    t_0..t_{m-1}, phrase frequency ptf(d) = #{p : t_i at position p+i ∀i};
+    score(d) = (Σ_i idf(t_i)) * ptf / (ptf + k1*(1-b+b*dl/avgdl)); docs
+    with ptf = 0 are excluded. Returns the FULL scored set (doc_id, score).
+    """
+    spark = reader.spark
+    if not reader.stats.get("positions"):
+        raise ValueError("index was built without positions "
+                         "(build_index(with_positions=True))")
+    k1 = reader.stats["k1"] if k1 is None else k1
+    b = reader.stats["b"] if b is None else b
+    from ..functions.analyzer import analyze
+
+    ordered_terms = analyze(phrase)
+    empty = spark.createDataFrame([], "doc_id bigint, score double")
+    if not ordered_terms:
+        return empty
+    uniq = sorted(set(ordered_terms))
+    meta = _term_meta(reader, [(t, 1) for t in uniq], k1, b)
+    if len(meta) < len(uniq):
+        return empty  # a phrase term is absent -> no phrase match anywhere
+    idf_by_term = dict(zip(meta["term"], meta["idf"]))
+    # float64 sum in phrase order — mirrored by the oracle
+    sum_idf = 0.0
+    for t in ordered_terms:
+        sum_idf += float(idf_by_term[t])
+    avgdl = reader.stats["avgdl"]
+    n_uniq = len(uniq)
+
+    buckets = sorted({int(v) for v in reader.bucket_of(uniq).values()})
+    rows = (
+        reader.postings.filter(
+            F.col("bucket").isin(buckets) & F.col("term").isin(uniq))
+        .select("term", "doc_gaps", "dls", "poss")
+        .mapInPandas(_decode_positions_factory(), schema=PHRASE_ROW_SCHEMA)
+    )
+
+    def match(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf["term"].unique()) < n_uniq:
+            return pd.DataFrame(columns=["doc_id", "score"]).astype(
+                {"doc_id": "int64", "score": "float64"})
+        pos = {t: np.asarray(p, dtype=np.int64)
+               for t, p in zip(pdf["term"], pdf["positions"])}
+        cand = pos[ordered_terms[0]]
+        for i, t in enumerate(ordered_terms[1:], start=1):
+            if cand.size == 0:
+                break
+            cand = cand[np.isin(cand + i, pos[t])]
+        ptf = int(cand.size)
+        if ptf == 0:
+            return pd.DataFrame(columns=["doc_id", "score"]).astype(
+                {"doc_id": "int64", "score": "float64"})
+        dl = int(pdf["dl"].iloc[0])
+        score = sum_idf * float(bm25_tf_part(ptf, dl, avgdl, k1, b))
+        return pd.DataFrame({"doc_id": [int(pdf["doc_id"].iloc[0])],
+                             "score": [score]})
+
+    return rows.groupBy("doc_id").applyInPandas(
+        match, schema="doc_id bigint, score double")
+
+
+def phrase_search(reader: IndexReader, phrase: str, k: int = 10,
+                  k1: float | None = None, b: float | None = None,
+                  with_text: bool = False) -> DataFrame:
+    """Top-k exact-phrase query (R3)."""
+    scored = phrase_scores(reader, phrase, k1, b)
+    topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(int(k))
+    if not with_text:
+        return topk
+    docs = reader.docs.select("doc_id", "conv_id", "turn_idx", "text")
+    return (docs.join(F.broadcast(topk), "doc_id")
+            .select("doc_id", "score", "conv_id", "turn_idx", "text")
+            .orderBy(F.desc("score"), F.asc("doc_id")))
+
+
+def bool_should_search(reader: IndexReader, query: str, k: int = 10,
+                       phrase_boost: float = 2.0,
+                       k1: float | None = None,
+                       b: float | None = None) -> DataFrame:
+    """R4: the reference's bool/should query shape (es_search_final.py:
+    13-34): a match clause over all query terms PLUS a phrase clause with
+    boost 2.0, minimum_should_match=1 — score = term_score +
+    phrase_boost * phrase_score, docs matching either clause qualify."""
+    terms_scored = search(reader, query, k=k, k1=k1, b=b, with_text=False,
+                          _all_matches=True)
+    ph_scored = phrase_scores(reader, query, k1, b)
+    combined = (
+        terms_scored.withColumnRenamed("score", "tscore")
+        .join(ph_scored.withColumnRenamed("score", "pscore"),
+              "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            (F.coalesce(F.col("tscore"), F.lit(0.0))
+             + F.lit(float(phrase_boost))
+             * F.coalesce(F.col("pscore"), F.lit(0.0))).alias("score"),
+        )
+    )
+    return combined.orderBy(F.desc("score"), F.asc("doc_id")).limit(int(k))

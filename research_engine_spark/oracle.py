@@ -37,13 +37,15 @@ class BM25Oracle:
         self.n_docs = len(df)
         # exact int64 token total -> bit-identical avgdl with the engine
         self.avgdl = int(self.dl.sum()) / self.n_docs if self.n_docs else 0.0
-        # inverted index: term -> (doc_ids asc, tfs)
+        # inverted index: term -> (doc_ids asc, tfs); positions for phrases
         self.index: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        self.positions: dict[str, dict[int, list[int]]] = {}
         tmp: dict[str, dict[int, int]] = {}
         for d, ts in enumerate(toks):
-            for t in ts:
+            for p, t in enumerate(ts):
                 tmp.setdefault(t, {})
                 tmp[t][d] = tmp[t].get(d, 0) + 1
+                self.positions.setdefault(t, {}).setdefault(d, []).append(p)
         for t, postings in tmp.items():
             ids = np.array(sorted(postings), dtype=np.int64)
             tfs = np.array([postings[i] for i in ids], dtype=np.int64)
@@ -82,3 +84,70 @@ class BM25Oracle:
             "turn_idx": self.turn_idx[ids],
             "text": self.text[ids],
         })
+
+    def phrase_scores(self, phrase: str, k1: float | None = None,
+                      b: float | None = None) -> dict[int, float]:
+        """Exact-phrase scoring mirroring the engine's semantics (R3):
+        score = (Σ idf(t_i) in phrase order) * ptf/(ptf + K(dl))."""
+        k1 = self.k1 if k1 is None else k1
+        b = self.b if b is None else b
+        ordered = analyze(phrase)
+        if not ordered or any(t not in self.index for t in ordered):
+            return {}
+        sum_idf = 0.0
+        for t in ordered:
+            sum_idf += self.idf(t)
+        # candidate docs: contain all unique terms
+        uniq = sorted(set(ordered))
+        docs = set(self.positions[uniq[0]])
+        for t in uniq[1:]:
+            docs &= set(self.positions[t])
+        out: dict[int, float] = {}
+        for d in docs:
+            cand = np.asarray(self.positions[ordered[0]][d], dtype=np.int64)
+            for i, t in enumerate(ordered[1:], start=1):
+                if cand.size == 0:
+                    break
+                cand = cand[np.isin(cand + i,
+                                    np.asarray(self.positions[t][d]))]
+            ptf = int(cand.size)
+            if ptf:
+                out[d] = sum_idf * float(
+                    bm25_tf_part(ptf, int(self.dl[d]), self.avgdl, k1, b))
+        return out
+
+    def phrase_search(self, phrase: str, k: int = 10, k1: float | None = None,
+                      b: float | None = None) -> pd.DataFrame:
+        scores = self.phrase_scores(phrase, k1, b)
+        items = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        return pd.DataFrame({"doc_id": [d for d, _ in items],
+                             "score": [s for _, s in items]})
+
+    def term_scores(self, query: str, k1: float | None = None,
+                    b: float | None = None) -> dict[int, float]:
+        """Full scored set for the bool/should combination."""
+        k1 = self.k1 if k1 is None else k1
+        b = self.b if b is None else b
+        scores: dict[int, float] = {}
+        for term, qtf in analyze_query(query):
+            if term not in self.index:
+                continue
+            ids, tfs = self.index[term]
+            part = (qtf * self.idf(term)
+                    * bm25_tf_part(tfs, self.dl[ids], self.avgdl, k1, b))
+            for d, p in zip(ids, part):
+                scores[int(d)] = scores.get(int(d), 0.0) + float(p)
+        return scores
+
+    def bool_should_search(self, query: str, k: int = 10,
+                           phrase_boost: float = 2.0,
+                           k1: float | None = None,
+                           b: float | None = None) -> pd.DataFrame:
+        """R4 mirror: term clause + boosted phrase clause."""
+        t = self.term_scores(query, k1, b)
+        p = self.phrase_scores(query, k1, b)
+        combined = {d: t.get(d, 0.0) + phrase_boost * p.get(d, 0.0)
+                    for d in set(t) | set(p)}
+        items = sorted(combined.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        return pd.DataFrame({"doc_id": [d for d, _ in items],
+                             "score": [s for _, s in items]})

@@ -54,9 +54,11 @@ def main() -> None:
     # ~0.75 efficiency before any framework overhead), while 4->16 yields
     # ~3.8x. Scaling efficiency is about the ENGINE, so the legs must not
     # straddle the SMT boundary.
-    n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 150_000
+    # corpus sized so parallel work dominates the ~25s fixed job-overhead
+    # floor (Amdahl): ~7M turns -> ex-overhead work ~200s at N=4.
+    n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_200_000
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 4
-    shuffle = 64
+    shuffle = 128
     pkg_zip = os.path.join(REPO, "BENCH", "pkg.zip")
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     make_pkg_zip(pkg_zip)

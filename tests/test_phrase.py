@@ -1,0 +1,98 @@
+"""Phrase query tests (R3/R4): positional index vs oracle rank identity."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import numpy as np
+import pytest
+
+from research_engine_spark.corpus import synth_transcripts, transcripts_pandas
+from research_engine_spark.operators.indexer import (
+    build_index,
+    decode_positions_block,
+    encode_positions_block,
+)
+from research_engine_spark.operators.scorer import (
+    IndexReader,
+    bool_should_search,
+    phrase_search,
+    search,
+)
+from research_engine_spark.oracle import BM25Oracle
+
+
+def test_positions_codec_roundtrip():
+    rng = np.random.default_rng(5)
+    lists = [np.sort(rng.choice(1000, size=rng.integers(0, 30),
+                                replace=False)) for _ in range(128)]
+    buf = encode_positions_block(lists)
+    back = decode_positions_block(buf, len(lists))
+    for a, b in zip(lists, back):
+        assert np.array_equal(np.asarray(a, dtype=np.int64), b)
+
+
+@pytest.fixture(scope="module")
+def pos_index(spark):
+    tx = synth_transcripts(spark, n_convs=60, seed=21)
+    d = tempfile.mkdtemp()
+    build_index(tx, d, n_buckets=4, with_positions=True)
+    yield IndexReader(spark, d)
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def pos_oracle():
+    return BM25Oracle(transcripts_pandas(n_convs=60, seed=21))
+
+
+PHRASES = [
+    "neural networks",          # common bigram (planted by the generator)
+    "machine learning",
+    "the neural",
+    "natural language processing",
+    "neural neural",            # duplicate-term phrase
+    "nonexistentterm networks",  # absent term -> empty
+]
+
+
+@pytest.mark.parametrize("phrase", PHRASES)
+def test_phrase_rank_identity(pos_index, pos_oracle, phrase):
+    eng = phrase_search(pos_index, phrase, k=10).toPandas()
+    ora = pos_oracle.phrase_search(phrase, k=10)
+    assert list(eng["doc_id"]) == list(ora["doc_id"]), phrase
+    assert np.allclose(eng["score"], ora["score"], rtol=0, atol=0), phrase
+
+
+def test_phrase_stricter_than_bag(pos_index, pos_oracle):
+    """Every phrase match must also be a bag-of-words match, not vice
+    versa; at least one query must demonstrate the strict subset."""
+    bag = set(search(pos_index, "neural networks", k=10000,
+                     with_text=False).toPandas()["doc_id"])
+    ph = set(phrase_search(pos_index, "neural networks",
+                           k=10000).toPandas()["doc_id"])
+    assert ph <= bag
+    assert len(ph) < len(bag)
+    assert len(ph) > 0
+
+
+@pytest.mark.parametrize("query", ["neural networks", "machine learning"])
+def test_bool_should_rank_identity(pos_index, pos_oracle, query):
+    eng = bool_should_search(pos_index, query, k=10).toPandas()
+    ora = pos_oracle.bool_should_search(query, k=10)
+    assert list(eng["doc_id"]) == list(ora["doc_id"]), query
+    assert np.allclose(eng["score"], ora["score"], rtol=0, atol=0), query
+
+
+def test_phrase_requires_positional_index(reader):
+    with pytest.raises(ValueError, match="positions"):
+        phrase_search(reader, "neural networks", k=5)
+
+
+def test_phrase_custom_params(pos_index, pos_oracle):
+    eng = phrase_search(pos_index, "neural networks", k=5,
+                        k1=0.9, b=0.4).toPandas()
+    ora = pos_oracle.phrase_search("neural networks", k=5, k1=0.9, b=0.4)
+    assert list(eng["doc_id"]) == list(ora["doc_id"])
+    assert np.allclose(eng["score"], ora["score"], rtol=0, atol=0)
