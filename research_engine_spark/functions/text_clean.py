@@ -1,0 +1,58 @@
+"""Text cleaning functions (SURVEY.md §2.8 F3-F6, F8).
+
+Reference behaviors re-expressed as JVM-side column expressions (no Python
+in the hot path):
+- F3 whitespace normalize/strip: retrieval-pipeline text_clean.py:14,23
+- F4 references truncation: text_clean.py:17-18 (split at first
+  word-boundary "References")
+- F5 ligature/unicode fixes: text_clean.py:21 (fi/fl ligatures), soft
+  hyphen + nbsp strip from old_scripts/text_clean.py:7-55
+- F6 metadata scrubbing: chunk_pdfs_final.py:51-82 clean_metadata (URLs,
+  emails, arXiv ids, page numbers, citation brackets)
+- F8 id sanitization: download_oai.py:29-30 ('/'->'_', ':'->'_')
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def normalize_ws(col: Column) -> Column:
+    """F3: collapse whitespace runs, strip."""
+    return F.trim(F.regexp_replace(col, r"\s+", " "))
+
+
+def truncate_references(col: Column) -> Column:
+    """F4: keep text before the first word-boundary 'References'."""
+    return F.split(col, r"(?i)\bReferences\b").getItem(0)
+
+
+def fix_ligatures(col: Column) -> Column:
+    """F5: fi/fl ligatures -> ascii pairs; strip soft hyphen and nbsp."""
+    c = F.regexp_replace(col, "ﬁ", "fi")
+    c = F.regexp_replace(c, "ﬂ", "fl")
+    c = F.regexp_replace(c, "­", "")        # soft hyphen
+    c = F.regexp_replace(c, " ", " ")       # nbsp
+    return c
+
+
+def scrub_metadata(col: Column) -> Column:
+    """F6: strip URLs, emails, arXiv ids, bracketed citations, standalone
+    page numbers — the clean_metadata regex chain."""
+    c = F.regexp_replace(col, r"https?://\S+", " ")
+    c = F.regexp_replace(c, r"\S+@\S+\.\S+", " ")
+    c = F.regexp_replace(c, r"arXiv:\d{4}\.\d{4,5}(v\d+)?", " ")
+    c = F.regexp_replace(c, r"\[\d+(,\s*\d+)*\]", " ")      # [1], [2, 3]
+    c = F.regexp_replace(c, r"^\s*\d+\s*$", " ")            # bare page no.
+    return normalize_ws(c)
+
+
+def clean_text(col: Column) -> Column:
+    """Full chain: ligatures -> references cut -> scrub -> normalize."""
+    return scrub_metadata(truncate_references(fix_ligatures(col)))
+
+
+def sanitize_id(col: Column) -> Column:
+    """F8: '/'->'_', ':'->'_' (translate, no regex)."""
+    return F.translate(col, "/:", "__")

@@ -674,6 +674,64 @@ def rechunk_documents(spark, sf_dir):
                          "chunk_index", "chunk_text", "token_count")
 
 
+@register("json_extract_events", """
+SELECT event_type,
+       count(*) AS n,
+       round(avg(CAST(json_extract(props, '$.k') AS INT)), 4) AS avg_k,
+       max(CAST(json_extract(props, '$.k') AS INT)) AS max_k
+FROM events GROUP BY event_type
+""")
+def json_extract_events(spark, sf_dir):
+    """JSON scalar extraction (the reference re-parses JSONL per consumer,
+    es_index_chunks_final.py:19; natively: get_json_object + agg)."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@register("deterministic_sample", """
+SELECT doc_id, source FROM documents
+WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+""")
+def deterministic_sample(spark, sf_dir):
+    """A8 sample analog made reproducible: md5-prefix bucketing gives a
+    deterministic ~12.5% sample identical across engines and runs (the
+    reference uses random.sample, sample_paper_dates.py:33-39 — fine for
+    probing, useless for oracle checks)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+        .isin("0", "1")
+    ).select("doc_id", "source")
+
+
+@register("clean_text_documents", """
+SELECT doc_id,
+       trim(regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text, 'https?://\\S+', ' ', 'g'),
+             '\\S+@\\S+\\.\\S+', ' ', 'g'),
+           '\\[\\d+(,\\s*\\d+)*\\]', ' ', 'g'),
+         '\\s+', ' ', 'g')) AS cleaned
+FROM documents
+""")
+def clean_text_documents(spark, sf_dir):
+    """F6 metadata scrubbing chain (URLs, emails, citation brackets) +
+    F3 whitespace normalize, DuckDB-checked."""
+    from .functions.text_clean import normalize_ws
+
+    d = _t(spark, sf_dir, "documents")
+    c = F.regexp_replace(F.col("text"), r"https?://\S+", " ")
+    c = F.regexp_replace(c, r"\S+@\S+\.\S+", " ")
+    c = F.regexp_replace(c, r"\[\d+(,\s*\d+)*\]", " ")
+    return d.select("doc_id", normalize_ws(c).alias("cleaned"))
+
+
 # --- rows-only entries (no SQL oracle: non-SQL-expressible semantics) -----
 
 @register("simhash_near_pairs")

@@ -1,0 +1,55 @@
+"""Text-clean function tests (F3-F6, F8)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from research_engine_spark.functions.text_clean import (
+    clean_text,
+    fix_ligatures,
+    normalize_ws,
+    sanitize_id,
+    scrub_metadata,
+    truncate_references,
+)
+
+
+def _run(spark, col_fn, values):
+    df = spark.createDataFrame([(v,) for v in values], "v string")
+    return [r[0] for r in df.select(col_fn(F.col("v"))).collect()]
+
+
+def test_normalize_ws(spark):
+    assert _run(spark, normalize_ws, ["  a \t b\n\nc  "]) == ["a b c"]
+
+
+def test_truncate_references(spark):
+    got = _run(spark, truncate_references,
+               ["intro text References [1] Foo 2020", "no refs here",
+                "case REFERENCES tail"])
+    assert got[0] == "intro text "
+    assert got[1] == "no refs here"
+    assert got[2] == "case "
+
+
+def test_fix_ligatures(spark):
+    assert _run(spark, fix_ligatures, ["eﬃ?ﬁtﬂy", "soft­hyphen nb sp"]) == [
+        "eﬃ?fitfly", "softhyphen nb sp"]
+
+
+def test_scrub_metadata(spark):
+    got = _run(spark, scrub_metadata, [
+        "see https://x.io/a and mail a@b.com cite [1, 2] arXiv:2101.00001v2 ok",
+    ])
+    assert got == ["see and mail cite ok"]
+
+
+def test_clean_text_chain(spark):
+    got = _run(spark, clean_text, [
+        "The ﬁrst result https://a.io [3] References junk [4]",
+    ])
+    assert got == ["The first result"]
+
+
+def test_sanitize_id(spark):
+    assert _run(spark, sanitize_id, ["cs/0112017", "oai:arXiv.org:1234"]) == [
+        "cs_0112017", "oai_arXiv.org_1234"]
