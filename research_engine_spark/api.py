@@ -1,0 +1,105 @@
+"""High-level facade — the reference's user surface, natively.
+
+Maps the reference entry points onto the engine:
+- ``search_chunks(query, top_k)`` CLI (retrieval/es_search_final.py:7-41)
+  -> ResearchEngine.search
+- match_phrase clause (es_search_final.py:24-31) -> .phrase_search /
+  .search(bool_should=True)
+- RAG service retrieval + context assembly (website/backend/
+  rag_service.py:78-137, minus the external LLM call, which is out of
+  engine scope) -> .retrieve_context
+- multi-query RRF retrieval (retrieval/query_retriever.py:314-355)
+  -> .multi_query
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators.indexer import append_segment, build_index, resume_index
+from .operators.retrieval_extras import (
+    assemble_context,
+    multi_query_search,
+    with_highlights,
+)
+from .operators.scorer import (
+    IndexReader,
+    bool_should_search,
+    phrase_search,
+    search,
+)
+
+DEFAULT_TOP_K = 15  # reference: rag_service.py:24
+CHAT_TOP_K = 5      # reference: app.py:42
+
+
+class ResearchEngine:
+    """Build once, query many — the engine behind the reference's CLI/API."""
+
+    def __init__(self, spark: SparkSession, index_dir: str) -> None:
+        self.spark = spark
+        self.index_dir = index_dir
+        self._reader: IndexReader | None = None
+
+    # --- build lifecycle ---------------------------------------------------
+    def build(self, transcripts: DataFrame, **kwargs) -> dict:
+        stats = build_index(transcripts, self.index_dir, **kwargs)
+        self._reader = None
+        return stats
+
+    def resume(self, transcripts: DataFrame, **kwargs) -> dict:
+        stats = resume_index(transcripts, self.index_dir, **kwargs)
+        self._reader = None
+        return stats
+
+    def append(self, transcripts: DataFrame, **kwargs) -> dict:
+        stats = append_segment(transcripts, self.index_dir, **kwargs)
+        self._reader = None
+        return stats
+
+    @property
+    def reader(self) -> IndexReader:
+        if self._reader is None:
+            self._reader = IndexReader(self.spark, self.index_dir)
+        return self._reader
+
+    # --- query surface -----------------------------------------------------
+    def search(self, query: str, top_k: int = DEFAULT_TOP_K,
+               k1: float | None = None, b: float | None = None,
+               prune: bool = False, bool_should: bool = False,
+               highlight: bool = False) -> DataFrame:
+        """BM25 top-k (es_search_final.py search_chunks analog).
+        bool_should=True adds the boosted phrase clause (requires a
+        positional index)."""
+        if bool_should:
+            hits = bool_should_search(self.reader, query, k=top_k, k1=k1, b=b)
+            docs = self.reader.docs.select(
+                "doc_id", "conv_id", "turn_idx", "text")
+            from pyspark.sql import functions as F
+
+            hits = (docs.join(F.broadcast(hits), "doc_id")
+                    .select("doc_id", "score", "conv_id", "turn_idx", "text")
+                    .orderBy(F.desc("score"), F.asc("doc_id")))
+        else:
+            hits = search(self.reader, query, k=top_k, k1=k1, b=b,
+                          prune=prune, with_text=True)
+        if highlight:
+            hits = with_highlights(hits, query)
+        return hits
+
+    def phrase_search(self, phrase: str, top_k: int = DEFAULT_TOP_K,
+                      **kwargs) -> DataFrame:
+        return phrase_search(self.reader, phrase, k=top_k, with_text=True,
+                             **kwargs)
+
+    def multi_query(self, queries: list[str], top_k: int = DEFAULT_TOP_K,
+                    **kwargs) -> DataFrame:
+        return multi_query_search(self.reader, queries, k=top_k, **kwargs)
+
+    def retrieve_context(self, query: str, top_k: int = CHAT_TOP_K,
+                         max_chunks: int = 5) -> str:
+        """The RAG retrieval step: top-k search -> '\\n\\n'-joined context
+        (rag_service.py:100-120). The generation call that follows in the
+        reference is an external-service boundary, out of engine scope."""
+        hits = self.search(query, top_k=top_k)
+        return assemble_context(hits, max_chunks=max_chunks)

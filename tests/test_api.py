@@ -1,0 +1,56 @@
+"""Facade tests: the reference user surface end-to-end."""
+
+import shutil
+import tempfile
+
+import pytest
+
+from research_engine_spark.api import ResearchEngine
+from research_engine_spark.corpus import synth_transcripts
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    d = tempfile.mkdtemp()
+    eng = ResearchEngine(spark, d)
+    eng.build(synth_transcripts(spark, n_convs=40, seed=42),
+              n_buckets=4, with_positions=True)
+    yield eng
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_search_surface(engine):
+    hits = engine.search("neural networks", top_k=5).toPandas()
+    assert len(hits) == 5
+    assert list(hits.columns) == ["doc_id", "score", "conv_id", "turn_idx",
+                                  "text"]
+    assert hits["score"].is_monotonic_decreasing
+
+
+def test_search_highlight(engine):
+    hits = engine.search("neural networks", top_k=3, highlight=True).toPandas()
+    assert "highlight" in hits.columns
+
+
+def test_bool_should_surface(engine):
+    hits = engine.search("neural networks", top_k=5, bool_should=True)
+    assert hits.count() > 0
+
+
+def test_multi_query_surface(engine):
+    fused = engine.multi_query(["neural networks", "machine learning"],
+                               top_k=5).toPandas()
+    assert len(fused) == 5
+    assert "rrf_score" in fused.columns
+
+
+def test_retrieve_context(engine):
+    ctx = engine.retrieve_context("neural networks")
+    assert isinstance(ctx, str) and len(ctx) > 0
+
+
+def test_append_then_search(spark, engine):
+    n0 = engine.reader.stats["n_docs"]
+    engine.append(synth_transcripts(spark, n_convs=5, seed=123))
+    assert engine.reader.stats["n_docs"] > n0
+    assert engine.search("neural", top_k=3).count() > 0
