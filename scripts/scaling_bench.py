@@ -28,7 +28,8 @@ def make_pkg_zip(path: str) -> None:
                     z.write(full, os.path.relpath(full, REPO))
 
 
-def run_leg(cores: int, n_convs: int, pkg_zip: str, shuffle: int) -> dict:
+def run_leg(cores: int, n_convs: int, pkg_zip: str, shuffle: int,
+            src: str | None = None) -> dict:
     cmd = [
         "spark-submit",
         "--master", f"local[{cores}]",
@@ -37,6 +38,8 @@ def run_leg(cores: int, n_convs: int, pkg_zip: str, shuffle: int) -> dict:
         os.path.join(REPO, "scripts", "scaling_job.py"),
         str(n_convs), str(shuffle),
     ]
+    if src:
+        cmd.append(src)
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
     for line in out.stdout.splitlines()[::-1]:
         line = line.strip()
@@ -66,9 +69,25 @@ def main() -> None:
     # the sandbox host is shared (historic steal time ~= user time) with
     # ~2x run-to-run wall-time variance; interleave the legs and keep the
     # best (least-contended) run per parallelism level
+    # pre-generate the shared corpus ONCE at full parallelism
+    src = f"/tmp/scaling_corpus_{n_convs}"
+    if not os.path.exists(src):
+        gen = subprocess.run(
+            [sys.executable, "-c", (
+                "import sys; sys.path.insert(0, %r); "
+                "from research_engine_spark.session import get_spark; "
+                "from research_engine_spark.corpus import synth_transcripts; "
+                "spark = get_spark(cores=32, extra_conf={'spark.ui.showConsoleProgress': 'false'}); "
+                "synth_transcripts(spark, n_convs=%d, seed=42, n_partitions=128)"
+                ".write.mode('overwrite').parquet(%r); spark.stop()"
+            ) % (REPO, n_convs, src)],
+            capture_output=True, text=True, timeout=1800)
+        if gen.returncode != 0:
+            raise RuntimeError(f"corpus gen failed:\n{gen.stderr[-2000:]}")
+
     legs: dict[int, dict] = {}
     for cores in (n, 4 * n, n, 4 * n, n, 4 * n):
-        res = run_leg(cores, n_convs, pkg_zip, shuffle)
+        res = run_leg(cores, n_convs, pkg_zip, shuffle, src=src)
         print(json.dumps(res))
         if cores not in legs or res["turns_per_sec"] > legs[cores]["turns_per_sec"]:
             legs[cores] = res

@@ -12,6 +12,7 @@ legs differ ONLY in parallelism — the sandbox proxy for N vs 4N executors.
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import sys
 import tempfile
@@ -23,6 +24,7 @@ from pyspark.sql import SparkSession
 def main() -> None:
     n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
     shuffle = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    src_arg = sys.argv[3] if len(sys.argv) > 3 else None
 
     spark = (
         SparkSession.builder.appName("scaling_job")
@@ -44,10 +46,16 @@ def main() -> None:
 
     # materialize the corpus FIRST: the metric is index-build throughput
     # over an existing table (north star input is an Iceberg table), not
-    # data generation
-    src = tempfile.mkdtemp(prefix="scaling_src_")
-    synth_transcripts(spark, n_convs=n_convs, seed=42,
-                      n_partitions=shuffle).write.mode("overwrite").parquet(src)
+    # data generation. A pre-generated shared path (arg 3) lets all legs
+    # reuse one corpus instead of regenerating per leg.
+    if src_arg and os.path.exists(src_arg):
+        src, src_owned = src_arg, False
+    else:
+        src = tempfile.mkdtemp(prefix="scaling_src_")
+        src_owned = True
+        synth_transcripts(
+            spark, n_convs=n_convs, seed=42,
+            n_partitions=shuffle).write.mode("overwrite").parquet(src)
     tx = spark.read.parquet(src)
 
     out = tempfile.mkdtemp(prefix="scaling_idx_")
@@ -56,8 +64,9 @@ def main() -> None:
     build_sec = time.monotonic() - t0
 
     reader = IndexReader(spark, out)
+    queries = REFERENCE_QUERIES[:5]
     qt0 = time.monotonic()
-    for q in REFERENCE_QUERIES:
+    for q in queries:
         search(reader, q, k=10, with_text=False).collect()
     query_sec = time.monotonic() - qt0
 
@@ -68,11 +77,12 @@ def main() -> None:
         "build_sec": round(build_sec, 3),
         "turns_per_sec": round(stats["n_docs"] / build_sec, 1),
         "query_total_sec": round(query_sec, 3),
-        "query_mean_sec": round(query_sec / len(REFERENCE_QUERIES), 3),
+        "query_mean_sec": round(query_sec / len(queries), 3),
         "shuffle_partitions": shuffle,
     }))
     shutil.rmtree(out, ignore_errors=True)
-    shutil.rmtree(src, ignore_errors=True)
+    if src_owned:
+        shutil.rmtree(src, ignore_errors=True)
     spark.stop()
 
 
