@@ -74,6 +74,7 @@ def main() -> None:
         "cores": cores,
         "n_convs": n_convs,
         "n_turns": stats["n_docs"],
+        "timings": stats.get("timings", {}),
         "build_sec": round(build_sec, 3),
         "turns_per_sec": round(stats["n_docs"] / build_sec, 1),
         "query_total_sec": round(query_sec, 3),

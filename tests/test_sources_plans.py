@@ -58,23 +58,26 @@ def test_transcript_scan_schema(spark, transcripts_df):
         shutil.rmtree(d, ignore_errors=True)
 
 
-def _formatted_plan(df):
-    return df._jdf.queryExecution().explainString(  # noqa: SLF001
-        df.sparkSession._jvm.org.apache.spark.sql.execution  # noqa: SLF001
-        .ExplainMode.fromString("formatted"))
+from research_engine_spark.plans.inspect import (  # noqa: E402
+    assert_scan_efficient,
+    formatted_plan as _formatted_plan,
+    plan_facts,
+)
 
 
 def test_search_plan_shape(reader):
     """The scoring job must: prune postings partitions by bucket, push the
     term filter to parquet, broadcast the query-term side, and finish with
     a distributed top-k (TakeOrderedAndProject) — not a global sort."""
-    plan = _formatted_plan(search(reader, "neural networks", k=10,
-                                  with_text=False))
+    q = search(reader, "neural networks", k=10, with_text=False)
+    plan = _formatted_plan(q)
     assert "PartitionFilters: [bucket" in plan
     assert "In(term, " in plan  # pushed to row groups
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
     assert "Sort " not in plan.split("TakeOrderedAndProject")[0]
+    facts = assert_scan_efficient(q, require_partition_pruning=True)
+    assert facts.take_ordered and facts.broadcast_joins >= 1
 
 
 def test_filter_pushdown_documents(spark):
