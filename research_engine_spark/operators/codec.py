@@ -56,6 +56,17 @@ def vb_encode(values: np.ndarray) -> bytes:
     return out.tobytes()
 
 
+def vb_lengths(values: np.ndarray) -> np.ndarray:
+    """Per-value encoded byte length (7-bit groups), vectorized."""
+    vals = np.asarray(values, dtype=np.uint64)
+    lengths = np.ones(vals.shape, dtype=np.int64)
+    tmp = vals >> np.uint64(7)
+    while np.any(tmp > 0):
+        lengths[tmp > 0] += 1
+        tmp >>= np.uint64(7)
+    return lengths
+
+
 def vb_decode(buf: bytes) -> np.ndarray:
     """Decode varbyte bytes -> uint64 array (vectorized)."""
     if not buf:

@@ -175,47 +175,93 @@ def _pack_blocks_factory(n_docs: int, avgdl: float, k1: float, b: float):
         t0 = time.monotonic()
         from pyspark import TaskContext
 
+        from .codec import vb_lengths
+
         pid = TaskContext.get().partitionId() if TaskContext.get() else -1
         parts = [pdf for pdf in batches]
         if not parts:
             return
         pdf = pd.concat(parts, ignore_index=True)
         del parts
-        pdf = pdf.sort_values(["term", "salt", "doc_id"], kind="mergesort")
         has_pos = "positions" in pdf.columns
+
+        # sort by (term, salt, doc_id) via integer codes + lexsort — far
+        # cheaper than an object-string mergesort on 10^6-row partitions
+        codes, uniq_terms = pd.factorize(pdf["term"], sort=True)
+        order = np.lexsort((
+            pdf["doc_id"].to_numpy(),
+            pdf["salt"].to_numpy(),
+            codes,
+        ))
+        codes = codes[order]
+        salts_all = pdf["salt"].to_numpy()[order]
+        doc_ids_all = pdf["doc_id"].to_numpy(np.int64)[order]
+        tfs_all = pdf["tf"].to_numpy(np.int64)[order]
+        dls_all = pdf["dl"].to_numpy(np.int64)[order]
+        dfs_all = pdf["df"].to_numpy(np.int64)[order]
+        pos_all = pdf["positions"].to_numpy()[order] if has_pos else None
+        del pdf
+
+        # group boundaries where (term code, salt) changes
+        n_rows = codes.size
+        change = np.empty(n_rows, dtype=bool)
+        change[0] = True
+        change[1:] = (codes[1:] != codes[:-1]) | (salts_all[1:] != salts_all[:-1])
+        group_starts = np.flatnonzero(change)
+        group_ends = np.append(group_starts[1:], n_rows)
+
         out: dict[str, list] = {k: [] for k in (
             "term", "salt", "block_id", "first_doc_id", "last_doc_id",
             "posting_count", "max_tf", "min_dl", "block_max_score",
             "doc_gaps", "tfs", "dls", "poss",
         )}
-        for (term, salt), grp in pdf.groupby(["term", "salt"], sort=False):
-            doc_ids = grp["doc_id"].to_numpy(dtype=np.int64)
-            tfs = grp["tf"].to_numpy(dtype=np.int64)
-            dls = grp["dl"].to_numpy(dtype=np.int64)
-            pos = grp["positions"].tolist() if has_pos else None
-            df_t = int(grp["df"].iloc[0])
-            idf = float(bm25_idf(n_docs, df_t))
+        for gs, ge in zip(group_starts, group_ends):
+            term = uniq_terms[codes[gs]]
+            salt = int(salts_all[gs])
+            doc_ids = doc_ids_all[gs:ge]
+            tfs = tfs_all[gs:ge]
+            dls = dls_all[gs:ge]
+            idf = float(bm25_idf(n_docs, int(dfs_all[gs])))
             scores = idf * bm25_tf_part(tfs, dls, avgdl, k1, b)
             n = doc_ids.size
-            for blk, start in enumerate(range(0, n, BLOCK_SIZE)):
-                end = min(start + BLOCK_SIZE, n)
-                ids_b = doc_ids[start:end]
-                tfs_b = tfs[start:end]
-                dls_b = dls[start:end]
+            n_blocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+            starts = np.arange(n_blocks) * BLOCK_SIZE
+            ends = np.minimum(starts + BLOCK_SIZE, n)
+            # block-local delta over the whole group in one pass: gap at a
+            # block start is the absolute docID (blocks stay independently
+            # decodable), elsewhere the diff
+            gaps = np.empty(n, dtype=np.uint64)
+            gaps[0] = np.uint64(doc_ids[0])
+            gaps[1:] = np.diff(doc_ids).astype(np.uint64)
+            gaps[starts[1:]] = doc_ids[starts[1:]].astype(np.uint64)
+            # ONE varbyte encode per array per group, split at block
+            # boundaries via per-value byte lengths
+            g_bytes = vb_encode(gaps)
+            g_off = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(vb_lengths(gaps), out=g_off[1:])
+            t_bytes = vb_encode(tfs.astype(np.uint64))
+            t_off = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(vb_lengths(tfs.astype(np.uint64)), out=t_off[1:])
+            d_bytes = vb_encode(dls.astype(np.uint64))
+            d_off = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(vb_lengths(dls.astype(np.uint64)), out=d_off[1:])
+            for blk in range(n_blocks):
+                s, e = int(starts[blk]), int(ends[blk])
                 out["term"].append(term)
                 out["salt"].append(salt)
                 out["block_id"].append(blk)
-                out["first_doc_id"].append(int(ids_b[0]))
-                out["last_doc_id"].append(int(ids_b[-1]))
-                out["posting_count"].append(end - start)
-                out["max_tf"].append(int(tfs_b.max()))
-                out["min_dl"].append(int(dls_b.min()))
-                out["block_max_score"].append(float(scores[start:end].max()))
-                out["doc_gaps"].append(vb_encode(delta_encode(ids_b)))
-                out["tfs"].append(vb_encode(tfs_b.astype(np.uint64)))
-                out["dls"].append(vb_encode(dls_b.astype(np.uint64)))
+                out["first_doc_id"].append(int(doc_ids[s]))
+                out["last_doc_id"].append(int(doc_ids[e - 1]))
+                out["posting_count"].append(e - s)
+                out["max_tf"].append(int(tfs[s:e].max()))
+                out["min_dl"].append(int(dls[s:e].min()))
+                out["block_max_score"].append(float(scores[s:e].max()))
+                out["doc_gaps"].append(g_bytes[g_off[s]:g_off[e]])
+                out["tfs"].append(t_bytes[t_off[s]:t_off[e]])
+                out["dls"].append(d_bytes[d_off[s]:d_off[e]])
                 out["poss"].append(
-                    encode_positions_block(pos[start:end]) if has_pos else None)
+                    encode_positions_block(list(pos_all[gs + s:gs + e]))
+                    if has_pos else None)
         wall_ms = (time.monotonic() - t0) * 1000.0
         res = pd.DataFrame(out)
         res["partition_id"] = np.int32(pid)
