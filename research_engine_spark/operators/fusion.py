@@ -16,11 +16,55 @@ from pyspark.sql import functions as F
 RRF_K = 60  # reference default: query_retriever.py:87
 
 
-def with_rank(df: DataFrame, score_col: str, *tiebreak: str) -> DataFrame:
+def with_rank(
+    df: DataFrame,
+    score_col: str,
+    *tiebreak: str,
+    top_n: int | None = None,
+) -> DataFrame:
     """Attach 1-based ``rank`` by score desc with deterministic tiebreak
-    (W2: rag_service.py:106 enumerate over sorted hits)."""
+    (W2: rag_service.py:106 enumerate over sorted hits).
+
+    Never funnels the full set through a single-partition window:
+
+    - ``top_n`` set: distributed ``orderBy().limit(top_n)``
+      (TakeOrderedAndProject), then rank the <= top_n survivors. The
+      constant-``lit`` partition key makes the tiny window explicit and
+      silences the single-partition warning — by construction the input
+      here is bounded by top_n rows.
+    - ``top_n`` None (full-depth rank, e.g. RRF over complete rankings):
+      range-partition by the sort keys, partition-local ``row_number``,
+      then add per-partition base offsets from ONE O(#partitions) collect
+      — the docids.py global-ordering idiom. Identical ranks to a global
+      sort, but no stage ever holds more than one range partition.
+    """
     order = [F.desc(score_col)] + [F.asc(c) for c in tiebreak]
-    return df.withColumn("rank", F.row_number().over(Window.orderBy(*order)))
+    if top_n is not None:
+        top = df.orderBy(*order).limit(int(top_n))
+        w = Window.partitionBy(F.lit(0)).orderBy(*order)
+        return top.withColumn("rank", F.row_number().over(w))
+
+    spark = df.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    sort_cols = [F.col(score_col).desc()] + [F.col(c).asc() for c in tiebreak]
+    local = (
+        df.repartitionByRange(n_part, *sort_cols)
+        .withColumn("pid", F.spark_partition_id())
+    )
+    w = Window.partitionBy("pid").orderBy(*order)
+    local = local.withColumn("local_rank", F.row_number().over(w)).persist()
+    counts = local.groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    base, acc = {}, 0
+    for r in sorted(counts, key=lambda r: r["pid"]):
+        base[r["pid"]] = acc
+        acc += int(r["n"])
+    base_df = spark.createDataFrame(
+        [(int(p), int(b)) for p, b in base.items()], "pid int, base bigint")
+    return (
+        local.join(F.broadcast(base_df), "pid")
+        .withColumn("rank", (F.col("base") + F.col("local_rank")).cast("int"))
+        .drop("pid", "local_rank", "base")
+    )
 
 
 def rrf_fuse(

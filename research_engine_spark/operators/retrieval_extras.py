@@ -45,7 +45,11 @@ def multi_query_search(
     ranked = []
     for q in queries:
         hits = search(reader, q, k=per_query_k, k1=k1, b=b, with_text=False)
-        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        # hits is already a top-k (<= per_query_k rows from
+        # TakeOrderedAndProject); the constant partition key keeps the tiny
+        # rank window off the single-partition warning path.
+        w = Window.partitionBy(F.lit(0)).orderBy(
+            F.desc("score"), F.asc("doc_id"))
         ranked.append(hits.withColumn("rank", F.row_number().over(w)))
     if not ranked:
         return spark.createDataFrame([], "doc_id bigint, rrf_score double")

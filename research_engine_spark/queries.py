@@ -220,7 +220,8 @@ def grouped_event_stats(spark, sf_dir):
 
 
 @register("sessionize_events", """
-SELECT user_id, count(*) AS n_events, sum(new_sess) + 1 AS n_sessions FROM (
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(new_sess) + 1 AS BIGINT) AS n_sessions FROM (
   SELECT user_id,
          CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
               THEN 1 ELSE 0 END AS new_sess
@@ -245,9 +246,9 @@ def sessionize(spark, sf_dir):
 
 @register("events_daily_pivot", """
 SELECT CAST(ts AS DATE) AS day,
-       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)    AS clicks,
-       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)     AS views,
-       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)    AS clicks,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)     AS views,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases
 FROM events GROUP BY CAST(ts AS DATE)
 """)
 def events_daily_pivot(spark, sf_dir):
@@ -338,7 +339,7 @@ def term_frequencies(spark, sf_dir):
 SELECT count(*) AS n_docs,
        count(DISTINCT source) AS n_sources,
        round(avg(len({_TOK_SQL})), 4) AS avgdl,
-       sum(len({_TOK_SQL})) AS total_tokens
+       CAST(sum(len({_TOK_SQL})) AS BIGINT) AS total_tokens
 FROM documents
 """)
 def corpus_stats_documents(spark, sf_dir):
@@ -633,7 +634,7 @@ def bm25_rrf_documents(spark, sf_dir):
     def ranking(terms):
         agg = (scored.filter(F.col("term").isin(terms))
                .groupBy("doc_id").agg(F.sum("partial").alias("s")))
-        return with_rank(agg, "s", "doc_id").limit(30).select("doc_id", "rank")
+        return with_rank(agg, "s", "doc_id", top_n=30).select("doc_id", "rank")
 
     fused = rrf_fuse([ranking(["spark", "join"]), ranking(["hash", "table"])],
                      ["doc_id"], k=60, top_n=10)

@@ -45,6 +45,31 @@ def _canon(rows, cols):
 SQL_QUERIES = sorted(entrymod.oracle_sql())
 ROWS_ONLY = sorted(set(entrymod.queries()) - set(entrymod.oracle_sql()))
 
+# Canonical numeric-width classes. The driver hashes typed values, so a
+# DuckDB HUGEINT (int128, what sum(<int>) returns) vs a Spark BIGINT is a
+# hash mismatch even when the stringified values agree — compare type
+# classes here so the local replica catches it (VERDICT r1 "What's wrong" #1).
+_SPARK_CANON = {
+    "bigint": "int64", "int": "int32", "smallint": "int16", "tinyint": "int8",
+    "double": "float64", "float": "float32", "string": "str", "date": "date",
+    "boolean": "bool",
+}
+_DUCK_CANON = {
+    "BIGINT": "int64", "INTEGER": "int32", "SMALLINT": "int16",
+    "TINYINT": "int8", "HUGEINT": "int128", "UBIGINT": "uint64",
+    "DOUBLE": "float64", "FLOAT": "float32", "VARCHAR": "str", "DATE": "date",
+    "BOOLEAN": "bool",
+}
+
+
+def _spark_types(sdf):
+    return {name: _SPARK_CANON.get(dt, None) for name, dt in sdf.dtypes}
+
+
+def _duck_types(rel):
+    return {c: _DUCK_CANON.get(str(t), None)
+            for c, t in zip(rel.columns, rel.types)}
+
 
 @pytest.mark.parametrize("name", SQL_QUERIES)
 def test_query_matches_oracle(spark, ddb, name):
@@ -56,6 +81,14 @@ def test_query_matches_oracle(spark, ddb, name):
     orows = ores.fetchall()
     ocols = [d[0] for d in ores.description]
     assert sorted(scols) == sorted(ocols), f"{name}: column names differ"
+    stypes = _spark_types(sdf)
+    otypes = _duck_types(ddb.sql(entrymod.oracle_sql()[name]))
+    for col in scols:
+        st, ot = stypes.get(col), otypes.get(col)
+        if st is not None and ot is not None:
+            assert st == ot, (
+                f"{name}.{col}: type class differs spark={st} oracle={ot} "
+                f"(driver hashes typed values — cast the oracle SQL)")
     assert len(srows) == len(orows), (
         f"{name}: row count {len(srows)} vs oracle {len(orows)}")
     s_canon, _ = _canon(srows, scols)
