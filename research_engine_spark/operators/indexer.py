@@ -65,6 +65,7 @@ POSTINGS_SCHEMA = T.StructType(
         T.StructField("poss", T.BinaryType(), True),
         T.StructField("partition_id", T.IntegerType()),
         T.StructField("wall_ms", T.DoubleType()),
+        T.StructField("snapshot_id", T.StringType()),
     ]
 )
 
@@ -167,7 +168,8 @@ def term_doc_pairs(docs_with_ids: DataFrame,
     )
 
 
-def _pack_blocks_factory(n_docs: int, avgdl: float, k1: float, b: float):
+def _pack_blocks_factory(n_docs: int, avgdl: float, k1: float, b: float,
+                         snapshot_id: str = "s0"):
     """mapInPandas SPIMI packer: one physical partition of (term, salt,
     doc_id, tf, dl, df) rows -> posting blocks + in-band lineage fields."""
 
@@ -266,6 +268,7 @@ def _pack_blocks_factory(n_docs: int, avgdl: float, k1: float, b: float):
         res = pd.DataFrame(out)
         res["partition_id"] = np.int32(pid)
         res["wall_ms"] = np.float64(wall_ms)
+        res["snapshot_id"] = snapshot_id
         yield res
 
     return pack
@@ -283,10 +286,13 @@ def build_index(
     buckets_subset: list[int] | None = None,
     mode: str = "overwrite",
     with_positions: bool = False,
+    driver_stats_max_rows: int = 50_000_000,
 ) -> dict:
     """Build the full index table set under ``out_dir``.
 
     buckets_subset/mode allow partial builds + resume (see resume()).
+    driver_stats_max_rows gates the driver-side pyarrow corpus-stats
+    shortcut; above it (or set it to 0) a distributed Spark agg is used.
     Returns a stats dict (n_docs, avgdl, n_terms, wall-times).
     """
     spark = transcripts.sparkSession
@@ -314,20 +320,29 @@ def build_index(
 
     # total_tokens summed in int64 (exact) so avgdl is bit-identical across
     # partitionings and to the oracle — a float-summed avgdl would make
-    # every BM25 score differ at the ulp level between runs. Computed
-    # driver-side with pyarrow over the just-written dl column (row count
-    # from footer metadata, one int32 column streamed) — saves a Spark job;
-    # falls back to a Spark agg if the path isn't locally readable.
+    # every BM25 score differ at the ulp level between runs. Below
+    # driver_stats_max_rows the dl column is summed driver-side with
+    # pyarrow (row count from footer metadata only — cheap; one int32
+    # column streamed), saving a Spark job. Above it — or if the path
+    # isn't locally readable — a distributed Spark agg runs instead: the
+    # gate is on the FOOTER row count, not on an exception, because an
+    # in-RAM-but-huge read would never raise (VERDICT r1 #3). Both paths
+    # sum in int64, so corpus_stats.json is byte-identical either way
+    # (tested in test_index_build.py).
+    n_docs = None
     try:
         import pyarrow.dataset as pads
 
         ds = pads.dataset(docs_path, format="parquet")
         n_docs = int(ds.count_rows())
-        tbl = ds.to_table(columns=["dl"])
+    except Exception:
+        ds = None
+    if ds is not None and n_docs is not None and n_docs <= driver_stats_max_rows:
         import pyarrow.compute as pc
 
+        tbl = ds.to_table(columns=["dl"])
         total_tokens = int(pc.sum(tbl["dl"]).as_py() or 0)
-    except Exception:
+    else:
         stats_row = docs_tbl.agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(F.col("dl").cast("long")).alias("total_tokens"),
@@ -448,7 +463,8 @@ def _pack_segment(
                 *(["positions"] if with_positions else []))
     )
     packed = salted.repartition(n_partitions, "term", "salt").mapInPandas(
-        _pack_blocks_factory(n_docs, avgdl, k1, b), schema=POSTINGS_SCHEMA
+        _pack_blocks_factory(n_docs, avgdl, k1, b, snapshot_id),
+        schema=POSTINGS_SCHEMA,
     ).withColumn("bucket", F.pmod(F.hash("term"), F.lit(n_buckets)).cast("int"))
 
     post_path = os.path.join(out_dir, "postings")
@@ -461,7 +477,11 @@ def _pack_segment(
     t0 = time.monotonic()
 
     # --- lineage/metrics table (north rule fields) -------------------------
-    postings_tbl = spark.read.parquet(post_path)
+    # scoped to THIS snapshot's rows: in append mode the postings dir also
+    # holds earlier segments, and re-aggregating those would inflate
+    # posting_count/bytes and mix partition_ids across segments
+    postings_tbl = spark.read.parquet(post_path).filter(
+        F.col("snapshot_id") == snapshot_id)
     lineage = (
         postings_tbl.groupBy("partition_id")
         .agg(
@@ -494,6 +514,10 @@ def append_segment(transcripts: DataFrame, out_dir: str,
     order, as in Lucene). Corpus stats are updated incrementally; idf and
     block upper bounds are computed at query time from the aggregated
     term_stats, so existing postings stay valid without rewriting.
+
+    Any live IndexReader on this directory must call ``reader.refresh()``
+    afterwards — readers memoize corpus stats and table file listings at
+    construction (ResearchEngine does this automatically).
     """
     spark = transcripts.sparkSession
     if n_partitions is None:

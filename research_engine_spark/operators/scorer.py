@@ -84,6 +84,18 @@ class IndexReader:
                 os.path.join(self.index_dir, name))
         return self._cache[name]
 
+    def refresh(self) -> "IndexReader":
+        """Re-read corpus_stats.json and drop memoized table handles.
+
+        Required after append_segment()/resume_index() mutates the index
+        this reader points at: stats (n_docs/avgdl) and the memoized
+        InMemoryFileIndex file listings are captured at construction and
+        would otherwise silently score against the pre-append corpus.
+        Returns self for chaining.
+        """
+        self.__post_init__()
+        return self
+
     @property
     def postings(self) -> DataFrame:
         return self._tbl("postings")

@@ -7,11 +7,25 @@ micro-batch becomes an index segment (Lucene-segment analog):
 
     readStream(transcripts) -> foreachBatch(append_segment)
 
-Per-batch semantics: exactly-once via the streaming checkpoint (a replayed
-batch is detected by batch_id and skipped); docIDs extend monotonically;
-corpus stats update incrementally; queries immediately see new segments
-because idf/norm/bounds are computed at query time from aggregated stats
-(no rewrite of existing postings).
+Per-batch semantics: exactly-once effect via a write-ahead pending marker
++ the applied-batch set. ``append_segment`` itself is not atomic (docs
+are appended before postings/stats/markers land), so a crash mid-batch
+would otherwise leave a partial segment that a checkpoint replay
+re-appends at the same doc_ids — duplicate rows and doubled df/tf.
+The protocol here:
+
+1. BEFORE any write, record the pending segment (batch_id, snapshot_id,
+   and the pre-append corpus stats = the segment's doc_id base) in
+   ``stream_pending.json`` (atomic rename).
+2. Run append_segment.
+3. Mark the batch applied and remove the pending marker.
+
+On replay after a crash, a leftover pending marker for a not-yet-applied
+batch triggers cleanup: corpus_stats.json is restored to the recorded
+pre-append values, docs part-files whose footer min(doc_id) >= the
+recorded base are deleted, and postings/term_stats/lineage part-files
+tagged with the pending snapshot_id are deleted — all from parquet footer
+metadata, no data scan. Only then is the batch re-applied.
 """
 
 from __future__ import annotations
@@ -29,6 +43,10 @@ def _batch_marker(index_dir: str) -> str:
     return os.path.join(index_dir, "stream_batches.json")
 
 
+def _pending_marker(index_dir: str) -> str:
+    return os.path.join(index_dir, "stream_pending.json")
+
+
 def _applied_batches(index_dir: str) -> set[int]:
     p = _batch_marker(index_dir)
     if os.path.exists(p):
@@ -37,20 +55,129 @@ def _applied_batches(index_dir: str) -> set[int]:
     return set()
 
 
+def _write_json_atomic(path: str, obj) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def _read_pending(index_dir: str) -> dict | None:
+    p = _pending_marker(index_dir)
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    return None
+
+
+def _parquet_files(root: str) -> list[str]:
+    out = []
+    for dirpath, _dirs, files in os.walk(root):
+        out.extend(os.path.join(dirpath, f) for f in files
+                   if f.endswith(".parquet"))
+    return out
+
+
+def _footer_col_min(path: str, col: str):
+    """min over row-group footer statistics for one column; None if any
+    row group lacks stats (caller falls back to reading the column)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    mins = []
+    for rg in range(md.num_row_groups):
+        rgm = md.row_group(rg)
+        for ci in range(rgm.num_columns):
+            c = rgm.column(ci)
+            if c.path_in_schema == col:
+                if c.statistics is None or not c.statistics.has_min_max:
+                    return None
+                mins.append(c.statistics.min)
+    return min(mins) if mins else None
+
+
+def _col_min_any(path: str, col: str):
+    v = _footer_col_min(path, col)
+    if v is not None:
+        return v
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, columns=[col])
+    vals = t[col].to_pylist()
+    return min(vals) if vals else None
+
+
+def _cleanup_partial_segment(index_dir: str, pending: dict) -> None:
+    """Remove every file the interrupted segment may have written and
+    restore corpus_stats.json to its pre-append values."""
+    base = int(pending["n_docs_before"])
+    snap = pending["snapshot_id"]
+
+    docs_dir = os.path.join(index_dir, "docs")
+    if os.path.isdir(docs_dir):
+        for fp in _parquet_files(docs_dir):
+            mn = _col_min_any(fp, "doc_id")
+            # every pre-existing file holds at least one doc_id < base;
+            # every file of the interrupted append holds only >= base
+            if mn is not None and int(mn) >= base:
+                os.remove(fp)
+
+    for tbl in ("postings", "term_stats", "lineage"):
+        root = os.path.join(index_dir, tbl)
+        if not os.path.isdir(root):
+            continue
+        for fp in _parquet_files(root):
+            mn = _col_min_any(fp, "snapshot_id")
+            # appended part-files hold rows of exactly one snapshot
+            if mn == snap:
+                os.remove(fp)
+
+    stats_path = os.path.join(index_dir, "corpus_stats.json")
+    with open(stats_path) as f:
+        stats = json.load(f)
+    stats["n_docs"] = base
+    stats["total_tokens"] = int(pending["total_tokens_before"])
+    stats["avgdl"] = (stats["total_tokens"] / stats["n_docs"]
+                      if stats["n_docs"] else 0.0)
+    _write_json_atomic(stats_path, stats)
+
+
 def make_foreach_batch(index_dir: str):
     """foreachBatch sink: append each micro-batch as an index segment,
-    idempotent on batch replay (exactly-once effect)."""
+    idempotent on batch replay (exactly-once effect, crash-safe via the
+    pending-segment marker; see module docstring)."""
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         applied = _applied_batches(index_dir)
+        pending = _read_pending(index_dir)
         if batch_id in applied:
             return  # replayed batch after checkpoint recovery
+        if pending is not None:
+            # interrupted earlier attempt (this batch or an older one that
+            # never got marked applied): roll its partial writes back
+            _cleanup_partial_segment(index_dir, pending)
+            os.remove(_pending_marker(index_dir))
         if batch_df.isEmpty():
+            # still record it: an empty batch id must not look "unseen"
+            # to a later replay carrying different content
+            applied.add(int(batch_id))
+            _write_json_atomic(_batch_marker(index_dir), sorted(applied))
             return
-        append_segment(batch_df, index_dir, snapshot_id=f"stream_{batch_id}")
+        with open(os.path.join(index_dir, "corpus_stats.json")) as f:
+            stats_before = json.load(f)
+        snapshot_id = f"stream_{batch_id}"
+        _write_json_atomic(_pending_marker(index_dir), {
+            "batch_id": int(batch_id),
+            "snapshot_id": snapshot_id,
+            "n_docs_before": int(stats_before["n_docs"]),
+            "total_tokens_before": int(stats_before["total_tokens"]),
+        })
+        append_segment(batch_df, index_dir, snapshot_id=snapshot_id)
         applied.add(int(batch_id))
-        with open(_batch_marker(index_dir), "w") as f:
-            json.dump(sorted(applied), f)
+        _write_json_atomic(_batch_marker(index_dir), sorted(applied))
+        os.remove(_pending_marker(index_dir))
 
     return apply
 

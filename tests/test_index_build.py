@@ -174,3 +174,50 @@ def test_build_determinism(spark, small_tx):
     finally:
         shutil.rmtree(d1, ignore_errors=True)
         shutil.rmtree(d2, ignore_errors=True)
+
+
+def test_corpus_stats_spark_path_identical(spark, small_tx):
+    """The distributed Spark corpus-stats path (driver_stats_max_rows=0)
+    must write a byte-identical corpus_stats.json to the driver-side
+    pyarrow shortcut (VERDICT r1 #3: the gate is a row-count threshold,
+    not an exception)."""
+    d1, d2 = tempfile.mkdtemp(), tempfile.mkdtemp()
+    try:
+        build_index(small_tx, d1, n_buckets=4)
+        build_index(small_tx, d2, n_buckets=4, driver_stats_max_rows=0)
+        with open(os.path.join(d1, "corpus_stats.json"), "rb") as f:
+            a = f.read()
+        with open(os.path.join(d2, "corpus_stats.json"), "rb") as f:
+            b = f.read()
+        assert a == b
+    finally:
+        shutil.rmtree(d1, ignore_errors=True)
+        shutil.rmtree(d2, ignore_errors=True)
+
+
+def test_append_lineage_scoped_per_segment(spark, small_tx):
+    """append_segment must add lineage rows for the NEW segment only —
+    earlier segments' blocks must not be re-aggregated (posting_count
+    totals stay exact, snapshot_ids partition the rows)."""
+    from research_engine_spark.operators.indexer import append_segment
+
+    d = tempfile.mkdtemp()
+    try:
+        first = small_tx.filter(F.col("conv_id") < "conv_00000015")
+        second = small_tx.filter(F.col("conv_id") >= "conv_00000015")
+        build_index(first, d, n_buckets=4, snapshot_id="s0")
+        append_segment(second, d, snapshot_id="seg1")
+        r = IndexReader(spark, d)
+        lin = r.lineage.toPandas()
+        assert set(lin["snapshot_id"]) == {"s0", "seg1"}
+        # lineage covers every posting exactly once across both segments
+        total = r.postings.agg(F.sum("posting_count")).collect()[0][0]
+        assert int(lin["posting_count"].sum()) == int(total)
+        # per-snapshot totals match the per-snapshot postings
+        per_snap = (r.postings.groupBy("snapshot_id")
+                    .agg(F.sum("posting_count").alias("n")).collect())
+        want = {row["snapshot_id"]: int(row["n"]) for row in per_snap}
+        got = lin.groupby("snapshot_id")["posting_count"].sum().to_dict()
+        assert {k: int(v) for k, v in got.items()} == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -89,3 +89,53 @@ def test_streaming_incremental_index(spark, split_corpus):
     finally:
         for p in (src, ckpt, d):
             shutil.rmtree(p, ignore_errors=True)
+
+
+def test_crash_replay_no_duplicates(spark, split_corpus):
+    """Exactly-once under mid-batch crash: a batch whose append completed
+    (or partially completed) but whose applied-marker write never happened
+    leaves a pending marker; the replay must roll the partial segment back
+    and re-apply, ending with exactly one copy of every doc and corpus
+    stats equal to a clean two-segment build."""
+    import json
+
+    from research_engine_spark.operators.indexer import append_segment
+    from research_engine_spark.streaming.incremental import (
+        _pending_marker, _read_pending, make_foreach_batch)
+
+    full_pd, first, second = split_corpus
+    d = tempfile.mkdtemp()
+    try:
+        build_index(first, d, n_buckets=4)
+        with open(os.path.join(d, "corpus_stats.json")) as f:
+            before = json.load(f)
+        # simulate the crashed attempt: pending marker written, append ran
+        # to completion, but the batch was never marked applied
+        with open(_pending_marker(d), "w") as f:
+            json.dump({"batch_id": 7, "snapshot_id": "stream_7",
+                       "n_docs_before": int(before["n_docs"]),
+                       "total_tokens_before": int(before["total_tokens"])},
+                      f)
+        append_segment(second, d, snapshot_id="stream_7")
+        # replay the batch through the streaming sink
+        fb = make_foreach_batch(d)
+        fb(second, 7)
+        assert _read_pending(d) is None
+        r = IndexReader(spark, d).refresh()
+        assert r.stats["n_docs"] == len(full_pd)
+        # no duplicate docs
+        dup = (r.docs.groupBy("conv_id", "turn_idx")
+               .count().filter(F.col("count") > 1).count())
+        assert dup == 0
+        # scores match the full-corpus oracle (df/tf not doubled)
+        oracle = BM25Oracle(full_pd)
+        eng = search(r, "neural networks", k=5).toPandas()
+        ora = oracle.search("neural networks", k=5)
+        assert np.allclose(sorted(eng["score"]), sorted(ora["score"]),
+                           rtol=0, atol=1e-12)
+        # second replay of an applied batch is a no-op
+        fb(second, 7)
+        r2 = IndexReader(spark, d)
+        assert r2.stats["n_docs"] == len(full_pd)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
