@@ -169,6 +169,93 @@ def _term_meta(reader: IndexReader, qterms: list[tuple[str, int]],
     return meta.sort_values("term").reset_index(drop=True)
 
 
+def auto_max_edits(term: str) -> int:
+    """Lucene/ES ``fuzziness: AUTO`` edit-distance schedule (public Lucene
+    FuzzyQuery semantics, the reference's default search path:
+    retrieval/es_search_final.py:21): length 0-2 -> 0 edits, 3-5 -> 1,
+    >= 6 -> 2."""
+    n = len(term)
+    return 0 if n < 3 else (1 if n < 6 else 2)
+
+
+def _fuzzy_term_meta(reader: IndexReader, qterms: list[tuple[str, int]],
+                     k1: float, b: float,
+                     max_expansions: int = 50) -> pd.DataFrame:
+    """R5: expand analyzed query terms against the term dictionary within
+    AUTO edit distance, returning one clause row per (query term,
+    candidate) with weight = qtf * boost, boost = 1 - ed/min(|q|, |t|)
+    (Lucene FuzzyTermsEnum's published boost).
+
+    Scale shape: exact (0-edit) terms use the bucket-pruned driver-side
+    dictionary lookup; fuzzy terms run ONE distributed scan of term_stats
+    (vocab-sized — orders of magnitude smaller than postings) with a
+    length-band pre-filter and a thresholded JVM ``levenshtein``, capped at
+    max_expansions per query term by (boost desc, df desc, term asc) — a
+    keyed window over per-term candidate sets, never a global one.
+    """
+    spark = reader.spark
+    n_docs, avgdl = reader.stats["n_docs"], reader.stats["avgdl"]
+    rows = [(t, int(q), auto_max_edits(t), len(t)) for t, q in qterms]
+    exact = [(t, q) for t, q, e, _ in rows if e == 0]
+    fuzzy = [r for r in rows if r[2] > 0]
+
+    frames = []
+    if exact:
+        m = _term_meta(reader, exact, k1, b)
+        if not m.empty:
+            m = m.assign(qtf=m["qtf"].astype(np.float64))
+            frames.append(m[["term", "qtf", "df", "max_tf", "min_dl",
+                             "idf", "gub"]])
+    if fuzzy:
+        qdf = spark.createDataFrame(
+            fuzzy, "qterm string, raw_qtf int, maxed int, qlen int")
+        vocab = reader.term_stats.groupBy("term").agg(
+            F.sum("df").alias("df"),
+            F.max("max_tf").alias("max_tf"),
+            F.min("min_dl").alias("min_dl"),
+        )
+        tlen = F.length("term")
+        cand = (
+            vocab.join(
+                F.broadcast(qdf),
+                (tlen >= F.col("qlen") - F.col("maxed"))
+                & (tlen <= F.col("qlen") + F.col("maxed")),
+            )
+            .withColumn("ed", F.levenshtein("term", "qterm"))
+            .filter(F.col("ed") <= F.col("maxed"))
+            .withColumn(
+                "boost",
+                F.lit(1.0) - F.col("ed").cast("double")
+                / F.least(F.col("qlen"), tlen).cast("double"),
+            )
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("qterm").orderBy(
+            F.desc("boost"), F.desc("df"), F.asc("term"))
+        cand = (cand.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= int(max_expansions))
+                .select("qterm", "raw_qtf", "term", "df", "max_tf",
+                        "min_dl", "boost"))
+        cpd = cand.toPandas()
+        if not cpd.empty:
+            cpd["qtf"] = (cpd["raw_qtf"].astype(np.float64)
+                          * cpd["boost"].astype(np.float64))
+            cpd["idf"] = bm25_idf(n_docs, cpd["df"].to_numpy())
+            cpd["gub"] = (
+                cpd["qtf"].to_numpy() * cpd["idf"].to_numpy()
+                * bm25_tf_part(cpd["max_tf"].to_numpy(),
+                               cpd["min_dl"].to_numpy(), avgdl, k1, b)
+            )
+            frames.append(cpd[["term", "qtf", "df", "max_tf", "min_dl",
+                               "idf", "gub"]])
+    if not frames:
+        return pd.DataFrame(columns=["term", "qtf", "df", "max_tf",
+                                     "min_dl", "idf", "gub"])
+    out = pd.concat(frames, ignore_index=True)
+    return out.sort_values(["term", "qtf"]).reset_index(drop=True)
+
+
 def _theta(reader: IndexReader, meta: pd.DataFrame, k: int,
            k1: float, b: float) -> float:
     """Lower bound θ on the final k-th best score: exactly score the
@@ -256,11 +343,19 @@ def search(
     b: float | None = None,
     prune: bool = False,
     with_text: bool = True,
+    fuzzy: bool = False,
+    max_expansions: int = 50,
     _all_matches: bool = False,
 ) -> DataFrame:
     """Top-k BM25. Returns (doc_id, score, conv_id, turn_idx[, text])
     ordered by (score desc, doc_id asc). prune=True enables the exact
     two-phase block-max path (identical results, fewer decoded blocks).
+    fuzzy=True expands query terms within Lucene AUTO edit distance
+    (R5: the reference's default ``fuzziness: AUTO``,
+    retrieval/es_search_final.py:21); each expansion scores as a weighted
+    term clause (weight = qtf * (1 - ed/min(|q|,|t|))). The block-max
+    prune path assumes one clause per term, so fuzzy falls back to the
+    unpruned scan.
     _all_matches=True returns the FULL scored set (doc_id, score) with no
     limit — the exact-combination input for multi-field best_fields."""
     spark = reader.spark
@@ -272,9 +367,14 @@ def search(
         + (", text string" if with_text else ""))
     if not qterms:
         return empty
-    meta = _term_meta(reader, qterms, k1, b)
+    if fuzzy:
+        prune = False
+        meta = _fuzzy_term_meta(reader, qterms, k1, b, max_expansions)
+    else:
+        meta = _term_meta(reader, qterms, k1, b)
     if meta.empty:
         return empty
+    meta = meta.assign(qtf=meta["qtf"].astype(np.float64))
     avgdl = reader.stats["avgdl"]
     total_gub = float(meta["gub"].sum())
 
@@ -282,7 +382,7 @@ def search(
                       reader.bucket_of(meta["term"].tolist()).values()})
     info = spark.createDataFrame(
         meta[["term", "qtf", "idf", "gub"]],
-        "term string, qtf int, idf double, gub double",
+        "term string, qtf double, idf double, gub double",
     )
     matching = (
         reader.postings.filter(

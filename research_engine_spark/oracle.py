@@ -20,6 +20,28 @@ from .functions.porter import CachedStemmer
 from .operators.indexer import bm25_idf, bm25_tf_part
 
 
+def _levenshtein(a: str, b: str, cap: int | None = None) -> int:
+    """Unit-cost edit distance (classic Wagner-Fischer DP); early-exits
+    above ``cap`` to mirror Spark's thresholded levenshtein."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if cap is not None and abs(la - lb) > cap:
+        return cap + 1
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        best = i
+        for j in range(1, lb + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (a[i - 1] != b[j - 1]))
+            best = min(best, cur[j])
+        if cap is not None and best > cap:
+            return cap + 1
+        prev = cur
+    return prev[lb]
+
+
 class BM25Oracle:
     def __init__(self, transcripts: pd.DataFrame, k1: float = 1.2,
                  b: float = 0.75) -> None:
@@ -83,6 +105,59 @@ class BM25Oracle:
             "conv_id": self.conv_id[ids],
             "turn_idx": self.turn_idx[ids],
             "text": self.text[ids],
+        })
+
+    def fuzzy_search(self, query: str, k: int = 10,
+                     max_expansions: int = 50,
+                     k1: float | None = None,
+                     b: float | None = None) -> pd.DataFrame:
+        """R5 mirror of search(..., fuzzy=True): Lucene AUTO edit-distance
+        expansion against the vocabulary, weight = qtf * (1 - ed/min(|q|,
+        |t|)), top max_expansions per query term by (boost desc, df desc,
+        term asc); per-doc partials summed in the engine's deterministic
+        (term, partial)-sorted fold order."""
+        from .operators.scorer import auto_max_edits
+
+        k1 = self.k1 if k1 is None else k1
+        b = self.b if b is None else b
+        clauses: list[tuple[str, float]] = []  # (term, weight)
+        for qterm, qtf in analyze_query(query):
+            e = auto_max_edits(qterm)
+            if e == 0:
+                if qterm in self.index:
+                    clauses.append((qterm, float(qtf)))
+                continue
+            cands = []
+            for t in self.index:
+                if abs(len(t) - len(qterm)) > e:
+                    continue
+                ed = _levenshtein(qterm, t, e)
+                if ed <= e:
+                    boost = 1.0 - float(ed) / float(min(len(qterm), len(t)))
+                    cands.append((t, boost, self.index[t][0].size))
+            cands.sort(key=lambda c: (-c[1], -c[2], c[0]))
+            clauses.extend((t, float(qtf) * boost)
+                           for t, boost, _ in cands[:max_expansions])
+        per_doc: dict[int, list[tuple[str, float]]] = {}
+        for term, w in clauses:
+            ids, tfs = self.index[term]
+            part = (w * self.idf(term)
+                    * bm25_tf_part(tfs, self.dl[ids], self.avgdl, k1, b))
+            for d, p in zip(ids, part):
+                per_doc.setdefault(int(d), []).append((term, float(p)))
+        scores: dict[int, float] = {}
+        for d, pairs in per_doc.items():
+            acc = 0.0
+            for _, p in sorted(pairs):
+                acc += p
+            scores[d] = acc
+        items = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        ids = np.array([d for d, _ in items], dtype=np.int64)
+        return pd.DataFrame({
+            "doc_id": ids,
+            "score": [s for _, s in items],
+            "conv_id": self.conv_id[ids] if ids.size else np.array([]),
+            "turn_idx": self.turn_idx[ids] if ids.size else np.array([]),
         })
 
     def phrase_scores(self, phrase: str, k1: float | None = None,

@@ -567,6 +567,101 @@ def bm25_documents(spark, sf_dir):
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(10))
 
 
+@register("fuzzy_bm25_documents", f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+corpus AS (SELECT count(*) AS n, sum(dl) AS tok FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+qterms AS (
+  SELECT qterm,
+         CASE WHEN length(qterm) < 3 THEN 0
+              WHEN length(qterm) < 6 THEN 1 ELSE 2 END AS maxed
+  FROM (SELECT unnest(['sparc', 'joim', 'shufle']) AS qterm)
+),
+cand AS (
+  SELECT q.qterm, v.term, v.df,
+         1.0 - levenshtein(q.qterm, v.term) * 1.0
+               / least(length(q.qterm), length(v.term)) AS boost
+  FROM dfreq v JOIN qterms q
+    ON abs(length(v.term) - length(q.qterm)) <= q.maxed
+   AND levenshtein(q.qterm, v.term) <= q.maxed
+),
+capped AS (
+  SELECT term, boost FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY qterm ORDER BY boost DESC, df DESC, term ASC) AS rn
+    FROM cand) WHERE rn <= 50
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum( capped.boost
+              * ln(1 + (corpus.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                         / (corpus.tok * 1.0 / corpus.n))) ) AS score
+  FROM capped JOIN tf USING (term) JOIN dfreq USING (term)
+       JOIN dl USING (doc_id), corpus
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 4) AS score FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+""")
+def fuzzy_bm25_documents(spark, sf_dir):
+    """R5 fuzzy BM25 over the documents table: typo'd query terms expanded
+    against the vocabulary within Lucene AUTO edit distance
+    (es_search_final.py:21 ``fuzziness: AUTO``), each expansion a weighted
+    clause (boost = 1 - ed/min(len)); DuckDB-checked via levenshtein()."""
+    from .operators.scorer import auto_max_edits
+
+    d = _t(spark, sf_dir, "documents")
+    qset = ["sparc", "joim", "shufle"]
+    toks_arr = F.filter(F.split(F.lower(F.col("text")), r"[^a-z0-9]+"),
+                        lambda t: t != "")
+    toks = d.select("doc_id", F.explode(toks_arr).alias("term"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    corpus = dl.agg(F.count(F.lit(1)).alias("n"),
+                    F.sum("dl").alias("tok")).collect()[0]
+    n_docs, avgdl = int(corpus["n"]), float(corpus["tok"]) / int(corpus["n"])
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qdf = spark.createDataFrame(
+        [(q, auto_max_edits(q), len(q)) for q in qset],
+        "qterm string, maxed int, qlen int")
+    tlen = F.length("term")
+    cand = (
+        dfreq.join(F.broadcast(qdf),
+                   F.abs(tlen - F.col("qlen")) <= F.col("maxed"))
+        .withColumn("ed", F.levenshtein("term", "qterm"))
+        .filter(F.col("ed") <= F.col("maxed"))
+        .withColumn("boost", F.lit(1.0) - F.col("ed").cast("double")
+                    / F.least(F.col("qlen"), tlen).cast("double"))
+    )
+    w = Window.partitionBy("qterm").orderBy(
+        F.desc("boost"), F.desc("df"), F.asc("term"))
+    capped = (cand.withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") <= 50).select("term", "boost"))
+    idf = F.log(1.0 + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    scored = (
+        tf.join(F.broadcast(capped), "term")
+        .join(F.broadcast(dfreq.withColumn("idf", idf).select("term", "idf")),
+              "term")
+        .join(dl, "doc_id")
+        .withColumn(
+            "partial",
+            F.col("boost") * F.col("idf") * F.col("tf")
+            / (F.col("tf") + 1.2 * (1 - 0.75 + 0.75 * F.col("dl")
+                                    / F.lit(avgdl))),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("partial").alias("score"))
+    )
+    return (scored.select("doc_id", F.round("score", 4).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(10))
+
+
 _BM25_CTE = f"""
 toks AS (
   SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents

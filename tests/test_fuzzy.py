@@ -1,0 +1,68 @@
+"""R5 fuzzy matching: Lucene AUTO edit-distance expansion must be
+rank-identical (docIDs AND float64 scores) to the numpy oracle mirror,
+and reduce to exact search when the query has no typos beyond vocab."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from research_engine_spark.operators.scorer import (auto_max_edits, search)
+from research_engine_spark.oracle import _levenshtein
+
+
+def test_auto_edits_schedule():
+    assert auto_max_edits("ab") == 0
+    assert auto_max_edits("cat") == 1
+    assert auto_max_edits("hello") == 1
+    assert auto_max_edits("neural") == 2
+    assert auto_max_edits("transformer") == 2
+
+
+def test_levenshtein_basics():
+    assert _levenshtein("kitten", "sitting") == 3
+    assert _levenshtein("abc", "abc") == 0
+    assert _levenshtein("abc", "abd") == 1
+    assert _levenshtein("abc", "ab") == 1
+    # cap early exit returns cap+1
+    assert _levenshtein("aaaa", "bbbb", cap=2) == 3
+
+
+FUZZY_QUERIES = [
+    "neurel netwerks",          # 1-edit typos of neural networks
+    "machin lerning",           # stemmed vocab hits within distance
+    "transformr architecture",  # one typo'd, one exact
+    "wat is BERT",              # short term (0/1 edits)
+    "attention mechanizm",
+]
+
+
+@pytest.mark.parametrize("q", FUZZY_QUERIES)
+def test_fuzzy_rank_identity(spark, reader, oracle, q):
+    for k in (5, 10):
+        eng = search(reader, q, k=k, fuzzy=True, with_text=False).toPandas()
+        ora = oracle.fuzzy_search(q, k=k)
+        assert list(eng["doc_id"]) == list(ora["doc_id"]), (q, k)
+        assert np.array_equal(eng["score"].to_numpy(),
+                              ora["score"].to_numpy()), (q, k)
+
+
+def test_fuzzy_finds_typo_matches(spark, reader, oracle):
+    """A typo'd query must return hits even when the exact term is absent
+    from the vocabulary."""
+    exact = search(reader, "neurel", k=5, with_text=False).toPandas()
+    fuzz = search(reader, "neurel", k=5, fuzzy=True, with_text=False).toPandas()
+    assert len(exact) == 0       # typo not in vocab
+    assert len(fuzz) > 0         # expansion reaches 'neural'
+
+
+def test_fuzzy_exact_term_includes_self_with_boost_one(spark, reader, oracle):
+    """For a vocab term, the 0-edit self-expansion must contribute exactly
+    the unweighted BM25 partial (boost == 1.0), so fuzzy >= exact scores
+    per doc."""
+    eng_f = search(reader, "neural", k=10, fuzzy=True,
+                   with_text=False).toPandas()
+    ora_f = oracle.fuzzy_search("neural", k=10)
+    assert list(eng_f["doc_id"]) == list(ora_f["doc_id"])
+    assert np.array_equal(eng_f["score"].to_numpy(),
+                          ora_f["score"].to_numpy())
