@@ -8,17 +8,25 @@ L2-normalized vectors (cosine == inner product); retrieval/vector_store.py:
 - brute_force_topk: exact cosine top-k — a broadcast of the (tiny) query
   vector + a JVM-side F.aggregate/zip_with dot product + distributed
   TakeOrderedAndProject. No crossJoin, no Python in the hot path.
-- lsh_bucketed_topk: the scale path — random-hyperplane LSH buckets
-  (SimHash for vectors); candidates share ≥1 hyperplane-sign bucket, exact
-  rescoring only within candidates. At 100 TB the bucket join replaces the
-  full scan; recall is tunable via n_planes/n_tables.
+- lsh_bucketed_topk: ad-hoc LSH — hyperplane signs computed per row at
+  QUERY time. This is a full scan with a cheap JVM predicate, NOT pruned
+  I/O; use it when the table isn't indexed.
+- build_ann_index / ann_index_topk: the real scale path — bucket ids
+  computed at BUILD time and the vectors written directory-partitioned by
+  (tbl, bucket), so a query reads only the matching bucket directories
+  (Catalyst partition pruning; asserted in tests). Storage is n_tables
+  copies — the standard multi-table LSH trade; recall tunable via
+  n_planes (bucket granularity) × n_tables (independent chances).
 - pairwise near-dup: embedding-cosine near-duplicate candidates for dedup.
 """
 
 from __future__ import annotations
 
+import json
+import os
+
 import numpy as np
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -85,8 +93,10 @@ def lsh_bucketed_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate NN: random-hyperplane LSH candidate generation + exact
-    rescore. Scans only rows whose bucket matches the query in ≥1 table."""
+    """Approximate NN without an index: random-hyperplane LSH candidate
+    generation + exact rescore. The bucket predicate is JVM-side and
+    cheap, but every row is still READ — for pruned I/O at scale build a
+    bucket-partitioned index with build_ann_index()."""
     dim = len(qvec)
     rng = np.random.default_rng(seed)
     q = np.asarray(qvec, dtype=np.float64)
@@ -99,6 +109,89 @@ def lsh_bucketed_topk(
         cond = c if cond is None else (cond | c)
     candidates = embeddings.filter(cond)
     return brute_force_topk(candidates, qvec, k, id_col, vec_col)
+
+
+def _table_planes(rng: np.random.Generator, n_tables: int, n_planes: int,
+                  dim: int) -> list[np.ndarray]:
+    """The per-table hyperplane draws, in a fixed order so build and query
+    reconstruct identical planes from the seed alone."""
+    return [rng.standard_normal((n_planes, dim)) for _ in range(n_tables)]
+
+
+def build_ann_index(
+    embeddings: DataFrame,
+    out_dir: str,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Build-time LSH bucketing (VERDICT r1 #4: make ANN actually prune).
+
+    Writes the vector table n_tables times, directory-partitioned by
+    (tbl, bucket), so ann_index_topk's bucket-equality filter becomes
+    Catalyst PARTITION PRUNING — only the matching bucket directories are
+    listed and read, never the full table. Planes are reconstructed from
+    the seed (persisted in ann_meta.json), so no plane data ships with
+    queries. The repartition before the write clusters each (tbl, bucket)
+    into one-ish file instead of (tasks × buckets) shards.
+    """
+    first = embeddings.select(vec_col).first()
+    if first is None:
+        raise ValueError("empty embeddings table")
+    dim = len(first[0])
+    rng = np.random.default_rng(seed)
+    tagged = None
+    for t, planes in enumerate(_table_planes(rng, n_tables, n_planes, dim)):
+        part = embeddings.select(
+            F.lit(t).alias("tbl"),
+            _plane_signs(F.col(vec_col), planes).alias("bucket"),
+            F.col(id_col), F.col(vec_col),
+        )
+        tagged = part if tagged is None else tagged.unionByName(part)
+    (
+        tagged.repartition("tbl", "bucket")
+        .write.mode("overwrite").partitionBy("tbl", "bucket")
+        .parquet(os.path.join(out_dir, "vectors"))
+    )
+    meta = {"n_planes": int(n_planes), "n_tables": int(n_tables),
+            "seed": int(seed), "dim": int(dim),
+            "id_col": id_col, "vec_col": vec_col}
+    with open(os.path.join(out_dir, "ann_meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def ann_candidates(spark: SparkSession, index_dir: str,
+                   qvec: list[float]) -> DataFrame:
+    """Partition-pruned candidate scan: rows sharing the query's bucket in
+    >= 1 table, deduplicated by id (a vector can match in several tables).
+    The (tbl, bucket) disjunction is over PARTITION columns, so Catalyst
+    prunes to n_tables directories out of n_tables * 2^n_planes."""
+    with open(os.path.join(index_dir, "ann_meta.json")) as f:
+        meta = json.load(f)
+    q = np.asarray(qvec, dtype=np.float64)
+    rng = np.random.default_rng(meta["seed"])
+    cond = None
+    for t, planes in enumerate(_table_planes(
+            rng, meta["n_tables"], meta["n_planes"], meta["dim"])):
+        qbucket = int(sum((1 << i) for i in range(meta["n_planes"])
+                          if planes[i] @ q >= 0))
+        c = (F.col("tbl") == t) & (F.col("bucket") == qbucket)
+        cond = c if cond is None else (cond | c)
+    vecs = spark.read.parquet(os.path.join(index_dir, "vectors"))
+    return vecs.filter(cond).dropDuplicates([meta["id_col"]])
+
+
+def ann_index_topk(spark: SparkSession, index_dir: str, qvec: list[float],
+                   k: int = 10) -> DataFrame:
+    """Approximate top-k over a build_ann_index() directory: pruned bucket
+    read + exact cosine rescore of the candidates only."""
+    with open(os.path.join(index_dir, "ann_meta.json")) as f:
+        meta = json.load(f)
+    cand = ann_candidates(spark, index_dir, qvec)
+    return brute_force_topk(cand, qvec, k, meta["id_col"], meta["vec_col"])
 
 
 def embedding_near_dup_pairs(

@@ -465,10 +465,12 @@ def minhash_signatures_q(spark, sf_dir):
 
 @register("ngram_jaccard_pairs", f"""
 WITH {_SHINGLES_CTE},
-sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+cold AS (SELECT shingle FROM shingles GROUP BY shingle HAVING count(*) <= 50),
+fsh AS (SELECT s.doc_id, s.shingle FROM shingles s JOIN cold USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM fsh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-  FROM shingles a JOIN shingles b ON a.shingle = b.shingle
+  FROM fsh a JOIN fsh b ON a.shingle = b.shingle
   WHERE a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
@@ -480,9 +482,10 @@ WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.2
 """)
 def ngram_jaccard_q(spark, sf_dir):
     """Exact n-gram Jaccard near-dup pairs via shingle self-join (never a
-    full cross join)."""
+    full cross join); hot shingles (df > 50) excluded from both sides of
+    the measure — the oracle SQL mirrors the cap."""
     d = _t(spark, sf_dir, "documents")
-    pairs = DD.ngram_jaccard_pairs(d, threshold=0.2, n=3)
+    pairs = DD.ngram_jaccard_pairs(d, threshold=0.2, n=3, max_shingle_df=50)
     return pairs.select("id_a", "id_b",
                         F.round("jaccard", 4).alias("jaccard"))
 
@@ -849,6 +852,26 @@ def lsh_ann_topk(spark, sf_dir):
     qvec = [float(x) for x in
             emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
     top = lsh_bucketed_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10)
+    return top.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+@register("ann_index_topk")
+def ann_index_topk_q(spark, sf_dir):
+    """Indexed ANN: build-time LSH bucket partitioning (temp dir), then a
+    partition-pruned bucket read + exact rescore. Rows-only: bucket
+    membership depends on seeded hyperplanes. Partition pruning is plan-
+    asserted in tests/test_operators.py."""
+    import tempfile
+
+    from .operators.similarity import ann_index_topk, build_ann_index
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    d = tempfile.mkdtemp(prefix="ann_idx_")
+    build_ann_index(emb.filter(F.col("vec_id") != 0), d,
+                    n_planes=8, n_tables=4, seed=42)
+    top = ann_index_topk(spark, d, qvec, k=10)
     return top.select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 

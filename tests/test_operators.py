@@ -191,3 +191,68 @@ def test_textstats(spark):
     assert rows[2]["n_tokens"] == 0
     assert rows[0]["quality"] > rows[1]["quality"]
     assert rows[0]["fingerprint"] is not None
+
+
+def test_jaccard_hot_shingle_cap_keeps_planted_pairs(spark):
+    """Skew fixture (VERDICT r1 #5): a boilerplate sentence in ~35% of
+    docs. With the df cap, planted near-dup pairs must still pair, and
+    pairs related ONLY through the boilerplate must not."""
+    boiler = " subscribe to our newsletter today please do it"
+    rows = []
+    for i in range(20):
+        body = (f"unique alpha{i} beta{i} gamma{i} delta{i} epsilon{i} "
+                f"zeta{i} eta{i} theta{i} iota{i} kappa{i}")
+        tail = boiler if i % 3 == 0 else ""
+        rows.append((i, body + tail))
+        rows.append((i + 100, body.replace(f"zeta{i}", f"zz{i}") + tail))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in DD.ngram_jaccard_pairs(
+                 df, threshold=0.3, max_shingle_df=10).collect()}
+    for i in range(20):
+        assert (i, i + 100) in pairs, i          # planted pair survives
+    # boilerplate-only relations are gone: no pair between distinct bodies
+    for (a, b) in pairs:
+        assert b - a == 100, (a, b)
+
+
+def test_lsh_band_cap_bounds_hot_buckets(spark):
+    """A 30-doc identical-boilerplate cluster (every band bucket hot) is
+    dropped by the bucket cap; a planted near-dup pair with cold buckets
+    still pairs."""
+    rows = [(i, "the same boilerplate text repeated again and again "
+                "for absolutely everyone on this website") for i in range(30)]
+    rows.append((100, "a very specific document about neural networks "
+                      "and spark execution plans at scale"))
+    rows.append((101, "a very specific document about neural networks "
+                      "and spark execution plans at scale"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             DD.lsh_candidate_pairs(df, max_band_bucket=10).collect()}
+    assert (100, 101) in pairs
+    assert all(a >= 100 for a, _ in pairs), pairs  # hot cluster dropped
+    # without the cap the hot cluster floods the output
+    uncapped = {(r["id_a"], r["id_b"]) for r in
+                DD.lsh_candidate_pairs(df, max_band_bucket=None).collect()}
+    assert len(uncapped) == 30 * 29 // 2 + 1
+
+
+def test_ann_index_prunes_and_recalls(spark, emb_df, tmp_path):
+    """build_ann_index + ann_index_topk: the candidate scan must show
+    Catalyst partition pruning (PartitionFilters on tbl/bucket), and the
+    planted near-dup must be recalled."""
+    from research_engine_spark.plans.inspect import assert_scan_efficient
+
+    df, vecs = emb_df
+    d = str(tmp_path / "ann")
+    SIM.build_ann_index(df.filter(F.col("vec_id") != 0), d,
+                        n_planes=6, n_tables=6, seed=42)
+    q = vecs[0].tolist()
+    cand = SIM.ann_candidates(spark, d, q)
+    facts = assert_scan_efficient(cand, require_partition_pruning=True,
+                                  require_pushdown=False)
+    assert facts.has_partition_filters
+    got = SIM.ann_index_topk(spark, d, q, k=5).collect()
+    assert 7 in [r["vec_id"] for r in got]
+    # candidate set is a strict subset of the table (pruning is real)
+    assert cand.count() < df.count()
