@@ -72,6 +72,45 @@ def main() -> None:
         queries_sec[f"bm25_q{i+1:02d}"] = round(dt, 3)
         bm25_total += dt
 
+    # --- 2b. block-max pruned path (identical results, fewer decodes) ------
+    bm25p_total = 0.0
+    for i, q in enumerate(REFERENCE_QUERIES):
+        t0 = time.monotonic()
+        search(reader, q, k=10, with_text=False, prune=True).collect()
+        dt = time.monotonic() - t0
+        queries_sec[f"bm25p_q{i+1:02d}"] = round(dt, 3)
+        bm25p_total += dt
+
+    # --- 2c. fuzzy (AUTO edit-distance expansion) ---------------------------
+    fuzzy_queries = ["neurel netwerk traning", "transformr atention"]
+    fuzzy_total = 0.0
+    for i, q in enumerate(fuzzy_queries):
+        t0 = time.monotonic()
+        search(reader, q, k=10, with_text=False, fuzzy=True).collect()
+        dt = time.monotonic() - t0
+        queries_sec[f"fuzzy_q{i+1:02d}"] = round(dt, 3)
+        fuzzy_total += dt
+
+    # --- 2d. positional index + phrase latency ------------------------------
+    from research_engine_spark.operators.scorer import phrase_search
+
+    pos_dir = tempfile.mkdtemp(prefix="bench_posidx_")
+    t0 = time.monotonic()
+    build_index(tx, pos_dir, n_buckets=max(cores, 16),
+                n_partitions=max(cores * 2, 16), with_positions=True)
+    pos_build_sec = time.monotonic() - t0
+    queries_sec["index_build_positional"] = round(pos_build_sec, 3)
+    pos_reader = IndexReader(spark, pos_dir)
+    phrase_queries = ["neural networks", "machine learning models",
+                      "attention mechanism"]
+    phrase_total = 0.0
+    for i, q in enumerate(phrase_queries):
+        t0 = time.monotonic()
+        phrase_search(pos_reader, q, k=10).collect()
+        dt = time.monotonic() - t0
+        queries_sec[f"phrase_q{i+1:02d}"] = round(dt, 3)
+        phrase_total += dt
+
     # --- 3. operator suite sample at the sf dir ----------------------------
     for name in ["q01_pricing_summary", "q03_top_orders", "term_frequencies",
                  "exact_dedup_documents", "rrf_user_fusion",
@@ -91,9 +130,16 @@ def main() -> None:
         "index_build_sec": round(build_sec, 3),
         "turns_per_sec": round(turns_per_sec, 1),
         "bm25_mean_latency_sec": round(bm25_total / len(REFERENCE_QUERIES), 3),
+        "bm25_pruned_mean_latency_sec": round(
+            bm25p_total / len(REFERENCE_QUERIES), 3),
+        "fuzzy_mean_latency_sec": round(fuzzy_total / len(fuzzy_queries), 3),
+        "phrase_mean_latency_sec": round(
+            phrase_total / len(phrase_queries), 3),
+        "index_build_positional_sec": round(pos_build_sec, 3),
         "cores": cores,
     }
     shutil.rmtree(idx_dir, ignore_errors=True)
+    shutil.rmtree(pos_dir, ignore_errors=True)
     shutil.rmtree(src_dir, ignore_errors=True)
     spark.stop()
     print(json.dumps(out))

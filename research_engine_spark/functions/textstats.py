@@ -70,6 +70,54 @@ def quality_score(text_col: Column) -> Column:
     return (len_ok * 0.4 + punct_ok * 0.2 + sw_ok * 0.3 + case_ok * 0.1)
 
 
+CITATION_RE = r"\[[\d,\s-]+\]|\([A-Za-z]+\s+et\s+al\.?\s*,\s*\d{4}\)"
+URL_RE = r"https?://|www\."
+ACADEMIC_WORDS = [
+    "analysis", "method", "approach", "model", "algorithm", "experiment",
+    "result", "conclusion", "study", "research", "data", "performance",
+    "evaluation", "comparison",
+]
+
+
+def is_quality_content(text_col: Column) -> Column:
+    """The reference's EXACT boolean quality predicate (P5:
+    database/scripts/chunk_pdfs_final.py:133-160 ``is_quality_content``),
+    as pure column expressions:
+
+    1. non-null, len(strip) >= 50;
+    2. citation matches (bracket refs or "(Author et al., 2019)")
+       <= 10% of whitespace-split word count;
+    3. <= 3 URL markers;
+    4. >= 2 meaningful sentences (split on [.!?]+, stripped length > 20,
+       contains a letter);
+    5. >= 2 of the 14 academic keywords present as substrings.
+    """
+    stripped = F.trim(text_col)
+    words = F.when(stripped == "", F.lit(0)).otherwise(
+        F.size(F.split(stripped, r"\s+")))
+    citations = F.regexp_count(text_col, F.lit(CITATION_RE))
+    urls = F.regexp_count(text_col, F.lit(URL_RE))
+    sentences = F.split(text_col, r"[.!?]+")
+    meaningful = F.size(F.filter(
+        sentences,
+        lambda s: (F.length(F.trim(s)) > 20) & s.rlike("[a-zA-Z]"),
+    ))
+    lower = F.lower(text_col)
+    academic = sum(
+        (F.when(F.contains(lower, F.lit(w)), 1).otherwise(0)
+         for w in ACADEMIC_WORDS),
+        F.lit(0),
+    )
+    return (
+        text_col.isNotNull()
+        & (F.length(stripped) >= 50)
+        & (citations.cast("double") <= words.cast("double") * 0.1)
+        & (urls <= 3)
+        & (meaningful >= 2)
+        & (academic >= 2)
+    )
+
+
 def lang_guess(text_col: Column) -> Column:
     """Heuristic language ID: argmax over per-language marker-hit ratios,
     'und' (undetermined) when nothing matches. Pure column expressions."""

@@ -56,6 +56,68 @@ def multi_query_search(
     return rrf_fuse(ranked, ["doc_id"], k=rrf_k, top_n=k)
 
 
+def replacement_scan(
+    candidates: DataFrame,
+    key_col: str = "group_id",
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    raw_len_col: str = "raw_len",
+    clean_len_col: str = "clean_len",
+    ratio_min: float = 0.5,
+    len_min: int = 500,
+) -> DataFrame:
+    """P6: the reference's content-quality replacement scan
+    (retrieval/content_generator_v2.py:115-200), distilled to a
+    deterministic relational form.
+
+    Reference behavior: a retrieved chunk whose cleaned/raw length ratio
+    < 0.5 AND cleaned length < 500 ("mostly references",
+    content_generator_v2.py:123) is replaced by the best not-yet-used
+    candidate from the same group whose ratio >= 0.5 OR cleaned length
+    >= 500 (the acceptance test at :145); kept as-is when none exists.
+
+    Relational distillation (the reference's sequential used_indices
+    bookkeeping becomes two keyed rankings): failing rows and acceptable
+    replacement rows are each ranked per group by (score desc, id asc);
+    the r-th failing row takes the r-th best replacement — each
+    replacement used at most once, same greedy pairing the reference's
+    scan produces for same-group replacements. (The reference's second
+    pass — cross-group fallback — is intentionally dropped: at corpus
+    scale "any other random group" is not a meaningful repair.)
+
+    Returns (key, doc_id, kept_id, replaced): kept_id == doc_id when the
+    row passed or no replacement existed. Keyed windows only — no global
+    sort, no single-partition stage.
+    """
+    ratio = F.when(F.col(raw_len_col) > 0,
+                   F.col(clean_len_col).cast("double")
+                   / F.col(raw_len_col)).otherwise(F.lit(0.0))
+    failing = (ratio < F.lit(float(ratio_min))) & (
+        F.col(clean_len_col) < F.lit(int(len_min)))
+    passing = (ratio >= F.lit(float(ratio_min))) | (
+        F.col(clean_len_col) >= F.lit(int(len_min)))
+    base = candidates.select(
+        F.col(key_col).alias("key"), F.col(id_col).alias("doc_id"),
+        F.col(score_col).alias("_score"),
+        failing.alias("_fail"), passing.alias("_pass"))
+    order = [F.desc("_score"), F.asc("doc_id")]
+    wk = Window.partitionBy("key").orderBy(*order)
+    flagged = (base.filter("_fail")
+               .withColumn("_r", F.row_number().over(wk))
+               .select("key", "doc_id", "_r"))
+    repl = (base.filter("_pass")
+            .withColumn("_r", F.row_number().over(wk))
+            .select("key", F.col("doc_id").alias("_repl_id"), "_r"))
+    repaired = (flagged.join(repl, ["key", "_r"], "left")
+                .select("key", "doc_id",
+                        F.coalesce("_repl_id", "doc_id").alias("kept_id"),
+                        F.col("_repl_id").isNotNull().alias("replaced")))
+    kept = (base.filter(~F.col("_fail"))
+            .select("key", "doc_id", F.col("doc_id").alias("kept_id"),
+                    F.lit(False).alias("replaced")))
+    return kept.unionByName(repaired)
+
+
 def with_highlights(hits: DataFrame, query: str, text_col: str = "text",
                     width: int = 60) -> DataFrame:
     """R9: first-match fragment of ±width chars around the first query

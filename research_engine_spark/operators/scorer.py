@@ -540,27 +540,50 @@ def phrase_scores(reader: IndexReader, phrase: str,
         .mapInPandas(_decode_positions_factory(), schema=PHRASE_ROW_SCHEMA)
     )
 
-    def match(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf["term"].unique()) < n_uniq:
-            return pd.DataFrame(columns=["doc_id", "score"]).astype(
-                {"doc_id": "int64", "score": "float64"})
-        pos = {t: np.asarray(p, dtype=np.int64)
-               for t, p in zip(pdf["term"], pdf["positions"])}
-        cand = pos[ordered_terms[0]]
+    # Batch-vectorized intersection (VERDICT r1 #6: the old per-doc
+    # applyInPandas paid one Python group invocation per matching doc).
+    # Positions are lifted to a global key doc_id * 2^32 + pos, so ONE
+    # np.isin per phrase term intersects every doc in the partition at
+    # once — +i never crosses a doc boundary because positions < 2^32.
+    # Docs missing a term die naturally in the intersection. The only
+    # requirement is doc co-location, provided by the repartition below
+    # (the same shuffle the old groupBy did, minus per-group serde).
+    _SHIFT = np.int64(1) << np.int64(32)
+
+    def match(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts = [p for p in batches if not p.empty]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        del parts
+        glob: dict[str, np.ndarray] = {}
+        for t in uniq:
+            grp = pdf[pdf["term"] == t]
+            if grp.empty:
+                return  # a phrase term absent from this partition's docs
+            lens = grp["positions"].str.len().to_numpy(np.int64)
+            docs = np.repeat(grp["doc_id"].to_numpy(np.int64), lens)
+            pos = (np.concatenate([np.asarray(x, dtype=np.int64)
+                                   for x in grp["positions"]])
+                   if lens.sum() else np.empty(0, np.int64))
+            glob[t] = docs * _SHIFT + pos
+        cand = glob[ordered_terms[0]]
         for i, t in enumerate(ordered_terms[1:], start=1):
             if cand.size == 0:
-                break
-            cand = cand[np.isin(cand + i, pos[t])]
-        ptf = int(cand.size)
-        if ptf == 0:
-            return pd.DataFrame(columns=["doc_id", "score"]).astype(
-                {"doc_id": "int64", "score": "float64"})
-        dl = int(pdf["dl"].iloc[0])
-        score = sum_idf * float(bm25_tf_part(ptf, dl, avgdl, k1, b))
-        return pd.DataFrame({"doc_id": [int(pdf["doc_id"].iloc[0])],
-                             "score": [score]})
+                return
+            cand = cand[np.isin(cand + np.int64(i), glob[t])]
+        if cand.size == 0:
+            return
+        match_docs, ptfs = np.unique(cand // _SHIFT, return_counts=True)
+        dl_by_doc = pdf.drop_duplicates("doc_id").set_index("doc_id")["dl"]
+        dls = dl_by_doc.loc[match_docs].to_numpy(np.int64)
+        scores = sum_idf * bm25_tf_part(ptfs.astype(np.int64), dls,
+                                        avgdl, k1, b)
+        yield pd.DataFrame({"doc_id": match_docs.astype(np.int64),
+                            "score": scores.astype(np.float64)})
 
-    return rows.groupBy("doc_id").applyInPandas(
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return rows.repartition(n_part, "doc_id").mapInPandas(
         match, schema="doc_id bigint, score double")
 
 

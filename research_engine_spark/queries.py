@@ -570,6 +570,116 @@ def bm25_documents(spark, sf_dir):
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(10))
 
 
+_ACADEMIC_SUM_SQL = " + ".join(
+    f"(CASE WHEN contains(lower(text), '{w}') THEN 1 ELSE 0 END)"
+    for w in ["analysis", "method", "approach", "model", "algorithm",
+              "experiment", "result", "conclusion", "study", "research",
+              "data", "performance", "evaluation", "comparison"])
+
+
+@register("quality_content_documents", r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+            '\[[\d,\s-]+\]|\([A-Za-z]+\s+et\s+al\.?\s*,\s*\d{4}\)')) AS BIGINT)
+         AS citations,
+       CAST(len(regexp_extract_all(text, 'https?://|www\.')) AS BIGINT)
+         AS urls,
+       CAST(len(list_filter(string_split_regex(text, '[.!?]+'),
+            s -> len(trim(s)) > 20 AND regexp_matches(s, '[a-zA-Z]')))
+            AS BIGINT) AS meaningful,
+       CAST(""" + _ACADEMIC_SUM_SQL + r""" AS BIGINT) AS academic,
+       coalesce(
+         len(trim(text)) >= 50
+         AND len(regexp_extract_all(text,
+             '\[[\d,\s-]+\]|\([A-Za-z]+\s+et\s+al\.?\s*,\s*\d{4}\)')) * 1.0
+             <= len(string_split_regex(trim(text), '\s+')) * 0.1
+         AND len(regexp_extract_all(text, 'https?://|www\.')) <= 3
+         AND len(list_filter(string_split_regex(text, '[.!?]+'),
+                 s -> len(trim(s)) > 20 AND regexp_matches(s, '[a-zA-Z]'))) >= 2
+         AND (""" + _ACADEMIC_SUM_SQL + r""") >= 2,
+         false) AS is_quality
+FROM documents
+""")
+def quality_content_documents(spark, sf_dir):
+    """P5 exact: the reference's is_quality_content boolean
+    (chunk_pdfs_final.py:133-160) plus its component counts, as pure
+    column expressions; DuckDB twin replays the same regexes."""
+    from .functions.textstats import (ACADEMIC_WORDS, CITATION_RE, URL_RE,
+                                      is_quality_content)
+
+    d = _t(spark, sf_dir, "documents")
+    sentences = F.split(F.col("text"), r"[.!?]+")
+    meaningful = F.size(F.filter(
+        sentences, lambda s: (F.length(F.trim(s)) > 20) & s.rlike("[a-zA-Z]")))
+    lower = F.lower(F.col("text"))
+    academic = sum((F.when(F.contains(lower, F.lit(w)), 1).otherwise(0)
+                    for w in ACADEMIC_WORDS), F.lit(0))
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(CITATION_RE)).cast("long")
+        .alias("citations"),
+        F.regexp_count(F.col("text"), F.lit(URL_RE)).cast("long")
+        .alias("urls"),
+        meaningful.cast("long").alias("meaningful"),
+        academic.cast("long").alias("academic"),
+        is_quality_content(F.col("text")).alias("is_quality"),
+    )
+
+
+_P6_CLEAN_SQL = (r"length(trim(regexp_replace(regexp_replace(text, "
+                 r"'\b(a|the|value|table|fast)\b', '', 'g'), "
+                 r"'\s+', ' ', 'g')))")
+
+
+@register("replacement_scan_documents", r"""
+WITH c AS (
+  SELECT doc_id, source AS key, n_chars AS score,
+         length(text) AS raw_len, """ + _P6_CLEAN_SQL + r""" AS clean_len
+  FROM documents
+),
+flags AS (
+  SELECT *,
+         (clean_len * 1.0 / raw_len < 0.8 AND clean_len < 300) AS fail
+  FROM c
+),
+flagged AS (
+  SELECT key, doc_id, row_number() OVER (
+           PARTITION BY key ORDER BY score DESC, doc_id ASC) AS r
+  FROM flags WHERE fail
+),
+repl AS (
+  SELECT key, doc_id AS repl_id, row_number() OVER (
+           PARTITION BY key ORDER BY score DESC, doc_id ASC) AS r
+  FROM flags
+  WHERE clean_len * 1.0 / raw_len >= 0.8 OR clean_len >= 300
+)
+SELECT f.key, f.doc_id, coalesce(repl_id, f.doc_id) AS kept_id,
+       repl_id IS NOT NULL AS replaced
+FROM flagged f LEFT JOIN repl USING (key, r)
+UNION ALL
+SELECT key, doc_id, doc_id AS kept_id, false AS replaced
+FROM flags WHERE NOT fail
+""")
+def replacement_scan_documents(spark, sf_dir):
+    """P6: the reference's cleaned/raw replacement scan
+    (content_generator_v2.py:115-200) over documents grouped by source —
+    'clean' strips boilerplate words + collapses whitespace; failing rows
+    (ratio < 0.8 AND clean_len < 300) take the r-th best passing
+    candidate in their group."""
+    from .operators.retrieval_extras import replacement_scan
+
+    d = _t(spark, sf_dir, "documents")
+    clean_len = F.length(F.trim(F.regexp_replace(
+        F.regexp_replace(F.col("text"), r"\b(a|the|value|table|fast)\b", ""),
+        r"\s+", " ")))
+    c = d.select(
+        "doc_id", F.col("source").alias("group_id"),
+        F.col("n_chars").alias("score"),
+        F.length("text").alias("raw_len"), clean_len.alias("clean_len"))
+    return replacement_scan(c, key_col="group_id", id_col="doc_id",
+                            score_col="score", ratio_min=0.8, len_min=300)
+
+
 @register("fuzzy_bm25_documents", f"""
 WITH toks AS (
   SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents
