@@ -23,10 +23,15 @@ from pyspark.sql import types as T
 
 from .porter import CachedStemmer, stem
 
-# Word characters only, applied to lowercased text. Approximates the ES
-# "standard" (UAX#29) tokenizer for alphanumeric text: splits on whitespace
-# and punctuation, keeps digit runs.
-TOKEN_RE = re.compile(r"[a-z0-9]+")
+# Unicode word runs with mid-word apostrophes kept, applied to lowercased
+# text. Approximates the ES "standard" (UAX#29) tokenizer: non-ASCII
+# letters survive ("café" -> "café", not "caf"), "don't" stays one token
+# (UAX#29 WB6/WB7: MidNumLet apostrophe between letters), underscore joins
+# (UAX#29 ExtendNumLet), digit runs kept. Remaining known divergences from
+# full UAX#29: no special handling for Hiragana/Katakana runs or
+# format/extend controls — token identity vs the reference is exact for
+# alphabetic/numeric text, approximate for CJK.
+TOKEN_RE = re.compile(r"\w+(?:['’]\w+)*", re.UNICODE)
 
 
 def analyze(text: str, stemmer=stem) -> list[str]:
@@ -60,6 +65,31 @@ def token_count_udf(texts: pd.Series) -> pd.Series:
     chunk; here dl is the analyzed-token count of the turn text)."""
     toks = texts.fillna("").str.lower().str.findall(TOKEN_RE)
     return toks.str.len().astype("int32")
+
+
+def bpe_token_count_udf(encoding: str = "cl100k_base"):
+    """F2 faithful option: per-text BPE token counts via tiktoken, matching
+    the reference's chunk geometry (database/scripts/chunk_pdfs_oai.py:
+    34-37,122 uses cl100k_base). tiktoken is not in this image, so the
+    path is gated behind an import-try; without it the engine uses
+    analyzed-token counts for ``dl`` (internally consistent — documented
+    deviation, see README)."""
+    try:
+        import tiktoken
+    except ImportError as e:  # pragma: no cover - image has no tiktoken
+        raise ImportError(
+            "tiktoken is not installed; the engine falls back to "
+            "analyzed-token dl (token_count_udf). Install tiktoken to get "
+            "reference-identical cl100k_base counts.") from e
+    enc = tiktoken.get_encoding(encoding)
+
+    @F.pandas_udf(T.IntegerType())
+    def _count(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [len(x) for x in enc.encode_batch(texts.fillna("").tolist())],
+            dtype="int32")
+
+    return _count
 
 
 def analyze_query(query: str) -> list[tuple[str, int]]:

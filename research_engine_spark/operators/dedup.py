@@ -207,19 +207,27 @@ def simhash(df: DataFrame, text_col: str = "text",
     @F.pandas_udf("long")
     def _simhash(texts: pd.Series) -> pd.Series:
         out = np.zeros(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts.fillna("")):
-            toks = t.lower().split()
+        toks_per_doc = [t.lower().split() for t in texts.fillna("")]
+        # hash each DISTINCT token once per Arrow batch (VERDICT r1 #7:
+        # md5 was recomputed per (doc, token)); batches share heavy
+        # vocabulary overlap, the analyzer demonstrates the same pattern
+        flat = [tok for toks in toks_per_doc for tok in toks]
+        if not flat:
+            return pd.Series(out)
+        vocab = pd.unique(pd.Series(flat, dtype=object))
+        hs_by_tok = {
+            v: np.uint64(int.from_bytes(
+                hashlib.md5(v.encode()).digest()[:8], "big"))
+            for v in vocab
+        }
+        bit_idx = np.arange(64, dtype=np.uint64)
+        for i, toks in enumerate(toks_per_doc):
             if not toks:
                 continue
             vals, counts = np.unique(np.asarray(toks, dtype=object),
                                      return_counts=True)
-            hs = np.array(
-                [int.from_bytes(hashlib.md5(v.encode()).digest()[:8], "big")
-                 for v in vals],
-                dtype=np.uint64,
-            )
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1
-                    ).astype(np.int64)
+            hs = np.array([hs_by_tok[v] for v in vals], dtype=np.uint64)
+            bits = ((hs[:, None] >> bit_idx) & 1).astype(np.int64)
             acc = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
             fp = np.uint64(0)
             for j in range(64):

@@ -56,6 +56,61 @@ def multi_query_search(
     return rrf_fuse(ranked, ["doc_id"], k=rrf_k, top_n=k)
 
 
+SECTION_PATTERNS: list[tuple[str, str]] = [
+    # reference elif order (chunk_pdfs_final.py:104-121); note the
+    # reference's own quirk: headers REQUIRE a leading number ("1. Abstract"
+    # matches, bare "Abstract" does not) — mirrored faithfully
+    ("abstract", r"(?i)^\d+\.?\s*(?:Abstract)"),
+    ("introduction", r"(?i)^\d+\.?\s*(?:Introduction)"),
+    ("references", r"(?i)^\d+\.?\s*(?:References?|Bibliography)"),
+    ("acknowledgments", r"(?i)^\d+\.?\s*(?:Acknowledgments?)"),
+]
+
+
+def identify_sections(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """F7: the reference's section state machine
+    (database/scripts/chunk_pdfs_final.py:84-131 ``identify_sections``)
+    as keyed-window column expressions — no Python state, no UDF.
+
+    Line classification: blank lines dropped, header lines switch the
+    current section, content lines belong to the most recent header above
+    them (``main_content`` before any header). The reference's dict
+    OVERWRITES a section that appears twice (last flush wins) — mirrored
+    by keeping only the last header-run per (doc, section). Returns
+    (doc_id, section, content) rows for non-empty sections; every window
+    is partitioned by doc_id (scalable, never global).
+    """
+    lines = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "raw"),
+    ).select("doc_id", "pos", F.trim(F.col("raw")).alias("line"))
+    lines = lines.filter(F.col("line") != "")
+    hdr = F.lit(None).cast("string")
+    for name, pat in reversed(SECTION_PATTERNS):
+        hdr = F.when(F.col("line").rlike(pat), F.lit(name)).otherwise(hdr)
+    w = (Window.partitionBy("doc_id").orderBy("pos")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    lines = (lines.withColumn("hdr", hdr)
+             .withColumn("run", F.count("hdr").over(w))
+             .withColumn("section", F.coalesce(
+                 F.last("hdr", ignorenulls=True).over(w),
+                 F.lit("main_content"))))
+    content = lines.filter(F.col("hdr").isNull())
+    grouped = (
+        content.groupBy("doc_id", "section", "run")
+        .agg(F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"]),
+            "\n").alias("content"))
+    )
+    w2 = Window.partitionBy("doc_id", "section").orderBy(F.desc("run"))
+    return (grouped.withColumn("_rn", F.row_number().over(w2))
+            .filter(F.col("_rn") == 1)
+            .select("doc_id", "section", "content"))
+
+
 def replacement_scan(
     candidates: DataFrame,
     key_col: str = "group_id",
@@ -119,26 +174,57 @@ def replacement_scan(
 
 
 def with_highlights(hits: DataFrame, query: str, text_col: str = "text",
-                    width: int = 60) -> DataFrame:
-    """R9: first-match fragment of ±width chars around the first query
-    term occurrence (case-insensitive), pure column expressions."""
+                    width: int = 60, max_fragments: int = 1) -> DataFrame:
+    """R9 highlighting, pure column expressions.
+
+    The reference's only highlight config is fragment_size=150,
+    number_of_fragments=1 (rag_generator.py:154-158) — the default here
+    (one fragment of ±width chars around the earliest query-term match).
+    max_fragments > 1 generalizes to the ES multi-fragment capability:
+    one fragment per matched query TERM (earliest occurrence each), up to
+    max_fragments, joined with " ... " in term-match order — still no
+    UDF, and an extra ``highlights`` array column carries the fragments.
+    """
     from ..functions.analyzer import analyze_query
 
     terms = [t for t, _ in analyze_query(query)]
     if not terms:
-        return hits.withColumn("highlight", F.lit(""))
+        out = hits.withColumn("highlight", F.lit(""))
+        return (out.withColumn("highlights",
+                               F.array().cast("array<string>"))
+                if max_fragments > 1 else out)
     lower = F.lower(F.col(text_col))
-    # first occurrence position among all query terms (0 if none)
-    pos = None
+    if max_fragments <= 1:
+        # first occurrence position among all query terms (0 if none)
+        pos = None
+        for t in terms:
+            p = F.locate(t, lower)
+            pos = p if pos is None else F.when(
+                (p > 0) & ((pos == 0) | (p < pos)), p).otherwise(pos)
+        start = F.greatest(pos - F.lit(width // 2), F.lit(1))
+        frag = F.when(pos > 0,
+                      F.substring(F.col(text_col), start, width)
+                      ).otherwise(F.substring(F.col(text_col), 1, width))
+        return hits.withColumn("highlight", frag)
+
+    # one (pos, fragment) struct per matched term, sorted by match
+    # position, deduplicated, capped at max_fragments
+    frags = []
     for t in terms:
         p = F.locate(t, lower)
-        pos = p if pos is None else F.when(
-            (p > 0) & ((pos == 0) | (p < pos)), p).otherwise(pos)
-    start = F.greatest(pos - F.lit(width // 2), F.lit(1))
-    frag = F.when(pos > 0,
-                  F.substring(F.col(text_col), start, width)
-                  ).otherwise(F.substring(F.col(text_col), 1, width))
-    return hits.withColumn("highlight", frag)
+        start = F.greatest(p - F.lit(width // 2), F.lit(1))
+        frags.append(F.when(
+            p > 0,
+            F.struct(p.alias("pos"),
+                     F.substring(F.col(text_col), start, width)
+                     .alias("frag"))))
+    arr = F.slice(
+        F.array_distinct(F.transform(
+            F.array_sort(F.filter(F.array(*frags), lambda x: x.isNotNull())),
+            lambda s: s["frag"])),
+        1, int(max_fragments))
+    return (hits.withColumn("highlights", arr)
+            .withColumn("highlight", F.array_join(arr, " ... ")))
 
 
 def assemble_context(hits: DataFrame, text_col: str = "text",

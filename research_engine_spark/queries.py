@@ -570,6 +570,53 @@ def bm25_documents(spark, sf_dir):
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(10))
 
 
+@register("doc_sections", r"""
+WITH ls AS (
+  SELECT doc_id, string_split(text, chr(10)) AS arr FROM documents
+),
+lines0 AS (
+  SELECT doc_id, i AS pos, trim(arr[i]) AS line
+  FROM ls, unnest(generate_series(1, len(arr))) AS g(i)
+),
+lines1 AS (
+  SELECT doc_id, pos, line,
+         CASE
+           WHEN regexp_matches(line, '(?i)^\d+\.?\s*(?:Abstract)')
+             THEN 'abstract'
+           WHEN regexp_matches(line, '(?i)^\d+\.?\s*(?:Introduction)')
+             THEN 'introduction'
+           WHEN regexp_matches(line, '(?i)^\d+\.?\s*(?:References?|Bibliography)')
+             THEN 'references'
+           WHEN regexp_matches(line, '(?i)^\d+\.?\s*(?:Acknowledgments?)')
+             THEN 'acknowledgments'
+         END AS hdr
+  FROM lines0 WHERE line <> ''
+),
+lines2 AS (
+  SELECT *, count(hdr) OVER w AS run,
+         coalesce(last_value(hdr IGNORE NULLS) OVER w, 'main_content')
+           AS section
+  FROM lines1
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING)
+),
+grouped AS (
+  SELECT doc_id, section, run,
+         string_agg(line, chr(10) ORDER BY pos) AS content
+  FROM lines2 WHERE hdr IS NULL
+  GROUP BY doc_id, section, run
+)
+SELECT doc_id, section, content FROM grouped
+QUALIFY row_number() OVER (PARTITION BY doc_id, section ORDER BY run DESC) = 1
+""")
+def doc_sections(spark, sf_dir):
+    """F7 section segmentation (chunk_pdfs_final.py:84-131) over
+    documents — keyed-window state machine, DuckDB twin replays it."""
+    from .operators.retrieval_extras import identify_sections
+
+    d = _t(spark, sf_dir, "documents")
+    return identify_sections(d)
+
+
 _ACADEMIC_SUM_SQL = " + ".join(
     f"(CASE WHEN contains(lower(text), '{w}') THEN 1 ELSE 0 END)"
     for w in ["analysis", "method", "approach", "model", "algorithm",

@@ -42,3 +42,15 @@ def test_analyze_query_qtf_and_order():
     q = analyze_query("networks network neural")
     assert q == [("network", 2), ("neural", 1)]
     assert analyze_query("") == []
+
+
+def test_unicode_and_apostrophe_tokens():
+    """ADVICE r1: non-ASCII letters survive and mid-word apostrophes join
+    (UAX#29 approximation), instead of 'café'->'caf' / 'don't'->'don','t'."""
+    from research_engine_spark.functions.analyzer import analyze
+
+    assert "café" in analyze("Café au lait")
+    toks = analyze("don't panic")
+    assert "don't" in toks and "don" not in toks and "t" not in toks
+    assert analyze("foo_bar baz")[0] == "foo_bar"
+    assert analyze("架构 systems") [0] == "架构"

@@ -114,3 +114,63 @@ def test_p6_boundary_thresholds(spark):
            for r in replacement_scan(df).collect()}
     assert out[1] == (2, True)
     assert out[2] == (2, False)
+
+
+def _reference_identify_sections(text: str) -> dict:
+    """Line-faithful port of chunk_pdfs_final.py:84-131."""
+    sections = {"abstract": "", "introduction": "", "main_content": "",
+                "references": "", "acknowledgments": ""}
+    current, content = "main_content", []
+    for line in text.split("\n"):
+        line = line.strip()
+        if not line:
+            continue
+        matched = None
+        for name, pat in [
+            ("abstract", r"^\d+\.?\s*(?:Abstract|ABSTRACT)"),
+            ("introduction", r"^\d+\.?\s*(?:Introduction|INTRODUCTION)"),
+            ("references",
+             r"^\d+\.?\s*(?:References?|Bibliography|REFERENCES?|BIBLIOGRAPHY)"),
+            ("acknowledgments", r"^\d+\.?\s*(?:Acknowledgments?|ACKNOWLEDGMENTS?)"),
+        ]:
+            if re.match(pat, line, re.IGNORECASE):
+                matched = name
+                break
+        if matched:
+            if content:
+                sections[current] = "\n".join(content)
+            current, content = matched, []
+        else:
+            content.append(line)
+    if content:
+        sections[current] = "\n".join(content)
+    return sections
+
+
+SECTION_DOCS = [
+    "Title of the paper\n1. Abstract\nThis paper studies X.\nIt is great.\n"
+    "2 Introduction\nWe introduce Y.\n3. References\n[1] Someone 2020",
+    # bare headers (no digit) are NOT headers — reference quirk
+    "Abstract\neverything lands in main content\nReferences\nstill main",
+    # repeated section: last flush wins
+    "1. Introduction\nfirst intro\n2. References\nrefs here\n"
+    "3. Introduction\nsecond intro wins",
+    # blank lines dropped, acknowledgments
+    "some preamble\n\n\n4. Acknowledgments\nthanks everyone\n\nand you",
+    "",
+    "only main content here\nwith two lines",
+]
+
+
+def test_f7_sections_match_reference_port(spark):
+    from research_engine_spark.operators.retrieval_extras import (
+        identify_sections)
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(SECTION_DOCS)],
+                               "doc_id long, text string")
+    got: dict = {}
+    for r in identify_sections(df).collect():
+        got.setdefault(r["doc_id"], {})[r["section"]] = r["content"]
+    for i, t in enumerate(SECTION_DOCS):
+        want = {k: v for k, v in _reference_identify_sections(t).items() if v}
+        assert got.get(i, {}) == want, (i, t[:50])

@@ -111,3 +111,23 @@ def test_multifield_best_fields(spark, transcripts_df, transcripts_pd):
                                rtol=0, atol=1e-12), (q, tb)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_multi_fragment_highlights(spark):
+    from research_engine_spark.operators.retrieval_extras import (
+        with_highlights)
+
+    df = spark.createDataFrame(
+        [(1, "alpha starts here and then much later the word neural appears "
+             "and even later networks shows up at the end")],
+        "doc_id long, text string")
+    out = with_highlights(df, "neural networks", width=20,
+                          max_fragments=3).collect()[0]
+    assert len(out["highlights"]) == 2          # one fragment per term
+    assert "neural" in out["highlights"][0]     # ordered by match position
+    assert "networks" in out["highlights"][1]
+    assert " ... " in out["highlight"]
+    # cap respected
+    out1 = with_highlights(df, "neural networks", width=20,
+                           max_fragments=1).collect()[0]
+    assert "neural" in out1["highlight"] and " ... " not in out1["highlight"]
