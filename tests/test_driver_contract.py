@@ -45,19 +45,21 @@ def _canon(rows, cols):
 SQL_QUERIES = sorted(entrymod.oracle_sql())
 ROWS_ONLY = sorted(set(entrymod.queries()) - set(entrymod.oracle_sql()))
 
-# Canonical numeric-width classes. The driver hashes typed values, so a
-# DuckDB HUGEINT (int128, what sum(<int>) returns) vs a Spark BIGINT is a
-# hash mismatch even when the stringified values agree — compare type
-# classes here so the local replica catches it (VERDICT r1 "What's wrong" #1).
+# Canonical type classes. The driver hashes typed values: a DuckDB HUGEINT
+# (int128, what sum(<int>) returns) vs a Spark BIGINT is a hash mismatch
+# even when stringified values agree (VERDICT r1 "What's wrong" #1), while
+# int32 vs int64 (e.g. Spark row_number vs DuckDB row_number) hashes
+# identically — so machine-int widths share one class and only the types
+# that change the value representation stay distinct.
 _SPARK_CANON = {
-    "bigint": "int64", "int": "int32", "smallint": "int16", "tinyint": "int8",
-    "double": "float64", "float": "float32", "string": "str", "date": "date",
+    "bigint": "int", "int": "int", "smallint": "int", "tinyint": "int",
+    "double": "float", "float": "float", "string": "str", "date": "date",
     "boolean": "bool",
 }
 _DUCK_CANON = {
-    "BIGINT": "int64", "INTEGER": "int32", "SMALLINT": "int16",
-    "TINYINT": "int8", "HUGEINT": "int128", "UBIGINT": "uint64",
-    "DOUBLE": "float64", "FLOAT": "float32", "VARCHAR": "str", "DATE": "date",
+    "BIGINT": "int", "INTEGER": "int", "SMALLINT": "int", "TINYINT": "int",
+    "HUGEINT": "int128", "UBIGINT": "uint64",
+    "DOUBLE": "float", "FLOAT": "float", "VARCHAR": "str", "DATE": "date",
     "BOOLEAN": "bool",
 }
 
