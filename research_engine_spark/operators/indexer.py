@@ -4,7 +4,8 @@ Reference behavior being re-expressed: the reference pushes chunk rows into
 Elasticsearch (retrieval/es_index_chunks_final.py:47-56) and Lucene builds
 the inverted index internally. Here the index IS a set of Spark tables:
 
-- ``docs``          doc_id, conv_id, turn_idx, role, text, dl, ts
+- ``docs``          doc_id, conv_id, turn_idx, role, text, ts
+- ``doc_stats``     doc_id, dl (per-doc analyzed-token count)
 - ``postings``      term, bucket, salt, block_id, first_doc_id,
                     posting_count, max_tf, min_dl, block_max_score,
                     doc_gaps/tfs/dls (varbyte binaries)  [partitioned by bucket]
@@ -286,14 +287,19 @@ def build_index(
     buckets_subset: list[int] | None = None,
     mode: str = "overwrite",
     with_positions: bool = False,
-    driver_stats_max_rows: int = 50_000_000,
 ) -> dict:
     """Build the full index table set under ``out_dir``.
 
     buckets_subset/mode allow partial builds + resume (see resume()).
-    driver_stats_max_rows gates the driver-side pyarrow corpus-stats
-    shortcut; above it (or set it to 0) a distributed Spark agg is used.
     Returns a stats dict (n_docs, avgdl, n_terms, wall-times).
+
+    Single-tokenize design: the forward docs table is written WITHOUT a
+    dl column (no tokenizer pass in the write), and the one tokenize pass
+    that produces the (term, doc) pairs also yields corpus totals
+    (total_tokens = sum of tf over all pairs, exact int64) and the
+    per-doc ``doc_stats`` table (doc_id, dl). Corpus stats are therefore
+    always computed distributed — the r1 driver-side pyarrow shortcut
+    (and its OOM-at-scale gate) is gone, superseded rather than gated.
     """
     spark = transcripts.sparkSession
     if n_partitions is None:
@@ -302,53 +308,36 @@ def build_index(
     t_start = time.monotonic()
     timings: dict[str, float] = {}
 
-    # --- docs + doc stats -------------------------------------------------
+    # --- forward docs table (no tokenize in this pass) ----------------------
     docs = with_doc_ids(transcripts)
-    from ..functions.analyzer import token_count_udf
-
-    docs = docs.withColumn("dl", token_count_udf(F.col("text")))
     docs_path = os.path.join(out_dir, "docs")
     if mode == "overwrite" or not os.path.exists(docs_path):
         (
-            docs.select("doc_id", "conv_id", "turn_idx", "role", "text",
-                        "dl", "ts")
+            docs.select("doc_id", "conv_id", "turn_idx", "role", "text", "ts")
             .write.mode("overwrite")
             .parquet(docs_path)
         )
     docs_tbl = spark.read.parquet(docs_path)
     timings["docs_write_sec"] = round(time.monotonic() - t_start, 3)
 
-    # total_tokens summed in int64 (exact) so avgdl is bit-identical across
-    # partitionings and to the oracle — a float-summed avgdl would make
-    # every BM25 score differ at the ulp level between runs. Below
-    # driver_stats_max_rows the dl column is summed driver-side with
-    # pyarrow (row count from footer metadata only — cheap; one int32
-    # column streamed), saving a Spark job. Above it — or if the path
-    # isn't locally readable — a distributed Spark agg runs instead: the
-    # gate is on the FOOTER row count, not on an exception, because an
-    # in-RAM-but-huge read would never raise (VERDICT r1 #3). Both paths
-    # sum in int64, so corpus_stats.json is byte-identical either way
-    # (tested in test_index_build.py).
-    n_docs = None
+    # --- ONE tokenize pass: pairs drive stats, term_stats, and the pack ----
+    t_tok = time.monotonic()
+    pairs = _tokenized_pairs(docs_tbl, n_buckets, with_positions)
+    # n_docs from parquet footer metadata (no data read); Spark count as
+    # fallback when the path isn't locally readable
     try:
         import pyarrow.dataset as pads
 
-        ds = pads.dataset(docs_path, format="parquet")
-        n_docs = int(ds.count_rows())
+        n_docs = int(pads.dataset(docs_path, format="parquet").count_rows())
     except Exception:
-        ds = None
-    if ds is not None and n_docs is not None and n_docs <= driver_stats_max_rows:
-        import pyarrow.compute as pc
-
-        tbl = ds.to_table(columns=["dl"])
-        total_tokens = int(pc.sum(tbl["dl"]).as_py() or 0)
-    else:
-        stats_row = docs_tbl.agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.col("dl").cast("long")).alias("total_tokens"),
-        ).collect()[0]
-        n_docs = int(stats_row["n_docs"])
-        total_tokens = int(stats_row["total_tokens"] or 0)
+        n_docs = docs_tbl.count()
+    # total_tokens = Σ tf over ALL pairs (per-doc Σ tf == dl), summed in
+    # int64 (exact) so avgdl is bit-identical across partitionings and to
+    # the oracle. This job also materializes the pairs persist, so the
+    # term_stats agg and the SPIMI pack read the cache, not the tokenizer.
+    total_tokens = int(pairs.agg(
+        F.sum(F.col("tf").cast("long"))).collect()[0][0] or 0)
+    timings["tokenize_stats_sec"] = round(time.monotonic() - t_tok, 3)
     avgdl = total_tokens / n_docs if n_docs else 0.0
     corpus_stats = {"n_docs": n_docs, "avgdl": avgdl,
                     "total_tokens": total_tokens, "k1": k1, "b": b,
@@ -363,7 +352,7 @@ def build_index(
         n_buckets=n_buckets, max_group_postings=max_group_postings,
         n_partitions=n_partitions, snapshot_id=snapshot_id,
         buckets_subset=buckets_subset, mode=mode,
-        with_positions=with_positions,
+        with_positions=with_positions, pairs=pairs,
     ))
     timings["pack_total_sec"] = round(time.monotonic() - t_pack, 3)
 
@@ -385,6 +374,21 @@ def build_index(
             "turns_per_sec": (n_docs / wall if wall > 0 else float("inf"))}
 
 
+def _tokenized_pairs(docs_tbl: DataFrame, n_buckets: int,
+                     with_positions: bool) -> DataFrame:
+    """The ONE tokenize pass: (doc_id, dl, term, tf[, positions], bucket)
+    pairs, persisted (memory-then-disk spill) because corpus stats, the
+    term_stats agg, the doc_stats write, and the SPIMI pack all consume it
+    — tokenization is the most expensive map stage and must run exactly
+    once (SPIMI run-spill analog)."""
+    from pyspark import StorageLevel
+
+    pairs = term_doc_pairs(docs_tbl, with_positions).withColumn(
+        "bucket", F.pmod(F.hash("term"), F.lit(n_buckets)).cast("int")
+    )
+    return pairs.persist(StorageLevel.MEMORY_AND_DISK)
+
+
 def _pack_segment(
     docs_tbl: DataFrame,
     out_dir: str,
@@ -399,26 +403,36 @@ def _pack_segment(
     buckets_subset: list[int] | None = None,
     mode: str = "overwrite",
     with_positions: bool = False,
+    pairs: DataFrame | None = None,
 ) -> dict:
     """Shared pack pipeline: (term, doc) pairs -> term_stats -> salted SPIMI
-    blocks -> postings + lineage. Used by full builds, bucket-resume, and
-    streaming segment appends (docs_tbl = just the new segment there, with
-    n_docs/avgdl the GLOBAL totals so idf/norms reflect the whole corpus).
+    blocks -> postings + doc_stats + lineage. Used by full builds,
+    bucket-resume, and streaming segment appends (docs_tbl = just the new
+    segment there, with n_docs/avgdl the GLOBAL totals so idf/norms
+    reflect the whole corpus). ``pairs``: the caller's already-persisted
+    tokenize output (unfiltered); built here if absent.
     """
     spark = docs_tbl.sparkSession
     timings: dict[str, float] = {}
     t0 = time.monotonic()
-    # Persisted (memory-then-disk spill) because both the term_stats agg and
-    # the SPIMI pack consume it — tokenization is the most expensive map
-    # stage and must run exactly once (SPIMI run-spill analog).
-    from pyspark import StorageLevel
+    if pairs is None:
+        pairs = _tokenized_pairs(docs_tbl, n_buckets, with_positions)
 
-    pairs = term_doc_pairs(docs_tbl, with_positions).withColumn(
-        "bucket", F.pmod(F.hash("term"), F.lit(n_buckets)).cast("int")
-    )
+    # --- per-doc stats table (doc_id, dl) -----------------------------------
+    # map-side combine collapses each pairs partition to ~unique docs, so
+    # the shuffle is O(docs) tiny rows; skipped on bucket-resume (the full
+    # doc_stats already exists from the original partial build).
+    ds_path = os.path.join(out_dir, "doc_stats")
+    if buckets_subset is None or not os.path.exists(ds_path):
+        (pairs.groupBy("doc_id").agg(F.max("dl").alias("dl"))
+         .write.mode(mode).parquet(ds_path))
+    timings["doc_stats_sec"] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+
+    all_pairs = pairs
     if buckets_subset is not None:
-        pairs = pairs.filter(F.col("bucket").isin([int(x) for x in buckets_subset]))
-    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+        pairs = pairs.filter(
+            F.col("bucket").isin([int(x) for x in buckets_subset]))
 
     # --- term stats (df, cf, bounds) — also drives salting -----------------
     term_stats = pairs.groupBy("term", "bucket").agg(
@@ -472,7 +486,7 @@ def _pack_segment(
     # binaries so this shuffle moves ~1/100th of the pair volume
     packed.repartition(n_buckets, "bucket").write.mode(mode).partitionBy(
         "bucket").parquet(post_path)
-    pairs.unpersist()
+    all_pairs.unpersist()
     timings["spimi_pack_sec"] = round(time.monotonic() - t0, 3)
     t0 = time.monotonic()
 
@@ -525,21 +539,23 @@ def append_segment(transcripts: DataFrame, out_dir: str,
     with open(os.path.join(out_dir, "corpus_stats.json")) as f:
         stats = json.load(f)
     base = int(stats["n_docs"])
-    from ..functions.analyzer import token_count_udf
-
     docs = (
         with_doc_ids(transcripts)
         .withColumn("doc_id", F.col("doc_id") + F.lit(base))
-        .withColumn("dl", token_count_udf(F.col("text")))
     )
-    docs.select("doc_id", "conv_id", "turn_idx", "role", "text", "dl", "ts"
+    docs.select("doc_id", "conv_id", "turn_idx", "role", "text", "ts"
                 ).write.mode("append").parquet(os.path.join(out_dir, "docs"))
     seg = spark.read.parquet(os.path.join(out_dir, "docs")).filter(
         F.col("doc_id") >= base)
-    row = seg.agg(F.count(F.lit(1)).alias("n"),
-                  F.sum(F.col("dl").cast("long")).alias("tok")).collect()[0]
-    stats["n_docs"] = base + int(row["n"])
-    stats["total_tokens"] = int(stats["total_tokens"]) + int(row["tok"] or 0)
+    # one tokenize pass for the segment: stats from Σ tf, then the pack
+    # consumes the same persisted pairs (mirrors build_index)
+    pairs = _tokenized_pairs(seg, int(stats["n_buckets"]),
+                             bool(stats.get("positions", False)))
+    n_new = seg.count()
+    seg_tokens = int(pairs.agg(
+        F.sum(F.col("tf").cast("long"))).collect()[0][0] or 0)
+    stats["n_docs"] = base + int(n_new)
+    stats["total_tokens"] = int(stats["total_tokens"]) + seg_tokens
     stats["avgdl"] = (stats["total_tokens"] / stats["n_docs"]
                       if stats["n_docs"] else 0.0)
     if snapshot_id is None:
@@ -549,7 +565,7 @@ def append_segment(transcripts: DataFrame, out_dir: str,
         k1=stats["k1"], b=stats["b"], n_buckets=int(stats["n_buckets"]),
         max_group_postings=500_000, n_partitions=n_partitions,
         snapshot_id=snapshot_id, mode="append",
-        with_positions=bool(stats.get("positions", False)),
+        with_positions=bool(stats.get("positions", False)), pairs=pairs,
     )
     with open(os.path.join(out_dir, "corpus_stats.json"), "w") as f:
         json.dump(stats, f)

@@ -112,6 +112,12 @@ class IndexReader:
     def lineage(self) -> DataFrame:
         return self._tbl("lineage")
 
+    @property
+    def doc_stats(self) -> DataFrame:
+        """Per-doc (doc_id, dl) — dl lives here, not in docs (the forward
+        table write carries no tokenizer pass)."""
+        return self._tbl("doc_stats")
+
     def bucket_of(self, terms: list[str]) -> dict[str, int]:
         """term->bucket via driver-side Murmur3 (bit-identical to the
         build-time ``pmod(hash(term), n_buckets)``; verified in tests)."""

@@ -115,9 +115,11 @@ def _cleanup_partial_segment(index_dir: str, pending: dict) -> None:
     base = int(pending["n_docs_before"])
     snap = pending["snapshot_id"]
 
-    docs_dir = os.path.join(index_dir, "docs")
-    if os.path.isdir(docs_dir):
-        for fp in _parquet_files(docs_dir):
+    for tbl in ("docs", "doc_stats"):
+        tdir = os.path.join(index_dir, tbl)
+        if not os.path.isdir(tdir):
+            continue
+        for fp in _parquet_files(tdir):
             mn = _col_min_any(fp, "doc_id")
             # every pre-existing file holds at least one doc_id < base;
             # every file of the interrupted append holds only >= base

@@ -40,7 +40,8 @@ def main() -> None:
     rows = "\n".join(
         f"| {label(c)} | {c} | {best[c]['n_turns']} | "
         f"{best[c]['build_sec']} | {best[c]['turns_per_sec']} | "
-        f"{best[c].get('query_mean_sec', '—')} |"
+        f"{best[c].get('query_mean_sec', '—')} | "
+        f"{best[c].get('query_pruned_mean_sec', '—')} |"
         for c in sorted(best)
     )
     hist = "\n".join(
@@ -62,8 +63,8 @@ honest emulation of an N-core executor node) and all I/O on tmpfs (a real
 cluster's aggregate storage/shuffle bandwidth scales with node count; this
 host's single shared virtio disk does not).
 
-| leg | cores | turns indexed | build sec | turns/sec | query mean sec |
-|---|---|---|---|---|---|
+| leg | cores | turns indexed | build sec | turns/sec | query mean sec | pruned query mean sec |
+|---|---|---|---|---|---|---|
 {rows}
 
 **Scaling efficiency (throughput_4N / throughput_N) / 4 = {eff:.3f}**

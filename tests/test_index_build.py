@@ -78,8 +78,17 @@ def test_postings_referential_integrity(reader):
 def test_corpus_stats_consistency(reader):
     n_docs = reader.docs.count()
     assert reader.stats["n_docs"] == n_docs
-    total = reader.docs.agg(F.sum("dl")).collect()[0][0]
+    total = reader.doc_stats.agg(F.sum("dl")).collect()[0][0]
+    assert reader.stats["total_tokens"] == int(total)
     assert abs(reader.stats["avgdl"] - total / n_docs) < 1e-12
+    # doc_stats dl == analyzed token count, re-derived independently
+    from research_engine_spark.functions.analyzer import token_count_udf
+
+    rederived = (reader.docs.select(
+        "doc_id", token_count_udf(F.col("text")).alias("dl2"))
+        .join(reader.doc_stats, "doc_id", "full_outer")
+        .filter(F.coalesce("dl", F.lit(0)) != F.coalesce("dl2", F.lit(0))))
+    assert rederived.count() == 0
 
 
 def test_lineage_rows(reader):
@@ -176,15 +185,14 @@ def test_build_determinism(spark, small_tx):
         shutil.rmtree(d2, ignore_errors=True)
 
 
-def test_corpus_stats_spark_path_identical(spark, small_tx):
-    """The distributed Spark corpus-stats path (driver_stats_max_rows=0)
-    must write a byte-identical corpus_stats.json to the driver-side
-    pyarrow shortcut (VERDICT r1 #3: the gate is a row-count threshold,
-    not an exception)."""
+def test_corpus_stats_deterministic_across_partitionings(spark, small_tx):
+    """corpus_stats.json must be byte-identical across different input
+    partitionings: total_tokens is an exact int64 sum over the pairs (the
+    single distributed stats path — no driver-side shortcut remains)."""
     d1, d2 = tempfile.mkdtemp(), tempfile.mkdtemp()
     try:
         build_index(small_tx, d1, n_buckets=4)
-        build_index(small_tx, d2, n_buckets=4, driver_stats_max_rows=0)
+        build_index(small_tx.repartition(7), d2, n_buckets=4)
         with open(os.path.join(d1, "corpus_stats.json"), "rb") as f:
             a = f.read()
         with open(os.path.join(d2, "corpus_stats.json"), "rb") as f:
