@@ -201,9 +201,16 @@ def embedding_near_dup_pairs(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = 100_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate candidates: bucket by hyperplane
-    signs, exact cosine within buckets only (id_a < id_b)."""
+    signs, exact cosine within buckets only (id_a < id_b).
+
+    max_bucket drops sign-buckets holding more rows than the cap before
+    the self-join (the same hot-group bound as the MinHash-LSH band cap:
+    an m-row boilerplate bucket yields m² candidate rows). A dropped
+    bucket means near-identical boilerplate vectors — exact dedup
+    territory, not similarity scan territory."""
     first = embeddings.select(vec_col).first()
     if first is None:
         return embeddings.sparkSession.createDataFrame(
@@ -215,6 +222,12 @@ def embedding_near_dup_pairs(
         _plane_signs(F.col(vec_col), planes).alias("bucket"),
         _norm(F.col(vec_col)).alias("nrm"),
     )
+    if max_bucket is not None:
+        cold = (bucketed.groupBy("bucket")
+                .agg(F.count(F.lit(1)).alias("_bn"))
+                .filter(F.col("_bn") <= int(max_bucket))
+                .select("bucket"))
+        bucketed = bucketed.join(cold, "bucket")
     a, b = bucketed.alias("a"), bucketed.alias("b")
     dot = F.aggregate(
         F.zip_with(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"),
