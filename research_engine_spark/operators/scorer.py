@@ -427,11 +427,13 @@ def search(
             list(cutoff.items()), "term string, cutoff double")
         pruned = (matching.join(F.broadcast(cutoff_df), "term")
                   .filter(block_ub >= F.col("cutoff")))
+        # persisted: BOTH the θ'' collect and the candidate filter consume
+        # approx — without it each action re-runs the whole decode pass
         approx = _sum_deterministic(
             pruned.select(*payload_cols).mapInPandas(
                 _decode_partials_factory(avgdl, k1, b),
                 schema=PARTIAL_SCHEMA)
-        )
+        ).persist()
         # θ'' = max(θ, k-th approx) — approx ≤ true, so still a valid
         # lower bound on the true k-th score.
         kth_rows = (approx.select("score")
@@ -445,6 +447,7 @@ def search(
                 >= F.lit(theta2)
             ).select("doc_id").toPandas()["doc_id"].to_numpy(np.int64)
         )
+        approx.unpersist()
         cand_ids = np.sort(cand_ids)
         if cand_ids.size == 0:
             topk = spark.createDataFrame([], "doc_id bigint, score double")
