@@ -51,7 +51,15 @@ def run_leg(cores: int, n_convs: int, pkg_zip: str, shuffle: int,
     ]
     if src:
         cmd.append(src)
-    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    # TMPDIR on tmpfs so the job's index dir (tempfile.mkdtemp) lands on
+    # shm too — the corpus read, index write, AND shuffle must all be
+    # memory-backed or the leg measures the single shared virtio disk
+    # (which a real cluster's per-node storage would not share): the r2
+    # disk-backed legs showed docs_write_sec ~40s flat at BOTH 2 and 8
+    # cores, a serial I/O floor, not engine behavior.
+    env = dict(os.environ, TMPDIR=shm)
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600,
+                         env=env)
     for line in out.stdout.splitlines()[::-1]:
         line = line.strip()
         if line.startswith("{"):
@@ -79,8 +87,9 @@ def main() -> None:
     # the sandbox host is shared (historic steal time ~= user time) with
     # ~2x run-to-run wall-time variance; interleave the legs and keep the
     # best (least-contended) run per parallelism level
-    # pre-generate the shared corpus ONCE at full parallelism
-    src = f"/tmp/scaling_corpus_{n_convs}"
+    # pre-generate the shared corpus ONCE at full parallelism, on tmpfs
+    # (the legs' input scan must not bottleneck on the shared virtio disk)
+    src = f"/dev/shm/bench/scaling_corpus_{n_convs}"
     if not os.path.exists(src):
         gen = subprocess.run(
             [sys.executable, "-c", (
