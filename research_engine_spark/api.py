@@ -67,10 +67,12 @@ class ResearchEngine:
     def search(self, query: str, top_k: int = DEFAULT_TOP_K,
                k1: float | None = None, b: float | None = None,
                prune: bool = False, bool_should: bool = False,
-               highlight: bool = False) -> DataFrame:
+               highlight: bool = False, fuzzy: bool = False) -> DataFrame:
         """BM25 top-k (es_search_final.py search_chunks analog).
         bool_should=True adds the boosted phrase clause (requires a
-        positional index)."""
+        positional index). fuzzy=True applies the reference's
+        ``fuzziness: AUTO`` edit-distance expansion
+        (es_search_final.py:21)."""
         if bool_should:
             hits = bool_should_search(self.reader, query, k=top_k, k1=k1, b=b)
             docs = self.reader.docs.select(
@@ -82,7 +84,7 @@ class ResearchEngine:
                     .orderBy(F.desc("score"), F.asc("doc_id")))
         else:
             hits = search(self.reader, query, k=top_k, k1=k1, b=b,
-                          prune=prune, with_text=True)
+                          prune=prune, with_text=True, fuzzy=fuzzy)
         if highlight:
             hits = with_highlights(hits, query)
         return hits

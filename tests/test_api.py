@@ -54,3 +54,12 @@ def test_append_then_search(spark, engine):
     engine.append(synth_transcripts(spark, n_convs=5, seed=123))
     assert engine.reader.stats["n_docs"] > n0
     assert engine.search("neural", top_k=3).count() > 0
+
+
+def test_api_fuzzy_search(spark, index_dir, oracle):
+    from research_engine_spark.api import ResearchEngine
+
+    eng = ResearchEngine(spark, index_dir)
+    got = eng.search("neurel netwerks", top_k=5, fuzzy=True).toPandas()
+    want = oracle.fuzzy_search("neurel netwerks", k=5)
+    assert list(got["doc_id"]) == list(want["doc_id"])
