@@ -49,7 +49,10 @@ def _offsets_with_meta(
             & (F.max("turn_idx") == F.count(F.lit(1)) - F.lit(1))
             & (F.countDistinct("turn_idx") == F.count(F.lit(1)))
         ).alias("contig"),
-    )
+    ).persist()
+    # persist BEFORE repartitionByRange: its range-boundary sampling job
+    # otherwise re-runs the whole upstream scan+agg a second time — a
+    # fixed, core-count-independent cost that flattens scaling legs.
     ranged = (
         conv_dim.repartitionByRange(n_partitions, "conv_id")
         .withColumn("pid", F.spark_partition_id())
@@ -66,6 +69,7 @@ def _offsets_with_meta(
              F.min("contig").alias("contig"))
         .collect()
     )
+    conv_dim.unpersist()
     totals = {r["pid"]: r["tot"] for r in rows}
     n_convs = int(sum(r["n_convs"] for r in rows))
     contiguous = bool(all(r["contig"] for r in rows)) if rows else True

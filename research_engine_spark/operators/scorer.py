@@ -48,7 +48,7 @@ from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.analyzer import analyze_query
@@ -264,41 +264,64 @@ def _fuzzy_term_meta(reader: IndexReader, qterms: list[tuple[str, int]],
 
 def _theta(reader: IndexReader, meta: pd.DataFrame, k: int,
            k1: float, b: float) -> float:
-    """Lower bound θ on the final k-th best score: exactly score the
-    highest-ub blocks of the strongest term (driver-side; blocks are ≤128
-    postings each, so this is a few KB)."""
-    best = meta.loc[meta["gub"].idxmax()]
-    bucket = reader.bucket_of([best["term"]])[best["term"]]
+    """Lower bound θ on the final k-th best score.
+
+    ONE Spark job collects the highest-ub blocks of EVERY query term
+    (row_number window per term; blocks are ≤128 postings, a few KB each),
+    then the driver decodes them and sums partials per doc ACROSS terms.
+    Every collected doc's true score ≥ its partial sum here (partials are
+    non-negative and this sum uses a subset of its terms), so the k-th
+    best sum is a valid lower bound — much tighter than a
+    strongest-term-only bound on multi-term queries, which is what makes
+    the phase-A cutoff θ − Σ_{t'≠t} gub(t') actually positive."""
+    terms = meta["term"].tolist()
+    buckets = sorted({int(v) for v in reader.bucket_of(terms).values()})
     n_blocks = max(2, (int(k) // 128) + 2)
+    w = Window.partitionBy("term").orderBy(
+        F.desc("block_max_score"), F.asc("block_id"), F.asc("salt"))
     rows = (
         reader.postings.filter(
-            (F.col("bucket") == int(bucket)) & (F.col("term") == best["term"])
-        )
-        .select("tfs", "dls", "block_max_score")
-        .orderBy(F.desc("block_max_score"))
-        .limit(n_blocks)
+            F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+        .select("term", "doc_gaps", "tfs", "dls", "block_max_score",
+                "block_id", "salt")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_blocks)
+        .select("term", "doc_gaps", "tfs", "dls")
         .collect()
     )
     if not rows:
         return float("-inf")
     avgdl = reader.stats["avgdl"]
-    parts = [
-        float(best["qtf"]) * float(best["idf"])
-        * bm25_tf_part(vb_decode(bytes(r["tfs"])).astype(np.int64),
-                       vb_decode(bytes(r["dls"])).astype(np.int64),
-                       avgdl, k1, b)
-        for r in rows
-    ]
-    allp = np.sort(np.concatenate(parts))[::-1]
-    return float(allp[k - 1]) if allp.size >= k else float("-inf")
+    weights = {t: float(q) * float(i)
+               for t, q, i in zip(meta["term"], meta["qtf"], meta["idf"])}
+    ids_l, part_l = [], []
+    for r in rows:
+        doc_ids = delta_decode(vb_decode(bytes(r["doc_gaps"])))
+        tfs = vb_decode(bytes(r["tfs"])).astype(np.int64)
+        dls = vb_decode(bytes(r["dls"])).astype(np.int64)
+        ids_l.append(doc_ids)
+        part_l.append(weights[r["term"]]
+                      * bm25_tf_part(tfs, dls, avgdl, k1, b))
+    all_ids = np.concatenate(ids_l)
+    all_parts = np.concatenate(part_l)
+    uniq, inv = np.unique(all_ids, return_inverse=True)
+    sums = np.zeros(uniq.size, dtype=np.float64)
+    np.add.at(sums, inv, all_parts)
+    if sums.size < k:
+        return float("-inf")
+    return float(np.partition(sums, sums.size - k)[sums.size - k])
 
 
 def _decode_partials_factory(avgdl: float, k1: float, b: float,
-                             keep_ids: np.ndarray | None = None):
+                             keep_bc=None):
     """mapInPandas block decoder -> (doc_id, term, partial, gub) rows.
-    keep_ids: optional sorted int64 array; only emit those docs (phase B)."""
+    keep_bc: optional pyspark Broadcast of a sorted int64 array; only emit
+    those docs (phase B). A Broadcast, NOT a closure-captured array: the
+    closure is pickled into EVERY task, so a multi-million-candidate array
+    would ship once per task instead of once per executor."""
 
     def score_blocks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        keep_ids = keep_bc.value if keep_bc is not None else None
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -352,6 +375,7 @@ def search(
     fuzzy: bool = False,
     max_expansions: int = 50,
     _all_matches: bool = False,
+    prune_stats: dict | None = None,
 ) -> DataFrame:
     """Top-k BM25. Returns (doc_id, score, conv_id, turn_idx[, text])
     ordered by (score desc, doc_id asc). prune=True enables the exact
@@ -363,7 +387,10 @@ def search(
     prune path assumes one clause per term, so fuzzy falls back to the
     unpruned scan.
     _all_matches=True returns the FULL scored set (doc_id, score) with no
-    limit — the exact-combination input for multi-field best_fields."""
+    limit — the exact-combination input for multi-field best_fields.
+    prune_stats: pass a dict to receive {"path", "theta", "n_blocks",
+    "n_keep", "n_candidates"} for the prune=True decision — bench/test
+    observability for how much the block-max machinery actually skipped."""
     spark = reader.spark
     k1 = reader.stats["k1"] if k1 is None else k1
     b = reader.stats["b"] if b is None else b
@@ -412,12 +439,15 @@ def search(
             _decode_partials_factory(avgdl, k1, b), schema=PARTIAL_SCHEMA)
         return _sum_deterministic(partials).select("doc_id", "score")
 
-    if not prune:
+    def plain_topk() -> DataFrame:
         partials = matching.select(*payload_cols).mapInPandas(
             _decode_partials_factory(avgdl, k1, b), schema=PARTIAL_SCHEMA)
-        topk = (_sum_deterministic(partials)
+        return (_sum_deterministic(partials)
                 .select("doc_id", "score")
                 .orderBy(F.desc("score"), F.asc("doc_id")).limit(int(k)))
+
+    if not prune:
+        topk = plain_topk()
     else:
         theta = _theta(reader, meta, k, k1, b)
         # phase A: per-term cutoff, metadata-level block skip
@@ -425,47 +455,74 @@ def search(
                   for t, g in zip(meta["term"], meta["gub"])}
         cutoff_df = spark.createDataFrame(
             list(cutoff.items()), "term string, cutoff double")
-        pruned = (matching.join(F.broadcast(cutoff_df), "term")
-                  .filter(block_ub >= F.col("cutoff")))
-        # persisted: BOTH the θ'' collect and the candidate filter consume
-        # approx — without it each action re-runs the whole decode pass
-        approx = _sum_deterministic(
-            pruned.select(*payload_cols).mapInPandas(
-                _decode_partials_factory(avgdl, k1, b),
-                schema=PARTIAL_SCHEMA)
-        ).persist()
-        # θ'' = max(θ, k-th approx) — approx ≤ true, so still a valid
-        # lower bound on the true k-th score.
-        kth_rows = (approx.select("score")
-                    .orderBy(F.desc("score")).limit(int(k)).collect())
-        theta2 = max(theta, float(kth_rows[-1]["score"])
-                     if len(kth_rows) >= k else float("-inf"))
-        # candidates: ub_total = approx + gub of non-contributing terms
-        cand_ids = (
-            approx.filter(
-                F.col("score") + (F.lit(total_gub) - F.col("contrib_gub"))
-                >= F.lit(theta2)
-            ).select("doc_id").toPandas()["doc_id"].to_numpy(np.int64)
-        )
-        approx.unpersist()
-        cand_ids = np.sort(cand_ids)
-        if cand_ids.size == 0:
-            topk = spark.createDataFrame([], "doc_id bigint, score double")
+        with_cut = matching.join(F.broadcast(cutoff_df), "term")
+        survive = block_ub >= F.col("cutoff")
+        # Gate BEFORE any decode: one JVM-only metadata job counts how many
+        # blocks the cutoff skips. If pruning keeps (almost) everything,
+        # the two-phase walk would decode the corpus ~twice plus driver
+        # roundtrips — strictly worse than the single-pass scan. Same
+        # results either way (both exact); this only picks the cheaper
+        # physical plan, the Spark analog of WAND falling back to exhaus-
+        # tive evaluation when θ can't prune.
+        cnt = with_cut.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(survive.cast("long")).alias("keep")).collect()[0]
+        n_blocks_total, n_keep = int(cnt["n"] or 0), int(cnt["keep"] or 0)
+        if prune_stats is not None:
+            prune_stats.update(theta=theta, n_blocks=n_blocks_total,
+                               n_keep=n_keep)
+        if n_blocks_total == 0 or n_keep >= 0.7 * n_blocks_total:
+            if prune_stats is not None:
+                prune_stats["path"] = "fallback_plain"
+            topk = plain_topk()
         else:
-            lo, hi = int(cand_ids[0]), int(cand_ids[-1])
-            rescored = (
-                matching.filter(
-                    (F.col("last_doc_id") >= F.lit(lo))
-                    & (F.col("first_doc_id") <= F.lit(hi))
-                )
-                .select(*payload_cols)
-                .mapInPandas(
-                    _decode_partials_factory(avgdl, k1, b, keep_ids=cand_ids),
+            pruned = with_cut.filter(survive)
+            # persisted: BOTH the θ'' collect and the candidate filter
+            # consume approx — without it each action re-runs the decode
+            approx = _sum_deterministic(
+                pruned.select(*payload_cols).mapInPandas(
+                    _decode_partials_factory(avgdl, k1, b),
                     schema=PARTIAL_SCHEMA)
+            ).persist()
+            # θ'' = max(θ, k-th approx) — approx ≤ true, so still a valid
+            # lower bound on the true k-th score.
+            kth_rows = (approx.select("score")
+                        .orderBy(F.desc("score")).limit(int(k)).collect())
+            theta2 = max(theta, float(kth_rows[-1]["score"])
+                         if len(kth_rows) >= k else float("-inf"))
+            # candidates: ub_total = approx + gub of non-contributing terms
+            cand_ids = (
+                approx.filter(
+                    F.col("score") + (F.lit(total_gub) - F.col("contrib_gub"))
+                    >= F.lit(theta2)
+                ).select("doc_id").toPandas()["doc_id"].to_numpy(np.int64)
             )
-            topk = (_sum_deterministic(rescored)
-                    .select("doc_id", "score")
-                    .orderBy(F.desc("score"), F.asc("doc_id")).limit(int(k)))
+            approx.unpersist()
+            cand_ids = np.sort(cand_ids)
+            if prune_stats is not None:
+                prune_stats.update(path="two_phase",
+                                   n_candidates=int(cand_ids.size))
+            if cand_ids.size == 0:
+                topk = spark.createDataFrame(
+                    [], "doc_id bigint, score double")
+            else:
+                lo, hi = int(cand_ids[0]), int(cand_ids[-1])
+                keep_bc = spark.sparkContext.broadcast(cand_ids)
+                rescored = (
+                    matching.filter(
+                        (F.col("last_doc_id") >= F.lit(lo))
+                        & (F.col("first_doc_id") <= F.lit(hi))
+                    )
+                    .select(*payload_cols)
+                    .mapInPandas(
+                        _decode_partials_factory(avgdl, k1, b,
+                                                 keep_bc=keep_bc),
+                        schema=PARTIAL_SCHEMA)
+                )
+                topk = (_sum_deterministic(rescored)
+                        .select("doc_id", "score")
+                        .orderBy(F.desc("score"), F.asc("doc_id"))
+                        .limit(int(k)))
 
     if not with_text:
         return topk
