@@ -81,6 +81,14 @@ def main() -> None:
         queries_sec[f"bm25p_q{i+1:02d}"] = round(dt, 3)
         bm25p_total += dt
 
+    # --- 2b2. batch: ALL reference queries in ONE Spark job ----------------
+    from research_engine_spark.operators.scorer import search_many
+
+    t0 = time.monotonic()
+    search_many(reader, list(REFERENCE_QUERIES), k=10).collect()
+    batch_sec = time.monotonic() - t0
+    queries_sec["bm25_batch_all"] = round(batch_sec, 3)
+
     # --- 2c. fuzzy (AUTO edit-distance expansion) ---------------------------
     fuzzy_queries = ["neurel netwerk traning", "transformr atention"]
     fuzzy_total = 0.0
@@ -132,6 +140,9 @@ def main() -> None:
         "bm25_mean_latency_sec": round(bm25_total / len(REFERENCE_QUERIES), 3),
         "bm25_pruned_mean_latency_sec": round(
             bm25p_total / len(REFERENCE_QUERIES), 3),
+        "bm25_batch_all_sec": round(batch_sec, 3),
+        "bm25_batch_per_query_sec": round(
+            batch_sec / len(REFERENCE_QUERIES), 3),
         "fuzzy_mean_latency_sec": round(fuzzy_total / len(fuzzy_queries), 3),
         "phrase_mean_latency_sec": round(
             phrase_total / len(phrase_queries), 3),

@@ -27,6 +27,7 @@ from .operators.scorer import (
     bool_should_search,
     phrase_search,
     search,
+    search_many,
 )
 
 DEFAULT_TOP_K = 15  # reference: rag_service.py:24
@@ -97,6 +98,13 @@ class ResearchEngine:
     def multi_query(self, queries: list[str], top_k: int = DEFAULT_TOP_K,
                     **kwargs) -> DataFrame:
         return multi_query_search(self.reader, queries, k=top_k, **kwargs)
+
+    def batch_search(self, queries: dict[str, str] | list[str],
+                     top_k: int = DEFAULT_TOP_K, **kwargs) -> DataFrame:
+        """Top-k for MANY queries in one Spark job (query logs, RAG eval
+        sets): blocks decode once for the whole batch, per-query ranking
+        is distributed. Scores bit-identical to .search per query."""
+        return search_many(self.reader, queries, k=top_k, **kwargs)
 
     def retrieve_context(self, query: str, top_k: int = CHAT_TOP_K,
                          max_chunks: int = 5) -> str:

@@ -536,6 +536,139 @@ def search(
 
 
 # ---------------------------------------------------------------------------
+# Batch multi-query search: many top-k's in ONE Spark job
+# ---------------------------------------------------------------------------
+
+
+def _decode_tf_parts_factory(avgdl: float, k1: float, b: float):
+    """mapInPandas block decoder -> (doc_id, term, tf_part) rows.
+
+    tf_part = tf / (tf + k1*(1-b+b*dl/avgdl)) is query-INDEPENDENT: a
+    block shared by any number of batch queries decodes exactly once, and
+    per-query weights (qtf*idf) are applied JVM-side after a broadcast
+    join. This is what makes batch retrieval on Spark amortize: decode
+    volume is O(postings of the term UNION), not O(Σ per-query postings).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids_l, term_l, part_l = [], [], []
+            for row in pdf.itertuples(index=False):
+                doc_ids = delta_decode(vb_decode(bytes(row.doc_gaps)))
+                tfs = vb_decode(bytes(row.tfs)).astype(np.int64)
+                dls = vb_decode(bytes(row.dls)).astype(np.int64)
+                ids_l.append(doc_ids)
+                term_l.append(np.full(doc_ids.size, row.term, dtype=object))
+                part_l.append(bm25_tf_part(tfs, dls, avgdl, k1, b))
+            if ids_l:
+                yield pd.DataFrame({
+                    "doc_id": np.concatenate(ids_l),
+                    "term": np.concatenate(term_l),
+                    "tf_part": np.concatenate(part_l),
+                })
+
+    return run
+
+
+def search_many(
+    reader: IndexReader,
+    queries: dict[str, str] | list[str],
+    k: int = 10,
+    k1: float | None = None,
+    b: float | None = None,
+    with_text: bool = False,
+    n_sub: int = 32,
+) -> DataFrame:
+    """Top-k BM25 for MANY queries in ONE Spark job (T1 batch variant).
+
+    The single-query ``search`` pays one Spark job per query — fine
+    interactively, but a batch retrieval workload (RAG eval sets, query
+    logs, distillation) should amortize the scan: here every matching
+    block decodes once (see _decode_tf_parts_factory), per-query weights
+    join JVM-side, and the per-query top-k is a TWO-stage ranking — local
+    row_number over (qid, doc_id-hash subgroup) keeps ≤ k rows per
+    subgroup, then a final rank over the ≤ n_sub*k survivors per query —
+    so no single task ever holds one query's full matching set (the
+    single-partition-window trap at 10^12 turns).
+
+    Scores are bit-identical to ``search``: same float64 partials
+    ((qtf*idf)*tf_part, same association order), same term-sorted
+    deterministic fold, same (score desc, doc_id asc) tiebreak.
+
+    queries: {qid: query} or a list (auto qids q0000, q0001, ...).
+    Returns (qid, doc_id, score[, conv_id, turn_idx, text]) ordered by
+    (qid, score desc, doc_id asc).
+    """
+    spark = reader.spark
+    k1 = reader.stats["k1"] if k1 is None else k1
+    b = reader.stats["b"] if b is None else b
+    if not isinstance(queries, dict):
+        queries = {f"q{i:04d}": q for i, q in enumerate(queries)}
+    metas = []
+    for qid, q in queries.items():
+        qterms = analyze_query(q)
+        if not qterms:
+            continue
+        meta = _term_meta(reader, qterms, k1, b)
+        if meta.empty:
+            continue
+        metas.append(meta.assign(
+            qid=qid, qtf=meta["qtf"].astype(np.float64)))
+    out_cols = "qid string, doc_id bigint, score double"
+    if with_text:
+        out_cols += ", conv_id string, turn_idx int, text string"
+    if not metas:
+        return spark.createDataFrame([], out_cols)
+    allmeta = pd.concat(metas, ignore_index=True)
+    terms = sorted(set(allmeta["term"]))
+    buckets = sorted({int(v) for v in reader.bucket_of(terms).values()})
+    avgdl = reader.stats["avgdl"]
+
+    decoded = (
+        reader.postings.filter(
+            F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+        .select("term", "doc_gaps", "tfs", "dls")
+        .mapInPandas(_decode_tf_parts_factory(avgdl, k1, b),
+                     schema="doc_id bigint, term string, tf_part double")
+    )
+    weights = spark.createDataFrame(
+        allmeta[["qid", "term", "qtf", "idf"]],
+        "qid string, term string, qtf double, idf double")
+    partials = (
+        decoded.join(F.broadcast(weights), "term")
+        .select(
+            "qid", "doc_id", "term",
+            (F.col("qtf") * F.col("idf") * F.col("tf_part")).alias("partial"),
+        )
+    )
+    scored = partials.groupBy("qid", "doc_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("term", "partial"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["partial"],
+        ).alias("score"))
+    # two-stage exact top-k: the union of per-subgroup top-k contains the
+    # global top-k, and stage 2 ranks ≤ n_sub*k rows per query
+    sub = F.pmod(F.hash("doc_id"), F.lit(int(n_sub)))
+    w1 = Window.partitionBy("qid", sub).orderBy(
+        F.desc("score"), F.asc("doc_id"))
+    w2 = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    topk = (
+        scored.withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") <= int(k)).drop("rn1")
+        .withColumn("rn2", F.row_number().over(w2))
+        .filter(F.col("rn2") <= int(k)).drop("rn2")
+    )
+    if with_text:
+        docs = reader.docs.select("doc_id", "conv_id", "turn_idx", "text")
+        topk = docs.join(F.broadcast(topk), "doc_id").select(
+            "qid", "doc_id", "score", "conv_id", "turn_idx", "text")
+    return topk.orderBy("qid", F.desc("score"), F.asc("doc_id"))
+
+
+# ---------------------------------------------------------------------------
 # Phrase queries (R3/R4) over positional postings
 # ---------------------------------------------------------------------------
 

@@ -570,6 +570,90 @@ def bm25_documents(spark, sf_dir):
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(10))
 
 
+_BATCH_QSETS = {
+    "qa": ["spark", "join", "shuffle"],
+    "qb": ["hash", "merge", "sort"],
+    "qc": ["vector", "scan", "filter"],
+}
+
+
+@register("bm25_batch_documents", f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+corpus AS (SELECT count(*) AS n, sum(dl) AS tok FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+qterms AS (
+  SELECT 'qa' AS qid, unnest(['spark','join','shuffle']) AS term
+  UNION ALL SELECT 'qb', unnest(['hash','merge','sort'])
+  UNION ALL SELECT 'qc', unnest(['vector','scan','filter'])
+),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks
+  WHERE term IN (SELECT DISTINCT term FROM qterms) GROUP BY term
+),
+scored AS (
+  SELECT q.qid, tf.doc_id,
+         sum( ln(1 + (corpus.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                         / (corpus.tok * 1.0 / corpus.n))) ) AS score
+  FROM tf JOIN df USING (term) JOIN qterms q USING (term)
+       JOIN dl USING (doc_id), corpus
+  GROUP BY q.qid, tf.doc_id
+),
+ranked AS (
+  SELECT qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id ASC) AS rn
+  FROM scored
+)
+SELECT qid, doc_id, round(score, 4) AS score FROM ranked WHERE rn <= 10
+ORDER BY qid, rn
+""")
+def bm25_batch_documents(spark, sf_dir):
+    """Batch retrieval (search_many's shape as an oracle-checkable plan):
+    THREE BM25 queries scored in ONE pass over the documents table — tf
+    computed once for the term union, per-query weights joined in, top-10
+    per query via a qid-PARTITIONED window (distributed across queries,
+    never a single-partition rank)."""
+    d = _t(spark, sf_dir, "documents")
+    union_terms = sorted({t for ts in _BATCH_QSETS.values() for t in ts})
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, ts in _BATCH_QSETS.items() for t in ts],
+        "qid string, term string")
+    toks_arr = F.filter(F.split(F.lower(F.col("text")), r"[^a-z0-9]+"),
+                        lambda t: t != "")
+    toks = d.select("doc_id", F.explode(toks_arr).alias("term"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    corpus = dl.agg(F.count(F.lit(1)).alias("n"),
+                    F.sum("dl").alias("tok")).collect()[0]
+    n_docs, avgdl = int(corpus["n"]), float(corpus["tok"]) / int(corpus["n"])
+    tf = (toks.filter(F.col("term").isin(union_terms))
+          .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")))
+    df_t = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(1.0 + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    scored = (
+        tf.join(F.broadcast(df_t.withColumn("idf", idf).select("term", "idf")),
+                "term")
+        .join(F.broadcast(qterms), "term")
+        .join(dl, "doc_id")
+        .withColumn(
+            "partial",
+            F.col("idf") * F.col("tf")
+            / (F.col("tf") + 1.2 * (1 - 0.75 + 0.75 * F.col("dl")
+                                    / F.lit(avgdl))),
+        )
+        .groupBy("qid", "doc_id")
+        .agg(F.sum("partial").alias("score"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 10)
+            .select("qid", "doc_id", F.round("score", 4).alias("score"))
+            .orderBy("qid", F.desc("score"), F.asc("doc_id")))
+
+
 @register("doc_sections", r"""
 WITH ls AS (
   SELECT doc_id, string_split(text, chr(10)) AS arr FROM documents

@@ -57,11 +57,16 @@ def main() -> None:
 North-rule evidence. No multi-node cluster exists in this sandbox, so
 executor count is proxied by local[N] task parallelism over identical
 input, run via `spark-submit --py-files BENCH/pkg.zip
-scripts/scaling_job.py <n_convs> <shuffle> <corpus>` with the JVM pinned
-to N cores (`-XX:ActiveProcessorCount=N -XX:ParallelGCThreads=N`, the
-honest emulation of an N-core executor node) and all I/O on tmpfs (a real
-cluster's aggregate storage/shuffle bandwidth scales with node count; this
-host's single shared virtio disk does not).
+scripts/scaling_job.py <n_convs> <shuffle> <corpus>`. Each leg's ENTIRE
+process tree (JVM + pyspark workers) is hard-pinned to exactly N logical
+CPUs with `taskset -c 0-(N-1)` — `ActiveProcessorCount` alone lets Python
+workers spill onto spare host cores, giving small-N legs free
+JVM/Python-overlap parallelism no real N-core executor node has (measured:
+an unpinned local[1] leg ran only 1.18x slower than local[2]). A
+throwaway 20k-turn build runs before the timed section so first-job
+JIT/codegen warmup (~10s) is excluded from steady-state throughput. All
+I/O is on tmpfs (a real cluster's aggregate storage/shuffle bandwidth
+scales with node count; this host's single shared virtio disk does not).
 
 | leg | cores | turns indexed | build sec | turns/sec | query mean sec | pruned query mean sec |
 |---|---|---|---|---|---|---|
@@ -75,19 +80,21 @@ host's single shared virtio disk does not).
 - The host is SHARED: cumulative guest CPU steal time is comparable to
   user time and identical legs vary up to 2x in wall time; legs were
   interleaved and the best (least-contended) run per core count kept.
-- 32 visible CPUs are SMT threads over ~16 physical cores; a pure-CPU
-  microbenchmark yields only ~3.0x speedup from 8->32 threads, so legs
-  straddling the SMT boundary under-measure ANY engine's scaling.
+  Nothing else runs on the guest during a leg (a single concurrent
+  bench.py measurably slowed an overlapping leg).
+- The guest exposes 32 logical CPUs (flat topology, 1 thread/core
+  reported); the underlying host is shared and likely SMT, so large-N
+  legs under-measure ANY engine's scaling. N=1 vs 4N=4 sits safely
+  inside the linear region.
 - local mode runs ALL executors inside ONE JVM: shuffle serde, parquet
   encode, and GC for every "executor" share one runtime, which a real
   cluster distributes per node. Wall-clock scaling measured this way is a
   LOWER bound on multi-executor scaling.
-- Beyond ~8 concurrent tasks the single-JVM setup visibly degrades (the
-  16-core leg is slower than the 8-core leg; GC logging rules out GC —
-  21.6s of pauses in a 259s run): the driver JVM's per-task serde and
-  coordination saturate. A multi-executor deployment splits that work per
-  node. N and 4N are therefore chosen as the largest pair inside both the
-  measured linear region and the physical-core budget.
+- Beyond ~8 concurrent tasks the single-JVM setup visibly degrades (an
+  unpinned 16-core leg measures slower than an 8-core leg; GC logging
+  rules out GC — 21.6s of pauses in a 259s run): the driver JVM's
+  per-task serde and coordination saturate. A multi-executor deployment
+  splits that work per node.
 
 ### All legs (for transparency)
 

@@ -30,16 +30,22 @@ def make_pkg_zip(path: str) -> None:
 
 def run_leg(cores: int, n_convs: int, pkg_zip: str, shuffle: int,
             src: str | None = None) -> dict:
-    # JVM pinned to the leg's core count (ActiveProcessorCount also sizes
-    # GC/JIT/netty pools) — the honest emulation of an N-core executor
-    # node; all scratch I/O on tmpfs (a cluster's aggregate disk bandwidth
-    # scales with nodes; this host's one shared virtio disk does not).
+    # The leg's ENTIRE process tree — JVM, Python workers, daemons — is
+    # hard-pinned to exactly `cores` logical CPUs via taskset (affinity is
+    # inherited by children). ActiveProcessorCount alone is NOT enough:
+    # it sizes JVM pools, but pyspark worker processes still land on other
+    # OS cores, so a local[1] leg gets free JVM/Python pipelining overlap
+    # and the N-vs-4N ratio deflates. A real N-core executor node has no
+    # such spare cores. All scratch I/O on tmpfs (a cluster's aggregate
+    # disk bandwidth scales with nodes; this host's one shared virtio disk
+    # does not).
     shm = "/dev/shm/bench/tmp"
     os.makedirs(shm, exist_ok=True)
     java_opts = (f"-XX:ParallelGCThreads={cores} "
                  f"-XX:ConcGCThreads={max(1, (cores + 3) // 4)} "
                  f"-XX:ActiveProcessorCount={cores}")
     cmd = [
+        "taskset", "-c", f"0-{cores - 1}",
         "spark-submit",
         "--master", f"local[{cores}]",
         "--driver-memory", os.environ.get("SPARK_DRIVER_MEM", "40g"),

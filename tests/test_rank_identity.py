@@ -126,3 +126,47 @@ def test_prune_engages_on_skewed_tf(spark, tmp_path):
     assert stats["n_keep"] < 0.5 * stats["n_blocks"], stats
     assert list(pruned["doc_id"]) == list(plain["doc_id"])
     assert np.allclose(pruned["score"], plain["score"], rtol=0, atol=0)
+
+
+def test_prune_gate_falls_back_on_uniform_corpus(reader):
+    """On the uniform synthetic corpus, common-term query blocks are
+    indistinguishable (every block's ub ≈ the global term ub), so the
+    cutoff cannot skip ≥30% of blocks and the gate must choose the
+    single-pass scan rather than decode the corpus twice."""
+    stats: dict = {}
+    out = search(reader, "machine learning", k=10, prune=True,
+                 with_text=False, prune_stats=stats).toPandas()
+    assert stats["path"] == "fallback_plain", stats
+    assert stats["n_blocks"] > 0 and stats["n_keep"] >= 0, stats
+    plain = search(reader, "machine learning", k=10, prune=False,
+                   with_text=False).toPandas()
+    assert list(out["doc_id"]) == list(plain["doc_id"])
+
+
+def test_batch_search_matches_single_query(reader):
+    """search_many must return, for every query in the batch,
+    bit-identical (doc_id, score) to the per-query search() path — same
+    float64 partials, same deterministic fold, same tiebreaks — while
+    issuing one Spark job for the whole batch."""
+    from research_engine_spark.operators.scorer import search_many
+
+    batch = {f"q{i}": q for i, q in enumerate(REFERENCE_QUERIES[:6])}
+    got = search_many(reader, batch, k=10).toPandas()
+    for qid, q in batch.items():
+        single = search(reader, q, k=10, with_text=False).toPandas()
+        part = got[got["qid"] == qid]
+        assert list(part["doc_id"]) == list(single["doc_id"]), qid
+        assert np.allclose(part["score"], single["score"],
+                           rtol=0, atol=0), qid
+
+
+def test_batch_search_list_and_text(reader, transcripts_pd):
+    from research_engine_spark.operators.scorer import search_many
+
+    got = search_many(reader, [REFERENCE_QUERIES[0]], k=5,
+                      with_text=True).toPandas()
+    assert set(got.columns) == {"qid", "doc_id", "score", "conv_id",
+                                "turn_idx", "text"}
+    src = transcripts_pd.set_index(["conv_id", "turn_idx"])["text"]
+    for row in got.itertuples(index=False):
+        assert row.text == src.loc[(row.conv_id, row.turn_idx)]

@@ -99,3 +99,23 @@ def test_iceberg_gate(spark):
     from research_engine_spark.sources.iceberg import iceberg_available
 
     assert iceberg_available(spark) is False  # no jar in this image
+
+
+def test_batch_search_plan_shape(reader):
+    """search_many's plan must broadcast the per-query weights, keep the
+    postings scan partition-pruned, and rank through PARTITIONED windows
+    only (never a no-partition global WindowExec)."""
+    from research_engine_spark.operators.scorer import search_many
+    from research_engine_spark.plans.inspect import (
+        formatted_plan,
+        plan_facts,
+    )
+
+    df = search_many(reader, ["neural networks", "machine learning"], k=5)
+    facts = plan_facts(df)
+    assert facts.broadcast_joins >= 1
+    assert facts.has_partition_filters  # bucket pruning on postings
+    plan = formatted_plan(df)
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line.lower():
+            assert "qid" in line, f"unpartitioned window:\n{line}"
