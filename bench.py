@@ -81,6 +81,15 @@ def main() -> None:
         queries_sec[f"bm25p_q{i+1:02d}"] = round(dt, 3)
         bm25p_total += dt
 
+    # prune observability: what did the gate decide on the first query?
+    pstats: dict = {}
+    search(reader, REFERENCE_QUERIES[0], k=10, with_text=False, prune=True,
+           prune_stats=pstats).collect()
+    if "theta" in pstats:  # keep the output line strict JSON
+        t = float(pstats["theta"])
+        pstats["theta"] = round(t, 4) if t == t and abs(t) != float(
+            "inf") else None
+
     # --- 2b2. batch: ALL reference queries in ONE Spark job ----------------
     from research_engine_spark.operators.scorer import search_many
 
@@ -143,6 +152,7 @@ def main() -> None:
         "bm25_batch_all_sec": round(batch_sec, 3),
         "bm25_batch_per_query_sec": round(
             batch_sec / len(REFERENCE_QUERIES), 3),
+        "prune_stats_q01": pstats,
         "fuzzy_mean_latency_sec": round(fuzzy_total / len(fuzzy_queries), 3),
         "phrase_mean_latency_sec": round(
             phrase_total / len(phrase_queries), 3),
