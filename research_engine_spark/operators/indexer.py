@@ -7,8 +7,12 @@ the inverted index internally. Here the index IS a set of Spark tables:
 - ``docs``          doc_id, conv_id, turn_idx, role, text, ts
 - ``doc_stats``     doc_id, dl (per-doc analyzed-token count)
 - ``postings``      term, bucket, salt, block_id, first_doc_id,
-                    posting_count, max_tf, min_dl, block_max_score,
+                    posting_count, max_tf, min_dl,
                     doc_gaps/tfs/dls (varbyte binaries)  [partitioned by bucket]
+                    (no stored block score: the block upper bound is a pure
+                    (max_tf, min_dl) expression recomputed at query time,
+                    valid for ANY (k1, b) and never stale under appends —
+                    so ``df`` need not ride the big pack shuffle at all)
 - ``term_stats``    term, bucket, df, cf, max_tf, min_dl  [partitioned by bucket]
 - ``corpus_stats``  n_docs, avgdl, total_tokens
 - ``lineage``       partition_id, term_lo, term_hi, n_terms, posting_count,
@@ -59,7 +63,6 @@ POSTINGS_SCHEMA = T.StructType(
         T.StructField("posting_count", T.IntegerType()),
         T.StructField("max_tf", T.IntegerType()),
         T.StructField("min_dl", T.IntegerType()),
-        T.StructField("block_max_score", T.DoubleType()),
         T.StructField("doc_gaps", T.BinaryType()),
         T.StructField("tfs", T.BinaryType()),
         T.StructField("dls", T.BinaryType()),
@@ -169,10 +172,12 @@ def term_doc_pairs(docs_with_ids: DataFrame,
     )
 
 
-def _pack_blocks_factory(n_docs: int, avgdl: float, k1: float, b: float,
-                         snapshot_id: str = "s0"):
+def _pack_blocks_factory(snapshot_id: str = "s0"):
     """mapInPandas SPIMI packer: one physical partition of (term, salt,
-    doc_id, tf, dl, df) rows -> posting blocks + in-band lineage fields."""
+    doc_id, tf, dl) rows -> posting blocks + in-band lineage fields.
+    Takes NO corpus stats: block skip bounds are recomputed at query time
+    from (max_tf, min_dl), so the pack is independent of N/avgdl — a
+    streaming append packs identically regardless of global stats."""
 
     def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         t0 = time.monotonic()
@@ -201,7 +206,6 @@ def _pack_blocks_factory(n_docs: int, avgdl: float, k1: float, b: float,
         doc_ids_all = pdf["doc_id"].to_numpy(np.int64)[order]
         tfs_all = pdf["tf"].to_numpy(np.int64)[order]
         dls_all = pdf["dl"].to_numpy(np.int64)[order]
-        dfs_all = pdf["df"].to_numpy(np.int64)[order]
         pos_all = pdf["positions"].to_numpy()[order] if has_pos else None
         del pdf
 
@@ -215,7 +219,7 @@ def _pack_blocks_factory(n_docs: int, avgdl: float, k1: float, b: float,
 
         out: dict[str, list] = {k: [] for k in (
             "term", "salt", "block_id", "first_doc_id", "last_doc_id",
-            "posting_count", "max_tf", "min_dl", "block_max_score",
+            "posting_count", "max_tf", "min_dl",
             "doc_gaps", "tfs", "dls", "poss",
         )}
         for gs, ge in zip(group_starts, group_ends):
@@ -224,8 +228,6 @@ def _pack_blocks_factory(n_docs: int, avgdl: float, k1: float, b: float,
             doc_ids = doc_ids_all[gs:ge]
             tfs = tfs_all[gs:ge]
             dls = dls_all[gs:ge]
-            idf = float(bm25_idf(n_docs, int(dfs_all[gs])))
-            scores = idf * bm25_tf_part(tfs, dls, avgdl, k1, b)
             n = doc_ids.size
             n_blocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
             starts = np.arange(n_blocks) * BLOCK_SIZE
@@ -258,7 +260,6 @@ def _pack_blocks_factory(n_docs: int, avgdl: float, k1: float, b: float,
                 out["posting_count"].append(e - s)
                 out["max_tf"].append(int(tfs[s:e].max()))
                 out["min_dl"].append(int(dls[s:e].min()))
-                out["block_max_score"].append(float(scores[s:e].max()))
                 out["doc_gaps"].append(g_bytes[g_off[s]:g_off[e]])
                 out["tfs"].append(t_bytes[t_off[s]:t_off[e]])
                 out["dls"].append(d_bytes[d_off[s]:d_off[e]])
@@ -473,11 +474,11 @@ def _pack_segment(
                 F.pmod(F.hash("doc_id"), F.col("n_salts"))
             ).cast("int"),
         )
-        .select("term", "salt", "doc_id", "tf", "dl", "df",
+        .select("term", "salt", "doc_id", "tf", "dl",
                 *(["positions"] if with_positions else []))
     )
     packed = salted.repartition(n_partitions, "term", "salt").mapInPandas(
-        _pack_blocks_factory(n_docs, avgdl, k1, b, snapshot_id),
+        _pack_blocks_factory(snapshot_id),
         schema=POSTINGS_SCHEMA,
     ).withColumn("bucket", F.pmod(F.hash("term"), F.lit(n_buckets)).cast("int"))
 

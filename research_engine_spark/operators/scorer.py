@@ -33,10 +33,11 @@ and returns the top-k heap. Here the lifecycle is (SURVEY.md §3):
    scores regardless of partitioning) -> TakeOrderedAndProject top-k with
    (score desc, doc_id asc) tiebreak.
 
-Parameterized k1/b (north rule): stored ``block_max_score`` is exact for
-the build-time defaults; for other (k1, b) the block bound is recomputed at
-query time from (max_tf, min_dl) — valid since the BM25 term partial is
-increasing in tf and decreasing in dl.
+Parameterized k1/b (north rule): the block bound is recomputed at query
+time from stored (max_tf, min_dl) — a pure column expression valid for ANY
+(k1, b) and never stale under incremental appends (which change N/avgdl),
+since the BM25 term partial is increasing in tf and decreasing in dl. No
+score is stored per block, so corpus stats never ride the pack shuffle.
 """
 
 from __future__ import annotations
@@ -277,12 +278,19 @@ def _theta(reader: IndexReader, meta: pd.DataFrame, k: int,
     terms = meta["term"].tolist()
     buckets = sorted({int(v) for v in reader.bucket_of(terms).values()})
     n_blocks = max(2, (int(k) // 128) + 2)
+    avgdl_ = reader.stats["avgdl"]
+    # per-term block ordering by the recomputed upper bound (idf/qtf are
+    # constant within a term, so max_tf/(max_tf+norm) orders identically
+    # to the full bound) — no stored build-time score needed
+    norm = F.lit(k1) * (F.lit(1.0 - b)
+                        + F.lit(b) * F.col("min_dl") / F.lit(avgdl_))
+    ub = F.col("max_tf") / (F.col("max_tf") + norm)
     w = Window.partitionBy("term").orderBy(
-        F.desc("block_max_score"), F.asc("block_id"), F.asc("salt"))
+        ub.desc(), F.asc("block_id"), F.asc("salt"))
     rows = (
         reader.postings.filter(
             F.col("bucket").isin(buckets) & F.col("term").isin(terms))
-        .select("term", "doc_gaps", "tfs", "dls", "block_max_score",
+        .select("term", "doc_gaps", "tfs", "dls", "max_tf", "min_dl",
                 "block_id", "salt")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= n_blocks)
@@ -424,9 +432,9 @@ def search(
         ).join(F.broadcast(info), "term", "inner")
     )
     # Block upper bound recomputed at query time from (max_tf, min_dl):
-    # valid for any (k1, b) AND robust to incremental appends, which change
-    # N/avgdl and make build-time block_max_score stale. Still a pure
-    # column expression (JVM-side, evaluated before any decode).
+    # valid for any (k1, b) AND robust to incremental appends (which
+    # change N/avgdl). A pure column expression — JVM-side, evaluated
+    # before any decode.
     norm = F.lit(k1) * (F.lit(1.0 - b)
                         + F.lit(b) * F.col("min_dl") / F.lit(avgdl))
     block_ub = (F.col("qtf") * F.col("idf") * F.col("max_tf")

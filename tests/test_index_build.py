@@ -174,7 +174,7 @@ def test_build_determinism(spark, small_tx):
         build_index(small_tx, d1, n_buckets=4)
         build_index(small_tx, d2, n_buckets=4)
         cols = ["term", "salt", "block_id", "doc_gaps", "tfs", "dls",
-                "block_max_score"]
+                "max_tf", "min_dl"]
         a = (IndexReader(spark, d1).postings.select(cols).toPandas()
              .sort_values(["term", "salt", "block_id"]).reset_index(drop=True))
         b = (IndexReader(spark, d2).postings.select(cols).toPandas()
