@@ -73,6 +73,7 @@ def _gen_conv(
     vocab: np.ndarray,
     probs: np.ndarray,
     huge: bool,
+    burstiness: float = 0.0,
 ) -> pd.DataFrame:
     if huge:
         n_turns = int(rng.integers(200, 400))
@@ -86,6 +87,20 @@ def _gen_conv(
     # rng.choice would be O(vocab) per call and dominate the build)
     total = int(lens.sum())
     words = rng.choice(vocab, size=total, p=probs, replace=True)
+    if burstiness > 0.0 and total:
+        # Term burstiness (Church & Gale): a word that appears in a turn
+        # tends to repeat there, giving real corpora their heavy per-doc
+        # tf tails (which is what lets block-max pruning skip anything).
+        # Opt-in only — the default corpus stays bit-identical to r1/r2.
+        offsets_b = np.concatenate([[0], np.cumsum(lens)])
+        bursty = rng.random(n_turns) < burstiness
+        for t in np.flatnonzero(bursty):
+            s, e = int(offsets_b[t]), int(offsets_b[t + 1])
+            if e - s < 4:
+                continue
+            topic = words[int(rng.integers(s, e))]
+            rep = rng.random(e - s) < rng.uniform(0.1, 0.5)
+            words[s:e][rep] = topic
     w = pd.Series(words, dtype=object)
     caps = rng.random(total) < 0.08
     w[caps] = w[caps].str.capitalize()
@@ -127,6 +142,7 @@ def synth_transcripts(
     vocab_size: int = 4000,
     n_huge: int = 2,
     n_partitions: int | None = None,
+    burstiness: float = 0.0,
 ) -> DataFrame:
     """Distributed deterministic transcript table.
 
@@ -150,7 +166,8 @@ def synth_transcripts(
                 )
                 out.append(
                     _gen_conv(rng, int(conv_idx), vocab, probs,
-                              huge=conv_idx < n_huge_eff)
+                              huge=conv_idx < n_huge_eff,
+                              burstiness=burstiness)
                 )
             if out:
                 yield pd.concat(out, ignore_index=True)

@@ -37,6 +37,14 @@ def fix_ligatures(col: Column) -> Column:
     return c
 
 
+def dehyphenate_eol(col: Column) -> Column:
+    """F5: re-join words hyphen-wrapped at end-of-line ("exam-\\nple" ->
+    "example") — the reference's HARD_HYPHEN rule
+    (old_scripts/text_clean.py:10,33: ``(\\p{Letter})-\\n(\\p{Letter})``).
+    Must run BEFORE whitespace normalization collapses the newline."""
+    return F.regexp_replace(col, r"(\p{L})-\n(\p{L})", "$1$2")
+
+
 def scrub_metadata(col: Column) -> Column:
     """F6: strip URLs, emails, arXiv ids, bracketed citations, standalone
     page numbers — the clean_metadata regex chain."""
@@ -49,8 +57,11 @@ def scrub_metadata(col: Column) -> Column:
 
 
 def clean_text(col: Column) -> Column:
-    """Full chain: ligatures -> references cut -> scrub -> normalize."""
-    return scrub_metadata(truncate_references(fix_ligatures(col)))
+    """Full chain: ligatures -> EOL de-hyphenation -> references cut ->
+    scrub -> normalize (reference order: basic_clean, old_scripts/
+    text_clean.py:43-55 — de-hyphenation precedes whitespace collapse)."""
+    return scrub_metadata(
+        truncate_references(dehyphenate_eol(fix_ligatures(col))))
 
 
 def sanitize_id(col: Column) -> Column:

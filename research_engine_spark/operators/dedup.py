@@ -35,10 +35,19 @@ def normalize_text(col):
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
-                id_col: str = "doc_id") -> DataFrame:
+                id_col: str = "doc_id", digest: str = "xxhash64") -> DataFrame:
     """Exact dedup by content digest: keep the lowest-id doc per distinct
-    normalized text. Returns the surviving rows of ``df``."""
-    digests = df.withColumn("_fp", F.md5(normalize_text(F.col(text_col))))
+    normalized text. Returns the surviving rows of ``df``.
+
+    digest: "xxhash64" (default — one 64-bit JVM hash, the cheap choice
+    at 100 TB; collisions over N docs ~ N²/2⁶⁵, and a collision merely
+    drops one non-duplicate row) or "md5" (128-bit, portable to external
+    engines — the oracle-checked query twin uses this so DuckDB can
+    reproduce the digest)."""
+    fp = (F.xxhash64(normalize_text(F.col(text_col)))
+          if digest == "xxhash64"
+          else F.md5(normalize_text(F.col(text_col))))
+    digests = df.withColumn("_fp", fp)
     keeper = digests.groupBy("_fp").agg(F.min(id_col).alias(id_col))
     return digests.join(keeper, ["_fp", id_col], "inner").drop("_fp")
 

@@ -36,7 +36,11 @@ def with_rank(
       range-partition by the sort keys, partition-local ``row_number``,
       then add per-partition base offsets from ONE O(#partitions) collect
       — the docids.py global-ordering idiom. Identical ranks to a global
-      sort, but no stage ever holds more than one range partition.
+      sort, but no stage ever holds more than one range partition. The
+      INPUT is persisted before ``repartitionByRange`` (the docids.py
+      idiom): its range-boundary sampling job otherwise re-runs the whole
+      upstream plan — typically an aggregation — a second time (the r2
+      ``rrf_user_fusion`` 3.4× regression).
     """
     order = [F.desc(score_col)] + [F.asc(c) for c in tiebreak]
     if top_n is not None:
@@ -47,13 +51,15 @@ def with_rank(
     spark = df.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     sort_cols = [F.col(score_col).desc()] + [F.col(c).asc() for c in tiebreak]
+    src = df.persist()
     local = (
-        df.repartitionByRange(n_part, *sort_cols)
+        src.repartitionByRange(n_part, *sort_cols)
         .withColumn("pid", F.spark_partition_id())
     )
     w = Window.partitionBy("pid").orderBy(*order)
     local = local.withColumn("local_rank", F.row_number().over(w)).persist()
     counts = local.groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    src.unpersist()  # local is materialized now; the input cache is done
     base, acc = {}, 0
     for r in sorted(counts, key=lambda r: r["pid"]):
         base[r["pid"]] = acc

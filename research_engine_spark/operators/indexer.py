@@ -47,7 +47,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.analyzer import analyze_series
 from .codec import delta_encode, vb_decode, vb_encode
 from .docids import with_doc_ids
 
@@ -127,45 +126,55 @@ def term_doc_pairs(docs_with_ids: DataFrame,
                    with_positions: bool = False) -> DataFrame:
     """(doc_id, dl, term, tf[, positions]) pairs — tf (and per-term token
     positions, for phrase queries) computed map-side inside the tokenizer
-    UDF (SURVEY.md A6 without the O(tokens) groupBy shuffle)."""
+    UDF (SURVEY.md A6 without the O(tokens) groupBy shuffle).
+
+    Fully vectorized per batch via analyze_flat's factorized form: the
+    (doc, term) aggregation is one int64 np.unique over
+    doc_index * |vocab| + term_code — no per-document Python loop, no
+    per-document object-array unique (the r2 hot spot: tokenize+pairs was
+    53% of build wall)."""
+    from ..functions.analyzer import analyze_flat
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            terms = analyze_series(pdf["text"])
-            rows_doc, rows_dl, rows_term, rows_tf = [], [], [], []
-            rows_pos: list = []
-            for doc_id, toks in zip(pdf["doc_id"].to_numpy(), terms):
-                if not toks:
-                    continue
-                arr = np.asarray(toks, dtype=object)
-                if with_positions:
-                    # stable argsort groups equal terms while keeping their
-                    # token positions ascending within each group
-                    order = np.argsort(arr, kind="stable")
-                    sorted_t = arr[order]
-                    bounds = np.flatnonzero(
-                        np.concatenate(([True], sorted_t[1:] != sorted_t[:-1])))
-                    vals = sorted_t[bounds]
-                    counts = np.diff(np.concatenate((bounds, [arr.size])))
-                    for s, c in zip(bounds, counts):
-                        rows_pos.append(
-                            order[s:s + c].astype(np.int32).tolist())
-                else:
-                    vals, counts = np.unique(arr, return_counts=True)
-                rows_doc.append(np.full(vals.size, doc_id, dtype=np.int64))
-                rows_dl.append(np.full(vals.size, len(toks), dtype=np.int32))
-                rows_term.append(vals)
-                rows_tf.append(counts.astype(np.int32))
-            if rows_doc:
-                data = {
-                    "doc_id": np.concatenate(rows_doc),
-                    "dl": np.concatenate(rows_dl),
-                    "term": np.concatenate(rows_term),
-                    "tf": np.concatenate(rows_tf),
-                }
-                if with_positions:
-                    data["positions"] = rows_pos
-                yield pd.DataFrame(data)
+            codes, terms, lens = analyze_flat(pdf["text"])
+            if codes.size == 0:
+                continue
+            doc_ids = pdf["doc_id"].to_numpy(np.int64)
+            n_terms = np.int64(terms.size)
+            didx = np.repeat(np.arange(len(pdf), dtype=np.int64), lens)
+            key = didx * n_terms + codes
+            if with_positions:
+                # global token position within each doc, ascending by
+                # construction; lexsort groups (doc, term) keeping
+                # positions ascending inside each group
+                starts = np.concatenate(
+                    ([0], np.cumsum(lens)[:-1])).astype(np.int64)
+                pos = np.arange(codes.size, dtype=np.int64) - starts[didx]
+                order = np.argsort(key, kind="stable")
+                skey = key[order]
+                bounds = np.flatnonzero(
+                    np.concatenate(([True], skey[1:] != skey[:-1])))
+                ukey = skey[bounds]
+                counts = np.diff(np.concatenate(
+                    (bounds, [skey.size]))).astype(np.int64)
+                pos_groups = np.split(pos[order].astype(np.int32),
+                                      bounds[1:])
+                rows_pos = [g.tolist() for g in pos_groups]
+            else:
+                ukey, counts = np.unique(key, return_counts=True)
+                rows_pos = None
+            d = ukey // n_terms
+            c = ukey % n_terms
+            data = {
+                "doc_id": doc_ids[d],
+                "dl": lens[d].astype(np.int32),
+                "term": terms[c],
+                "tf": counts.astype(np.int32),
+            }
+            if rows_pos is not None:
+                data["positions"] = rows_pos
+            yield pd.DataFrame(data)
 
     return docs_with_ids.select("doc_id", "text").mapInPandas(
         gen, schema=TERMDOC_POS_SCHEMA if with_positions else TERMDOC_SCHEMA

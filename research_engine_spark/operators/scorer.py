@@ -78,6 +78,15 @@ class IndexReader:
             self.stats = json.load(f)
         self.n_buckets = int(self.stats["n_buckets"])
         self._cache: dict[str, DataFrame] = {}
+        # term-dictionary cache: term -> (df, max_tf, min_dl) or None for
+        # a vocab miss. The Lucene-terms-dictionary-cache analog: repeated
+        # queries (and every query of a search_many batch) skip the
+        # pyarrow bucket read entirely. Cleared by refresh().
+        self._term_cache: dict[str, tuple | None] = {}
+        # per-term block metadata cache for the prune gate (driver-side
+        # (salt, block_id, max_tf, min_dl) frames; bounded by the same
+        # BLOCK_META_BUDGET that gates reading them at all)
+        self._block_meta_cache: dict[str, pd.DataFrame] = {}
 
     def _tbl(self, name: str) -> DataFrame:
         if name not in self._cache:
@@ -130,29 +139,40 @@ class IndexReader:
         """Driver-side term-dictionary lookup: read only the needed bucket
         partitions of term_stats with pyarrow (a bucket holds vocab/B rows
         — small even at 10^12 turns), filter to the query terms, aggregate
-        across segments. No Spark job."""
+        across segments. No Spark job. Results are memoized per reader
+        (including vocab misses), so a search_many batch — or any repeated
+        query — issues ONE bucket read per distinct term ever."""
         import pyarrow.dataset as pads
 
-        buckets = sorted(set(self.bucket_of(terms).values()))
-        frames = []
-        for bkt in buckets:
-            p = os.path.join(self.index_dir, "term_stats", f"bucket={bkt}")
-            if not os.path.exists(p):
-                continue
-            ds = pads.dataset(p, format="parquet")
-            tbl = ds.to_table(
-                columns=["term", "df", "max_tf", "min_dl"],
-                filter=pads.field("term").isin(terms),
-            )
-            frames.append(tbl.to_pandas())
-        if not frames:
-            return pd.DataFrame(columns=["term", "df", "max_tf", "min_dl"])
-        allts = pd.concat(frames, ignore_index=True)
-        return (
-            allts.groupby("term", as_index=False)
-            .agg(df=("df", "sum"), max_tf=("max_tf", "max"),
-                 min_dl=("min_dl", "min"))
-        )
+        terms = list(dict.fromkeys(terms))
+        missing = [t for t in terms if t not in self._term_cache]
+        if missing:
+            buckets = sorted(set(self.bucket_of(missing).values()))
+            frames = []
+            for bkt in buckets:
+                p = os.path.join(self.index_dir, "term_stats",
+                                 f"bucket={bkt}")
+                if not os.path.exists(p):
+                    continue
+                ds = pads.dataset(p, format="parquet")
+                tbl = ds.to_table(
+                    columns=["term", "df", "max_tf", "min_dl"],
+                    filter=pads.field("term").isin(missing),
+                )
+                frames.append(tbl.to_pandas())
+            found: dict[str, tuple] = {}
+            if frames:
+                allts = pd.concat(frames, ignore_index=True)
+                agg = (allts.groupby("term", as_index=False)
+                       .agg(df=("df", "sum"), max_tf=("max_tf", "max"),
+                            min_dl=("min_dl", "min")))
+                for r in agg.itertuples(index=False):
+                    found[r.term] = (int(r.df), int(r.max_tf), int(r.min_dl))
+            for t in missing:
+                self._term_cache[t] = found.get(t)
+        rows = [(t, *self._term_cache[t]) for t in terms
+                if self._term_cache[t] is not None]
+        return pd.DataFrame(rows, columns=["term", "df", "max_tf", "min_dl"])
 
 
 def _term_meta(reader: IndexReader, qterms: list[tuple[str, int]],
@@ -185,6 +205,24 @@ def auto_max_edits(term: str) -> int:
     return 0 if n < 3 else (1 if n < 6 else 2)
 
 
+def _dl_udf():
+    """Arrow-batched Damerau-Levenshtein UDF over (term, qterm) pairs.
+    Per-pair Python DP, but only ever applied to the length-banded,
+    JVM-prefiltered VOCABULARY candidates (metadata scale, not postings
+    scale)."""
+    from pyspark.sql import types as T
+
+    from ..functions.editdist import damerau_levenshtein
+
+    @F.pandas_udf(T.IntegerType())
+    def dl(term: pd.Series, qterm: pd.Series) -> pd.Series:
+        return pd.Series(
+            [damerau_levenshtein(t, q) for t, q in zip(term, qterm)],
+            dtype="int32")
+
+    return dl
+
+
 def _fuzzy_term_meta(reader: IndexReader, qterms: list[tuple[str, int]],
                      k1: float, b: float,
                      max_expansions: int = 50) -> pd.DataFrame:
@@ -193,12 +231,17 @@ def _fuzzy_term_meta(reader: IndexReader, qterms: list[tuple[str, int]],
     candidate) with weight = qtf * boost, boost = 1 - ed/min(|q|, |t|)
     (Lucene FuzzyTermsEnum's published boost).
 
-    Scale shape: exact (0-edit) terms use the bucket-pruned driver-side
-    dictionary lookup; fuzzy terms run ONE distributed scan of term_stats
-    (vocab-sized — orders of magnitude smaller than postings) with a
-    length-band pre-filter and a thresholded JVM ``levenshtein``, capped at
-    max_expansions per query term by (boost desc, df desc, term asc) — a
-    keyed window over per-term candidate sets, never a global one.
+    Distance is unrestricted Damerau-Levenshtein (functions/editdist.py)
+    — Lucene FuzzyQuery's transpositions=true default, so "hte" expands
+    to "the" at ONE edit (the r2 fidelity gap). Scale shape: exact
+    (0-edit) terms use the bucket-pruned driver-side dictionary lookup;
+    fuzzy terms run ONE distributed scan of term_stats (vocab-sized —
+    orders of magnitude smaller than postings) with a length-band
+    pre-filter AND a thresholded JVM classic-levenshtein prefilter
+    (DL ≤ e implies levenshtein ≤ 2e, so nothing true is cut) before the
+    Python DP, capped at max_expansions per query term by (boost desc,
+    df desc, term asc) — a keyed window over per-term candidate sets,
+    never a global one.
     """
     spark = reader.spark
     n_docs, avgdl = reader.stats["n_docs"], reader.stats["avgdl"]
@@ -222,13 +265,15 @@ def _fuzzy_term_meta(reader: IndexReader, qterms: list[tuple[str, int]],
             F.min("min_dl").alias("min_dl"),
         )
         tlen = F.length("term")
+        lev_pre = F.levenshtein("term", "qterm", 4)  # -1 above threshold
         cand = (
             vocab.join(
                 F.broadcast(qdf),
                 (tlen >= F.col("qlen") - F.col("maxed"))
                 & (tlen <= F.col("qlen") + F.col("maxed")),
             )
-            .withColumn("ed", F.levenshtein("term", "qterm"))
+            .filter((lev_pre >= 0) & (lev_pre <= F.col("maxed") * 2))
+            .withColumn("ed", _dl_udf()("term", "qterm"))
             .filter(F.col("ed") <= F.col("maxed"))
             .withColumn(
                 "boost",
@@ -263,43 +308,91 @@ def _fuzzy_term_meta(reader: IndexReader, qterms: list[tuple[str, int]],
     return out.sort_values(["term", "qtf"]).reset_index(drop=True)
 
 
-def _theta(reader: IndexReader, meta: pd.DataFrame, k: int,
-           k1: float, b: float) -> float:
-    """Lower bound θ on the final k-th best score.
+# Driver-side block-metadata budget (rows). Per-block metadata is 4 small
+# ints + the term string (~100 B/row in pandas); 2M rows ≈ 200 MB, far
+# above any realistic query-term block count except corpus-spanning hot
+# terms at extreme scale, where the Spark metadata-job path takes over.
+BLOCK_META_BUDGET = 2_000_000
 
-    ONE Spark job collects the highest-ub blocks of EVERY query term
-    (row_number window per term; blocks are ≤128 postings, a few KB each),
-    then the driver decodes them and sums partials per doc ACROSS terms.
-    Every collected doc's true score ≥ its partial sum here (partials are
-    non-negative and this sum uses a subset of its terms), so the k-th
-    best sum is a valid lower bound — much tighter than a
-    strongest-term-only bound on multi-term queries, which is what makes
-    the phase-A cutoff θ − Σ_{t'≠t} gub(t') actually positive."""
-    terms = meta["term"].tolist()
-    buckets = sorted({int(v) for v in reader.bucket_of(terms).values()})
-    n_blocks = max(2, (int(k) // 128) + 2)
-    avgdl_ = reader.stats["avgdl"]
-    # per-term block ordering by the recomputed upper bound (idf/qtf are
-    # constant within a term, so max_tf/(max_tf+norm) orders identically
-    # to the full bound) — no stored build-time score needed
-    norm = F.lit(k1) * (F.lit(1.0 - b)
-                        + F.lit(b) * F.col("min_dl") / F.lit(avgdl_))
-    ub = F.col("max_tf") / (F.col("max_tf") + norm)
-    w = Window.partitionBy("term").orderBy(
-        ub.desc(), F.asc("block_id"), F.asc("salt"))
-    rows = (
-        reader.postings.filter(
-            F.col("bucket").isin(buckets) & F.col("term").isin(terms))
-        .select("term", "doc_gaps", "tfs", "dls", "max_tf", "min_dl",
-                "block_id", "salt")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= n_blocks)
-        .select("term", "doc_gaps", "tfs", "dls")
-        .collect()
-    )
-    if not rows:
-        return float("-inf")
-    avgdl = reader.stats["avgdl"]
+
+def _block_meta_arrow(reader: IndexReader,
+                      terms: list[str]) -> pd.DataFrame | None:
+    """Per-block metadata (term, salt, block_id, max_tf, min_dl) for the
+    query terms, read driver-side with pyarrow column pruning from the
+    bucket directories — NO Spark job, no payload bytes. Cached per term
+    on the reader. Returns None when the estimated block count exceeds
+    BLOCK_META_BUDGET (the caller falls back to the Spark metadata job).
+    """
+    import pyarrow.dataset as pads
+
+    cache = reader._block_meta_cache
+    missing = [t for t in terms if t not in cache]
+    if missing:
+        # budget estimate BEFORE reading: blocks(term) <= df/128 + salts
+        ts = reader.term_stats_arrow(missing)
+        est = int(ts["df"].sum()) // 128 + 2 * len(missing)
+        have = sum(len(cache[t]) for t in terms if t in cache)
+        if est + have > BLOCK_META_BUDGET:
+            return None
+        buckets = sorted(set(reader.bucket_of(missing).values()))
+        frames = []
+        for bkt in buckets:
+            p = os.path.join(reader.index_dir, "postings", f"bucket={bkt}")
+            if not os.path.exists(p):
+                continue
+            ds = pads.dataset(p, format="parquet")
+            tbl = ds.to_table(
+                columns=["term", "salt", "block_id", "max_tf", "min_dl"],
+                filter=pads.field("term").isin(missing),
+            )
+            frames.append(tbl.to_pandas())
+        allb = (pd.concat(frames, ignore_index=True) if frames
+                else pd.DataFrame(columns=["term", "salt", "block_id",
+                                           "max_tf", "min_dl"]))
+        for t in missing:
+            cache[t] = allb[allb["term"] == t].reset_index(drop=True)
+    parts = [cache[t] for t in terms if not cache[t].empty]
+    if not parts:
+        return pd.DataFrame(columns=["term", "salt", "block_id",
+                                     "max_tf", "min_dl"])
+    return pd.concat(parts, ignore_index=True)
+
+
+def _fetch_blocks_arrow(reader: IndexReader,
+                        keys: list[tuple[str, int, int]]) -> pd.DataFrame:
+    """Fetch exactly the given (term, salt, block_id) blocks' payloads
+    driver-side with pyarrow (parquet row-group stat skipping applies).
+    Key count is ≤ n_blocks·|terms| — a handful of KB-sized blocks."""
+    import functools
+    import operator
+
+    import pyarrow.dataset as pads
+
+    terms = sorted({t for t, _, _ in keys})
+    buckets = sorted(set(reader.bucket_of(terms).values()))
+    expr = functools.reduce(operator.or_, [
+        (pads.field("term") == t) & (pads.field("salt") == int(s))
+        & (pads.field("block_id") == int(bk)) for t, s, bk in keys])
+    frames = []
+    for bkt in buckets:
+        p = os.path.join(reader.index_dir, "postings", f"bucket={bkt}")
+        if not os.path.exists(p):
+            continue
+        ds = pads.dataset(p, format="parquet")
+        tbl = ds.to_table(columns=["term", "doc_gaps", "tfs", "dls"],
+                          filter=expr)
+        frames.append(tbl.to_pandas())
+    if not frames:
+        return pd.DataFrame(columns=["term", "doc_gaps", "tfs", "dls"])
+    return pd.concat(frames, ignore_index=True)
+
+
+def _theta_from_rows(rows, meta: pd.DataFrame, avgdl: float, k: int,
+                     k1: float, b: float) -> float:
+    """θ from decoded best-block payload rows: per-doc partial sums across
+    terms; the k-th best sum is a valid lower bound on the true k-th
+    score (each doc's true score ≥ its partial sum here — partials are
+    non-negative and the sum uses a subset of the doc's terms)."""
     weights = {t: float(q) * float(i)
                for t, q, i in zip(meta["term"], meta["qtf"], meta["idf"])}
     ids_l, part_l = [], []
@@ -310,6 +403,8 @@ def _theta(reader: IndexReader, meta: pd.DataFrame, k: int,
         ids_l.append(doc_ids)
         part_l.append(weights[r["term"]]
                       * bm25_tf_part(tfs, dls, avgdl, k1, b))
+    if not ids_l:
+        return float("-inf")
     all_ids = np.concatenate(ids_l)
     all_parts = np.concatenate(part_l)
     uniq, inv = np.unique(all_ids, return_inverse=True)
@@ -318,6 +413,59 @@ def _theta(reader: IndexReader, meta: pd.DataFrame, k: int,
     if sums.size < k:
         return float("-inf")
     return float(np.partition(sums, sums.size - k)[sums.size - k])
+
+
+def _best_block_keys(bmeta: pd.DataFrame, n_blocks: int, avgdl: float,
+                     k1: float, b: float) -> list[tuple[str, int, int]]:
+    """Top-n_blocks blocks per term by recomputed upper bound (idf/qtf are
+    constant within a term, so max_tf/(max_tf+norm) orders identically to
+    the full bound), tiebreak (block_id, salt) — pure numpy."""
+    ub = (bmeta["max_tf"].to_numpy(np.float64)
+          / (bmeta["max_tf"].to_numpy(np.float64)
+             + k1 * (1.0 - b + b * bmeta["min_dl"].to_numpy(np.float64)
+                     / avgdl)))
+    d = bmeta.assign(_ub=ub)
+    keys: list[tuple[str, int, int]] = []
+    for t, grp in d.groupby("term", sort=False):
+        top = grp.sort_values(["_ub", "block_id", "salt"],
+                              ascending=[False, True, True]).head(n_blocks)
+        keys.extend((t, int(r.salt), int(r.block_id))
+                    for r in top.itertuples(index=False))
+    return keys
+
+
+def _theta_spark_meta(reader: IndexReader, meta: pd.DataFrame, k: int,
+                      k1: float, b: float, n_blocks: int) -> float:
+    """Out-of-budget θ: ONE metadata-only Spark job ranks blocks per term
+    (no payload bytes ride the window shuffle — the ADVICE r2 fix), the
+    winning keys come back to the driver, and their payloads are fetched
+    with pyarrow. Used only when the query terms' block count exceeds
+    BLOCK_META_BUDGET."""
+    terms = meta["term"].tolist()
+    buckets = sorted({int(v) for v in reader.bucket_of(terms).values()})
+    avgdl = reader.stats["avgdl"]
+    norm = F.lit(k1) * (F.lit(1.0 - b)
+                        + F.lit(b) * F.col("min_dl") / F.lit(avgdl))
+    ub = F.col("max_tf") / (F.col("max_tf") + norm)
+    w = Window.partitionBy("term").orderBy(
+        ub.desc(), F.asc("block_id"), F.asc("salt"))
+    key_rows = (
+        reader.postings.filter(
+            F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+        .select("term", "salt", "block_id", "max_tf", "min_dl")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_blocks)
+        .select("term", "salt", "block_id")
+        .collect()
+    )
+    if not key_rows:
+        return float("-inf")
+    keys = [(r["term"], int(r["salt"]), int(r["block_id"]))
+            for r in key_rows]
+    rows = _fetch_blocks_arrow(reader, keys)
+    return _theta_from_rows(
+        (r._asdict() for r in rows.itertuples(index=False)),
+        meta, avgdl, k, k1, b)
 
 
 def _decode_partials_factory(avgdl: float, k1: float, b: float,
@@ -457,33 +605,69 @@ def search(
     if not prune:
         topk = plain_topk()
     else:
-        theta = _theta(reader, meta, k, k1, b)
-        # phase A: per-term cutoff, metadata-level block skip
-        cutoff = {t: theta - (total_gub - g)
-                  for t, g in zip(meta["term"], meta["gub"])}
-        cutoff_df = spark.createDataFrame(
-            list(cutoff.items()), "term string, cutoff double")
-        with_cut = matching.join(F.broadcast(cutoff_df), "term")
-        survive = block_ub >= F.col("cutoff")
-        # Gate BEFORE any decode: one JVM-only metadata job counts how many
-        # blocks the cutoff skips. If pruning keeps (almost) everything,
-        # the two-phase walk would decode the corpus ~twice plus driver
-        # roundtrips — strictly worse than the single-pass scan. Same
-        # results either way (both exact); this only picks the cheaper
-        # physical plan, the Spark analog of WAND falling back to exhaus-
-        # tive evaluation when θ can't prune.
-        cnt = with_cut.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(survive.cast("long")).alias("keep")).collect()[0]
-        n_blocks_total, n_keep = int(cnt["n"] or 0), int(cnt["keep"] or 0)
+        n_blocks_theta = max(2, (int(k) // 128) + 2)
+        # θ + gate are DRIVER-SIDE whenever the query terms' block
+        # metadata fits the budget (r2 VERDICT #1: the old gate paid two
+        # Spark jobs to decide "don't prune" every time). The metadata
+        # read is pyarrow over the already-bucket-pruned postings dirs —
+        # the same access pattern as the term dictionary lookup — and the
+        # θ payload fetch touches n_blocks·|terms| KB-sized blocks. Cost
+        # when the gate says fall back: ZERO extra Spark jobs.
+        bmeta = _block_meta_arrow(reader, meta["term"].tolist())
+        cutoff: dict[str, float]
+        if bmeta is not None:
+            keys = _best_block_keys(bmeta, n_blocks_theta, avgdl, k1, b)
+            rows = _fetch_blocks_arrow(reader, keys) if keys else \
+                pd.DataFrame(columns=["term", "doc_gaps", "tfs", "dls"])
+            theta = _theta_from_rows(
+                (r._asdict() for r in rows.itertuples(index=False)),
+                meta, avgdl, k, k1, b)
+            # exact keep count from the same metadata — numpy, no job
+            weight = {t: float(q) * float(i) for t, q, i in
+                      zip(meta["term"], meta["qtf"], meta["idf"])}
+            gub_by = dict(zip(meta["term"], meta["gub"].astype(float)))
+            mt = bmeta["max_tf"].to_numpy(np.float64)
+            md = bmeta["min_dl"].to_numpy(np.float64)
+            wts = bmeta["term"].map(weight).to_numpy(np.float64)
+            block_ub_np = wts * mt / (mt + k1 * (1.0 - b + b * md / avgdl))
+            cutoff = {t: theta - (total_gub - g)
+                      for t, g in gub_by.items()}
+            cut_np = bmeta["term"].map(cutoff).to_numpy(np.float64)
+            n_blocks_total = int(len(bmeta))
+            n_keep = int((block_ub_np >= cut_np).sum())
+            gate = "driver"
+        else:
+            # extreme-scale fallback: metadata-only Spark jobs (never a
+            # payload shuffle) for θ and the keep count
+            theta = _theta_spark_meta(reader, meta, k, k1, b,
+                                      n_blocks_theta)
+            cutoff = {t: theta - (total_gub - g)
+                      for t, g in zip(meta["term"], meta["gub"])}
+            cutoff_meta = spark.createDataFrame(
+                list(cutoff.items()), "term string, cutoff double")
+            cnt = (
+                matching.select("term", "max_tf", "min_dl")
+                .join(F.broadcast(cutoff_meta), "term")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum((block_ub >= F.col("cutoff"))
+                           .cast("long")).alias("keep"))
+                .collect()[0]
+            )
+            n_blocks_total = int(cnt["n"] or 0)
+            n_keep = int(cnt["keep"] or 0)
+            gate = "spark"
         if prune_stats is not None:
             prune_stats.update(theta=theta, n_blocks=n_blocks_total,
-                               n_keep=n_keep)
+                               n_keep=n_keep, gate=gate)
         if n_blocks_total == 0 or n_keep >= 0.7 * n_blocks_total:
             if prune_stats is not None:
                 prune_stats["path"] = "fallback_plain"
             topk = plain_topk()
         else:
+            cutoff_df = spark.createDataFrame(
+                list(cutoff.items()), "term string, cutoff double")
+            with_cut = matching.join(F.broadcast(cutoff_df), "term")
+            survive = block_ub >= F.col("cutoff")
             pruned = with_cut.filter(survive)
             # persisted: BOTH the θ'' collect and the candidate filter
             # consume approx — without it each action re-runs the decode
@@ -527,10 +711,19 @@ def search(
                                                  keep_bc=keep_bc),
                         schema=PARTIAL_SCHEMA)
                 )
-                topk = (_sum_deterministic(rescored)
-                        .select("doc_id", "score")
-                        .orderBy(F.desc("score"), F.asc("doc_id"))
-                        .limit(int(k)))
+                # materialize the ≤ k result rows NOW so the candidate
+                # broadcast can be released immediately (ADVICE r2: each
+                # pruned query otherwise leaked one candidate-id broadcast
+                # for the SparkSession lifetime)
+                topk_rows = (_sum_deterministic(rescored)
+                             .select("doc_id", "score")
+                             .orderBy(F.desc("score"), F.asc("doc_id"))
+                             .limit(int(k))
+                             .collect())
+                keep_bc.unpersist()
+                keep_bc.destroy()
+                topk = spark.createDataFrame(
+                    topk_rows, "doc_id bigint, score double")
 
     if not with_text:
         return topk
@@ -614,9 +807,16 @@ def search_many(
     b = reader.stats["b"] if b is None else b
     if not isinstance(queries, dict):
         queries = {f"q{i:04d}": q for i, q in enumerate(queries)}
+    # ONE term-dictionary pass for the union of every query's terms
+    # (r2 VERDICT #5: the per-query loop re-read the same bucket files
+    # once per query); the per-query _term_meta calls below then hit the
+    # reader's term cache without touching parquet.
+    all_qterms = {qid: analyze_query(q) for qid, q in queries.items()}
+    union_terms = sorted({t for qts in all_qterms.values() for t, _ in qts})
+    if union_terms:
+        reader.term_stats_arrow(union_terms)
     metas = []
-    for qid, q in queries.items():
-        qterms = analyze_query(q)
+    for qid, qterms in all_qterms.items():
         if not qterms:
             continue
         meta = _term_meta(reader, qterms, k1, b)

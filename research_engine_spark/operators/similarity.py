@@ -26,8 +26,10 @@ import json
 import os
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _dot(vec_col, qvec: list[float]):
@@ -68,19 +70,38 @@ def brute_force_topk(
     )
 
 
-def _plane_signs(vec_col, planes: np.ndarray):
-    """Bit-sign bucket id for a set of random hyperplanes (one LSH table)."""
-    bits = []
-    for i in range(planes.shape[0]):
-        d = F.aggregate(
-            F.zip_with(vec_col, F.array(*[F.lit(float(x)) for x in planes[i]]),
-                       lambda a, b: a * b),
-            F.lit(0.0), lambda acc, x: acc + x)
-        bits.append(F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
+def _np_buckets(planes_list: list[np.ndarray], X: np.ndarray) -> np.ndarray:
+    """(n_rows, n_tables) int32 bucket ids: for each LSH table, bucket =
+    Σ 2^i over planes i with X·plane_i >= 0. ONE matmul per table — the
+    single numeric code path shared by the executor UDF (batch rows) and
+    the driver (query vector), so build-time and query-time buckets can
+    never disagree on the same vector."""
+    out = []
+    for planes in planes_list:
+        signs = (X @ planes.T) >= 0.0                    # (n, n_planes)
+        w = (np.int64(1) << np.arange(planes.shape[0], dtype=np.int64))
+        out.append(signs @ w)
+    return np.stack(out, axis=1).astype(np.int32)
+
+
+def _buckets_udf(planes_list: list[np.ndarray]):
+    """Arrow-vectorized pandas UDF: embedding -> array<int> of per-table
+    bucket ids. Replaces the r2 per-dimension literal expression trees
+    (O(dim·planes·tables) ≈ 25k Catalyst nodes at dim 768 — a
+    planning/codegen blowup); the planes ride the pickled closure once
+    per executor (a few KB·tables) and each batch pays one float64
+    matmul per table."""
+    mats = [np.ascontiguousarray(p, dtype=np.float64) for p in planes_list]
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def buckets(vecs: pd.Series) -> pd.Series:
+        if vecs.empty:
+            return pd.Series([], dtype=object)
+        X = np.array(vecs.tolist(), dtype=np.float64)
+        B = _np_buckets(mats, X)
+        return pd.Series(list(B))
+
+    return buckets
 
 
 def lsh_bucketed_topk(
@@ -100,14 +121,16 @@ def lsh_bucketed_topk(
     dim = len(qvec)
     rng = np.random.default_rng(seed)
     q = np.asarray(qvec, dtype=np.float64)
+    planes_list = [rng.standard_normal((n_planes, dim))
+                   for _ in range(n_tables)]
+    qbuckets = _np_buckets(planes_list, q[None, :])[0]
+    tagged = embeddings.withColumn(
+        "_lsh_b", _buckets_udf(planes_list)(F.col(vec_col)))
     cond = None
     for t in range(n_tables):
-        planes = rng.standard_normal((n_planes, dim))
-        qbucket = int(sum((1 << i) for i in range(n_planes)
-                          if planes[i] @ q >= 0))
-        c = _plane_signs(F.col(vec_col), planes) == F.lit(qbucket)
+        c = F.col("_lsh_b").getItem(t) == int(qbuckets[t])
         cond = c if cond is None else (cond | c)
-    candidates = embeddings.filter(cond)
+    candidates = tagged.filter(cond).drop("_lsh_b")
     return brute_force_topk(candidates, qvec, k, id_col, vec_col)
 
 
@@ -142,14 +165,18 @@ def build_ann_index(
         raise ValueError("empty embeddings table")
     dim = len(first[0])
     rng = np.random.default_rng(seed)
-    tagged = None
-    for t, planes in enumerate(_table_planes(rng, n_tables, n_planes, dim)):
-        part = embeddings.select(
-            F.lit(t).alias("tbl"),
-            _plane_signs(F.col(vec_col), planes).alias("bucket"),
-            F.col(id_col), F.col(vec_col),
-        )
-        tagged = part if tagged is None else tagged.unionByName(part)
+    planes_list = _table_planes(rng, n_tables, n_planes, dim)
+    # ONE tokenizer-style pass: the UDF emits every table's bucket at
+    # once; posexplode turns that into the (tbl, bucket) partition keys —
+    # no n_tables-way union re-reading the source, no literal planes in
+    # the plan.
+    tagged = (
+        embeddings.withColumn(
+            "_lsh_b", _buckets_udf(planes_list)(F.col(vec_col)))
+        .select(F.col(id_col), F.col(vec_col),
+                F.posexplode("_lsh_b").alias("tbl", "bucket"))
+        .select("tbl", "bucket", id_col, vec_col)
+    )
     (
         tagged.repartition("tbl", "bucket")
         .write.mode("overwrite").partitionBy("tbl", "bucket")
@@ -173,12 +200,12 @@ def ann_candidates(spark: SparkSession, index_dir: str,
         meta = json.load(f)
     q = np.asarray(qvec, dtype=np.float64)
     rng = np.random.default_rng(meta["seed"])
+    planes_list = _table_planes(
+        rng, meta["n_tables"], meta["n_planes"], meta["dim"])
+    qbuckets = _np_buckets(planes_list, q[None, :])[0]
     cond = None
-    for t, planes in enumerate(_table_planes(
-            rng, meta["n_tables"], meta["n_planes"], meta["dim"])):
-        qbucket = int(sum((1 << i) for i in range(meta["n_planes"])
-                          if planes[i] @ q >= 0))
-        c = (F.col("tbl") == t) & (F.col("bucket") == qbucket)
+    for t in range(meta["n_tables"]):
+        c = (F.col("tbl") == t) & (F.col("bucket") == int(qbuckets[t]))
         cond = c if cond is None else (cond | c)
     vecs = spark.read.parquet(os.path.join(index_dir, "vectors"))
     return vecs.filter(cond).dropDuplicates([meta["id_col"]])
@@ -217,9 +244,11 @@ def embedding_near_dup_pairs(
             [], "id_a long, id_b long, cosine double")
     dim = len(first[0])
     planes = np.random.default_rng(seed).standard_normal((n_planes, dim))
-    bucketed = embeddings.select(
+    bucketed = embeddings.withColumn(
+        "_lsh_b", _buckets_udf([planes])(F.col(vec_col))
+    ).select(
         F.col(id_col), F.col(vec_col),
-        _plane_signs(F.col(vec_col), planes).alias("bucket"),
+        F.col("_lsh_b").getItem(0).alias("bucket"),
         _norm(F.col(vec_col)).alias("nrm"),
     )
     if max_bucket is not None:

@@ -20,26 +20,10 @@ from .functions.porter import CachedStemmer
 from .operators.indexer import bm25_idf, bm25_tf_part
 
 
-def _levenshtein(a: str, b: str, cap: int | None = None) -> int:
-    """Unit-cost edit distance (classic Wagner-Fischer DP); early-exits
-    above ``cap`` to mirror Spark's thresholded levenshtein."""
-    if a == b:
-        return 0
-    la, lb = len(a), len(b)
-    if cap is not None and abs(la - lb) > cap:
-        return cap + 1
-    prev = list(range(lb + 1))
-    for i in range(1, la + 1):
-        cur = [i] + [0] * lb
-        best = i
-        for j in range(1, lb + 1):
-            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
-                         prev[j - 1] + (a[i - 1] != b[j - 1]))
-            best = min(best, cur[j])
-        if cap is not None and best > cap:
-            return cap + 1
-        prev = cur
-    return prev[lb]
+# Fuzzy expansion distance: the SAME unrestricted Damerau-Levenshtein the
+# engine uses (functions/editdist.py) — Lucene FuzzyQuery transpositions=
+# true semantics, DuckDB damerau_levenshtein-identical.
+from .functions.editdist import damerau_levenshtein as _edit_distance
 
 
 class BM25Oracle:
@@ -111,10 +95,11 @@ class BM25Oracle:
                      max_expansions: int = 50,
                      k1: float | None = None,
                      b: float | None = None) -> pd.DataFrame:
-        """R5 mirror of search(..., fuzzy=True): Lucene AUTO edit-distance
-        expansion against the vocabulary, weight = qtf * (1 - ed/min(|q|,
-        |t|)), top max_expansions per query term by (boost desc, df desc,
-        term asc); per-doc partials summed in the engine's deterministic
+        """R5 mirror of search(..., fuzzy=True): Lucene AUTO
+        Damerau-Levenshtein expansion against the vocabulary (adjacent
+        transposition = ONE edit), weight = qtf * (1 - ed/min(|q|, |t|)),
+        top max_expansions per query term by (boost desc, df desc, term
+        asc); per-doc partials summed in the engine's deterministic
         (term, partial)-sorted fold order."""
         from .operators.scorer import auto_max_edits
 
@@ -131,7 +116,7 @@ class BM25Oracle:
             for t in self.index:
                 if abs(len(t) - len(qterm)) > e:
                     continue
-                ed = _levenshtein(qterm, t, e)
+                ed = _edit_distance(qterm, t, e)
                 if ed <= e:
                     boost = 1.0 - float(ed) / float(min(len(qterm), len(t)))
                     cands.append((t, boost, self.index[t][0].size))

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -827,11 +828,11 @@ qterms AS (
 ),
 cand AS (
   SELECT q.qterm, v.term, v.df,
-         1.0 - levenshtein(q.qterm, v.term) * 1.0
+         1.0 - damerau_levenshtein(q.qterm, v.term) * 1.0
                / least(length(q.qterm), length(v.term)) AS boost
   FROM dfreq v JOIN qterms q
     ON abs(length(v.term) - length(q.qterm)) <= q.maxed
-   AND levenshtein(q.qterm, v.term) <= q.maxed
+   AND damerau_levenshtein(q.qterm, v.term) <= q.maxed
 ),
 capped AS (
   SELECT term, boost FROM (
@@ -855,9 +856,11 @@ LIMIT 10
 """)
 def fuzzy_bm25_documents(spark, sf_dir):
     """R5 fuzzy BM25 over the documents table: typo'd query terms expanded
-    against the vocabulary within Lucene AUTO edit distance
-    (es_search_final.py:21 ``fuzziness: AUTO``), each expansion a weighted
-    clause (boost = 1 - ed/min(len)); DuckDB-checked via levenshtein()."""
+    against the vocabulary within Lucene AUTO Damerau-Levenshtein distance
+    (es_search_final.py:21 ``fuzziness: AUTO``, transpositions=true — an
+    adjacent swap is ONE edit), each expansion a weighted clause
+    (boost = 1 - ed/min(len)); DuckDB-checked via damerau_levenshtein()."""
+    from .functions.editdist import damerau_levenshtein as _dl
     from .operators.scorer import auto_max_edits
 
     d = _t(spark, sf_dir, "documents")
@@ -875,10 +878,15 @@ def fuzzy_bm25_documents(spark, sf_dir):
         [(q, auto_max_edits(q), len(q)) for q in qset],
         "qterm string, maxed int, qlen int")
     tlen = F.length("term")
+
+    @F.pandas_udf("int")
+    def dl_udf(t: pd.Series, q: pd.Series) -> pd.Series:
+        return pd.Series([_dl(a, b) for a, b in zip(t, q)], dtype="int32")
+
     cand = (
         dfreq.join(F.broadcast(qdf),
                    F.abs(tlen - F.col("qlen")) <= F.col("maxed"))
-        .withColumn("ed", F.levenshtein("term", "qterm"))
+        .withColumn("ed", dl_udf("term", "qterm"))
         .filter(F.col("ed") <= F.col("maxed"))
         .withColumn("boost", F.lit(1.0) - F.col("ed").cast("double")
                     / F.least(F.col("qlen"), tlen).cast("double"))
@@ -1054,19 +1062,23 @@ SELECT doc_id,
        trim(regexp_replace(
          regexp_replace(
            regexp_replace(
-             regexp_replace(text, 'https?://\\S+', ' ', 'g'),
+             regexp_replace(
+               regexp_replace(text, '(\\p{L})-\\n(\\p{L})', '\\1\\2', 'g'),
+               'https?://\\S+', ' ', 'g'),
              '\\S+@\\S+\\.\\S+', ' ', 'g'),
            '\\[\\d+(,\\s*\\d+)*\\]', ' ', 'g'),
          '\\s+', ' ', 'g')) AS cleaned
 FROM documents
 """)
 def clean_text_documents(spark, sf_dir):
-    """F6 metadata scrubbing chain (URLs, emails, citation brackets) +
-    F3 whitespace normalize, DuckDB-checked."""
-    from .functions.text_clean import normalize_ws
+    """F5 EOL de-hyphenation ("exam-\\nple" -> "example",
+    old_scripts/text_clean.py:10,33) + F6 metadata scrubbing chain (URLs,
+    emails, citation brackets) + F3 whitespace normalize, DuckDB-checked."""
+    from .functions.text_clean import dehyphenate_eol, normalize_ws
 
     d = _t(spark, sf_dir, "documents")
-    c = F.regexp_replace(F.col("text"), r"https?://\S+", " ")
+    c = dehyphenate_eol(F.col("text"))
+    c = F.regexp_replace(c, r"https?://\S+", " ")
     c = F.regexp_replace(c, r"\S+@\S+\.\S+", " ")
     c = F.regexp_replace(c, r"\[\d+(,\s*\d+)*\]", " ")
     return d.select("doc_id", normalize_ws(c).alias("cleaned"))

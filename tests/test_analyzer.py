@@ -44,6 +44,44 @@ def test_analyze_query_qtf_and_order():
     assert analyze_query("") == []
 
 
+def test_two_tier_regex_bit_exact():
+    """The ASCII fast tier must emit exactly what the Unicode tier emits
+    on ASCII rows — mixed batches route rows by str.isascii and must be
+    indistinguishable from running TOKEN_RE on everything."""
+    from research_engine_spark.functions.analyzer import (
+        ASCII_TOKEN_RE, TOKEN_RE, _findall_tokens)
+
+    samples = [
+        "the quick brown fox", "don't stop believing", "gpt-4 scored 95.5%",
+        "foo_bar __init__ a'b'c", "", "  ", "x", "'leading 'quoted' trail'",
+        "café au lait", "don’t panic", "架构 systems naïve",
+        "ascii then café mixed", "1234 5_6 7'8",
+    ]
+    low = pd.Series(samples).str.lower()
+    got = _findall_tokens(low)
+    want = low.str.findall(TOKEN_RE)
+    assert list(got) == list(want)
+    # and per-string: ASCII regex == Unicode regex on any ASCII input
+    for s in samples:
+        s = s.lower()
+        if s.isascii():
+            assert ASCII_TOKEN_RE.findall(s) == TOKEN_RE.findall(s), s
+
+
+def test_analyze_flat_matches_series():
+    from research_engine_spark.functions.analyzer import analyze_flat
+
+    import numpy as np
+
+    texts = pd.Series(["Neural networks are neural", "", "running ran",
+                       None, "café don't"])
+    codes, terms, lens = analyze_flat(texts)
+    flat = terms[codes]
+    splits = np.split(flat, np.cumsum(lens)[:-1])
+    for t, s in zip(texts, splits):
+        assert list(s) == analyze(t or "")
+
+
 def test_unicode_and_apostrophe_tokens():
     """ADVICE r1: non-ASCII letters survive and mid-word apostrophes join
     (UAX#29 approximation), instead of 'café'->'caf' / 'don't'->'don','t'."""

@@ -7,8 +7,8 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
+from research_engine_spark.functions.editdist import damerau_levenshtein
 from research_engine_spark.operators.scorer import (auto_max_edits, search)
-from research_engine_spark.oracle import _levenshtein
 
 
 def test_auto_edits_schedule():
@@ -19,13 +19,51 @@ def test_auto_edits_schedule():
     assert auto_max_edits("transformer") == 2
 
 
-def test_levenshtein_basics():
-    assert _levenshtein("kitten", "sitting") == 3
-    assert _levenshtein("abc", "abc") == 0
-    assert _levenshtein("abc", "abd") == 1
-    assert _levenshtein("abc", "ab") == 1
-    # cap early exit returns cap+1
-    assert _levenshtein("aaaa", "bbbb", cap=2) == 3
+def test_damerau_levenshtein_basics():
+    assert damerau_levenshtein("kitten", "sitting") == 3
+    assert damerau_levenshtein("abc", "abc") == 0
+    assert damerau_levenshtein("abc", "abd") == 1
+    assert damerau_levenshtein("abc", "ab") == 1
+    # length-band shortcut returns cap+1
+    assert damerau_levenshtein("aaaaaa", "ab", cap=2) == 3
+
+
+def test_transposition_is_one_edit():
+    """Lucene FuzzyQuery transpositions=true: adjacent swap = ONE edit."""
+    assert damerau_levenshtein("hte", "the") == 1
+    assert damerau_levenshtein("ab", "ba") == 1
+    assert damerau_levenshtein("abcd", "badc") == 2
+    # unrestricted variant (matches DuckDB damerau_levenshtein; OSA says 3)
+    assert damerau_levenshtein("ca", "abc") == 2
+
+
+def test_damerau_matches_duckdb():
+    import random
+    import string
+
+    import duckdb
+
+    con = duckdb.connect()
+    rng = random.Random(7)
+    for _ in range(300):
+        a = "".join(rng.choices(string.ascii_lowercase[:5],
+                                k=rng.randint(0, 8)))
+        b = "".join(rng.choices(string.ascii_lowercase[:5],
+                                k=rng.randint(0, 8)))
+        ref = con.execute("select damerau_levenshtein(?, ?)",
+                          [a, b]).fetchone()[0]
+        assert damerau_levenshtein(a, b) == ref, (a, b)
+
+
+def test_fuzzy_transposition_typo_expands(spark, reader, oracle):
+    """'hte' is 1 Damerau edit from 'the' — the expansion must reach it
+    (classic Levenshtein says 2 > AUTO's 1-edit budget for length 3)."""
+    assert auto_max_edits("hte") == 1
+    eng = search(reader, "hte", k=10, fuzzy=True, with_text=False).toPandas()
+    ora = oracle.fuzzy_search("hte", k=10)
+    assert len(eng) > 0
+    assert list(eng["doc_id"]) == list(ora["doc_id"])
+    assert np.array_equal(eng["score"].to_numpy(), ora["score"].to_numpy())
 
 
 FUZZY_QUERIES = [

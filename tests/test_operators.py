@@ -45,6 +45,16 @@ def test_exact_dedup(docs_df):
     assert set(kept) >= {0, 2, 3, 5, 6, 7}
 
 
+def test_exact_dedup_digest_options_agree(docs_df):
+    """xxhash64 (scale default) and md5 (oracle-portable) must keep the
+    same survivors."""
+    a = sorted(r["doc_id"] for r in
+               DD.exact_dedup(docs_df, digest="xxhash64").collect())
+    b = sorted(r["doc_id"] for r in
+               DD.exact_dedup(docs_df, digest="md5").collect())
+    assert a == b
+
+
 def test_word_shingles_match_python(docs_df):
     got = (DD.word_shingles(docs_df).groupBy("doc_id")
            .agg(F.collect_set("shingle").alias("s")).collect())
@@ -256,3 +266,35 @@ def test_ann_index_prunes_and_recalls(spark, emb_df, tmp_path):
     assert 7 in [r["vec_id"] for r in got]
     # candidate set is a strict subset of the table (pruning is real)
     assert cand.count() < df.count()
+
+
+def test_ann_index_dim768(spark, tmp_path):
+    """Realistic embedding width (r2 VERDICT #5): build + query at
+    dim=768 must work with bounded planning (the old per-dimension
+    literal expression trees inlined ~25k Catalyst nodes here; the
+    pandas-UDF planes matmul is dimension-independent plan-wise)."""
+    import time
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((60, 768))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    vecs[5] = vecs[0] * 0.999 + 0.001 * vecs[1]
+    pdf = pd.DataFrame({"vec_id": range(60),
+                        "embedding": [v.astype(np.float32).tolist()
+                                      for v in vecs]})
+    df = spark.createDataFrame(pdf)
+    d = str(tmp_path / "ann768")
+    t0 = time.monotonic()
+    SIM.build_ann_index(df.filter(F.col("vec_id") != 0), d,
+                        n_planes=8, n_tables=4, seed=42)
+    q = vecs[0].tolist()
+    got = SIM.ann_index_topk(spark, d, q, k=5).collect()
+    wall = time.monotonic() - t0
+    assert 5 in [r["vec_id"] for r in got]
+    # bounded end-to-end wall: planning no longer scales with dim
+    assert wall < 60, f"dim-768 build+query took {wall:.1f}s"
+    # the brute-force rescore agrees with numpy on the candidate set
+    f32 = np.array([np.asarray(v, dtype=np.float32) for v in vecs])
+    cos = (f32 @ np.asarray(q)) / (np.linalg.norm(f32, axis=1)
+                                   * np.linalg.norm(q))
+    assert got[0]["vec_id"] == int(np.argsort(-cos[1:])[0]) + 1

@@ -5,6 +5,7 @@ from pyspark.sql import functions as F
 
 from research_engine_spark.functions.text_clean import (
     clean_text,
+    dehyphenate_eol,
     fix_ligatures,
     normalize_ws,
     sanitize_id,
@@ -34,6 +35,23 @@ def test_truncate_references(spark):
 def test_fix_ligatures(spark):
     assert _run(spark, fix_ligatures, ["eﬃ?ﬁtﬂy", "soft­hyphen nb sp"]) == [
         "eﬃ?fitfly", "softhyphen nb sp"]
+
+
+def test_dehyphenate_eol(spark):
+    """F5 HARD_HYPHEN rule (old_scripts/text_clean.py:10,33): rejoin
+    letter-hyphen-newline-letter; leave numeric ranges and mid-line
+    hyphens alone."""
+    got = _run(spark, dehyphenate_eol, [
+        "exam-\nple", "multi-\nword de-\nhyphen", "range 1-\n2 stays",
+        "mid-line hyphen", "trailing-\n", "naï-\nve",
+    ])
+    assert got == ["example", "multiword dehyphen", "range 1-\n2 stays",
+                   "mid-line hyphen", "trailing-\n", "naïve"]
+
+
+def test_clean_text_dehyphenates(spark):
+    got = _run(spark, clean_text, ["The exam-\nple held up"])
+    assert got == ["The example held up"]
 
 
 def test_scrub_metadata(spark):
