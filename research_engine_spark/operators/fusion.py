@@ -21,6 +21,7 @@ def with_rank(
     score_col: str,
     *tiebreak: str,
     top_n: int | None = None,
+    persist_input: bool = True,
 ) -> DataFrame:
     """Attach 1-based ``rank`` by score desc with deterministic tiebreak
     (W2: rag_service.py:106 enumerate over sorted hits).
@@ -40,7 +41,9 @@ def with_rank(
       INPUT is persisted before ``repartitionByRange`` (the docids.py
       idiom): its range-boundary sampling job otherwise re-runs the whole
       upstream plan — typically an aggregation — a second time (the r2
-      ``rrf_user_fusion`` 3.4× regression).
+      ``rrf_user_fusion`` 3.4× regression). Pass ``persist_input=False``
+      when the caller already persisted df (ranking several columns of
+      one cached aggregate).
     """
     order = [F.desc(score_col)] + [F.asc(c) for c in tiebreak]
     if top_n is not None:
@@ -51,7 +54,7 @@ def with_rank(
     spark = df.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     sort_cols = [F.col(score_col).desc()] + [F.col(c).asc() for c in tiebreak]
-    src = df.persist()
+    src = df.persist() if persist_input else df
     local = (
         src.repartitionByRange(n_part, *sort_cols)
         .withColumn("pid", F.spark_partition_id())
@@ -59,7 +62,8 @@ def with_rank(
     w = Window.partitionBy("pid").orderBy(*order)
     local = local.withColumn("local_rank", F.row_number().over(w)).persist()
     counts = local.groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()
-    src.unpersist()  # local is materialized now; the input cache is done
+    if persist_input:
+        src.unpersist()  # local is materialized; the input cache is done
     base, acc = {}, 0
     for r in sorted(counts, key=lambda r: r["pid"]):
         base[r["pid"]] = acc
@@ -68,6 +72,64 @@ def with_rank(
         [(int(p), int(b)) for p, b in base.items()], "pid int, base bigint")
     return (
         local.join(F.broadcast(base_df), "pid")
+        .withColumn("rank", (F.col("base") + F.col("local_rank")).cast("int"))
+        .drop("pid", "local_rank", "base")
+    )
+
+
+def with_rank_per_key(
+    df: DataFrame,
+    key_col: str,
+    score_col: str,
+    *tiebreak: str,
+    persist_input: bool = True,
+) -> DataFrame:
+    """Full-depth 1-based ``rank`` WITHIN each ``key_col`` group by
+    (score desc, tiebreaks asc) — W2 generalized to many lists at once.
+
+    N ranked lists (RRF inputs, per-query rankings) normally cost N
+    with_rank passes = N range-sampling jobs + N offset collects. Tagging
+    the lists and ranking per key pays ONE repartitionByRange over
+    (key, sort keys), ONE keyed-window pass, and ONE tiny
+    (key × partition) offset collect for all of them. Identical ranks to
+    a per-list global sort: range partitioning by (key, score…) keeps
+    each key's rows globally ordered across its partitions, and the base
+    offset of (key, pid) counts that key's rows in earlier partitions.
+    Never single-partition: windows are keyed by (key, pid).
+    """
+    spark = df.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    order = [F.desc(score_col)] + [F.asc(c) for c in tiebreak]
+    sort_cols = [F.col(key_col).asc(), F.col(score_col).desc()] + [
+        F.col(c).asc() for c in tiebreak]
+    src = df.persist() if persist_input else df
+    ranged = (
+        src.repartitionByRange(n_part, *sort_cols)
+        .withColumn("pid", F.spark_partition_id())
+    )
+    w = Window.partitionBy(key_col, "pid").orderBy(*order)
+    local = ranged.withColumn(
+        "local_rank", F.row_number().over(w)).persist()
+    counts = (local.groupBy(key_col, "pid")
+              .agg(F.count(F.lit(1)).alias("n")).collect())
+    if persist_input:
+        src.unpersist()
+    if not counts:
+        return (local.withColumn("rank", F.lit(0).cast("int"))
+                .drop("pid", "local_rank"))
+    base: dict[tuple, int] = {}
+    acc: dict = {}
+    for r in sorted(counts, key=lambda r: (r[key_col], r["pid"])):
+        k = r[key_col]
+        base[(k, r["pid"])] = acc.get(k, 0)
+        acc[k] = acc.get(k, 0) + int(r["n"])
+    from pyspark.sql import Row
+
+    base_df = spark.createDataFrame(
+        [Row(**{key_col: k, "pid": int(p), "base": int(b)})
+         for (k, p), b in base.items()])
+    return (
+        local.join(F.broadcast(base_df), [key_col, "pid"])
         .withColumn("rank", (F.col("base") + F.col("local_rank")).cast("int"))
         .drop("pid", "local_rank", "base")
     )

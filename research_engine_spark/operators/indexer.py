@@ -62,6 +62,15 @@ POSTINGS_SCHEMA = T.StructType(
         T.StructField("posting_count", T.IntegerType()),
         T.StructField("max_tf", T.IntegerType()),
         T.StructField("min_dl", T.IntegerType()),
+        # (tf, dl) Pareto skyline of the block's postings (tf desc, dl
+        # strictly asc): because the BM25 partial is increasing in tf and
+        # decreasing in dl, max over skyline points = max over the
+        # block's ACTUAL postings = the EXACT block-max score for ANY
+        # (k1, b, avgdl) — a parameter-free tight bound (the loose
+        # (max_tf, min_dl) cross-pairing kept every block on realistic
+        # corpora). Typically 1-5 points per 128-posting block.
+        T.StructField("sky_tfs", T.ArrayType(T.IntegerType())),
+        T.StructField("sky_dls", T.ArrayType(T.IntegerType())),
         T.StructField("doc_gaps", T.BinaryType()),
         T.StructField("tfs", T.BinaryType()),
         T.StructField("dls", T.BinaryType()),
@@ -71,6 +80,24 @@ POSTINGS_SCHEMA = T.StructType(
         T.StructField("snapshot_id", T.StringType()),
     ]
 )
+
+
+def block_skyline(tfs: np.ndarray, dls: np.ndarray) -> tuple[list, list]:
+    """(tf, dl) Pareto front of one block's postings: per distinct tf the
+    minimum dl, kept only while dl strictly decreases as tf decreases.
+    Returned tf-descending. Vectorized (np.unique + cumulative min)."""
+    ut, inv = np.unique(tfs, return_inverse=True)  # ascending tf
+    mind = np.full(ut.size, np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(mind, inv, dls)
+    ut_d = ut[::-1]
+    mind_d = mind[::-1]
+    keep = np.empty(ut.size, dtype=bool)
+    keep[0] = True
+    if ut.size > 1:
+        run = np.minimum.accumulate(mind_d)
+        keep[1:] = mind_d[1:] < run[:-1]
+    return (ut_d[keep].astype(np.int32).tolist(),
+            mind_d[keep].astype(np.int32).tolist())
 
 TERMDOC_SCHEMA = (
     "doc_id bigint, dl int, term string, tf int"
@@ -228,7 +255,7 @@ def _pack_blocks_factory(snapshot_id: str = "s0"):
 
         out: dict[str, list] = {k: [] for k in (
             "term", "salt", "block_id", "first_doc_id", "last_doc_id",
-            "posting_count", "max_tf", "min_dl",
+            "posting_count", "max_tf", "min_dl", "sky_tfs", "sky_dls",
             "doc_gaps", "tfs", "dls", "poss",
         )}
         for gs, ge in zip(group_starts, group_ends):
@@ -269,6 +296,9 @@ def _pack_blocks_factory(snapshot_id: str = "s0"):
                 out["posting_count"].append(e - s)
                 out["max_tf"].append(int(tfs[s:e].max()))
                 out["min_dl"].append(int(dls[s:e].min()))
+                sky_t, sky_d = block_skyline(tfs[s:e], dls[s:e])
+                out["sky_tfs"].append(sky_t)
+                out["sky_dls"].append(sky_d)
                 out["doc_gaps"].append(g_bytes[g_off[s]:g_off[e]])
                 out["tfs"].append(t_bytes[t_off[s]:t_off[e]])
                 out["dls"].append(d_bytes[d_off[s]:d_off[e]])

@@ -308,11 +308,47 @@ def _fuzzy_term_meta(reader: IndexReader, qterms: list[tuple[str, int]],
     return out.sort_values(["term", "qtf"]).reset_index(drop=True)
 
 
-# Driver-side block-metadata budget (rows). Per-block metadata is 4 small
-# ints + the term string (~100 B/row in pandas); 2M rows ≈ 200 MB, far
-# above any realistic query-term block count except corpus-spanning hot
-# terms at extreme scale, where the Spark metadata-job path takes over.
+# Driver-side block-metadata budget (rows). Per-block metadata is a few
+# small ints + the skyline arrays + the term string (~150 B/row in
+# pandas); 2M rows ≈ 300 MB, far above any realistic query-term block
+# count except corpus-spanning hot terms at extreme scale, where the
+# Spark metadata-job path takes over.
 BLOCK_META_BUDGET = 2_000_000
+
+
+def _sky_part_expr(k1: float, b: float, avgdl: float):
+    """EXACT block-max tf-part as a JVM column expression: max over the
+    block's stored (tf, dl) Pareto skyline of tf/(tf + k1*(1-b+b*dl/
+    avgdl)). Equals the max over the block's actual postings (the partial
+    is increasing in tf, decreasing in dl, and the skyline dominates
+    every posting), for ANY (k1, b, avgdl) — tight where the old
+    (max_tf, min_dl) cross-pairing was hopelessly optimistic. Evaluated
+    on metadata columns before any decode."""
+    return F.aggregate(
+        F.zip_with(
+            F.col("sky_tfs"), F.col("sky_dls"),
+            lambda t, d: t.cast("double")
+            / (t.cast("double") + F.lit(k1)
+               * (F.lit(1.0 - b) + F.lit(b) * d.cast("double")
+                  / F.lit(avgdl)))),
+        F.lit(0.0), lambda acc, x: F.greatest(acc, x))
+
+
+def _sky_part_np(sky_tfs, sky_dls, avgdl: float, k1: float,
+                 b: float) -> np.ndarray:
+    """Vectorized driver-side twin of _sky_part_expr over ragged skyline
+    lists (one row per block)."""
+    n = len(sky_tfs)
+    lens = np.fromiter((len(x) for x in sky_tfs), dtype=np.int64, count=n)
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros(n, dtype=np.float64)
+    ft = np.concatenate([np.asarray(x, dtype=np.float64) for x in sky_tfs])
+    fd = np.concatenate([np.asarray(x, dtype=np.float64) for x in sky_dls])
+    part = ft / (ft + k1 * (1.0 - b + b * fd / avgdl))
+    out = np.zeros(n, dtype=np.float64)
+    np.maximum.at(out, np.repeat(np.arange(n, dtype=np.int64), lens), part)
+    return out
 
 
 def _block_meta_arrow(reader: IndexReader,
@@ -335,6 +371,7 @@ def _block_meta_arrow(reader: IndexReader,
         if est + have > BLOCK_META_BUDGET:
             return None
         buckets = sorted(set(reader.bucket_of(missing).values()))
+        cols = ["term", "salt", "block_id", "sky_tfs", "sky_dls"]
         frames = []
         for bkt in buckets:
             p = os.path.join(reader.index_dir, "postings", f"bucket={bkt}")
@@ -342,19 +379,18 @@ def _block_meta_arrow(reader: IndexReader,
                 continue
             ds = pads.dataset(p, format="parquet")
             tbl = ds.to_table(
-                columns=["term", "salt", "block_id", "max_tf", "min_dl"],
+                columns=cols,
                 filter=pads.field("term").isin(missing),
             )
             frames.append(tbl.to_pandas())
         allb = (pd.concat(frames, ignore_index=True) if frames
-                else pd.DataFrame(columns=["term", "salt", "block_id",
-                                           "max_tf", "min_dl"]))
+                else pd.DataFrame(columns=cols))
         for t in missing:
             cache[t] = allb[allb["term"] == t].reset_index(drop=True)
     parts = [cache[t] for t in terms if not cache[t].empty]
     if not parts:
         return pd.DataFrame(columns=["term", "salt", "block_id",
-                                     "max_tf", "min_dl"])
+                                     "sky_tfs", "sky_dls"])
     return pd.concat(parts, ignore_index=True)
 
 
@@ -417,13 +453,11 @@ def _theta_from_rows(rows, meta: pd.DataFrame, avgdl: float, k: int,
 
 def _best_block_keys(bmeta: pd.DataFrame, n_blocks: int, avgdl: float,
                      k1: float, b: float) -> list[tuple[str, int, int]]:
-    """Top-n_blocks blocks per term by recomputed upper bound (idf/qtf are
-    constant within a term, so max_tf/(max_tf+norm) orders identically to
-    the full bound), tiebreak (block_id, salt) — pure numpy."""
-    ub = (bmeta["max_tf"].to_numpy(np.float64)
-          / (bmeta["max_tf"].to_numpy(np.float64)
-             + k1 * (1.0 - b + b * bmeta["min_dl"].to_numpy(np.float64)
-                     / avgdl)))
+    """Top-n_blocks blocks per term by the exact skyline bound (idf/qtf
+    are constant within a term, so the tf-part orders identically to the
+    full bound), tiebreak (block_id, salt) — pure numpy."""
+    ub = _sky_part_np(bmeta["sky_tfs"].tolist(), bmeta["sky_dls"].tolist(),
+                      avgdl, k1, b)
     d = bmeta.assign(_ub=ub)
     keys: list[tuple[str, int, int]] = []
     for t, grp in d.groupby("term", sort=False):
@@ -444,15 +478,13 @@ def _theta_spark_meta(reader: IndexReader, meta: pd.DataFrame, k: int,
     terms = meta["term"].tolist()
     buckets = sorted({int(v) for v in reader.bucket_of(terms).values()})
     avgdl = reader.stats["avgdl"]
-    norm = F.lit(k1) * (F.lit(1.0 - b)
-                        + F.lit(b) * F.col("min_dl") / F.lit(avgdl))
-    ub = F.col("max_tf") / (F.col("max_tf") + norm)
+    ub = _sky_part_expr(k1, b, avgdl)
     w = Window.partitionBy("term").orderBy(
         ub.desc(), F.asc("block_id"), F.asc("salt"))
     key_rows = (
         reader.postings.filter(
             F.col("bucket").isin(buckets) & F.col("term").isin(terms))
-        .select("term", "salt", "block_id", "max_tf", "min_dl")
+        .select("term", "salt", "block_id", "sky_tfs", "sky_dls")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= n_blocks)
         .select("term", "salt", "block_id")
@@ -579,14 +611,11 @@ def search(
                 meta["term"].tolist())
         ).join(F.broadcast(info), "term", "inner")
     )
-    # Block upper bound recomputed at query time from (max_tf, min_dl):
-    # valid for any (k1, b) AND robust to incremental appends (which
-    # change N/avgdl). A pure column expression — JVM-side, evaluated
-    # before any decode.
-    norm = F.lit(k1) * (F.lit(1.0 - b)
-                        + F.lit(b) * F.col("min_dl") / F.lit(avgdl))
-    block_ub = (F.col("qtf") * F.col("idf") * F.col("max_tf")
-                / (F.col("max_tf") + norm))
+    # EXACT block upper bound recomputed at query time from the stored
+    # (tf, dl) skyline: valid for any (k1, b) AND robust to incremental
+    # appends (which change N/avgdl). A pure column expression —
+    # JVM-side, evaluated before any decode.
+    block_ub = F.col("qtf") * F.col("idf") * _sky_part_expr(k1, b, avgdl)
 
     payload_cols = ["term", "qtf", "idf", "gub", "doc_gaps", "tfs", "dls"]
 
@@ -616,20 +645,38 @@ def search(
         bmeta = _block_meta_arrow(reader, meta["term"].tolist())
         cutoff: dict[str, float]
         if bmeta is not None:
-            keys = _best_block_keys(bmeta, n_blocks_theta, avgdl, k1, b)
-            rows = _fetch_blocks_arrow(reader, keys) if keys else \
-                pd.DataFrame(columns=["term", "doc_gaps", "tfs", "dls"])
-            theta = _theta_from_rows(
-                (r._asdict() for r in rows.itertuples(index=False)),
-                meta, avgdl, k, k1, b)
-            # exact keep count from the same metadata — numpy, no job
             weight = {t: float(q) * float(i) for t, q, i in
                       zip(meta["term"], meta["qtf"], meta["idf"])}
             gub_by = dict(zip(meta["term"], meta["gub"].astype(float)))
-            mt = bmeta["max_tf"].to_numpy(np.float64)
-            md = bmeta["min_dl"].to_numpy(np.float64)
             wts = bmeta["term"].map(weight).to_numpy(np.float64)
-            block_ub_np = wts * mt / (mt + k1 * (1.0 - b + b * md / avgdl))
+            block_ub_np = wts * _sky_part_np(
+                bmeta["sky_tfs"].tolist(), bmeta["sky_dls"].tolist(),
+                avgdl, k1, b)
+            # θ_meta, decode-free: within ONE term, distinct blocks hold
+            # distinct docs, and the skyline block max is ACHIEVED by a
+            # posting — so a term with ≥ k blocks proves k distinct docs
+            # scoring ≥ its k-th highest weighted block max. Valid lower
+            # bound on the true k-th best score; catches the bursty-tail
+            # postings a best-blocks decode sample misses.
+            theta_meta = float("-inf")
+            terms_arr = bmeta["term"].to_numpy()
+            for t in gub_by:
+                tb = block_ub_np[terms_arr == t]
+                if tb.size >= k:
+                    theta_meta = max(theta_meta, float(
+                        np.partition(tb, tb.size - k)[tb.size - k]))
+            # θ_decode: exact partial sums over the few highest-bound
+            # blocks' actual postings. Complements θ_meta on BOTH query
+            # shapes: several top docs can share one block (θ_meta sees
+            # only each block's single max), and on multi-term queries a
+            # doc's partials sum across terms. θ = max of the two valid
+            # lower bounds.
+            keys = _best_block_keys(bmeta, n_blocks_theta, avgdl, k1, b)
+            rows = _fetch_blocks_arrow(reader, keys) if keys else \
+                pd.DataFrame(columns=["term", "doc_gaps", "tfs", "dls"])
+            theta = max(theta_meta, _theta_from_rows(
+                (r._asdict() for r in rows.itertuples(index=False)),
+                meta, avgdl, k, k1, b))
             cutoff = {t: theta - (total_gub - g)
                       for t, g in gub_by.items()}
             cut_np = bmeta["term"].map(cutoff).to_numpy(np.float64)
@@ -646,7 +693,7 @@ def search(
             cutoff_meta = spark.createDataFrame(
                 list(cutoff.items()), "term string, cutoff double")
             cnt = (
-                matching.select("term", "max_tf", "min_dl")
+                matching.select("term", "qtf", "idf", "sky_tfs", "sky_dls")
                 .join(F.broadcast(cutoff_meta), "term")
                 .agg(F.count(F.lit(1)).alias("n"),
                      F.sum((block_ub >= F.col("cutoff"))
@@ -669,6 +716,29 @@ def search(
             with_cut = matching.join(F.broadcast(cutoff_df), "term")
             survive = block_ub >= F.col("cutoff")
             pruned = with_cut.filter(survive)
+            if len(meta) == 1:
+                # Single-clause shortcut: a doc has exactly ONE posting
+                # block for the term, so every doc in the pruned decode
+                # has its EXACT score (and every skipped doc provably
+                # scores < θ ≤ s_k). Phase B would re-derive the same
+                # set — skip it: one Spark job over the surviving blocks.
+                if prune_stats is not None:
+                    prune_stats["path"] = "single_clause_pruned"
+                partials = pruned.select(*payload_cols).mapInPandas(
+                    _decode_partials_factory(avgdl, k1, b),
+                    schema=PARTIAL_SCHEMA)
+                topk = (_sum_deterministic(partials)
+                        .select("doc_id", "score")
+                        .orderBy(F.desc("score"), F.asc("doc_id"))
+                        .limit(int(k)))
+                if not with_text:
+                    return topk
+                docs = reader.docs.select(
+                    "doc_id", "conv_id", "turn_idx", "text")
+                return (docs.join(F.broadcast(topk), "doc_id")
+                        .select("doc_id", "score", "conv_id", "turn_idx",
+                                "text")
+                        .orderBy(F.desc("score"), F.asc("doc_id")))
             # persisted: BOTH the θ'' collect and the candidate filter
             # consume approx — without it each action re-runs the decode
             approx = _sum_deterministic(

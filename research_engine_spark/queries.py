@@ -282,13 +282,32 @@ LIMIT 20
 """)
 def rrf_user_fusion(spark, sf_dir):
     """Reciprocal Rank Fusion (R7: query_retriever.py:66-74, k=60) over two
-    independent rankings."""
+    independent rankings.
+
+    Both rankings aggregate the SAME events scan, so the per-user base
+    (count, sum) is computed once and persisted — each full-depth rank
+    then range-shuffles only the tiny user-level aggregate (r2 VERDICT
+    #3/#6: the naive form ran the events agg once per ranking plus once
+    per range-sampling pass)."""
+    from .operators.fusion import with_rank_per_key
+
     e = _t(spark, sf_dir, "events")
-    by_count = with_rank(
-        e.groupBy("user_id").agg(F.count(F.lit(1)).alias("s")), "s", "user_id")
-    by_value = with_rank(
-        e.groupBy("user_id").agg(F.sum("value").alias("s")), "s", "user_id")
-    fused = rrf_fuse([by_count, by_value], ["user_id"], k=60, top_n=20)
+    base = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("c"),
+        F.sum("value").alias("v")).persist()
+    tagged = (
+        base.select("user_id", F.lit("c").alias("lst"),
+                    F.col("c").alias("s"))
+        .unionByName(base.select("user_id", F.lit("v").alias("lst"),
+                                 F.col("v").alias("s")))
+    )
+    ranked = with_rank_per_key(tagged, "lst", "s", "user_id",
+                               persist_input=False)
+    fused = (
+        ranked.groupBy("user_id")
+        .agg(F.sum(1.0 / (F.lit(60.0) + F.col("rank"))).alias("rrf_score"))
+        .orderBy(F.desc("rrf_score"), F.asc("user_id")).limit(20)
+    )
     return fused.select("user_id", F.round("rrf_score", 6).alias("rrf_score"))
 
 
@@ -986,6 +1005,143 @@ def bm25_rrf_documents(spark, sf_dir):
     fused = rrf_fuse([ranking(["spark", "join"]), ranking(["hash", "table"])],
                      ["doc_id"], k=60, top_n=10)
     return fused.select("doc_id", F.round("rrf_score", 6).alias("rrf_score"))
+
+
+# Positional phrase scoring twin (R3): engine semantics over the simple
+# SQL-expressible tokenizer — ptf = adjacent-pair occurrences, score =
+# (Σ idf) * ptf / (ptf + k1*(1-b+b*dl/avgdl)). CTE names prefixed p* so
+# the body composes with _BM25_CTE in the bool/should twin.
+_PHRASE_CTE = f"""
+lsts AS (SELECT doc_id, {_TOK_SQL} AS lst FROM documents),
+pos AS (SELECT doc_id, unnest(lst) AS term,
+               generate_subscripts(lst, 1) AS p FROM lsts),
+pdl AS (SELECT doc_id, len(lst) AS dl FROM lsts WHERE len(lst) > 0),
+pcorpus AS (SELECT count(*) AS n, sum(dl) AS tok FROM pdl),
+pdf AS (SELECT term, count(DISTINCT doc_id) AS df FROM pos
+        WHERE term IN ('spark', 'join') GROUP BY term),
+pidf AS (SELECT sum(ln(1 + (pcorpus.n - df + 0.5) / (df + 0.5))) AS sum_idf,
+                count(*) AS nt FROM pdf, pcorpus),
+ptf AS (
+  SELECT a.doc_id, count(*) AS ptf
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+  WHERE a.term = 'spark' AND b.term = 'join'
+  GROUP BY a.doc_id
+),
+pscore AS (
+  SELECT ptf.doc_id,
+         pidf.sum_idf * ptf.ptf / (ptf.ptf + 1.2 * (1 - 0.75 + 0.75 * pdl.dl
+           / (pcorpus.tok * 1.0 / pcorpus.n))) AS ps
+  FROM ptf JOIN pdl USING (doc_id), pcorpus, pidf
+  WHERE pidf.nt = 2
+)
+"""
+
+
+def _phrase_scores_df(spark, sf_dir, t1: str, t2: str):
+    """Spark twin of _PHRASE_CTE: full (doc_id, phrase score) set for the
+    two-term phrase ``t1 t2`` over the documents table."""
+    import math
+
+    d = _t(spark, sf_dir, "documents")
+    toks_arr = F.filter(F.split(F.lower(F.col("text")), r"[^a-z0-9]+"),
+                        lambda t: t != "")
+    pos = d.select("doc_id", F.posexplode(toks_arr).alias("p", "term"))
+    dl = pos.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    corpus = dl.agg(F.count(F.lit(1)).alias("n"),
+                    F.sum("dl").alias("tok")).collect()[0]
+    n_docs = int(corpus["n"])
+    avgdl = float(corpus["tok"]) / n_docs
+    dfs = {r["term"]: int(r["df"]) for r in
+           pos.filter(F.col("term").isin([t1, t2])).groupBy("term")
+           .agg(F.countDistinct("doc_id").alias("df")).collect()}
+    if len(dfs) < 2:
+        return spark.createDataFrame([], "doc_id bigint, ps double")
+    sum_idf = sum(math.log(1.0 + (n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5))
+                  for t in (t1, t2))
+    a = pos.filter(F.col("term") == t1).select("doc_id", "p")
+    b = pos.filter(F.col("term") == t2).select(
+        "doc_id", F.col("p").alias("p2"))
+    ptf = (a.join(b, "doc_id").filter(F.col("p2") == F.col("p") + 1)
+           .groupBy("doc_id").agg(F.count(F.lit(1)).alias("ptf")))
+    return (
+        ptf.join(dl, "doc_id")
+        .select(
+            "doc_id",
+            (F.lit(sum_idf) * F.col("ptf")
+             / (F.col("ptf") + 1.2 * (1 - 0.75 + 0.75 * F.col("dl")
+                                      / F.lit(avgdl)))).alias("ps"),
+        )
+    )
+
+
+@register("phrase_bm25_documents", f"""
+WITH {_PHRASE_CTE}
+SELECT doc_id, round(ps, 4) AS score FROM pscore
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+""")
+def phrase_bm25_documents(spark, sf_dir):
+    """R3 exact-phrase scoring ("spark join"), DuckDB-checked via a
+    positional self-join (generate_subscripts): ptf = adjacent-pair
+    count, Lucene-PhraseQuery-shaped score (es_search_final.py:24-31
+    match_phrase clause; engine twin: operators/scorer.py phrase_scores)."""
+    ps = _phrase_scores_df(spark, sf_dir, "spark", "join")
+    return (ps.select("doc_id", F.round("ps", 4).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(10))
+
+
+@register("bool_should_documents", f"""
+WITH {_BM25_CTE},
+{_PHRASE_CTE},
+tscore AS (
+  SELECT doc_id, sum(partial) AS ts FROM scored
+  WHERE term IN ('spark', 'join') GROUP BY doc_id
+)
+SELECT COALESCE(tscore.doc_id, pscore.doc_id) AS doc_id,
+       round(COALESCE(ts, 0) + 2.0 * COALESCE(ps, 0), 4) AS score
+FROM tscore FULL OUTER JOIN pscore ON tscore.doc_id = pscore.doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+""")
+def bool_should_documents(spark, sf_dir):
+    """R4 bool/should twin (es_search_final.py:13-34): match clause over
+    the query terms PLUS a phrase clause boosted 2.0, docs matching
+    either clause qualify — DuckDB-checked."""
+    d = _t(spark, sf_dir, "documents")
+    toks_arr = F.filter(F.split(F.lower(F.col("text")), r"[^a-z0-9]+"),
+                        lambda t: t != "")
+    toks = d.select("doc_id", F.explode(toks_arr).alias("term"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    corpus = dl.agg(F.count(F.lit(1)).alias("n"),
+                    F.sum("dl").alias("tok")).collect()[0]
+    n_docs, avgdl = int(corpus["n"]), float(corpus["tok"]) / int(corpus["n"])
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(1.0 + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tscore = (
+        tf.filter(F.col("term").isin(["spark", "join"]))
+        .join(F.broadcast(df_t.withColumn("idf", idf)
+                          .select("term", "idf")), "term")
+        .join(dl, "doc_id")
+        .withColumn(
+            "partial",
+            F.col("idf") * F.col("tf")
+            / (F.col("tf") + 1.2 * (1 - 0.75 + 0.75 * F.col("dl")
+                                    / F.lit(avgdl))),
+        )
+        .groupBy("doc_id").agg(F.sum("partial").alias("ts"))
+    )
+    ps = _phrase_scores_df(spark, sf_dir, "spark", "join")
+    combined = (
+        tscore.join(ps, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.round(F.coalesce(F.col("ts"), F.lit(0.0))
+                    + F.lit(2.0) * F.coalesce(F.col("ps"), F.lit(0.0)),
+                    4).alias("score"),
+        )
+    )
+    return combined.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
 
 
 @register("rechunk_documents", f"""

@@ -12,8 +12,10 @@ Two ingredients make pruning winnable (r2 VERDICT #1):
    turns on the topic-repeat mechanism in the synthesizer.
 
 Usage: python scripts/prune_crossover.py [n_convs] [cores] [burstiness]
-Prints one JSON line: per-query plain/pruned seconds, means, and the
-prune decision stats (theta, blocks kept/total, candidates) per query.
+                                         [corpus_parquet]
+Prints one JSON line: per-query plain/pruned seconds and means for two
+query classes (multi-term reference set, single-term), plus the prune
+decision stats (theta, blocks kept/total, candidates) per query.
 """
 
 from __future__ import annotations
@@ -46,42 +48,55 @@ def main() -> None:
                       shuffle_partitions=max(cores * 4, 32),
                       extra_conf={"spark.ui.showConsoleProgress": "false",
                                   "spark.local.dir": os.environ["TMPDIR"]})
-    src = tempfile.mkdtemp(prefix="crossover_src_")
-    synth_transcripts(spark, n_convs=n_convs, seed=42,
-                      n_partitions=max(cores * 2, 16),
-                      burstiness=burstiness).write.mode(
-                          "overwrite").parquet(src)
+    keep_src = len(sys.argv) > 4
+    if keep_src:
+        src = sys.argv[4]
+    else:
+        src = tempfile.mkdtemp(prefix="crossover_src_")
+        synth_transcripts(spark, n_convs=n_convs, seed=42,
+                          n_partitions=max(cores * 2, 16),
+                          burstiness=burstiness).write.mode(
+                              "overwrite").parquet(src)
     tx = spark.read.parquet(src)
     idx = tempfile.mkdtemp(prefix="crossover_idx_")
     stats = build_index(tx, idx, n_buckets=64,
                         n_partitions=max(cores * 4, 32))
     reader = IndexReader(spark, idx)
 
+    # two query classes: the multi-term reference set (θ rarely beats the
+    # sum of the other terms' bounds -> expected fallback at zero extra
+    # jobs) and single-term queries (one clause -> exact skyline bounds
+    # prune hard; the class where block-max machinery pays rent)
+    single_terms = ["neural", "attention", "learning", "architecture",
+                    "transformer", "healthcare"]
     out = {"n_turns": stats["n_docs"], "cores": cores,
            "burstiness": burstiness, "queries": {}, "prune_stats": {}}
-    for mode, prune in (("plain", False), ("pruned", True)):
-        # warmup once so JIT/broadcast costs don't bias the first mode
-        search(reader, REFERENCE_QUERIES[0], k=10, with_text=False,
-               prune=prune).collect()
-        total = 0.0
-        for i, q in enumerate(REFERENCE_QUERIES):
-            ps: dict = {}
-            t0 = time.monotonic()
-            search(reader, q, k=10, with_text=False, prune=prune,
-                   prune_stats=ps if prune else None).collect()
-            dt = time.monotonic() - t0
-            out["queries"][f"{mode}_q{i+1:02d}"] = round(dt, 3)
-            total += dt
-            if prune:
-                if "theta" in ps:
-                    t = float(ps["theta"])
-                    ps["theta"] = round(t, 4) if abs(t) != float(
-                        "inf") else None
-                out["prune_stats"][f"q{i+1:02d}"] = ps
-        out[f"{mode}_mean_sec"] = round(total / len(REFERENCE_QUERIES), 3)
+    for cls, qset in (("ref", list(REFERENCE_QUERIES)),
+                      ("single", single_terms)):
+        for mode, prune in (("plain", False), ("pruned", True)):
+            # warmup once so JIT/broadcast costs don't bias the first mode
+            search(reader, qset[0], k=10, with_text=False,
+                   prune=prune).collect()
+            total = 0.0
+            for i, q in enumerate(qset):
+                ps: dict = {}
+                t0 = time.monotonic()
+                search(reader, q, k=10, with_text=False, prune=prune,
+                       prune_stats=ps if prune else None).collect()
+                dt = time.monotonic() - t0
+                out["queries"][f"{cls}_{mode}_q{i+1:02d}"] = round(dt, 3)
+                total += dt
+                if prune:
+                    if "theta" in ps:
+                        t = float(ps["theta"])
+                        ps["theta"] = round(t, 4) if abs(t) != float(
+                            "inf") else None
+                    out["prune_stats"][f"{cls}_q{i+1:02d}"] = ps
+            out[f"{cls}_{mode}_mean_sec"] = round(total / len(qset), 3)
     print(json.dumps(out))
     shutil.rmtree(idx, ignore_errors=True)
-    shutil.rmtree(src, ignore_errors=True)
+    if not keep_src:
+        shutil.rmtree(src, ignore_errors=True)
     spark.stop()
 
 

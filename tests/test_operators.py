@@ -166,6 +166,25 @@ def test_with_rank_deterministic_ties(spark):
     assert got == {1: 1, 2: 2, 3: 3}
 
 
+def test_with_rank_per_key_matches_per_list_rank(spark):
+    """The keyed full-depth rank (one shuffle for N lists) must equal
+    running with_rank on each list separately."""
+    from research_engine_spark.operators.fusion import with_rank_per_key
+
+    rng = np.random.default_rng(5)
+    rows = [(f"l{k}", int(i), float(v)) for k in range(3)
+            for i, v in enumerate(rng.integers(0, 40, size=200))]
+    df = spark.createDataFrame(rows, "lst string, id int, s double")
+    got = {(r["lst"], r["id"]): r["rank"]
+           for r in with_rank_per_key(df, "lst", "s", "id").collect()}
+    for k in range(3):
+        solo = {r["id"]: r["rank"] for r in with_rank(
+            df.filter(F.col("lst") == f"l{k}").drop("lst"),
+            "s", "id").collect()}
+        for i, rk in solo.items():
+            assert got[(f"l{k}", i)] == rk, (k, i)
+
+
 def test_multimodal_plumbing(spark):
     from research_engine_spark.operators.multimodal import (
         extract_features, frame_sample_plan, synth_media)

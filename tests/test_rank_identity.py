@@ -122,6 +122,43 @@ def test_prune_engages_on_skewed_tf(spark, tmp_path):
                     prune_stats=stats).toPandas()
     plain = search(reader, "skewterm", k=10, prune=False,
                    with_text=False).toPandas()
+    assert stats["path"] == "single_clause_pruned", stats
+    assert stats["n_keep"] < 0.5 * stats["n_blocks"], stats
+    assert list(pruned["doc_id"]) == list(plain["doc_id"])
+    assert np.allclose(pruned["score"], plain["score"], rtol=0, atol=0)
+
+
+def test_prune_two_phase_multi_term(spark, tmp_path):
+    """Multi-term query over a skewed corpus: the full two-phase path
+    (phase A skip + candidate rescore) must engage and stay bit-identical
+    to the plain scan."""
+    import datetime
+
+    import pandas as pd
+
+    from research_engine_spark.operators.indexer import build_index
+    from research_engine_spark.operators.scorer import IndexReader
+
+    n_docs, n_hot = 3000, 16
+    rows = []
+    ts = datetime.datetime(2024, 1, 1)
+    for i in range(n_docs):
+        tf = 20 if i < n_hot else 1
+        filler = " ".join(f"fill{j:02d}" for j in range(50 - 2 * tf))
+        rows.append((f"conv_{i:06d}", 0, "user",
+                     ("alpha beta " * tf) + filler, None, ts))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role",
+                                      "text", "tool", "ts"])
+    df = spark.createDataFrame(pdf)
+    idx = str(tmp_path / "skew2_idx")
+    build_index(df, idx, n_buckets=4)
+    reader = IndexReader(spark, idx)
+
+    stats: dict = {}
+    pruned = search(reader, "alpha beta", k=10, prune=True,
+                    with_text=False, prune_stats=stats).toPandas()
+    plain = search(reader, "alpha beta", k=10, prune=False,
+                   with_text=False).toPandas()
     assert stats["path"] == "two_phase", stats
     assert stats["n_keep"] < 0.5 * stats["n_blocks"], stats
     assert list(pruned["doc_id"]) == list(plain["doc_id"])
