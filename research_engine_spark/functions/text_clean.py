@@ -37,6 +37,59 @@ def fix_ligatures(col: Column) -> Column:
     return c
 
 
+def _fix_mojibake_str(s: str) -> str:
+    """Best-effort mojibake repair — the core transform of the
+    reference's ftfy.fix_text call (old_scripts/text_clean.py:4,46):
+    UTF-8 bytes mis-decoded as cp1252/latin-1 ("CafÃ©" -> "Café",
+    "â€œ" -> left double quote). Detection is marker-based (Ã/Â/â€
+    sequences essentially never occur in real text); repair is the
+    encode-roundtrip, applied up to twice for double-encoded input, and
+    abandoned untouched when the string doesn't survive the roundtrip
+    (mixed genuine-Unicode + mojibake). A deliberate subset of ftfy —
+    no HTML entities, no lossy guessing."""
+    import codecs
+
+    # "sloppy windows-1252" (ftfy's trick): cp1252 encode, with the five
+    # unmapped C1 positions falling through byte-identically via latin-1
+    # — exactly how the original mis-decode produced them.
+    try:
+        codecs.lookup_error("re_sloppy1252")
+    except LookupError:
+        def _fallback(e):
+            ch = e.object[e.start:e.end]
+            try:
+                return (ch.encode("latin-1"), e.end)
+            except UnicodeEncodeError:
+                raise e
+        codecs.register_error("re_sloppy1252", _fallback)
+    for _ in range(2):
+        if ("Ã" not in s) and ("Â" not in s) and ("â€" not in s):
+            return s
+        try:
+            fixed = s.encode("cp1252", errors="re_sloppy1252").decode(
+                "utf-8")
+        except (UnicodeEncodeError, UnicodeDecodeError):
+            return s
+        if fixed == s:
+            return s
+        s = fixed
+    return s
+
+
+def fix_mojibake_udf():
+    """Arrow-batched pandas UDF over _fix_mojibake_str; rows without the
+    marker bytes short-circuit (the overwhelming majority)."""
+    import pandas as pd
+    from pyspark.sql import functions as _F
+
+    @_F.pandas_udf("string")
+    def fix(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda s: _fix_mojibake_str(s)
+                         if isinstance(s, str) else s)
+
+    return fix
+
+
 def dehyphenate_eol(col: Column) -> Column:
     """F5: re-join words hyphen-wrapped at end-of-line ("exam-\\nple" ->
     "example") — the reference's HARD_HYPHEN rule

@@ -371,13 +371,26 @@ def build_index(
         n_docs = int(pads.dataset(docs_path, format="parquet").count_rows())
     except Exception:
         n_docs = docs_tbl.count()
-    # total_tokens = Σ tf over ALL pairs (per-doc Σ tf == dl), summed in
-    # int64 (exact) so avgdl is bit-identical across partitionings and to
-    # the oracle. This job also materializes the pairs persist, so the
-    # term_stats agg and the SPIMI pack read the cache, not the tokenizer.
-    total_tokens = int(pairs.agg(
-        F.sum(F.col("tf").cast("long"))).collect()[0][0] or 0)
     timings["tokenize_stats_sec"] = round(time.monotonic() - t_tok, 3)
+
+    t_pack = time.monotonic()
+    timings.update(_pack_segment(
+        docs_tbl, out_dir,
+        n_buckets=n_buckets, max_group_postings=max_group_postings,
+        n_partitions=n_partitions, snapshot_id=snapshot_id,
+        buckets_subset=buckets_subset, mode=mode,
+        with_positions=with_positions, pairs=pairs,
+    ))
+    timings["pack_total_sec"] = round(time.monotonic() - t_pack, 3)
+
+    # total_tokens = Σ cf over term_stats (cf = Σ tf, exact int64 —
+    # bit-identical avgdl to summing the pairs directly, which the r2
+    # code did with a FULL extra pass over the 10^8-row pairs cache; the
+    # vocab-sized term_stats read costs nothing). Written AFTER the pack:
+    # nothing in the pack consumes corpus stats (blocks are param-free by
+    # design), so stats derive from the already-written index tables.
+    total_tokens = _total_tokens_from_term_stats(os.path.join(
+        out_dir, "term_stats"))
     avgdl = total_tokens / n_docs if n_docs else 0.0
     corpus_stats = {"n_docs": n_docs, "avgdl": avgdl,
                     "total_tokens": total_tokens, "k1": k1, "b": b,
@@ -385,16 +398,6 @@ def build_index(
                     "positions": bool(with_positions)}
     with open(os.path.join(out_dir, "corpus_stats.json"), "w") as f:
         json.dump(corpus_stats, f)
-
-    t_pack = time.monotonic()
-    timings.update(_pack_segment(
-        docs_tbl, out_dir, n_docs=n_docs, avgdl=avgdl, k1=k1, b=b,
-        n_buckets=n_buckets, max_group_postings=max_group_postings,
-        n_partitions=n_partitions, snapshot_id=snapshot_id,
-        buckets_subset=buckets_subset, mode=mode,
-        with_positions=with_positions, pairs=pairs,
-    ))
-    timings["pack_total_sec"] = round(time.monotonic() - t_pack, 3)
 
     # --- snapshot manifest (Iceberg-snapshot analog for resume) ------------
     manifest_path = os.path.join(out_dir, "manifest.json")
@@ -429,13 +432,25 @@ def _tokenized_pairs(docs_tbl: DataFrame, n_buckets: int,
     return pairs.persist(StorageLevel.MEMORY_AND_DISK)
 
 
+def _total_tokens_from_term_stats(ts_path: str,
+                                  snapshot_id: str | None = None) -> int:
+    """Exact int64 token total from the vocab-sized term_stats table
+    (pyarrow, no Spark job). snapshot_id filters to one segment's rows
+    (append path); None sums every segment."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    ds = pads.dataset(ts_path, format="parquet")
+    flt = (pads.field("snapshot_id") == snapshot_id
+           if snapshot_id is not None else None)
+    tbl = ds.to_table(columns=["cf"], filter=flt)
+    s = pc.sum(tbl["cf"]).as_py()
+    return int(s or 0)
+
+
 def _pack_segment(
     docs_tbl: DataFrame,
     out_dir: str,
-    n_docs: int,
-    avgdl: float,
-    k1: float,
-    b: float,
     n_buckets: int,
     max_group_postings: int,
     n_partitions: int,
@@ -448,9 +463,10 @@ def _pack_segment(
     """Shared pack pipeline: (term, doc) pairs -> term_stats -> salted SPIMI
     blocks -> postings + doc_stats + lineage. Used by full builds,
     bucket-resume, and streaming segment appends (docs_tbl = just the new
-    segment there, with n_docs/avgdl the GLOBAL totals so idf/norms
-    reflect the whole corpus). ``pairs``: the caller's already-persisted
-    tokenize output (unfiltered); built here if absent.
+    segment there; corpus stats don't enter the pack at all — blocks are
+    parameter-free, and idf/norms are recomputed at query time from the
+    aggregated stats). ``pairs``: the caller's already-persisted tokenize
+    output (unfiltered); built here if absent.
     """
     spark = docs_tbl.sparkSession
     timings: dict[str, float] = {}
@@ -587,26 +603,26 @@ def append_segment(transcripts: DataFrame, out_dir: str,
                 ).write.mode("append").parquet(os.path.join(out_dir, "docs"))
     seg = spark.read.parquet(os.path.join(out_dir, "docs")).filter(
         F.col("doc_id") >= base)
-    # one tokenize pass for the segment: stats from Σ tf, then the pack
-    # consumes the same persisted pairs (mirrors build_index)
+    # one tokenize pass for the segment; the pack consumes the persisted
+    # pairs and the segment's token total comes from its term_stats rows
+    # (snapshot-filtered Σ cf — no extra pass, mirrors build_index)
     pairs = _tokenized_pairs(seg, int(stats["n_buckets"]),
                              bool(stats.get("positions", False)))
     n_new = seg.count()
-    seg_tokens = int(pairs.agg(
-        F.sum(F.col("tf").cast("long"))).collect()[0][0] or 0)
-    stats["n_docs"] = base + int(n_new)
-    stats["total_tokens"] = int(stats["total_tokens"]) + seg_tokens
-    stats["avgdl"] = (stats["total_tokens"] / stats["n_docs"]
-                      if stats["n_docs"] else 0.0)
     if snapshot_id is None:
         snapshot_id = f"seg_{base}"
     _pack_segment(
-        seg, out_dir, n_docs=stats["n_docs"], avgdl=stats["avgdl"],
-        k1=stats["k1"], b=stats["b"], n_buckets=int(stats["n_buckets"]),
+        seg, out_dir, n_buckets=int(stats["n_buckets"]),
         max_group_postings=500_000, n_partitions=n_partitions,
         snapshot_id=snapshot_id, mode="append",
         with_positions=bool(stats.get("positions", False)), pairs=pairs,
     )
+    seg_tokens = _total_tokens_from_term_stats(
+        os.path.join(out_dir, "term_stats"), snapshot_id=snapshot_id)
+    stats["n_docs"] = base + int(n_new)
+    stats["total_tokens"] = int(stats["total_tokens"]) + seg_tokens
+    stats["avgdl"] = (stats["total_tokens"] / stats["n_docs"]
+                      if stats["n_docs"] else 0.0)
     with open(os.path.join(out_dir, "corpus_stats.json"), "w") as f:
         json.dump(stats, f)
     return stats

@@ -371,7 +371,8 @@ def _block_meta_arrow(reader: IndexReader,
         if est + have > BLOCK_META_BUDGET:
             return None
         buckets = sorted(set(reader.bucket_of(missing).values()))
-        cols = ["term", "salt", "block_id", "sky_tfs", "sky_dls"]
+        cols = ["term", "salt", "block_id", "first_doc_id", "last_doc_id",
+                "sky_tfs", "sky_dls"]
         frames = []
         for bkt in buckets:
             p = os.path.join(reader.index_dir, "postings", f"bucket={bkt}")
@@ -390,6 +391,7 @@ def _block_meta_arrow(reader: IndexReader,
     parts = [cache[t] for t in terms if not cache[t].empty]
     if not parts:
         return pd.DataFrame(columns=["term", "salt", "block_id",
+                                     "first_doc_id", "last_doc_id",
                                      "sky_tfs", "sky_dls"])
     return pd.concat(parts, ignore_index=True)
 
@@ -449,6 +451,84 @@ def _theta_from_rows(rows, meta: pd.DataFrame, avgdl: float, k: int,
     if sums.size < k:
         return float("-inf")
     return float(np.partition(sums, sums.size - k)[sums.size - k])
+
+
+def _sparse_max_table(vals: np.ndarray) -> list[np.ndarray]:
+    """Sparse table for O(1) range-max: levels[k][i] = max vals[i:i+2^k]."""
+    levels = [vals]
+    while (1 << len(levels)) <= vals.size:
+        h = 1 << (len(levels) - 1)
+        prev = levels[-1]
+        levels.append(np.maximum(prev[:prev.size - h], prev[h:]))
+    return levels
+
+
+def _range_max(levels: list[np.ndarray], i0: np.ndarray,
+               i1: np.ndarray) -> np.ndarray:
+    """Vectorized max(vals[i0[j]:i1[j]+1]) per query j (i0 <= i1)."""
+    out = np.empty(i0.size, dtype=np.float64)
+    k = np.floor(np.log2((i1 - i0 + 1).astype(np.float64))).astype(np.int64)
+    for kk in np.unique(k):
+        m = k == kk
+        lv = levels[int(kk)]
+        out[m] = np.maximum(lv[i0[m]], lv[i1[m] - (1 << int(kk)) + 1])
+    return out
+
+
+def _aligned_skip_bounds(bmeta: pd.DataFrame, block_ub: np.ndarray,
+                         terms: list[str]) -> np.ndarray:
+    """Doc-range-aligned phase-A skip bound per block (block-level BMW
+    alignment, driver-side numpy):
+
+        bound(B of t) = ub(B) + Σ_{t'≠t} max{ ub(B') : B' of t',
+                                              range(B') ∩ range(B) ≠ ∅ }
+
+    Valid: a doc d whose every containing block is skipped satisfies,
+    for any of its terms t* with block B*, partial_{t'}(d) ≤ ub of the
+    t'-block containing d, which overlaps B*'s doc range — so
+    score(d) ≤ bound(B*) < θ. Strictly tighter than the global
+    Σ gub(t') cutoff: a block in a doc region where a selective term is
+    ABSENT gets that term's contribution bounded by 0, which is what
+    lets rare∧common queries prune the common term's postings.
+
+    Within one (term, salt) group blocks are doc-sorted and disjoint, so
+    the overlap set per group is a contiguous index range — found with
+    two searchsorted calls and bounded by a sparse-table range max.
+    """
+    n = len(bmeta)
+    first = bmeta["first_doc_id"].to_numpy(np.int64)
+    last = bmeta["last_doc_id"].to_numpy(np.int64)
+    term_arr = bmeta["term"].to_numpy()
+    # per (term, salt) group: arrays sorted by first_doc_id + max table
+    groups: dict[str, list[tuple]] = {}
+    gb = bmeta.groupby(["term", "salt"], sort=False).indices
+    for (t, _s), idx in gb.items():
+        idx = np.asarray(idx)
+        order = np.argsort(first[idx], kind="stable")
+        idx = idx[order]
+        groups.setdefault(t, []).append(
+            (first[idx], last[idx], _sparse_max_table(block_ub[idx])))
+    bounds = block_ub.copy()
+    for t in terms:
+        rows_t = np.flatnonzero(term_arr == t)
+        if rows_t.size == 0:
+            continue
+        f_t, l_t = first[rows_t], last[rows_t]
+        for t2 in terms:
+            if t2 == t or t2 not in groups:
+                continue
+            gmax = np.zeros(rows_t.size, dtype=np.float64)
+            for gf, gl, levels in groups[t2]:
+                # overlap: first' <= l AND last' >= f; gl is ascending
+                # because the group's blocks are disjoint and sorted
+                i0 = np.searchsorted(gl, f_t, side="left")
+                i1 = np.searchsorted(gf, l_t, side="right") - 1
+                valid = i0 <= i1
+                if valid.any():
+                    rm = _range_max(levels, i0[valid], i1[valid])
+                    gmax[valid] = np.maximum(gmax[valid], rm)
+            bounds[rows_t] += gmax
+    return bounds
 
 
 def _best_block_keys(bmeta: pd.DataFrame, n_blocks: int, avgdl: float,
@@ -677,11 +757,15 @@ def search(
             theta = max(theta_meta, _theta_from_rows(
                 (r._asdict() for r in rows.itertuples(index=False)),
                 meta, avgdl, k, k1, b))
-            cutoff = {t: theta - (total_gub - g)
-                      for t, g in gub_by.items()}
-            cut_np = bmeta["term"].map(cutoff).to_numpy(np.float64)
+            # doc-range-aligned skip bounds (block-level BMW): the other
+            # terms' contribution is bounded by their best OVERLAPPING
+            # block, not their global max — what lets a rare∧common
+            # query prune the common term where the rare term is absent
+            skip_bounds = _aligned_skip_bounds(
+                bmeta, block_ub_np, list(gub_by))
+            keep_mask = skip_bounds >= theta
             n_blocks_total = int(len(bmeta))
-            n_keep = int((block_ub_np >= cut_np).sum())
+            n_keep = int(keep_mask.sum())
             gate = "driver"
         else:
             # extreme-scale fallback: metadata-only Spark jobs (never a
@@ -711,11 +795,23 @@ def search(
                 prune_stats["path"] = "fallback_plain"
             topk = plain_topk()
         else:
-            cutoff_df = spark.createDataFrame(
-                list(cutoff.items()), "term string, cutoff double")
-            with_cut = matching.join(F.broadcast(cutoff_df), "term")
-            survive = block_ub >= F.col("cutoff")
-            pruned = with_cut.filter(survive)
+            if gate == "driver":
+                # survivors known exactly (aligned bounds) — broadcast
+                # their (term, salt, block_id) keys; ≤ 0.7·n_blocks tiny
+                # rows by the gate condition
+                surv = bmeta.loc[keep_mask,
+                                 ["term", "salt", "block_id"]]
+                surv_df = spark.createDataFrame(
+                    surv.drop_duplicates(),
+                    "term string, salt int, block_id int")
+                pruned = matching.join(
+                    F.broadcast(surv_df),
+                    ["term", "salt", "block_id"], "inner")
+            else:
+                cutoff_df = spark.createDataFrame(
+                    list(cutoff.items()), "term string, cutoff double")
+                with_cut = matching.join(F.broadcast(cutoff_df), "term")
+                pruned = with_cut.filter(block_ub >= F.col("cutoff"))
             if len(meta) == 1:
                 # Single-clause shortcut: a doc has exactly ONE posting
                 # block for the term, so every doc in the pruned decode

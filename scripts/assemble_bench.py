@@ -118,6 +118,12 @@ engine's latency target is batch/analytical retrieval and indexing
 throughput, not interactive point queries; rank-identity to the oracle is
 bit-exact (see tests/test_rank_identity.py).
 """
+    # hand-maintained sections (prune crossover, prior series notes) live
+    # in BASELINE_extra.md and survive regeneration
+    extra_path = os.path.join(REPO, "BENCH", "BASELINE_extra.md")
+    if os.path.exists(extra_path):
+        with open(extra_path) as f:
+            md += "\n" + f.read()
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)

@@ -69,10 +69,17 @@ def main() -> None:
     # prune hard; the class where block-max machinery pays rent)
     single_terms = ["neural", "attention", "learning", "architecture",
                     "transformer", "healthcare"]
+    # rare ∧ common: the doc-range-aligned phase-A bound prunes the
+    # common term's blocks wherever the rare term is absent (the classic
+    # selective-conjunction BMW win); tail-vocab synthetics are the
+    # corpus's rare terms
+    selective = ["term03900 learning", "term03500 neural",
+                 "term03899 attention", "term03499 architecture"]
     out = {"n_turns": stats["n_docs"], "cores": cores,
            "burstiness": burstiness, "queries": {}, "prune_stats": {}}
     for cls, qset in (("ref", list(REFERENCE_QUERIES)),
-                      ("single", single_terms)):
+                      ("single", single_terms),
+                      ("selective", selective)):
         for mode, prune in (("plain", False), ("pruned", True)):
             # warmup once so JIT/broadcast costs don't bias the first mode
             search(reader, qset[0], k=10, with_text=False,

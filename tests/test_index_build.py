@@ -229,3 +229,42 @@ def test_append_lineage_scoped_per_segment(spark, small_tx):
         assert {k: int(v) for k, v in got.items()} == want
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_refresh_clears_prune_caches(spark, tmp_path):
+    """A pruned search warms the reader's term + block-metadata caches;
+    after append_segment + refresh() a pruned search must see the new
+    segment's postings (stale caches would silently score the old
+    corpus)."""
+    import datetime
+
+    import pandas as pd
+
+    from research_engine_spark.operators.indexer import (append_segment,
+                                                         build_index)
+    from research_engine_spark.operators.scorer import IndexReader, search
+
+    ts = datetime.datetime(2024, 1, 1)
+
+    def seg(prefix, n, text):
+        return spark.createDataFrame(pd.DataFrame(
+            [(f"{prefix}_{i:04d}", 0, "user", text, None, ts)
+             for i in range(n)],
+            columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]))
+
+    d = str(tmp_path / "refresh_idx")
+    build_index(seg("a", 300, "alpha beta gamma"), d, n_buckets=4)
+    reader = IndexReader(spark, d)
+    before = search(reader, "alpha", k=5, prune=True,
+                    with_text=False).toPandas()
+    assert len(before) == 5
+    # new segment where 'alpha' appears with much higher tf
+    append_segment(seg("b", 50, "alpha " * 30), d)
+    reader.refresh()
+    stats: dict = {}
+    after = search(reader, "alpha", k=5, prune=True, with_text=False,
+                   prune_stats=stats).toPandas()
+    plain = search(reader, "alpha", k=5, with_text=False).toPandas()
+    assert list(after["doc_id"]) == list(plain["doc_id"])
+    # the top hits must come from the appended high-tf segment
+    assert after["doc_id"].min() >= 300

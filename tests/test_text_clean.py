@@ -71,3 +71,31 @@ def test_clean_text_chain(spark):
 def test_sanitize_id(spark):
     assert _run(spark, sanitize_id, ["cs/0112017", "oai:arXiv.org:1234"]) == [
         "cs_0112017", "oai_arXiv.org_1234"]
+
+
+def test_fix_mojibake_str():
+    """Native best-effort ftfy-core subset (old_scripts/text_clean.py:4
+    fix_text): UTF-8-as-cp1252 mojibake repaired, double-encoding
+    unwound, genuine Unicode and unrepairable mixes left untouched."""
+    from research_engine_spark.functions.text_clean import _fix_mojibake_str
+
+    assert _fix_mojibake_str("CafÃ©") == "Café"
+    assert _fix_mojibake_str("naÃ¯ve rÃ©sumÃ©") == "naïve résumé"
+    assert _fix_mojibake_str("â€œquotedâ€\x9d") == "“quoted”"
+    assert _fix_mojibake_str("dash â€” here") == "dash — here"
+    double = ("Café".encode("utf-8").decode("cp1252")
+              .encode("utf-8").decode("cp1252"))
+    assert _fix_mojibake_str(double) == "Café"
+    assert _fix_mojibake_str("plain ascii") == "plain ascii"
+    assert _fix_mojibake_str("真正的 unicode") == "真正的 unicode"
+    # genuine non-latin chars mixed with mojibake: unrepairable -> no-op
+    assert _fix_mojibake_str("mixed 真 with CafÃ©") == "mixed 真 with CafÃ©"
+
+
+def test_fix_mojibake_udf(spark):
+    from research_engine_spark.functions.text_clean import fix_mojibake_udf
+
+    df = spark.createDataFrame(
+        [("CafÃ©",), ("ok",), (None,)], "v string")
+    got = [r[0] for r in df.select(fix_mojibake_udf()(F.col("v"))).collect()]
+    assert got == ["Café", "ok", None]
