@@ -14,6 +14,7 @@ in the hot path):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -79,10 +80,8 @@ def _fix_mojibake_str(s: str) -> str:
 def fix_mojibake_udf():
     """Arrow-batched pandas UDF over _fix_mojibake_str; rows without the
     marker bytes short-circuit (the overwhelming majority)."""
-    import pandas as pd
-    from pyspark.sql import functions as _F
 
-    @_F.pandas_udf("string")
+    @F.pandas_udf("string")
     def fix(texts: pd.Series) -> pd.Series:
         return texts.map(lambda s: _fix_mojibake_str(s)
                          if isinstance(s, str) else s)

@@ -7,28 +7,31 @@ the inverted index internally. Here the index IS a set of Spark tables:
 - ``docs``          doc_id, conv_id, turn_idx, role, text, ts
 - ``doc_stats``     doc_id, dl (per-doc analyzed-token count)
 - ``postings``      term, bucket, salt, block_id, first_doc_id,
-                    posting_count, max_tf, min_dl,
+                    posting_count, max_tf, min_dl, sky_tfs/sky_dls
+                    (per-block (tf, dl) Pareto skyline),
                     doc_gaps/tfs/dls (varbyte binaries)  [partitioned by bucket]
-                    (no stored block score: the block upper bound is a pure
-                    (max_tf, min_dl) expression recomputed at query time,
-                    valid for ANY (k1, b) and never stale under appends —
-                    so ``df`` need not ride the big pack shuffle at all)
+                    (no stored block score: the EXACT block upper bound is
+                    recomputed at query time from the skyline, valid for
+                    ANY (k1, b, avgdl) and never stale under appends)
 - ``term_stats``    term, bucket, df, cf, max_tf, min_dl  [partitioned by bucket]
 - ``corpus_stats``  n_docs, avgdl, total_tokens
 - ``lineage``       partition_id, term_lo, term_hi, n_terms, posting_count,
                     bytes, wall_ms, snapshot_id  [north-rule metrics table]
 
-Scale design decisions (10^12 turns):
-- per-doc term frequencies are computed INSIDE the tokenize UDF (a doc's
-  tokens never span rows), so the explode emits (term, doc) pairs already
-  tf-aggregated — the only O(postings) shuffle is the repartition by
-  (term, salt) feeding the SPIMI pack;
-- hot terms (df > max_group_postings) are salted by hash(doc_id) so no
-  single task ever materializes a full hot-term posting list; blocks use
-  block-local delta encoding (first docID absolute per block), so salted
-  partial runs need NO second re-encode pass — the posting list of a term
-  is simply all of its blocks, independently decodable (also what
-  block-max WAND needs);
+Scale design decisions (10^12 turns) — classic SPIMI run-merge:
+- the map stage tokenizes each partition ONCE and emits one compressed
+  posting RUN per (partition, term) — per-doc tf aggregated in-batch, a
+  doc's tokens never span rows — so the only O(postings) shuffle moves
+  delta+varbyte run binaries (~1% of the bytes of one row per posting;
+  the row-per-posting shuffle was the measured single-JVM scaling
+  bottleneck, BENCH/BASELINE.md);
+- term_stats (df/cf/bounds) aggregate run METADATA, never payloads, and
+  corpus totals come from term_stats (Σ cf — exact int64);
+- hot terms (df > max_group_postings) are salted at RUN granularity so no
+  reduce task merges a full hot posting list (north rule: salted-key
+  skew); the merge re-sorts runs by docID, so blocks within a
+  (term, salt) group stay disjoint and doc-ordered (what block-max WAND
+  and the doc-range-aligned prune bounds require);
 - postings/term_stats are hash-bucketed by term into directory partitions
   so query-time term lookup prunes files (Catalyst partition pruning).
 """
@@ -47,7 +50,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .codec import delta_encode, vb_decode, vb_encode
+from .codec import vb_decode, vb_encode
 from .docids import with_doc_ids
 
 BLOCK_SIZE = 128
@@ -99,14 +102,6 @@ def block_skyline(tfs: np.ndarray, dls: np.ndarray) -> tuple[list, list]:
     return (ut_d[keep].astype(np.int32).tolist(),
             mind_d[keep].astype(np.int32).tolist())
 
-TERMDOC_SCHEMA = (
-    "doc_id bigint, dl int, term string, tf int"
-)
-
-TERMDOC_POS_SCHEMA = (
-    "doc_id bigint, dl int, term string, tf int, positions array<int>"
-)
-
 
 def encode_positions_block(pos_lists: list[np.ndarray]) -> bytes:
     """One varbyte stream per block: for each posting, [n_pos] followed by
@@ -149,170 +144,302 @@ def bm25_tf_part(tf, dl, avgdl: float, k1: float, b: float):
     return tf / (tf + k1 * (1.0 - b + b * dl / avgdl))
 
 
-def term_doc_pairs(docs_with_ids: DataFrame,
-                   with_positions: bool = False) -> DataFrame:
-    """(doc_id, dl, term, tf[, positions]) pairs — tf (and per-term token
-    positions, for phrase queries) computed map-side inside the tokenizer
-    UDF (SURVEY.md A6 without the O(tokens) groupBy shuffle).
+def _doc_term_arrays(pdf: pd.DataFrame, with_positions: bool):
+    """One partition's (doc, term) aggregation in term-major order.
 
-    Fully vectorized per batch via analyze_flat's factorized form: the
-    (doc, term) aggregation is one int64 np.unique over
-    doc_index * |vocab| + term_code — no per-document Python loop, no
-    per-document object-array unique (the r2 hot spot: tokenize+pairs was
-    53% of build wall)."""
+    Returns (term_codes, uniq_terms, doc_ids, tfs, dls, pos_lists,
+    per_doc_ids, per_doc_dls): rows sorted by (term_code, doc_id) — tf
+    (and per-term token positions) computed inside the tokenizer pass
+    via analyze_flat's factorized form: one int64 np.unique over
+    doc_index * |vocab| + term_code, no per-document Python loop
+    (SURVEY.md A6 without the O(tokens) groupBy shuffle)."""
     from ..functions.analyzer import analyze_flat
 
+    codes, terms, lens = analyze_flat(pdf["text"])
+    if codes.size == 0:
+        return None
+    doc_ids_in = pdf["doc_id"].to_numpy(np.int64)
+    n_terms = np.int64(terms.size)
+    didx = np.repeat(np.arange(len(pdf), dtype=np.int64), lens)
+    key = didx * n_terms + codes
+    if with_positions:
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1])).astype(np.int64)
+        pos = np.arange(codes.size, dtype=np.int64) - starts[didx]
+        order = np.argsort(key, kind="stable")
+        skey = key[order]
+        bounds = np.flatnonzero(
+            np.concatenate(([True], skey[1:] != skey[:-1])))
+        ukey = skey[bounds]
+        counts = np.diff(np.concatenate((bounds, [skey.size]))).astype(
+            np.int64)
+        pos_groups = np.split(pos[order].astype(np.int32), bounds[1:])
+    else:
+        ukey, counts = np.unique(key, return_counts=True)
+        pos_groups = None
+    d = ukey // n_terms
+    c = ukey % n_terms
+    # term-major, doc-ascending (doc ids within one doc-index group of a
+    # term are single values; d is doc INDEX — translate then sort)
+    rows_doc = doc_ids_in[d]
+    order2 = np.lexsort((rows_doc, c))
+    tcodes = c[order2]
+    rdoc = rows_doc[order2]
+    rtf = counts[order2].astype(np.int64)
+    rdl = lens[d][order2].astype(np.int64)
+    rpos = [pos_groups[i] for i in order2] if pos_groups is not None else None
+    # per-doc stats (docs with >= 1 token), doc-sorted
+    docs_mask = lens > 0
+    pd_ids = doc_ids_in[docs_mask]
+    pd_dls = lens[docs_mask]
+    o = np.argsort(pd_ids)
+    return tcodes, terms, rdoc, rtf, rdl, rpos, pd_ids[o], pd_dls[o]
+
+
+# Map-side SPIMI run: one row per (input partition, term) holding that
+# partition's FULL posting run for the term as varbyte binaries, plus one
+# kind=1 row per partition carrying the per-doc dl stats. Shuffling runs
+# instead of individual (doc, term) rows is the classic SPIMI run-merge:
+# the only O(postings) shuffle moves ~1% of the bytes the r2 row shuffle
+# did (binary delta+varbyte vs one Tungsten row per posting), which is
+# what the single-JVM local-mode legs were bottlenecked on.
+RUNS_SCHEMA = (
+    "kind int, term string, first_doc_id bigint, "
+    "last_doc_id bigint, n int, cf bigint, max_tf int, min_dl int, "
+    "gaps binary, tfs binary, dls binary, poss binary"
+)
+
+
+def _partition_runs_factory(with_positions: bool):
+    from .codec import vb_lengths
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            codes, terms, lens = analyze_flat(pdf["text"])
-            if codes.size == 0:
-                continue
-            doc_ids = pdf["doc_id"].to_numpy(np.int64)
-            n_terms = np.int64(terms.size)
-            didx = np.repeat(np.arange(len(pdf), dtype=np.int64), lens)
-            key = didx * n_terms + codes
-            if with_positions:
-                # global token position within each doc, ascending by
-                # construction; lexsort groups (doc, term) keeping
-                # positions ascending inside each group
-                starts = np.concatenate(
-                    ([0], np.cumsum(lens)[:-1])).astype(np.int64)
-                pos = np.arange(codes.size, dtype=np.int64) - starts[didx]
-                order = np.argsort(key, kind="stable")
-                skey = key[order]
-                bounds = np.flatnonzero(
-                    np.concatenate(([True], skey[1:] != skey[:-1])))
-                ukey = skey[bounds]
-                counts = np.diff(np.concatenate(
-                    (bounds, [skey.size]))).astype(np.int64)
-                pos_groups = np.split(pos[order].astype(np.int32),
-                                      bounds[1:])
-                rows_pos = [g.tolist() for g in pos_groups]
-            else:
-                ukey, counts = np.unique(key, return_counts=True)
-                rows_pos = None
-            d = ukey // n_terms
-            c = ukey % n_terms
-            data = {
-                "doc_id": doc_ids[d],
-                "dl": lens[d].astype(np.int32),
-                "term": terms[c],
-                "tf": counts.astype(np.int32),
-            }
-            if rows_pos is not None:
-                data["positions"] = rows_pos
-            yield pd.DataFrame(data)
-
-    return docs_with_ids.select("doc_id", "text").mapInPandas(
-        gen, schema=TERMDOC_POS_SCHEMA if with_positions else TERMDOC_SCHEMA
-    )
-
-
-def _pack_blocks_factory(snapshot_id: str = "s0"):
-    """mapInPandas SPIMI packer: one physical partition of (term, salt,
-    doc_id, tf, dl) rows -> posting blocks + in-band lineage fields.
-    Takes NO corpus stats: block skip bounds are recomputed at query time
-    from (max_tf, min_dl), so the pack is independent of N/avgdl — a
-    streaming append packs identically regardless of global stats."""
-
-    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        t0 = time.monotonic()
-        from pyspark import TaskContext
-
-        from .codec import vb_lengths
-
-        pid = TaskContext.get().partitionId() if TaskContext.get() else -1
-        parts = [pdf for pdf in batches]
+        parts = [p for p in batches if len(p)]
         if not parts:
             return
         pdf = pd.concat(parts, ignore_index=True)
         del parts
-        has_pos = "positions" in pdf.columns
-
-        # sort by (term, salt, doc_id) via integer codes + lexsort — far
-        # cheaper than an object-string mergesort on 10^6-row partitions
-        codes, uniq_terms = pd.factorize(pdf["term"], sort=True)
-        order = np.lexsort((
-            pdf["doc_id"].to_numpy(),
-            pdf["salt"].to_numpy(),
-            codes,
-        ))
-        codes = codes[order]
-        salts_all = pdf["salt"].to_numpy()[order]
-        doc_ids_all = pdf["doc_id"].to_numpy(np.int64)[order]
-        tfs_all = pdf["tf"].to_numpy(np.int64)[order]
-        dls_all = pdf["dl"].to_numpy(np.int64)[order]
-        pos_all = pdf["positions"].to_numpy()[order] if has_pos else None
+        res = _doc_term_arrays(pdf, with_positions)
         del pdf
-
-        # group boundaries where (term code, salt) changes
-        n_rows = codes.size
-        change = np.empty(n_rows, dtype=bool)
+        if res is None:
+            return
+        tcodes, terms, rdoc, rtf, rdl, rpos, pd_ids, pd_dls = res
+        n = tcodes.size
+        change = np.empty(n, dtype=bool)
         change[0] = True
-        change[1:] = (codes[1:] != codes[:-1]) | (salts_all[1:] != salts_all[:-1])
-        group_starts = np.flatnonzero(change)
-        group_ends = np.append(group_starts[1:], n_rows)
+        change[1:] = tcodes[1:] != tcodes[:-1]
+        gs = np.flatnonzero(change)
+        ge = np.append(gs[1:], n)
+        # delta gaps with reset at every group start (run-local absolute
+        # first docID), ONE varbyte encode for the whole partition
+        gaps = np.empty(n, dtype=np.uint64)
+        gaps[0] = np.uint64(rdoc[0])
+        gaps[1:] = np.diff(rdoc).astype(np.uint64)
+        gaps[gs[1:]] = rdoc[gs[1:]].astype(np.uint64)
+        g_bytes = vb_encode(gaps)
+        g_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(vb_lengths(gaps), out=g_off[1:])
+        t_bytes = vb_encode(rtf.astype(np.uint64))
+        t_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(vb_lengths(rtf.astype(np.uint64)), out=t_off[1:])
+        d_bytes = vb_encode(rdl.astype(np.uint64))
+        d_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(vb_lengths(rdl.astype(np.uint64)), out=d_off[1:])
+        cf = np.add.reduceat(rtf, gs)
+        mtf = np.maximum.reduceat(rtf, gs)
+        mdl = np.minimum.reduceat(rdl, gs)
+        run_terms = terms[tcodes[gs]]
+        out = {
+            "kind": np.zeros(gs.size, dtype=np.int32),
+            "term": run_terms,
+            "first_doc_id": rdoc[gs],
+            "last_doc_id": rdoc[ge - 1],
+            "n": (ge - gs).astype(np.int32),
+            "cf": cf.astype(np.int64),
+            "max_tf": mtf.astype(np.int32),
+            "min_dl": mdl.astype(np.int32),
+            "doc_gaps_": [g_bytes[g_off[s]:g_off[e]]
+                          for s, e in zip(gs, ge)],
+            "tfs_": [t_bytes[t_off[s]:t_off[e]] for s, e in zip(gs, ge)],
+            "dls_": [d_bytes[d_off[s]:d_off[e]] for s, e in zip(gs, ge)],
+            "poss_": ([encode_positions_block(rpos[s:e])
+                       for s, e in zip(gs, ge)] if with_positions
+                      else [None] * gs.size),
+        }
+        runs = pd.DataFrame({
+            "kind": out["kind"], "term": out["term"],
+            "first_doc_id": out["first_doc_id"],
+            "last_doc_id": out["last_doc_id"], "n": out["n"],
+            "cf": out["cf"], "max_tf": out["max_tf"],
+            "min_dl": out["min_dl"], "gaps": out["doc_gaps_"],
+            "tfs": out["tfs_"], "dls": out["dls_"], "poss": out["poss_"],
+        })
+        # the partition's per-doc stats ride along as ONE kind=1 row
+        dgaps = np.empty(pd_ids.size, dtype=np.uint64)
+        if pd_ids.size:
+            dgaps[0] = np.uint64(pd_ids[0])
+            dgaps[1:] = np.diff(pd_ids).astype(np.uint64)
+            stats_row = pd.DataFrame({
+                "kind": np.array([1], dtype=np.int32), "term": [""],
+                "first_doc_id": [int(pd_ids[0])],
+                "last_doc_id": [int(pd_ids[-1])],
+                "n": np.array([pd_ids.size], dtype=np.int32),
+                "cf": np.array([0], dtype=np.int64),
+                "max_tf": np.array([0], dtype=np.int32),
+                "min_dl": np.array([0], dtype=np.int32),
+                "gaps": [vb_encode(dgaps)],
+                "tfs": [b""],
+                "dls": [vb_encode(pd_dls.astype(np.uint64))],
+                "poss": [None],
+            })
+            runs = pd.concat([runs, stats_row], ignore_index=True)
+        yield runs
 
-        out: dict[str, list] = {k: [] for k in (
-            "term", "salt", "block_id", "first_doc_id", "last_doc_id",
-            "posting_count", "max_tf", "min_dl", "sky_tfs", "sky_dls",
-            "doc_gaps", "tfs", "dls", "poss",
-        )}
-        for gs, ge in zip(group_starts, group_ends):
-            term = uniq_terms[codes[gs]]
-            salt = int(salts_all[gs])
-            doc_ids = doc_ids_all[gs:ge]
-            tfs = tfs_all[gs:ge]
-            dls = dls_all[gs:ge]
-            n = doc_ids.size
-            n_blocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
-            starts = np.arange(n_blocks) * BLOCK_SIZE
-            ends = np.minimum(starts + BLOCK_SIZE, n)
-            # block-local delta over the whole group in one pass: gap at a
-            # block start is the absolute docID (blocks stay independently
-            # decodable), elsewhere the diff
-            gaps = np.empty(n, dtype=np.uint64)
-            gaps[0] = np.uint64(doc_ids[0])
-            gaps[1:] = np.diff(doc_ids).astype(np.uint64)
-            gaps[starts[1:]] = doc_ids[starts[1:]].astype(np.uint64)
-            # ONE varbyte encode per array per group, split at block
-            # boundaries via per-value byte lengths
-            g_bytes = vb_encode(gaps)
-            g_off = np.zeros(n + 1, dtype=np.int64)
-            np.cumsum(vb_lengths(gaps), out=g_off[1:])
-            t_bytes = vb_encode(tfs.astype(np.uint64))
-            t_off = np.zeros(n + 1, dtype=np.int64)
-            np.cumsum(vb_lengths(tfs.astype(np.uint64)), out=t_off[1:])
-            d_bytes = vb_encode(dls.astype(np.uint64))
-            d_off = np.zeros(n + 1, dtype=np.int64)
-            np.cumsum(vb_lengths(dls.astype(np.uint64)), out=d_off[1:])
-            for blk in range(n_blocks):
-                s, e = int(starts[blk]), int(ends[blk])
-                out["term"].append(term)
-                out["salt"].append(salt)
-                out["block_id"].append(blk)
-                out["first_doc_id"].append(int(doc_ids[s]))
-                out["last_doc_id"].append(int(doc_ids[e - 1]))
-                out["posting_count"].append(e - s)
-                out["max_tf"].append(int(tfs[s:e].max()))
-                out["min_dl"].append(int(dls[s:e].min()))
-                sky_t, sky_d = block_skyline(tfs[s:e], dls[s:e])
-                out["sky_tfs"].append(sky_t)
-                out["sky_dls"].append(sky_d)
-                out["doc_gaps"].append(g_bytes[g_off[s]:g_off[e]])
-                out["tfs"].append(t_bytes[t_off[s]:t_off[e]])
-                out["dls"].append(d_bytes[d_off[s]:d_off[e]])
-                out["poss"].append(
-                    encode_positions_block(list(pos_all[gs + s:gs + e]))
-                    if has_pos else None)
-        wall_ms = (time.monotonic() - t0) * 1000.0
-        res = pd.DataFrame(out)
-        res["partition_id"] = np.int32(pid)
-        res["wall_ms"] = np.float64(wall_ms)
-        res["snapshot_id"] = snapshot_id
-        yield res
+    return gen
 
-    return pack
+
+def _segmented_delta_decode(bufs: list[bytes],
+                            counts: np.ndarray) -> np.ndarray:
+    """Decode a concatenation of delta-encoded varbyte runs in ONE numpy
+    pass: absolute ids via a segmented cumsum (each run's first value is
+    absolute, so subtracting the running total before each run start
+    restores per-run absolutes)."""
+    flat = vb_decode(b"".join(bufs)).astype(np.int64)
+    if flat.size == 0:
+        return flat
+    cs = np.cumsum(flat)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1])).astype(np.int64)
+    base = cs[starts] - flat[starts]
+    return cs - np.repeat(base, counts)
+
+
+def _merge_runs_factory(snapshot_id: str, with_positions: bool):
+    """Reduce-side SPIMI merge: one partition of (term, salt) runs ->
+    doc-sorted posting blocks (POSTINGS_SCHEMA). Run payloads decode in
+    a few whole-partition numpy passes (segmented cumsum), then the
+    merged rows flow through the same block emission as before."""
+
+    def merge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        t0 = time.monotonic()
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+        parts = [p for p in batches if len(p)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        del parts
+        codes, uniq_terms = pd.factorize(pdf["term"], sort=True)
+        counts = pdf["n"].to_numpy(np.int64)
+        # run order only needs to group (term, salt); the posting-level
+        # lexsort below establishes doc order
+        order = np.lexsort((pdf["salt"].to_numpy(), codes))
+        counts = counts[order]
+        gaps_bufs = [bytes(x) for x in pdf["gaps"].to_numpy()[order]]
+        tfs_bufs = [bytes(x) for x in pdf["tfs"].to_numpy()[order]]
+        dls_bufs = [bytes(x) for x in pdf["dls"].to_numpy()[order]]
+        doc_ids_all = _segmented_delta_decode(gaps_bufs, counts)
+        tfs_all = vb_decode(b"".join(tfs_bufs)).astype(np.int64)
+        dls_all = vb_decode(b"".join(dls_bufs)).astype(np.int64)
+        rcodes = np.repeat(codes[order], counts)
+        rsalts = np.repeat(pdf["salt"].to_numpy(np.int64)[order], counts)
+        if with_positions:
+            pos_all_l: list = []
+            for buf, nn in zip(pdf["poss"].to_numpy()[order], counts):
+                pos_all_l.extend(decode_positions_block(bytes(buf),
+                                                        int(nn)))
+            pos_all = np.empty(len(pos_all_l), dtype=object)
+            pos_all[:] = pos_all_l
+        else:
+            pos_all = None
+        del pdf
+        # global (term, salt, doc_id) order: runs from different input
+        # partitions may interleave in doc space
+        order2 = np.lexsort((doc_ids_all, rsalts, rcodes))
+        yield _emit_blocks(
+            uniq_terms, rcodes[order2], rsalts[order2],
+            doc_ids_all[order2], tfs_all[order2], dls_all[order2],
+            pos_all[order2] if pos_all is not None else None,
+            pid, t0, snapshot_id)
+
+    return merge
+
+
+def _emit_blocks(uniq_terms, codes, salts_all, doc_ids_all, tfs_all,
+                 dls_all, pos_all, pid: int, t0: float,
+                 snapshot_id: str) -> pd.DataFrame:
+    """(term, salt, doc_id)-sorted posting rows -> POSTINGS_SCHEMA block
+    rows with in-band lineage fields. Takes NO corpus stats: block skip
+    bounds are recomputed at query time from the stored skylines, so the
+    pack is independent of N/avgdl — a streaming append packs identically
+    regardless of global stats."""
+    from .codec import vb_lengths
+
+    # group boundaries where (term code, salt) changes
+    n_rows = codes.size
+    change = np.empty(n_rows, dtype=bool)
+    change[0] = True
+    change[1:] = (codes[1:] != codes[:-1]) | (salts_all[1:] != salts_all[:-1])
+    group_starts = np.flatnonzero(change)
+    group_ends = np.append(group_starts[1:], n_rows)
+
+    out: dict[str, list] = {k: [] for k in (
+        "term", "salt", "block_id", "first_doc_id", "last_doc_id",
+        "posting_count", "max_tf", "min_dl", "sky_tfs", "sky_dls",
+        "doc_gaps", "tfs", "dls", "poss",
+    )}
+    for gs, ge in zip(group_starts, group_ends):
+        term = uniq_terms[codes[gs]]
+        salt = int(salts_all[gs])
+        doc_ids = doc_ids_all[gs:ge]
+        tfs = tfs_all[gs:ge]
+        dls = dls_all[gs:ge]
+        n = doc_ids.size
+        n_blocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+        starts = np.arange(n_blocks) * BLOCK_SIZE
+        ends = np.minimum(starts + BLOCK_SIZE, n)
+        # block-local delta over the whole group in one pass: gap at a
+        # block start is the absolute docID (blocks stay independently
+        # decodable), elsewhere the diff
+        gaps = np.empty(n, dtype=np.uint64)
+        gaps[0] = np.uint64(doc_ids[0])
+        gaps[1:] = np.diff(doc_ids).astype(np.uint64)
+        gaps[starts[1:]] = doc_ids[starts[1:]].astype(np.uint64)
+        # ONE varbyte encode per array per group, split at block
+        # boundaries via per-value byte lengths
+        g_bytes = vb_encode(gaps)
+        g_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(vb_lengths(gaps), out=g_off[1:])
+        t_bytes = vb_encode(tfs.astype(np.uint64))
+        t_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(vb_lengths(tfs.astype(np.uint64)), out=t_off[1:])
+        d_bytes = vb_encode(dls.astype(np.uint64))
+        d_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(vb_lengths(dls.astype(np.uint64)), out=d_off[1:])
+        for blk in range(n_blocks):
+            s, e = int(starts[blk]), int(ends[blk])
+            out["term"].append(term)
+            out["salt"].append(salt)
+            out["block_id"].append(blk)
+            out["first_doc_id"].append(int(doc_ids[s]))
+            out["last_doc_id"].append(int(doc_ids[e - 1]))
+            out["posting_count"].append(e - s)
+            out["max_tf"].append(int(tfs[s:e].max()))
+            out["min_dl"].append(int(dls[s:e].min()))
+            sky_t, sky_d = block_skyline(tfs[s:e], dls[s:e])
+            out["sky_tfs"].append(sky_t)
+            out["sky_dls"].append(sky_d)
+            out["doc_gaps"].append(g_bytes[g_off[s]:g_off[e]])
+            out["tfs"].append(t_bytes[t_off[s]:t_off[e]])
+            out["dls"].append(d_bytes[d_off[s]:d_off[e]])
+            out["poss"].append(
+                encode_positions_block(list(pos_all[gs:ge][s:e]))
+                if pos_all is not None else None)
+    wall_ms = (time.monotonic() - t0) * 1000.0
+    res = pd.DataFrame(out)
+    res["partition_id"] = np.int32(pid)
+    res["wall_ms"] = np.float64(wall_ms)
+    res["snapshot_id"] = snapshot_id
+    return res
 
 
 def build_index(
@@ -334,12 +461,11 @@ def build_index(
     Returns a stats dict (n_docs, avgdl, n_terms, wall-times).
 
     Single-tokenize design: the forward docs table is written WITHOUT a
-    dl column (no tokenizer pass in the write), and the one tokenize pass
-    that produces the (term, doc) pairs also yields corpus totals
-    (total_tokens = sum of tf over all pairs, exact int64) and the
-    per-doc ``doc_stats`` table (doc_id, dl). Corpus stats are therefore
-    always computed distributed — the r1 driver-side pyarrow shortcut
-    (and its OOM-at-scale gate) is gone, superseded rather than gated.
+    dl column (no tokenizer pass in the write); the one tokenize pass
+    lives inside the run-merge pack (_pack_segment) whose map stage also
+    emits the per-doc ``doc_stats`` runs. Corpus totals come from the
+    vocab-sized term_stats table (Σ cf, exact int64 — bit-identical
+    avgdl), written AFTER the pack since blocks are parameter-free.
     """
     spark = transcripts.sparkSession
     if n_partitions is None:
@@ -360,9 +486,6 @@ def build_index(
     docs_tbl = spark.read.parquet(docs_path)
     timings["docs_write_sec"] = round(time.monotonic() - t_start, 3)
 
-    # --- ONE tokenize pass: pairs drive stats, term_stats, and the pack ----
-    t_tok = time.monotonic()
-    pairs = _tokenized_pairs(docs_tbl, n_buckets, with_positions)
     # n_docs from parquet footer metadata (no data read); Spark count as
     # fallback when the path isn't locally readable
     try:
@@ -371,7 +494,6 @@ def build_index(
         n_docs = int(pads.dataset(docs_path, format="parquet").count_rows())
     except Exception:
         n_docs = docs_tbl.count()
-    timings["tokenize_stats_sec"] = round(time.monotonic() - t_tok, 3)
 
     t_pack = time.monotonic()
     timings.update(_pack_segment(
@@ -379,7 +501,7 @@ def build_index(
         n_buckets=n_buckets, max_group_postings=max_group_postings,
         n_partitions=n_partitions, snapshot_id=snapshot_id,
         buckets_subset=buckets_subset, mode=mode,
-        with_positions=with_positions, pairs=pairs,
+        with_positions=with_positions,
     ))
     timings["pack_total_sec"] = round(time.monotonic() - t_pack, 3)
 
@@ -417,21 +539,6 @@ def build_index(
             "turns_per_sec": (n_docs / wall if wall > 0 else float("inf"))}
 
 
-def _tokenized_pairs(docs_tbl: DataFrame, n_buckets: int,
-                     with_positions: bool) -> DataFrame:
-    """The ONE tokenize pass: (doc_id, dl, term, tf[, positions], bucket)
-    pairs, persisted (memory-then-disk spill) because corpus stats, the
-    term_stats agg, the doc_stats write, and the SPIMI pack all consume it
-    — tokenization is the most expensive map stage and must run exactly
-    once (SPIMI run-spill analog)."""
-    from pyspark import StorageLevel
-
-    pairs = term_doc_pairs(docs_tbl, with_positions).withColumn(
-        "bucket", F.pmod(F.hash("term"), F.lit(n_buckets)).cast("int")
-    )
-    return pairs.persist(StorageLevel.MEMORY_AND_DISK)
-
-
 def _total_tokens_from_term_stats(ts_path: str,
                                   snapshot_id: str | None = None) -> int:
     """Exact int64 token total from the vocab-sized term_stats table
@@ -458,44 +565,76 @@ def _pack_segment(
     buckets_subset: list[int] | None = None,
     mode: str = "overwrite",
     with_positions: bool = False,
-    pairs: DataFrame | None = None,
 ) -> dict:
-    """Shared pack pipeline: (term, doc) pairs -> term_stats -> salted SPIMI
-    blocks -> postings + doc_stats + lineage. Used by full builds,
-    bucket-resume, and streaming segment appends (docs_tbl = just the new
-    segment there; corpus stats don't enter the pack at all — blocks are
+    """Shared SPIMI run-merge pipeline: docs -> partition-local posting
+    RUNS (one tokenize pass, map-side binaries) -> term_stats from run
+    METADATA -> salted run shuffle -> merge into doc-sorted blocks ->
+    postings + doc_stats + lineage. Used by full builds, bucket-resume,
+    and streaming segment appends (docs_tbl = just the new segment
+    there; corpus stats don't enter the pack at all — blocks are
     parameter-free, and idf/norms are recomputed at query time from the
-    aggregated stats). ``pairs``: the caller's already-persisted tokenize
-    output (unfiltered); built here if absent.
+    aggregated stats).
+
+    The only O(postings) shuffle moves compressed RUNS (~1% of the bytes
+    of one row per posting) and term_stats aggregates run metadata rows,
+    never touching payloads — the r2/r3 row-shuffle was the single-JVM
+    scaling bottleneck (BENCH/BASELINE.md).
     """
+    from pyspark import StorageLevel
+
+    from .codec import delta_decode
+
     spark = docs_tbl.sparkSession
     timings: dict[str, float] = {}
     t0 = time.monotonic()
-    if pairs is None:
-        pairs = _tokenized_pairs(docs_tbl, n_buckets, with_positions)
+    runs = docs_tbl.select("doc_id", "text").mapInPandas(
+        _partition_runs_factory(with_positions),
+        schema=RUNS_SCHEMA,
+    ).withColumn(
+        # JVM-side murmur bucket (a per-unique-term PYTHON murmur in the
+        # map stage measurably slowed it); bit-identical to the reader's
+        # driver-side routing (functions/mmh3, verified in tests)
+        "bucket", F.pmod(F.hash("term"), F.lit(n_buckets)).cast("int")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
-    # --- per-doc stats table (doc_id, dl) -----------------------------------
-    # map-side combine collapses each pairs partition to ~unique docs, so
-    # the shuffle is O(docs) tiny rows; skipped on bucket-resume (the full
-    # doc_stats already exists from the original partial build).
+    # --- per-doc stats table (doc_id, dl) ----------------------------------
+    # decoded from the kind=1 stat runs; each doc lives in exactly one
+    # input partition, so the write needs NO shuffle. This first action
+    # also materializes the runs cache (the expensive tokenize pass runs
+    # exactly once). Skipped on bucket-resume (the full doc_stats already
+    # exists from the original partial build).
+    def _dec_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids_l, dl_l = [], []
+            for row in pdf.itertuples(index=False):
+                ids_l.append(delta_decode(vb_decode(bytes(row.gaps))))
+                dl_l.append(vb_decode(bytes(row.dls)).astype(np.int64))
+            if ids_l:
+                yield pd.DataFrame({
+                    "doc_id": np.concatenate(ids_l),
+                    "dl": np.concatenate(dl_l).astype(np.int32)})
+
     ds_path = os.path.join(out_dir, "doc_stats")
     if buckets_subset is None or not os.path.exists(ds_path):
-        (pairs.groupBy("doc_id").agg(F.max("dl").alias("dl"))
+        (runs.filter(F.col("kind") == 1).select("gaps", "dls")
+         .mapInPandas(_dec_stats, schema="doc_id bigint, dl int")
          .write.mode(mode).parquet(ds_path))
+    else:
+        runs.count()  # materialize the cache
     timings["doc_stats_sec"] = round(time.monotonic() - t0, 3)
     t0 = time.monotonic()
 
-    all_pairs = pairs
+    post_runs = runs.filter(F.col("kind") == 0)
     if buckets_subset is not None:
-        pairs = pairs.filter(
+        post_runs = post_runs.filter(
             F.col("bucket").isin([int(x) for x in buckets_subset]))
 
-    # --- term stats (df, cf, bounds) — also drives salting -----------------
-    term_stats = pairs.groupBy("term", "bucket").agg(
-        F.count(F.lit(1)).alias("df"),
-        F.sum("tf").alias("cf"),
-        F.max("tf").alias("max_tf"),
-        F.min("dl").alias("min_dl"),
+    # --- term stats (df, cf, bounds) from run metadata ---------------------
+    term_stats = post_runs.groupBy("term", "bucket").agg(
+        F.sum("n").alias("df"),
+        F.sum("cf").alias("cf"),
+        F.max("max_tf").alias("max_tf"),
+        F.min("min_dl").alias("min_dl"),
     ).withColumn("snapshot_id", F.lit(snapshot_id))
     ts_path = os.path.join(out_dir, "term_stats")
     # cluster by bucket before the partitioned write: one-ish file per
@@ -511,11 +650,14 @@ def _pack_segment(
         term_stats = term_stats.filter(
             F.col("bucket").isin([int(x) for x in buckets_subset]))
 
-    # --- salted SPIMI pack --------------------------------------------------
-    # n_salts(term) = ceil(df / max_group_postings): hot terms split so no
-    # task holds a full hot posting list (north rule: salted-key skew).
+    # --- salted run shuffle + merge ----------------------------------------
+    # n_salts(term) = ceil(df / max_group_postings): hot terms' runs split
+    # across reducers so no task merges a full hot posting list (north
+    # rule: salted-key skew). The salt unit is the RUN (deterministic on
+    # its first doc id); runs of one (term, salt) may interleave in doc
+    # space and the merge re-sorts.
     salted = (
-        pairs.join(term_stats.select("term", "df"), "term")
+        post_runs.join(term_stats.select("term", "df"), "term")
         .withColumn(
             "n_salts",
             F.greatest(
@@ -526,14 +668,13 @@ def _pack_segment(
         .withColumn(
             "salt",
             F.when(F.col("n_salts") <= 1, F.lit(0)).otherwise(
-                F.pmod(F.hash("doc_id"), F.col("n_salts"))
+                F.pmod(F.hash("first_doc_id"), F.col("n_salts"))
             ).cast("int"),
         )
-        .select("term", "salt", "doc_id", "tf", "dl",
-                *(["positions"] if with_positions else []))
+        .select("term", "salt", "n", "gaps", "tfs", "dls", "poss")
     )
     packed = salted.repartition(n_partitions, "term", "salt").mapInPandas(
-        _pack_blocks_factory(snapshot_id),
+        _merge_runs_factory(snapshot_id, with_positions),
         schema=POSTINGS_SCHEMA,
     ).withColumn("bucket", F.pmod(F.hash("term"), F.lit(n_buckets)).cast("int"))
 
@@ -542,7 +683,7 @@ def _pack_segment(
     # binaries so this shuffle moves ~1/100th of the pair volume
     packed.repartition(n_buckets, "bucket").write.mode(mode).partitionBy(
         "bucket").parquet(post_path)
-    all_pairs.unpersist()
+    runs.unpersist()
     timings["spimi_pack_sec"] = round(time.monotonic() - t0, 3)
     t0 = time.monotonic()
 
@@ -603,11 +744,9 @@ def append_segment(transcripts: DataFrame, out_dir: str,
                 ).write.mode("append").parquet(os.path.join(out_dir, "docs"))
     seg = spark.read.parquet(os.path.join(out_dir, "docs")).filter(
         F.col("doc_id") >= base)
-    # one tokenize pass for the segment; the pack consumes the persisted
-    # pairs and the segment's token total comes from its term_stats rows
-    # (snapshot-filtered Σ cf — no extra pass, mirrors build_index)
-    pairs = _tokenized_pairs(seg, int(stats["n_buckets"]),
-                             bool(stats.get("positions", False)))
+    # one tokenize pass inside the run-merge pack; the segment's token
+    # total comes from its term_stats rows (snapshot-filtered Σ cf — no
+    # extra pass, mirrors build_index)
     n_new = seg.count()
     if snapshot_id is None:
         snapshot_id = f"seg_{base}"
@@ -615,7 +754,7 @@ def append_segment(transcripts: DataFrame, out_dir: str,
         seg, out_dir, n_buckets=int(stats["n_buckets"]),
         max_group_postings=500_000, n_partitions=n_partitions,
         snapshot_id=snapshot_id, mode="append",
-        with_positions=bool(stats.get("positions", False)), pairs=pairs,
+        with_positions=bool(stats.get("positions", False)),
     )
     seg_tokens = _total_tokens_from_term_stats(
         os.path.join(out_dir, "term_stats"), snapshot_id=snapshot_id)
