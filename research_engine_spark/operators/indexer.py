@@ -587,6 +587,17 @@ def _pack_segment(
     spark = docs_tbl.sparkSession
     timings: dict[str, float] = {}
     t0 = time.monotonic()
+    # Bound the map-stage input splits: Spark otherwise packs the docs
+    # parquet's small files into ~128MB splits, handing the heaviest
+    # python stage a handful of GIANT partitions — unbounded per-task
+    # pandas memory AND a parallelism floor that can drop below the core
+    # count. 16MB text splits keep per-task frames bounded and map tasks
+    # >= cores at every width; the conf is read at each action's
+    # planning, so it takes effect for the cache-materializing first
+    # action below and is restored right after.
+    split_key = "spark.sql.files.maxPartitionBytes"
+    old_split = spark.conf.get(split_key, None)
+    spark.conf.set(split_key, str(16 * 1024 * 1024))
     runs = docs_tbl.select("doc_id", "text").mapInPandas(
         _partition_runs_factory(with_positions),
         schema=RUNS_SCHEMA,
@@ -621,6 +632,10 @@ def _pack_segment(
          .write.mode(mode).parquet(ds_path))
     else:
         runs.count()  # materialize the cache
+    if old_split is None:
+        spark.conf.unset(split_key)
+    else:
+        spark.conf.set(split_key, old_split)
     timings["doc_stats_sec"] = round(time.monotonic() - t0, 3)
     t0 = time.monotonic()
 
