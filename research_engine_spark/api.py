@@ -16,7 +16,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .operators.indexer import append_segment, build_index, resume_index
+from .operators.indexer import (append_segment, build_index,
+                                compact_index, resume_index)
 from .operators.retrieval_extras import (
     assemble_context,
     multi_query_search,
@@ -57,6 +58,13 @@ class ResearchEngine:
         stats = append_segment(transcripts, self.index_dir, **kwargs)
         self._reader = None
         return stats
+
+    def compact(self, **kwargs) -> dict:
+        """Force-merge appended segments (ES _forcemerge analog); query
+        results are bit-identical before/after, fewer blocks decode."""
+        res = compact_index(self.spark, self.index_dir, **kwargs)
+        self._reader = None
+        return res
 
     @property
     def reader(self) -> IndexReader:

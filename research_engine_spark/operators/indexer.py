@@ -804,3 +804,193 @@ def resume_index(transcripts: DataFrame, out_dir: str, **kwargs) -> dict:
     kwargs["mode"] = "append"
     kwargs.setdefault("snapshot_id", f"s{len(done)}")
     return build_index(transcripts, out_dir, **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# Segment compaction (Lucene forceMerge / ES _forcemerge analog)
+# ---------------------------------------------------------------------------
+
+_COMPACT_TABLES = ("postings", "term_stats", "lineage")
+
+
+def _compact_marker(out_dir: str) -> str:
+    return os.path.join(out_dir, "_compact_pending.json")
+
+
+def _finish_compact_swap(out_dir: str) -> None:
+    """Idempotent promote of the staged ``*_compacting`` tables.
+
+    Roll-forward safe at every crash point: a table is promoted only if
+    its staged dir still exists; a leftover ``*_precompact`` dir from a
+    crash between rename and cleanup is simply removed. Re-running this
+    function (or compact_index, which calls it first) completes the swap.
+    """
+    import shutil
+
+    for tbl in _COMPACT_TABLES:
+        live = os.path.join(out_dir, tbl)
+        staged = live + "_compacting"
+        backup = live + "_precompact"
+        if os.path.exists(staged):
+            if os.path.exists(live):
+                os.rename(live, backup)
+            os.rename(staged, live)
+        if os.path.exists(backup):
+            shutil.rmtree(backup)
+    marker = _compact_marker(out_dir)
+    if os.path.exists(marker):
+        os.remove(marker)
+
+
+def compact_index(
+    spark: SparkSession,
+    out_dir: str,
+    max_group_postings: int = 500_000,
+    n_partitions: int | None = None,
+    snapshot_id: str | None = None,
+) -> dict:
+    """Force-merge every appended segment into one compacted snapshot.
+
+    The Lucene forceMerge / Elasticsearch ``_forcemerge`` analog the
+    reference relies on implicitly (its single-node ES merges segments in
+    the background; docker-compose.yml:3-10): after many streaming
+    appends (append_segment / incremental_index_stream) a hot term's
+    postings are scattered across per-segment block groups with small
+    tail blocks, which inflates decode count and weakens the block-max
+    prune bounds. Compaction re-merges ALL segments' posting blocks into
+    full doc-sorted BLOCK_SIZE blocks under a single snapshot.
+
+    Spark-first shape: the existing posting BLOCKS are themselves valid
+    SPIMI runs (block-local delta with an absolute first docID — the same
+    wire format the map stage emits), so compaction is exactly the
+    build's reduce side re-run over compressed binaries: NO re-tokenize,
+    no row-per-posting shuffle — the one shuffle moves the already
+    compressed blocks keyed by (term, salt). Salts are re-derived from
+    the aggregated df (n_salts = ceil(df / max_group_postings)), so a
+    term that crossed the hot threshold through appends gets properly
+    re-salted, and the compacted layout is structurally identical to a
+    fresh full build's.
+
+    Crash-safe: new postings/term_stats/lineage are staged as
+    ``*_compacting`` dirs, a pending marker commits the swap intent, and
+    the rename swap is idempotent roll-forward (finished by the next
+    compact_index call if interrupted). docs / doc_stats / corpus_stats
+    are untouched — compaction never changes docIDs, scores, or stats.
+
+    Returns {"compacted": bool, "n_snapshots_before", "n_blocks_before",
+    "n_blocks_after", "snapshot_id", "wall_sec"}.
+    """
+    t0 = time.monotonic()
+    # finish an interrupted swap first (idempotent)
+    if os.path.exists(_compact_marker(out_dir)):
+        _finish_compact_swap(out_dir)
+    with open(os.path.join(out_dir, "corpus_stats.json")) as f:
+        stats = json.load(f)
+    n_buckets = int(stats["n_buckets"])
+    with_positions = bool(stats.get("positions", False))
+    if n_partitions is None:
+        n_partitions = int(spark.conf.get("spark.sql.shuffle.partitions",
+                                          "32"))
+    post_path = os.path.join(out_dir, "postings")
+    postings = spark.read.parquet(post_path)
+    snaps = [r["snapshot_id"] for r in
+             postings.select("snapshot_id").distinct().collect()]
+    n_blocks_before = postings.count()
+    if len(snaps) <= 1:
+        return {"compacted": False, "n_snapshots_before": len(snaps),
+                "n_blocks_before": int(n_blocks_before),
+                "n_blocks_after": int(n_blocks_before),
+                "snapshot_id": snaps[0] if snaps else None,
+                "wall_sec": round(time.monotonic() - t0, 3)}
+    if snapshot_id is None:
+        snapshot_id = f"compact_{len(snaps)}"
+
+    # exact per-term df across segments from block metadata (posting_count
+    # sums; payload columns never enter this aggregation)
+    df_by_term = postings.groupBy("term").agg(
+        F.sum("posting_count").alias("df"))
+    runs_like = (
+        postings.select(
+            "term",
+            F.col("posting_count").alias("n"),
+            F.col("doc_gaps").alias("gaps"),
+            "tfs", "dls", "poss", "first_doc_id",
+        )
+        .join(df_by_term, "term")
+        .withColumn(
+            "n_salts",
+            F.greatest(
+                F.lit(1),
+                F.ceil(F.col("df") / F.lit(max_group_postings)).cast("int"),
+            ),
+        )
+        .withColumn(
+            "salt",
+            F.when(F.col("n_salts") <= 1, F.lit(0)).otherwise(
+                F.pmod(F.hash("first_doc_id"), F.col("n_salts"))
+            ).cast("int"),
+        )
+        .select("term", "salt", "n", "gaps", "tfs", "dls", "poss")
+    )
+    merged = runs_like.repartition(n_partitions, "term", "salt").mapInPandas(
+        _merge_runs_factory(snapshot_id, with_positions),
+        schema=POSTINGS_SCHEMA,
+    ).withColumn("bucket",
+                 F.pmod(F.hash("term"), F.lit(n_buckets)).cast("int"))
+    staged_post = post_path + "_compacting"
+    merged.repartition(n_buckets, "bucket").write.mode(
+        "overwrite").partitionBy("bucket").parquet(staged_post)
+
+    # term_stats: one row per (term, bucket) aggregated across segments —
+    # same totals the reader already computes per query, persisted once
+    ts_path = os.path.join(out_dir, "term_stats")
+    ts_new = (
+        spark.read.parquet(ts_path)
+        .groupBy("term", "bucket")
+        .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"),
+             F.max("max_tf").alias("max_tf"),
+             F.min("min_dl").alias("min_dl"))
+        .withColumn("snapshot_id", F.lit(snapshot_id))
+        .select("term", "df", "cf", "max_tf", "min_dl", "snapshot_id",
+                "bucket")
+    )
+    ts_new.repartition(n_buckets, "bucket").write.mode(
+        "overwrite").partitionBy("bucket").parquet(ts_path + "_compacting")
+
+    # lineage: rewritten from the compacted postings so the invariant
+    # "lineage covers every current posting exactly once" holds
+    compacted_tbl = spark.read.parquet(staged_post)
+    n_blocks_after = compacted_tbl.count()
+    lineage = (
+        compacted_tbl.groupBy("partition_id")
+        .agg(
+            F.min("term").alias("term_lo"),
+            F.max("term").alias("term_hi"),
+            F.countDistinct("term").alias("n_terms"),
+            F.sum("posting_count").alias("posting_count"),
+            F.sum(
+                F.octet_length("doc_gaps")
+                + F.octet_length("tfs")
+                + F.octet_length("dls")
+            ).alias("bytes"),
+            F.max("wall_ms").alias("wall_ms"),
+        )
+        .withColumn("snapshot_id", F.lit(snapshot_id))
+    )
+    lineage.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "lineage") + "_compacting")
+
+    # commit point: every staged table is fully written (parquet _SUCCESS)
+    marker = _compact_marker(out_dir)
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"snapshot_id": snapshot_id, "stage": "swap"}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, marker)
+    _finish_compact_swap(out_dir)
+    return {"compacted": True, "n_snapshots_before": len(snaps),
+            "n_blocks_before": int(n_blocks_before),
+            "n_blocks_after": int(n_blocks_after),
+            "snapshot_id": snapshot_id,
+            "wall_sec": round(time.monotonic() - t0, 3)}

@@ -1,0 +1,166 @@
+"""Segment compaction (Lucene forceMerge / ES _forcemerge analog):
+compacting appended segments must be result-invariant (bit-identical
+top-k docIDs and scores), reduce block count, keep the lineage
+covers-every-posting-once invariant, and roll forward from a crash at
+any swap point."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from research_engine_spark.corpus import synth_transcripts
+from research_engine_spark.operators import indexer
+from research_engine_spark.operators.indexer import (
+    append_segment,
+    build_index,
+    compact_index,
+)
+from research_engine_spark.operators.scorer import IndexReader, search
+
+QUERIES = ["neural networks", "machine learning",
+           "What is BERT and how does it work?", "transformer attention"]
+
+
+@pytest.fixture(scope="module")
+def segmented_index(spark, tmp_path_factory):
+    """Build over convs 0..14, then append 15..29 and 30..44 as separate
+    segments — three snapshots on disk."""
+    d = str(tmp_path_factory.mktemp("compact_idx"))
+    tx = synth_transcripts(spark, n_convs=45, seed=23)
+    first = tx.filter(F.col("conv_id") < "conv_00000015")
+    mid = tx.filter((F.col("conv_id") >= "conv_00000015")
+                    & (F.col("conv_id") < "conv_00000030"))
+    last = tx.filter(F.col("conv_id") >= "conv_00000030")
+    build_index(first, d, n_buckets=4)
+    append_segment(mid, d)
+    append_segment(last, d)
+    return d
+
+
+def _topk(spark, d, k=10):
+    r = IndexReader(spark, d)
+    out = {}
+    for q in QUERIES:
+        pdf = search(r, q, k=k).toPandas()
+        out[q] = list(zip(pdf["doc_id"].tolist(), pdf["score"].tolist()))
+    return out
+
+
+def test_compact_preserves_results_exactly(spark, segmented_index):
+    d = segmented_index
+    before = _topk(spark, d)
+    n_snaps_before = (spark.read.parquet(os.path.join(d, "postings"))
+                      .select("snapshot_id").distinct().count())
+    assert n_snaps_before == 3
+    res = compact_index(spark, d)
+    assert res["compacted"] is True
+    assert res["n_snapshots_before"] == 3
+    # fewer-or-equal blocks: per-segment tail blocks merged into full ones
+    assert res["n_blocks_after"] <= res["n_blocks_before"]
+    post = spark.read.parquet(os.path.join(d, "postings"))
+    assert post.select("snapshot_id").distinct().count() == 1
+    ts = spark.read.parquet(os.path.join(d, "term_stats"))
+    assert ts.select("snapshot_id").distinct().count() == 1
+    # one term_stats row per term after compaction
+    dup = (ts.groupBy("term").count().filter(F.col("count") > 1).count())
+    assert dup == 0
+    after = _topk(spark, d)
+    for q in QUERIES:
+        assert before[q] == after[q], q  # bit-identical ids AND scores
+    # staged/backup dirs and the marker are gone
+    for tbl in ("postings", "term_stats", "lineage"):
+        assert not os.path.exists(os.path.join(d, tbl + "_compacting"))
+        assert not os.path.exists(os.path.join(d, tbl + "_precompact"))
+    assert not os.path.exists(os.path.join(d, "_compact_pending.json"))
+
+
+def test_compact_lineage_covers_every_posting_once(spark, segmented_index):
+    d = segmented_index  # already compacted by the previous test
+    post = spark.read.parquet(os.path.join(d, "postings"))
+    lin = spark.read.parquet(os.path.join(d, "lineage"))
+    n_postings = post.agg(F.sum("posting_count")).collect()[0][0]
+    n_lineage = lin.agg(F.sum("posting_count")).collect()[0][0]
+    assert n_postings == n_lineage
+    # doc-sorted disjoint blocks within each (term, salt) group survive
+    bad = (post.groupBy("term", "salt")
+           .agg(F.sum("posting_count").alias("n"),
+                F.countDistinct("block_id").alias("nb"),
+                F.max("block_id").alias("mx"))
+           .filter(F.col("nb") != F.col("mx") + 1).count())
+    assert bad == 0
+
+
+def test_compact_noop_on_single_snapshot(spark, tmp_path):
+    d = str(tmp_path / "single")
+    tx = synth_transcripts(spark, n_convs=8, seed=5)
+    build_index(tx, d, n_buckets=2)
+    before = _topk(spark, d, k=5)
+    res = compact_index(spark, d)
+    assert res["compacted"] is False
+    assert res["n_blocks_after"] == res["n_blocks_before"]
+    assert _topk(spark, d, k=5) == before
+
+
+def test_compact_crash_rolls_forward(spark, tmp_path, monkeypatch):
+    """Crash after the commit marker lands mid-swap: the next
+    compact_index call must finish the swap and serve identical
+    results."""
+    d = str(tmp_path / "crashy")
+    tx = synth_transcripts(spark, n_convs=20, seed=31)
+    first = tx.filter(F.col("conv_id") < "conv_00000010")
+    second = tx.filter(F.col("conv_id") >= "conv_00000010")
+    build_index(first, d, n_buckets=2)
+    append_segment(second, d)
+    before = _topk(spark, d, k=8)
+
+    real_rename = os.rename
+    calls = {"n": 0}
+
+    def exploding_rename(src, dst):
+        real_rename(src, dst)
+        calls["n"] += 1
+        if calls["n"] == 2:  # crash right after promoting ONE table part
+            raise RuntimeError("simulated crash mid-swap")
+
+    monkeypatch.setattr(indexer.os, "rename", exploding_rename)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        compact_index(spark, d)
+    monkeypatch.setattr(indexer.os, "rename", real_rename)
+    # marker still pending; postings promoted but term_stats/lineage not
+    assert os.path.exists(os.path.join(d, "_compact_pending.json"))
+    res = compact_index(spark, d)  # finishes the swap, then no-op
+    assert res["compacted"] is False
+    assert res["n_snapshots_before"] == 1
+    assert not os.path.exists(os.path.join(d, "_compact_pending.json"))
+    after = _topk(spark, d, k=8)
+    for q in QUERIES:
+        assert before[q] == after[q], q
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_compact_positional_phrase_identical(spark, tmp_path):
+    """Positional index: phrase results identical across compaction."""
+    from research_engine_spark.operators.scorer import phrase_search
+
+    d = str(tmp_path / "positional")
+    tx = synth_transcripts(spark, n_convs=24, seed=7)
+    first = tx.filter(F.col("conv_id") < "conv_00000012")
+    second = tx.filter(F.col("conv_id") >= "conv_00000012")
+    build_index(first, d, n_buckets=2, with_positions=True)
+    append_segment(second, d)
+    r = IndexReader(spark, d)
+    phrase = "machine learning"
+    before = phrase_search(r, phrase, k=10).toPandas()
+    res = compact_index(spark, d)
+    assert res["compacted"] is True
+    r = IndexReader(spark, d)
+    after = phrase_search(r, phrase, k=10).toPandas()
+    assert before["doc_id"].tolist() == after["doc_id"].tolist()
+    assert np.allclose(before["score"], after["score"], rtol=0, atol=0)
+    shutil.rmtree(d, ignore_errors=True)
