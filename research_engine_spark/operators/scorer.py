@@ -205,24 +205,6 @@ def auto_max_edits(term: str) -> int:
     return 0 if n < 3 else (1 if n < 6 else 2)
 
 
-def _dl_udf():
-    """Arrow-batched Damerau-Levenshtein UDF over (term, qterm) pairs.
-    Per-pair Python DP, but only ever applied to the length-banded,
-    JVM-prefiltered VOCABULARY candidates (metadata scale, not postings
-    scale)."""
-    from pyspark.sql import types as T
-
-    from ..functions.editdist import damerau_levenshtein
-
-    @F.pandas_udf(T.IntegerType())
-    def dl(term: pd.Series, qterm: pd.Series) -> pd.Series:
-        return pd.Series(
-            [damerau_levenshtein(t, q) for t, q in zip(term, qterm)],
-            dtype="int32")
-
-    return dl
-
-
 def _fuzzy_term_meta(reader: IndexReader, qterms: list[tuple[str, int]],
                      k1: float, b: float,
                      max_expansions: int = 50) -> pd.DataFrame:
@@ -238,10 +220,10 @@ def _fuzzy_term_meta(reader: IndexReader, qterms: list[tuple[str, int]],
     fuzzy terms run ONE distributed scan of term_stats (vocab-sized —
     orders of magnitude smaller than postings) with a length-band
     pre-filter AND a thresholded JVM classic-levenshtein prefilter
-    (DL ≤ e implies levenshtein ≤ 2e, so nothing true is cut) before the
-    Python DP, capped at max_expansions per query term by (boost desc,
-    df desc, term asc) — a keyed window over per-term candidate sets,
-    never a global one.
+    (DL ≤ e implies levenshtein ≤ 2e, so nothing true is cut); the exact
+    Damerau DP and the max_expansions cap (ranked boost desc, df desc,
+    term asc per query term) run driver-side over the collected
+    metadata-scale candidates — no Python workers, no extra shuffle.
     """
     spark = reader.spark
     n_docs, avgdl = reader.stats["n_docs"], reader.stats["avgdl"]
@@ -259,38 +241,53 @@ def _fuzzy_term_meta(reader: IndexReader, qterms: list[tuple[str, int]],
     if fuzzy:
         qdf = spark.createDataFrame(
             fuzzy, "qterm string, raw_qtf int, maxed int, qlen int")
-        vocab = reader.term_stats.groupBy("term").agg(
-            F.sum("df").alias("df"),
-            F.max("max_tf").alias("max_tf"),
-            F.min("min_dl").alias("min_dl"),
-        )
         tlen = F.length("term")
         lev_pre = F.levenshtein("term", "qterm", 4)  # -1 above threshold
+        # one JVM-only job: the length-band BNL join + thresholded
+        # classic levenshtein run BEFORE the cross-segment aggregation,
+        # so the groupBy shuffles only the metadata-scale candidate set
+        # (never the whole vocabulary), and the survivors collect to the
+        # driver. The exact Damerau DP then runs DRIVER-SIDE over those
+        # few rows — the previous pandas-UDF + per-qterm-window version
+        # paid a Python-worker spin-up across every core plus a
+        # vocab-wide shuffle for a candidate set that was collected
+        # right after anyway (measured 29s cold / 2.2s warm at sf0.1;
+        # this shape is one JVM job + microseconds of driver DP).
         cand = (
-            vocab.join(
+            reader.term_stats.join(
                 F.broadcast(qdf),
                 (tlen >= F.col("qlen") - F.col("maxed"))
                 & (tlen <= F.col("qlen") + F.col("maxed")),
             )
             .filter((lev_pre >= 0) & (lev_pre <= F.col("maxed") * 2))
-            .withColumn("ed", _dl_udf()("term", "qterm"))
-            .filter(F.col("ed") <= F.col("maxed"))
-            .withColumn(
-                "boost",
-                F.lit(1.0) - F.col("ed").cast("double")
-                / F.least(F.col("qlen"), tlen).cast("double"),
-            )
+            .groupBy("qterm", "raw_qtf", "maxed", "qlen", "term")
+            .agg(F.sum("df").alias("df"),
+                 F.max("max_tf").alias("max_tf"),
+                 F.min("min_dl").alias("min_dl"))
         )
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("qterm").orderBy(
-            F.desc("boost"), F.desc("df"), F.asc("term"))
-        cand = (cand.withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") <= int(max_expansions))
-                .select("qterm", "raw_qtf", "term", "df", "max_tf",
-                        "min_dl", "boost"))
         cpd = cand.toPandas()
         if not cpd.empty:
+            from ..functions.editdist import damerau_levenshtein
+
+            ed = np.fromiter(
+                (damerau_levenshtein(t, q)
+                 for t, q in zip(cpd["term"], cpd["qterm"])),
+                dtype=np.int64, count=len(cpd))
+            cpd = cpd.assign(ed=ed)
+            cpd = cpd[cpd["ed"] <= cpd["maxed"]]
+        if not cpd.empty:
+            tlens = cpd["term"].str.len().to_numpy(np.int64)
+            cpd = cpd.assign(
+                boost=1.0 - cpd["ed"].to_numpy(np.float64)
+                / np.minimum(cpd["qlen"].to_numpy(np.int64), tlens))
+            # Lucene max_expansions cap, ranked (boost desc, df desc,
+            # term asc) per query term — same order as the old window
+            cpd = (cpd.sort_values(
+                       ["qterm", "boost", "df", "term"],
+                       ascending=[True, False, False, True])
+                   .groupby("qterm", sort=False)
+                   .head(int(max_expansions))
+                   .reset_index(drop=True))
             cpd["qtf"] = (cpd["raw_qtf"].astype(np.float64)
                           * cpd["boost"].astype(np.float64))
             cpd["idf"] = bm25_idf(n_docs, cpd["df"].to_numpy())
