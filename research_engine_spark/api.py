@@ -75,12 +75,18 @@ class ResearchEngine:
     # --- query surface -----------------------------------------------------
     def search(self, query: str, top_k: int = DEFAULT_TOP_K,
                k1: float | None = None, b: float | None = None,
-               prune: bool = False, bool_should: bool = False,
+               prune: bool = True, bool_should: bool = False,
                highlight: bool = False, fuzzy: bool = False) -> DataFrame:
         """BM25 top-k (es_search_final.py search_chunks analog).
-        bool_should=True adds the boosted phrase clause (requires a
-        positional index). fuzzy=True applies the reference's
-        ``fuzziness: AUTO`` edit-distance expansion
+        prune defaults to True: the block-max gate is DRIVER-side
+        (pyarrow block metadata, zero extra Spark jobs on fallback) and
+        the pruned path is proven bit-identical to the plain scan
+        (tests/test_rank_identity.py), so pruning is free when it can't
+        help and strictly decodes fewer blocks when it can
+        (BENCH/prune_crossover_r3.json: single-clause pruned 0.77s vs
+        plain 1.37s on 7M turns). bool_should=True adds the boosted
+        phrase clause (requires a positional index). fuzzy=True applies
+        the reference's ``fuzziness: AUTO`` edit-distance expansion
         (es_search_final.py:21)."""
         if bool_should:
             hits = bool_should_search(self.reader, query, k=top_k, k1=k1, b=b)
