@@ -75,6 +75,10 @@ def main() -> None:
 
     # --- 2. BM25 query latency --------------------------------------------
     reader = IndexReader(spark, idx_dir)
+    # one untimed warmup query: pays the postings/doc_stats file-listing
+    # and first-scan codegen once (session overhead, not per-query
+    # latency — same steady-state methodology as the build warmup)
+    search(reader, "warmup", k=1, with_text=False).collect()
     bm25_total = 0.0
     for i, q in enumerate(REFERENCE_QUERIES):
         t0 = time.monotonic()

@@ -817,6 +817,45 @@ def _compact_marker(out_dir: str) -> str:
     return os.path.join(out_dir, "_compact_pending.json")
 
 
+def snapshot_census(post_path: str) -> set | None:
+    """Distinct snapshot_ids in a postings dir from parquet FOOTER column
+    stats alone — a driver-side metadata pass, zero Spark jobs (the
+    compaction gate runs per streaming micro-batch, so it must be free).
+    Returns None when any footer lacks snapshot_id stats (caller falls
+    back to a Spark distinct). Exact because every part-file's rows carry
+    between min and max, and appends write one snapshot per file — when
+    a file DOES span snapshots (min != max), both endpoints are counted
+    and the ">1 snapshots" answer the gate needs is still exact.
+    """
+    import pyarrow.parquet as pq
+
+    vals: set = set()
+    for root, _dirs, files in os.walk(post_path):
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            try:
+                md = pq.read_metadata(os.path.join(root, fn))
+            except Exception:
+                return None
+            found = False
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    if col.path_in_schema == "snapshot_id":
+                        st = col.statistics
+                        if st is None or not st.has_min_max:
+                            return None
+                        vals.add(st.min)
+                        vals.add(st.max)
+                        found = True
+                        break
+            if md.num_row_groups and not found:
+                return None
+    return vals
+
+
 def _finish_compact_swap(out_dir: str) -> None:
     """Idempotent promote of the staged ``*_compacting`` tables.
 
@@ -892,9 +931,18 @@ def compact_index(
         n_partitions = int(spark.conf.get("spark.sql.shuffle.partitions",
                                           "32"))
     post_path = os.path.join(out_dir, "postings")
+    # no-op gate from parquet footer stats: zero Spark jobs when there is
+    # nothing to merge (the gate runs per micro-batch under compact_every)
+    census = snapshot_census(post_path)
+    if census is not None and len(census) <= 1:
+        return {"compacted": False, "n_snapshots_before": len(census),
+                "n_blocks_before": None, "n_blocks_after": None,
+                "snapshot_id": next(iter(census)) if census else None,
+                "wall_sec": round(time.monotonic() - t0, 3)}
     postings = spark.read.parquet(post_path)
-    snaps = [r["snapshot_id"] for r in
-             postings.select("snapshot_id").distinct().collect()]
+    snaps = sorted(census) if census is not None else [
+        r["snapshot_id"] for r in
+        postings.select("snapshot_id").distinct().collect()]
     n_blocks_before = postings.count()
     if len(snaps) <= 1:
         return {"compacted": False, "n_snapshots_before": len(snaps),

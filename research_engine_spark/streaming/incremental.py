@@ -146,10 +146,20 @@ def _cleanup_partial_segment(index_dir: str, pending: dict) -> None:
     _write_json_atomic(stats_path, stats)
 
 
-def make_foreach_batch(index_dir: str):
+def make_foreach_batch(index_dir: str, compact_every: int | None = None):
     """foreachBatch sink: append each micro-batch as an index segment,
     idempotent on batch replay (exactly-once effect, crash-safe via the
-    pending-segment marker; see module docstring)."""
+    pending-segment marker; see module docstring).
+
+    compact_every=K: after a successful append, force-merge once the
+    index holds more than K snapshots (the Lucene tiered-merge analog —
+    unbounded micro-batching otherwise accretes one segment per batch
+    and every query decodes ever more small tail blocks). The gate is a
+    driver-side parquet-footer census (zero Spark jobs between
+    compactions); compaction itself is crash-safe with its own
+    roll-forward marker, finished here on the next batch if interrupted
+    (indexer._finish_compact_swap via compact_index).
+    """
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         applied = _applied_batches(index_dir)
@@ -180,6 +190,14 @@ def make_foreach_batch(index_dir: str):
         applied.add(int(batch_id))
         _write_json_atomic(_batch_marker(index_dir), sorted(applied))
         os.remove(_pending_marker(index_dir))
+        if compact_every:
+            from ..operators.indexer import (_compact_marker, compact_index,
+                                             snapshot_census)
+
+            census = snapshot_census(os.path.join(index_dir, "postings"))
+            if (os.path.exists(_compact_marker(index_dir))
+                    or census is None or len(census) > int(compact_every)):
+                compact_index(batch_df.sparkSession, index_dir)
 
     return apply
 
@@ -190,16 +208,20 @@ def incremental_index_stream(
     index_dir: str,
     checkpoint_dir: str,
     trigger_once: bool = True,
+    compact_every: int | None = None,
 ):
     """Start a streaming query that indexes transcript parquet files as
-    they land in ``input_path``. Returns the StreamingQuery handle."""
+    they land in ``input_path``. Returns the StreamingQuery handle.
+    compact_every=K auto-force-merges whenever more than K segments have
+    accumulated (see make_foreach_batch)."""
     stream = (
         spark.readStream.schema(TRANSCRIPT_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .parquet(input_path)
     )
     writer = (
-        stream.writeStream.foreachBatch(make_foreach_batch(index_dir))
+        stream.writeStream.foreachBatch(
+            make_foreach_batch(index_dir, compact_every=compact_every))
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
     )

@@ -164,3 +164,37 @@ def test_compact_positional_phrase_identical(spark, tmp_path):
     assert before["doc_id"].tolist() == after["doc_id"].tolist()
     assert np.allclose(before["score"], after["score"], rtol=0, atol=0)
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_auto_compaction(spark, tmp_path):
+    """compact_every=K in the foreachBatch sink: segments accrete per
+    micro-batch, then auto-force-merge keeps the snapshot count bounded;
+    scores still match the full-corpus oracle exactly."""
+    from research_engine_spark.oracle import BM25Oracle
+    from research_engine_spark.corpus import transcripts_pandas
+    from research_engine_spark.streaming.incremental import (
+        make_foreach_batch,
+    )
+
+    full_pd = transcripts_pandas(n_convs=24, seed=17)
+    tx = synth_transcripts(spark, n_convs=24, seed=17)
+    d = str(tmp_path / "autocompact")
+    build_index(tx.filter(F.col("conv_id") < "conv_00000006"), d,
+                n_buckets=2)
+    fb = make_foreach_batch(d, compact_every=2)
+    for i, (lo, hi) in enumerate([(6, 12), (12, 18), (18, 24)]):
+        batch = tx.filter(
+            (F.col("conv_id") >= f"conv_{lo:08d}")
+            & (F.col("conv_id") < f"conv_{hi:08d}"))
+        fb(batch, i)
+    from research_engine_spark.operators.indexer import snapshot_census
+    census = snapshot_census(os.path.join(d, "postings"))
+    assert census is not None and len(census) <= 2, census
+    r = IndexReader(spark, d)
+    assert r.stats["n_docs"] == len(full_pd)
+    oracle = BM25Oracle(full_pd)
+    for q in ["neural networks", "machine learning"]:
+        eng = search(r, q, k=8).toPandas()
+        ora = oracle.search(q, k=8)
+        assert np.allclose(sorted(eng["score"]), sorted(ora["score"]),
+                           rtol=0, atol=1e-12), q
