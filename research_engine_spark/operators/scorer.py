@@ -205,54 +205,62 @@ def auto_max_edits(term: str) -> int:
     return 0 if n < 3 else (1 if n < 6 else 2)
 
 
-def _fuzzy_term_meta(reader: IndexReader, qterms: list[tuple[str, int]],
-                     k1: float, b: float,
-                     max_expansions: int = 50) -> pd.DataFrame:
-    """R5: expand analyzed query terms against the term dictionary within
-    AUTO edit distance, returning one clause row per (query term,
-    candidate) with weight = qtf * boost, boost = 1 - ed/min(|q|, |t|)
-    (Lucene FuzzyTermsEnum's published boost).
-
-    Distance is unrestricted Damerau-Levenshtein (functions/editdist.py)
-    — Lucene FuzzyQuery's transpositions=true default, so "hte" expands
-    to "the" at ONE edit (the r2 fidelity gap). Scale shape: exact
-    (0-edit) terms use the bucket-pruned driver-side dictionary lookup;
-    fuzzy terms run ONE distributed scan of term_stats (vocab-sized —
-    orders of magnitude smaller than postings) with a length-band
-    pre-filter AND a thresholded JVM classic-levenshtein prefilter
-    (DL ≤ e implies levenshtein ≤ 2e, so nothing true is cut); the exact
-    Damerau DP and the max_expansions cap (ranked boost desc, df desc,
-    term asc per query term) run driver-side over the collected
-    metadata-scale candidates — no Python workers, no extra shuffle.
+def _fuzzy_term_meta_many(reader: IndexReader,
+                          qterms_by_qid: dict[str, list[tuple[str, int]]],
+                          k1: float, b: float,
+                          max_expansions: int = 50) -> pd.DataFrame:
+    """R5 expansion for MANY queries in ONE vocabulary job: every fuzzy
+    (qid, query term) rides the same length-band + thresholded-JVM-
+    levenshtein candidate scan (the broadcast qdf just gains a qid
+    column), the exact Damerau DP runs driver-side over the collected
+    candidates, and the max_expansions cap applies per (qid, qterm).
+    Returns one clause row per (qid, query term, candidate) with
+    weight qtf = raw_qtf * boost, boost = 1 - ed/min(|q|, |t|) (Lucene
+    FuzzyTermsEnum's published boost; FuzzyQuery transpositions=true —
+    "hte" expands to "the" at ONE edit). Exact (0-edit) terms use the
+    bucket-pruned driver-side dictionary lookup, warmed once for the
+    union of all queries' exact terms.
     """
     spark = reader.spark
     n_docs, avgdl = reader.stats["n_docs"], reader.stats["avgdl"]
-    rows = [(t, int(q), auto_max_edits(t), len(t)) for t, q in qterms]
-    exact = [(t, q) for t, q, e, _ in rows if e == 0]
-    fuzzy = [r for r in rows if r[2] > 0]
+    exact_by_qid: dict[str, list[tuple[str, int]]] = {}
+    fuzzy_rows: list[tuple] = []
+    for qid, qterms in qterms_by_qid.items():
+        for t, q in qterms:
+            e = auto_max_edits(t)
+            if e == 0:
+                exact_by_qid.setdefault(qid, []).append((t, int(q)))
+            else:
+                fuzzy_rows.append((qid, t, int(q), e, len(t)))
 
     frames = []
-    if exact:
-        m = _term_meta(reader, exact, k1, b)
-        if not m.empty:
-            m = m.assign(qtf=m["qtf"].astype(np.float64))
-            frames.append(m[["term", "qtf", "df", "max_tf", "min_dl",
-                             "idf", "gub"]])
-    if fuzzy:
+    if exact_by_qid:
+        union = sorted({t for qts in exact_by_qid.values()
+                        for t, _ in qts})
+        reader.term_stats_arrow(union)  # one bucket read for the union
+        for qid, qts in exact_by_qid.items():
+            m = _term_meta(reader, qts, k1, b)
+            if not m.empty:
+                m = m.assign(qid=qid, qtf=m["qtf"].astype(np.float64))
+                frames.append(m[["qid", "term", "qtf", "df", "max_tf",
+                                 "min_dl", "idf", "gub"]])
+    if fuzzy_rows:
         qdf = spark.createDataFrame(
-            fuzzy, "qterm string, raw_qtf int, maxed int, qlen int")
+            fuzzy_rows,
+            "qid string, qterm string, raw_qtf int, maxed int, qlen int")
         tlen = F.length("term")
         lev_pre = F.levenshtein("term", "qterm", 4)  # -1 above threshold
         # one JVM-only job: the length-band BNL join + thresholded
         # classic levenshtein run BEFORE the cross-segment aggregation,
         # so the groupBy shuffles only the metadata-scale candidate set
         # (never the whole vocabulary), and the survivors collect to the
-        # driver. The exact Damerau DP then runs DRIVER-SIDE over those
-        # few rows — the previous pandas-UDF + per-qterm-window version
-        # paid a Python-worker spin-up across every core plus a
-        # vocab-wide shuffle for a candidate set that was collected
-        # right after anyway (measured 29s cold / 2.2s warm at sf0.1;
-        # this shape is one JVM job + microseconds of driver DP).
+        # driver (DL <= e implies levenshtein <= 2e, so nothing true is
+        # cut). The exact Damerau DP then runs DRIVER-SIDE over those
+        # few rows — a pandas-UDF version paid a Python-worker spin-up
+        # across every core plus a vocab-wide shuffle for a candidate
+        # set that was collected right after anyway (measured 29s cold /
+        # 2.2s warm at sf0.1; this shape is one JVM job + microseconds
+        # of driver DP).
         cand = (
             reader.term_stats.join(
                 F.broadcast(qdf),
@@ -260,7 +268,7 @@ def _fuzzy_term_meta(reader: IndexReader, qterms: list[tuple[str, int]],
                 & (tlen <= F.col("qlen") + F.col("maxed")),
             )
             .filter((lev_pre >= 0) & (lev_pre <= F.col("maxed") * 2))
-            .groupBy("qterm", "raw_qtf", "maxed", "qlen", "term")
+            .groupBy("qid", "qterm", "raw_qtf", "maxed", "qlen", "term")
             .agg(F.sum("df").alias("df"),
                  F.max("max_tf").alias("max_tf"),
                  F.min("min_dl").alias("min_dl"))
@@ -269,11 +277,14 @@ def _fuzzy_term_meta(reader: IndexReader, qterms: list[tuple[str, int]],
         if not cpd.empty:
             from ..functions.editdist import damerau_levenshtein
 
-            ed = np.fromiter(
-                (damerau_levenshtein(t, q)
-                 for t, q in zip(cpd["term"], cpd["qterm"])),
-                dtype=np.int64, count=len(cpd))
-            cpd = cpd.assign(ed=ed)
+            # one DP per DISTINCT (term, qterm) pair (queries of a batch
+            # often share typo terms)
+            pairs = cpd[["term", "qterm"]].drop_duplicates()
+            ed_map = {(t, q): damerau_levenshtein(t, q)
+                      for t, q in zip(pairs["term"], pairs["qterm"])}
+            cpd = cpd.assign(ed=[
+                ed_map[(t, q)]
+                for t, q in zip(cpd["term"], cpd["qterm"])])
             cpd = cpd[cpd["ed"] <= cpd["maxed"]]
         if not cpd.empty:
             tlens = cpd["term"].str.len().to_numpy(np.int64)
@@ -281,11 +292,11 @@ def _fuzzy_term_meta(reader: IndexReader, qterms: list[tuple[str, int]],
                 boost=1.0 - cpd["ed"].to_numpy(np.float64)
                 / np.minimum(cpd["qlen"].to_numpy(np.int64), tlens))
             # Lucene max_expansions cap, ranked (boost desc, df desc,
-            # term asc) per query term — same order as the old window
+            # term asc) per (qid, query term)
             cpd = (cpd.sort_values(
-                       ["qterm", "boost", "df", "term"],
-                       ascending=[True, False, False, True])
-                   .groupby("qterm", sort=False)
+                       ["qid", "qterm", "boost", "df", "term"],
+                       ascending=[True, True, False, False, True])
+                   .groupby(["qid", "qterm"], sort=False)
                    .head(int(max_expansions))
                    .reset_index(drop=True))
             cpd["qtf"] = (cpd["raw_qtf"].astype(np.float64)
@@ -296,13 +307,22 @@ def _fuzzy_term_meta(reader: IndexReader, qterms: list[tuple[str, int]],
                 * bm25_tf_part(cpd["max_tf"].to_numpy(),
                                cpd["min_dl"].to_numpy(), avgdl, k1, b)
             )
-            frames.append(cpd[["term", "qtf", "df", "max_tf", "min_dl",
-                               "idf", "gub"]])
+            frames.append(cpd[["qid", "term", "qtf", "df", "max_tf",
+                               "min_dl", "idf", "gub"]])
     if not frames:
-        return pd.DataFrame(columns=["term", "qtf", "df", "max_tf",
+        return pd.DataFrame(columns=["qid", "term", "qtf", "df", "max_tf",
                                      "min_dl", "idf", "gub"])
     out = pd.concat(frames, ignore_index=True)
-    return out.sort_values(["term", "qtf"]).reset_index(drop=True)
+    return out.sort_values(["qid", "term", "qtf"]).reset_index(drop=True)
+
+
+def _fuzzy_term_meta(reader: IndexReader, qterms: list[tuple[str, int]],
+                     k1: float, b: float,
+                     max_expansions: int = 50) -> pd.DataFrame:
+    """Single-query R5 expansion (see _fuzzy_term_meta_many)."""
+    out = _fuzzy_term_meta_many(reader, {"q": qterms}, k1, b,
+                                max_expansions)
+    return out.drop(columns=["qid"]).reset_index(drop=True)
 
 
 # Driver-side block-metadata budget (rows). Per-block metadata is a few
@@ -944,6 +964,8 @@ def search_many(
     b: float | None = None,
     with_text: bool = False,
     n_sub: int = 32,
+    fuzzy: bool = False,
+    max_expansions: int = 50,
 ) -> DataFrame:
     """Top-k BM25 for MANY queries in ONE Spark job (T1 batch variant).
 
@@ -962,6 +984,10 @@ def search_many(
     deterministic fold, same (score desc, doc_id asc) tiebreak.
 
     queries: {qid: query} or a list (auto qids q0000, q0001, ...).
+    fuzzy=True applies the R5 AUTO edit-distance expansion to every
+    query with ONE shared vocabulary-candidate job for the whole batch
+    (_fuzzy_term_meta_many) — per-query scores stay bit-identical to
+    ``search(..., fuzzy=True)``.
     Returns (qid, doc_id, score[, conv_id, turn_idx, text]) ordered by
     (qid, score desc, doc_id asc).
     """
@@ -975,24 +1001,33 @@ def search_many(
     # once per query); the per-query _term_meta calls below then hit the
     # reader's term cache without touching parquet.
     all_qterms = {qid: analyze_query(q) for qid, q in queries.items()}
-    union_terms = sorted({t for qts in all_qterms.values() for t, _ in qts})
-    if union_terms:
-        reader.term_stats_arrow(union_terms)
-    metas = []
-    for qid, qterms in all_qterms.items():
-        if not qterms:
-            continue
-        meta = _term_meta(reader, qterms, k1, b)
-        if meta.empty:
-            continue
-        metas.append(meta.assign(
-            qid=qid, qtf=meta["qtf"].astype(np.float64)))
     out_cols = "qid string, doc_id bigint, score double"
     if with_text:
         out_cols += ", conv_id string, turn_idx int, text string"
-    if not metas:
-        return spark.createDataFrame([], out_cols)
-    allmeta = pd.concat(metas, ignore_index=True)
+    if fuzzy:
+        allmeta = _fuzzy_term_meta_many(
+            reader, {q: t for q, t in all_qterms.items() if t},
+            k1, b, max_expansions)
+        if allmeta.empty:
+            return spark.createDataFrame([], out_cols)
+        allmeta = allmeta.assign(qtf=allmeta["qtf"].astype(np.float64))
+    else:
+        union_terms = sorted(
+            {t for qts in all_qterms.values() for t, _ in qts})
+        if union_terms:
+            reader.term_stats_arrow(union_terms)
+        metas = []
+        for qid, qterms in all_qterms.items():
+            if not qterms:
+                continue
+            meta = _term_meta(reader, qterms, k1, b)
+            if meta.empty:
+                continue
+            metas.append(meta.assign(
+                qid=qid, qtf=meta["qtf"].astype(np.float64)))
+        if not metas:
+            return spark.createDataFrame([], out_cols)
+        allmeta = pd.concat(metas, ignore_index=True)
     terms = sorted(set(allmeta["term"]))
     buckets = sorted({int(v) for v in reader.bucket_of(terms).values()})
     avgdl = reader.stats["avgdl"]

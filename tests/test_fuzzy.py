@@ -104,3 +104,41 @@ def test_fuzzy_exact_term_includes_self_with_boost_one(spark, reader, oracle):
     assert list(eng_f["doc_id"]) == list(ora_f["doc_id"])
     assert np.array_equal(eng_f["score"].to_numpy(),
                           ora_f["score"].to_numpy())
+
+
+def test_batch_fuzzy_matches_single_query(reader):
+    """search_many(fuzzy=True) must return, per query, bit-identical
+    (doc_id, score) to search(fuzzy=True) — one shared vocabulary-
+    expansion job for the whole batch, same clauses, same fold order."""
+    import numpy as np
+
+    from research_engine_spark.operators.scorer import search, search_many
+
+    batch = {"f1": "neurel netwerk traning", "f2": "transformr atention",
+             "f3": "machne learing", "plain": "neural networks"}
+    got = search_many(reader, batch, k=10, fuzzy=True).toPandas()
+    for qid, q in batch.items():
+        single = search(reader, q, k=10, with_text=False,
+                        fuzzy=True).toPandas()
+        part = got[got["qid"] == qid]
+        assert list(part["doc_id"]) == list(single["doc_id"]), qid
+        assert np.allclose(part["score"], single["score"],
+                           rtol=0, atol=0), qid
+
+
+def test_batch_fuzzy_shared_typo_across_queries(reader):
+    """Two batch queries sharing a typo term must each get the full
+    expansion (the distinct-pair DP dedup must not drop clauses)."""
+    import numpy as np
+
+    from research_engine_spark.operators.scorer import search, search_many
+
+    batch = {"a": "neurel netwerk", "b": "neurel traning"}
+    got = search_many(reader, batch, k=8, fuzzy=True).toPandas()
+    for qid, q in batch.items():
+        single = search(reader, q, k=8, with_text=False,
+                        fuzzy=True).toPandas()
+        part = got[got["qid"] == qid]
+        assert list(part["doc_id"]) == list(single["doc_id"]), qid
+        assert np.allclose(part["score"], single["score"],
+                           rtol=0, atol=0), qid
