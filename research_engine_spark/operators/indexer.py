@@ -954,9 +954,20 @@ def compact_index(
         snapshot_id = f"compact_{len(snaps)}"
 
     # exact per-term df across segments from block metadata (posting_count
-    # sums; payload columns never enter this aggregation)
-    df_by_term = postings.groupBy("term").agg(
-        F.sum("posting_count").alias("df"))
+    # sums; payload columns never enter this aggregation). Only HOT terms
+    # (df > max_group_postings) need a salt count, and those are rare by
+    # definition (Zipf tail: ~vocab/10^3 even at 10^12 postings), so they
+    # broadcast — a left broadcast join instead of a full sort-merge join
+    # spares the compressed payloads one entire shuffle (the only
+    # remaining payload movement is the (term, salt) repartition below).
+    hot = (
+        postings.groupBy("term").agg(F.sum("posting_count").alias("df"))
+        .filter(F.col("df") > int(max_group_postings))
+        .withColumn(
+            "n_salts",
+            F.ceil(F.col("df") / F.lit(max_group_postings)).cast("int"))
+        .select("term", "n_salts")
+    )
     runs_like = (
         postings.select(
             "term",
@@ -964,17 +975,10 @@ def compact_index(
             F.col("doc_gaps").alias("gaps"),
             "tfs", "dls", "poss", "first_doc_id",
         )
-        .join(df_by_term, "term")
-        .withColumn(
-            "n_salts",
-            F.greatest(
-                F.lit(1),
-                F.ceil(F.col("df") / F.lit(max_group_postings)).cast("int"),
-            ),
-        )
+        .join(F.broadcast(hot), "term", "left")
         .withColumn(
             "salt",
-            F.when(F.col("n_salts") <= 1, F.lit(0)).otherwise(
+            F.when(F.col("n_salts").isNull(), F.lit(0)).otherwise(
                 F.pmod(F.hash("first_doc_id"), F.col("n_salts"))
             ).cast("int"),
         )

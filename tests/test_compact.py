@@ -198,3 +198,33 @@ def test_streaming_auto_compaction(spark, tmp_path):
         ora = oracle.search(q, k=8)
         assert np.allclose(sorted(eng["score"]), sorted(ora["score"]),
                            rtol=0, atol=1e-12), q
+
+
+def test_compact_resalts_hot_terms(spark, tmp_path):
+    """A term whose aggregated df crosses max_group_postings at compact
+    time must be re-salted (multiple salts, each doc-sorted), and
+    results must stay bit-identical."""
+    d = str(tmp_path / "resalt")
+    tx = synth_transcripts(spark, n_convs=30, seed=41)
+    first = tx.filter(F.col("conv_id") < "conv_00000015")
+    second = tx.filter(F.col("conv_id") >= "conv_00000015")
+    build_index(first, d, n_buckets=2)
+    append_segment(second, d)
+    before = _topk(spark, d, k=8)
+    res = compact_index(spark, d, max_group_postings=50)
+    assert res["compacted"] is True
+    post = spark.read.parquet(os.path.join(d, "postings"))
+    n_salted = (post.groupBy("term")
+                .agg(F.countDistinct("salt").alias("ns"))
+                .filter(F.col("ns") > 1).count())
+    assert n_salted > 0  # hot terms split across salts
+    # each (term, salt) group stays doc-sorted and contiguous
+    bad = (post.groupBy("term", "salt")
+           .agg(F.countDistinct("block_id").alias("nb"),
+                F.max("block_id").alias("mx"))
+           .filter(F.col("nb") != F.col("mx") + 1).count())
+    assert bad == 0
+    after = _topk(spark, d, k=8)
+    for q in QUERIES:
+        assert before[q] == after[q], q
+    shutil.rmtree(d, ignore_errors=True)
