@@ -123,6 +123,11 @@ def main() -> None:
         queries_sec[f"fuzzy_q{i+1:02d}"] = round(dt, 3)
         fuzzy_total += dt
 
+    # --- 2c2. batch fuzzy: both typo queries in ONE Spark job --------------
+    t0 = time.monotonic()
+    search_many(reader, fuzzy_queries, k=10, fuzzy=True).collect()
+    queries_sec["fuzzy_batch_all"] = round(time.monotonic() - t0, 3)
+
     # --- 2d. positional index + phrase latency ------------------------------
     from research_engine_spark.operators.scorer import phrase_search
 

@@ -284,3 +284,81 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def near_dup_clusters(pairs: DataFrame, id_a: str = "id_a",
+                      id_b: str = "id_b", max_iter: int = 10) -> DataFrame:
+    """Connected components over near-dup pair edges -> one cluster per
+    duplicate group: (doc_id, cluster_id), cluster_id = MIN doc_id in
+    the component (deterministic canonical representative).
+
+    The missing last step of every dedup pipeline: pair emitters
+    (ngram_jaccard_pairs / minhash_lsh_candidate_pairs /
+    simhash_near_pairs / embedding near-dup) report EDGES, but keeping
+    one copy per duplicate GROUP needs the transitive closure (A~B, B~C
+    => drop two of {A,B,C}, not one of each pair).
+
+    Distributed min-label propagation: every node starts labeled with
+    its own id; each round takes the min of its label and its
+    neighbors' labels. Converges in O(component diameter) rounds —
+    near-dup components are dense and shallow (a near-dup of a near-dup
+    is nearly a near-dup), so the default budget of 10 rounds is deep.
+    Each round is one shuffle join + aggregate; labels are
+    localCheckpoint'ed per round so the plan never accumulates iteration
+    lineage, and the loop exits as soon as a round changes nothing. For
+    adversarial long-chain graphs at extreme scale the O(log n)
+    large-star/small-star variant is the drop-in upgrade; raises if the
+    budget is exhausted rather than returning a wrong partition.
+    """
+    spark = pairs.sparkSession
+    edges = pairs.select(F.col(id_a).cast("long").alias("a"),
+                         F.col(id_b).cast("long").alias("b"))
+    adj = (edges.union(edges.select(F.col("b").alias("a"),
+                                    F.col("a").alias("b")))
+           .distinct().persist())
+    labels = (adj.select(F.col("a").alias("node")).distinct()
+              .withColumn("label", F.col("node"))
+              .localCheckpoint(eager=True))
+    converged = False
+    for _ in range(int(max_iter)):
+        nbr_min = (
+            adj.join(labels.select(F.col("node").alias("b"),
+                                   F.col("label").alias("nl")), "b")
+            .groupBy("a").agg(F.min("nl").alias("cand"))
+            .select(F.col("a").alias("node"), "cand")
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select("node",
+                    F.least("label", F.coalesce("cand", F.col("label")))
+                    .alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"),
+                            "node")
+            .filter(F.col("label") != F.col("old")).count())
+        labels = new_labels
+        if changed == 0:
+            converged = True
+            break
+    adj.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"near_dup_clusters: no fixpoint in {max_iter} rounds "
+            "(component diameter exceeds the budget; raise max_iter)")
+    return labels.select(F.col("node").alias("doc_id"),
+                         F.col("label").alias("cluster_id"))
+
+
+def drop_near_dups(df: DataFrame, clusters: DataFrame,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Keep one canonical row per duplicate cluster (the min-id member)
+    plus every unclustered row: left join + filter, no shuffle of df
+    beyond the join itself (clusters is duplicate-groups-sized — tiny
+    next to the corpus — so Spark broadcasts it under AQE)."""
+    c = clusters.select(F.col("doc_id").alias(id_col), "cluster_id")
+    return (df.join(c, id_col, "left")
+            .filter(F.col("cluster_id").isNull()
+                    | (F.col(id_col) == F.col("cluster_id")))
+            .drop("cluster_id"))

@@ -510,6 +510,51 @@ def ngram_jaccard_q(spark, sf_dir):
                         F.round("jaccard", 4).alias("jaccard"))
 
 
+@register("near_dup_clusters_documents", f"""
+WITH RECURSIVE {_SHINGLES_CTE},
+cold AS (SELECT shingle FROM shingles GROUP BY shingle HAVING count(*) <= 50),
+fsh AS (SELECT s.doc_id, s.shingle FROM shingles s JOIN cold USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM fsh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM fsh a JOIN fsh b ON a.shingle = b.shingle
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter JOIN sizes sa ON sa.doc_id = id_a
+             JOIN sizes sb ON sb.doc_id = id_b
+  WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.2
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+walk AS (
+  SELECT a AS node, a AS label FROM edges
+  UNION
+  SELECT e.a, w.label FROM edges e JOIN walk w ON w.node = e.b
+)
+SELECT CAST(node AS BIGINT) AS doc_id,
+       CAST(min(label) AS BIGINT) AS cluster_id
+FROM walk GROUP BY node
+ORDER BY doc_id
+""")
+def near_dup_clusters_q(spark, sf_dir):
+    """Duplicate GROUPS from near-dup pair edges: distributed min-label
+    propagation = connected components, cluster_id = min doc_id of the
+    component. The DuckDB twin computes the same transitive closure with
+    a recursive CTE (min over all labels reachable through the symmetric
+    edge set). Same pair emitter + caps as ngram_jaccard_pairs."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(d, threshold=0.2, n=3, max_shingle_df=50)
+    return (DD.near_dup_clusters(pairs)
+            .select(F.col("doc_id").cast("long"),
+                    F.col("cluster_id").cast("long"))
+            .orderBy("doc_id"))
+
+
 @register("embedding_cosine_topk", """
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
 SELECT vec_id,

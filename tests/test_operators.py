@@ -317,3 +317,40 @@ def test_ann_index_dim768(spark, tmp_path):
     cos = (f32 @ np.asarray(q)) / (np.linalg.norm(f32, axis=1)
                                    * np.linalg.norm(q))
     assert got[0]["vec_id"] == int(np.argsort(-cos[1:])[0]) + 1
+
+
+def test_near_dup_clusters_transitive(spark):
+    """A~B and B~C must land in ONE cluster labeled min(A,B,C); disjoint
+    pairs stay separate; chain components converge within the round
+    budget."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3),            # chain -> {1,2,3} labeled 1
+         (10, 11),                  # pair  -> {10,11} labeled 10
+         (20, 21), (21, 22), (22, 23), (23, 24)],  # longer chain
+        "id_a long, id_b long")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in DD.near_dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20, 23: 20, 24: 20}
+
+
+def test_near_dup_clusters_budget_raises(spark):
+    """Exhausting the round budget must raise, never return a partial
+    (wrong) partition."""
+    import pytest
+
+    chain = [(i, i + 1) for i in range(30)]
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        DD.near_dup_clusters(pairs, max_iter=2)
+
+
+def test_drop_near_dups_keeps_canonical_and_unclustered(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(6)], "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2), (2, 4)], "id_a long, id_b long")
+    clusters = DD.near_dup_clusters(pairs)
+    kept = sorted(r["doc_id"]
+                  for r in DD.drop_near_dups(docs, clusters).collect())
+    # {1,2,4} collapse to canonical 1; 0/3/5 unclustered survive
+    assert kept == [0, 1, 3, 5]
