@@ -43,6 +43,13 @@ TOKEN_RE = re.compile(r"\w+(?:['’]\w+)*", re.UNICODE)
 # bit-exact either way (unit-tested).
 ASCII_TOKEN_RE = re.compile(r"[a-z0-9_]+(?:'[a-z0-9_]+)*")
 
+# "simple" analyzer mode: lowercase + ASCII alnum runs, NO stemming — the
+# SQL-portable chain (identical to splitting lowercased text on
+# [^a-z0-9]+, which DuckDB/any ANSI engine can replay exactly). Lets a
+# FULL engine build+query be oracle-hash-checked end-to-end; the default
+# "english_folded" chain stays the reference-faithful one.
+SIMPLE_TOKEN_RE = re.compile(r"[a-z0-9]+")
+
 
 def _findall_tokens(low: pd.Series) -> pd.Series:
     """Two-tier tokenizer over an already-lowercased, na-filled Series:
@@ -56,7 +63,7 @@ def _findall_tokens(low: pd.Series) -> pd.Series:
     return pd.concat([fast, slow]).reindex(low.index)
 
 
-def analyze_flat(texts: pd.Series):
+def analyze_flat(texts: pd.Series, mode: str = "english_folded"):
     """Batch analyzer in factorized form — the build hot path.
 
     Returns (codes, terms, lens): document i's analyzed tokens are
@@ -69,7 +76,9 @@ def analyze_flat(texts: pd.Series):
     """
     from itertools import chain
 
-    toks = _findall_tokens(texts.fillna("").str.lower())
+    low = texts.fillna("").str.lower()
+    toks = (low.str.findall(SIMPLE_TOKEN_RE) if mode == "simple"
+            else _findall_tokens(low))
     lens = toks.str.len().to_numpy(np.int64)
     total = int(lens.sum())
     if total == 0:
@@ -77,6 +86,8 @@ def analyze_flat(texts: pd.Series):
     flat = np.fromiter(chain.from_iterable(toks.to_numpy()),
                        dtype=object, count=total)
     codes, uniq = pd.factorize(flat)
+    if mode == "simple":
+        return codes.astype(np.int64), np.asarray(uniq, dtype=object), lens
     stemmer = CachedStemmer()
     stemmed_u = np.array([stemmer(u) for u in uniq], dtype=object)
     # distinct raw tokens can stem to the same term -> re-factorize
@@ -84,10 +95,13 @@ def analyze_flat(texts: pd.Series):
     return scode_u[codes].astype(np.int64), terms, lens
 
 
-def analyze(text: str, stemmer=stem) -> list[str]:
+def analyze(text: str, stemmer=stem,
+            mode: str = "english_folded") -> list[str]:
     """Analyze one string -> list of index terms. Oracle-side entry point."""
     if not text:
         return []
+    if mode == "simple":
+        return SIMPLE_TOKEN_RE.findall(text.lower())
     return [stemmer(t) for t in TOKEN_RE.findall(text.lower())]
 
 
@@ -145,14 +159,15 @@ def bpe_token_count_udf(encoding: str = "cl100k_base"):
     return _count
 
 
-def analyze_query(query: str) -> list[tuple[str, int]]:
+def analyze_query(query: str,
+                  mode: str = "english_folded") -> list[tuple[str, int]]:
     """Analyze a query string -> [(term, query_tf)] sorted by term.
 
     Duplicate query terms score multiplicatively (each occurrence is a
     separate bool-should clause in the reference's ES DSL,
     retrieval/es_search_final.py:13-34).
     """
-    terms = analyze(query)
+    terms = analyze(query, mode=mode)
     counts: dict[str, int] = {}
     for t in terms:
         counts[t] = counts.get(t, 0) + 1

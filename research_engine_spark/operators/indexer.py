@@ -144,7 +144,8 @@ def bm25_tf_part(tf, dl, avgdl: float, k1: float, b: float):
     return tf / (tf + k1 * (1.0 - b + b * dl / avgdl))
 
 
-def _doc_term_arrays(pdf: pd.DataFrame, with_positions: bool):
+def _doc_term_arrays(pdf: pd.DataFrame, with_positions: bool,
+                     analyzer: str = "english_folded"):
     """One partition's (doc, term) aggregation in term-major order.
 
     Returns (term_codes, uniq_terms, doc_ids, tfs, dls, pos_lists,
@@ -155,7 +156,7 @@ def _doc_term_arrays(pdf: pd.DataFrame, with_positions: bool):
     (SURVEY.md A6 without the O(tokens) groupBy shuffle)."""
     from ..functions.analyzer import analyze_flat
 
-    codes, terms, lens = analyze_flat(pdf["text"])
+    codes, terms, lens = analyze_flat(pdf["text"], mode=analyzer)
     if codes.size == 0:
         return None
     doc_ids_in = pdf["doc_id"].to_numpy(np.int64)
@@ -209,7 +210,8 @@ RUNS_SCHEMA = (
 )
 
 
-def _partition_runs_factory(with_positions: bool):
+def _partition_runs_factory(with_positions: bool,
+                            analyzer: str = "english_folded"):
     from .codec import vb_lengths
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -218,7 +220,7 @@ def _partition_runs_factory(with_positions: bool):
             return
         pdf = pd.concat(parts, ignore_index=True)
         del parts
-        res = _doc_term_arrays(pdf, with_positions)
+        res = _doc_term_arrays(pdf, with_positions, analyzer)
         del pdf
         if res is None:
             return
@@ -454,8 +456,16 @@ def build_index(
     buckets_subset: list[int] | None = None,
     mode: str = "overwrite",
     with_positions: bool = False,
+    analyzer: str = "english_folded",
 ) -> dict:
     """Build the full index table set under ``out_dir``.
+
+    analyzer: "english_folded" (reference chain: tokenize -> lowercase ->
+    porter; the default) or "simple" (lowercase + [a-z0-9]+ runs, no
+    stemming — SQL-portable, lets the whole engine be replayed by an
+    external ANSI-SQL oracle). Recorded in corpus_stats.json; every
+    query path reads it from there so index and query analysis always
+    agree.
 
     buckets_subset/mode allow partial builds + resume (see resume()).
     Returns a stats dict (n_docs, avgdl, n_terms, wall-times).
@@ -501,7 +511,7 @@ def build_index(
         n_buckets=n_buckets, max_group_postings=max_group_postings,
         n_partitions=n_partitions, snapshot_id=snapshot_id,
         buckets_subset=buckets_subset, mode=mode,
-        with_positions=with_positions,
+        with_positions=with_positions, analyzer=analyzer,
     ))
     timings["pack_total_sec"] = round(time.monotonic() - t_pack, 3)
 
@@ -517,7 +527,8 @@ def build_index(
     corpus_stats = {"n_docs": n_docs, "avgdl": avgdl,
                     "total_tokens": total_tokens, "k1": k1, "b": b,
                     "n_buckets": n_buckets, "block_size": BLOCK_SIZE,
-                    "positions": bool(with_positions)}
+                    "positions": bool(with_positions),
+                    "analyzer": analyzer}
     with open(os.path.join(out_dir, "corpus_stats.json"), "w") as f:
         json.dump(corpus_stats, f)
 
@@ -565,6 +576,7 @@ def _pack_segment(
     buckets_subset: list[int] | None = None,
     mode: str = "overwrite",
     with_positions: bool = False,
+    analyzer: str = "english_folded",
 ) -> dict:
     """Shared SPIMI run-merge pipeline: docs -> partition-local posting
     RUNS (one tokenize pass, map-side binaries) -> term_stats from run
@@ -599,7 +611,7 @@ def _pack_segment(
     old_split = spark.conf.get(split_key, None)
     spark.conf.set(split_key, str(16 * 1024 * 1024))
     runs = docs_tbl.select("doc_id", "text").mapInPandas(
-        _partition_runs_factory(with_positions),
+        _partition_runs_factory(with_positions, analyzer),
         schema=RUNS_SCHEMA,
     ).withColumn(
         # JVM-side murmur bucket (a per-unique-term PYTHON murmur in the
@@ -778,6 +790,7 @@ def append_segment(transcripts: DataFrame, out_dir: str,
         max_group_postings=500_000, n_partitions=n_partitions,
         snapshot_id=snapshot_id, mode="append",
         with_positions=bool(stats.get("positions", False)),
+        analyzer=stats.get("analyzer", "english_folded"),
     )
     seg.unpersist()
     seg_tokens = _total_tokens_from_term_stats(

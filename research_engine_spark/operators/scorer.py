@@ -679,7 +679,8 @@ def search(
     spark = reader.spark
     k1 = reader.stats["k1"] if k1 is None else k1
     b = reader.stats["b"] if b is None else b
-    qterms = analyze_query(query)
+    qterms = analyze_query(
+        query, mode=reader.stats.get("analyzer", "english_folded"))
     empty = spark.createDataFrame(
         [], "doc_id bigint, score double, conv_id string, turn_idx int"
         + (", text string" if with_text else ""))
@@ -1000,7 +1001,9 @@ def search_many(
     # (r2 VERDICT #5: the per-query loop re-read the same bucket files
     # once per query); the per-query _term_meta calls below then hit the
     # reader's term cache without touching parquet.
-    all_qterms = {qid: analyze_query(q) for qid, q in queries.items()}
+    _amode = reader.stats.get("analyzer", "english_folded")
+    all_qterms = {qid: analyze_query(q, mode=_amode)
+                  for qid, q in queries.items()}
     out_cols = "qid string, doc_id bigint, score double"
     if with_text:
         out_cols += ", conv_id string, turn_idx int, text string"
@@ -1121,7 +1124,8 @@ def phrase_scores(reader: IndexReader, phrase: str,
     b = reader.stats["b"] if b is None else b
     from ..functions.analyzer import analyze
 
-    ordered_terms = analyze(phrase)
+    ordered_terms = analyze(
+        phrase, mode=reader.stats.get("analyzer", "english_folded"))
     empty = spark.createDataFrame([], "doc_id bigint, score double")
     if not ordered_terms:
         return empty

@@ -577,7 +577,7 @@ def embedding_cosine_topk(spark, sf_dir):
     return top.select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
-@register("bm25_documents", f"""
+_BM25_DOCS_SQL = f"""
 WITH toks AS (
   SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents
 ),
@@ -600,7 +600,10 @@ scored AS (
 SELECT doc_id, round(score, 4) AS score FROM scored
 ORDER BY score DESC, doc_id ASC
 LIMIT 10
-""")
+"""
+
+
+@register("bm25_documents", _BM25_DOCS_SQL)
 def bm25_documents(spark, sf_dir):
     """Flagship: BM25 top-k computed with pure DataFrame ops over the
     documents table (R1/A5/A6/J6/T1 in one plan; SQL-portable analyzer —
@@ -1327,6 +1330,40 @@ def ann_index_topk_q(spark, sf_dir):
                     n_planes=8, n_tables=4, seed=42)
     top = ann_index_topk(spark, d, qvec, k=10)
     return top.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+@register("engine_bm25_documents", _BM25_DOCS_SQL)
+def engine_bm25_documents(spark, sf_dir):
+    """The FULL engine — build_index -> compressed SPIMI postings ->
+    scorer.search — driver-HASH-checked against the ANSI-SQL BM25
+    oracle. Possible because analyzer="simple" (lowercase + [a-z0-9]+
+    runs, no stemming) is exactly the oracle's tokenizer, while the
+    engine machinery exercised (run-merge pack, varbyte blocks, bucket
+    pruning, deterministic fold, top-k) is identical to the default
+    english_folded path; scores round to 4 decimals on both sides to
+    bridge float summation order. Complements transcript_bm25_engine,
+    which keeps the reference-faithful analyzer and is rank-identity-
+    checked against the numpy oracle in pytest instead."""
+    import tempfile
+
+    from .operators.indexer import build_index
+    from .operators.scorer import IndexReader, search
+
+    d = _t(spark, sf_dir, "documents")
+    tx = d.select(
+        F.format_string("c%09d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("text"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    idx = tempfile.mkdtemp(prefix="engine_sql_idx_")
+    build_index(tx, idx, n_buckets=8, analyzer="simple")
+    reader = IndexReader(spark, idx)
+    hits = search(reader, "spark join shuffle", k=10)
+    return hits.select(
+        F.substring("conv_id", 2, 9).cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"))
 
 
 @register("transcript_bm25_engine")

@@ -92,3 +92,63 @@ def test_unicode_and_apostrophe_tokens():
     assert "don't" in toks and "don" not in toks and "t" not in toks
     assert analyze("foo_bar baz")[0] == "foo_bar"
     assert analyze("架构 systems") [0] == "架构"
+
+
+def test_simple_mode_matches_sql_split():
+    """analyzer="simple" must tokenize exactly like splitting lowercased
+    text on [^a-z0-9]+ (the ANSI-SQL-portable chain) — no stemming."""
+    import re
+
+    from research_engine_spark.functions.analyzer import analyze
+
+    cases = ["Spark JOINS shuffling!", "don't stop", "café au lait",
+             "a1-b2_c3", "", "   ", "running runs ran"]
+    for t in cases:
+        sql_style = [x for x in re.split(r"[^a-z0-9]+", t.lower()) if x]
+        assert analyze(t, mode="simple") == sql_style, t
+
+
+def test_simple_mode_flat_consistent():
+    import pandas as pd
+
+    from research_engine_spark.functions.analyzer import (analyze,
+                                                          analyze_flat)
+
+    texts = pd.Series(["Spark joins", "running RUNS!", None, "café x9"])
+    codes, terms, lens = analyze_flat(texts, mode="simple")
+    off = 0
+    for i, t in enumerate(texts):
+        got = [terms[c] for c in codes[off:off + lens[i]]]
+        off += lens[i]
+        assert got == analyze(t or "", mode="simple"), t
+    # no stemming in simple mode: "running" stays intact
+    assert "running" in set(terms)
+
+
+def test_simple_mode_index_query_agree(spark, tmp_path):
+    """An index built with analyzer="simple" must analyze queries the
+    same way (mode recorded in corpus_stats, read by search), and the
+    mode must survive appends."""
+    from pyspark.sql import functions as F
+
+    from research_engine_spark.corpus import synth_transcripts
+    from research_engine_spark.operators.indexer import (append_segment,
+                                                         build_index)
+    from research_engine_spark.operators.scorer import IndexReader, search
+
+    d = str(tmp_path / "simple_idx")
+    tx = synth_transcripts(spark, n_convs=12, seed=3)
+    build_index(tx.filter(F.col("conv_id") < "conv_00000008"), d,
+                n_buckets=2, analyzer="simple")
+    r = IndexReader(spark, d)
+    assert r.stats["analyzer"] == "simple"
+    # "networks" must NOT match docs containing only "network" (no stem)
+    hits_plural = set(search(r, "networks", k=50,
+                             with_text=False).toPandas()["doc_id"])
+    hits_singular = set(search(r, "network", k=50,
+                               with_text=False).toPandas()["doc_id"])
+    assert hits_plural != hits_singular or (not hits_plural)
+    append_segment(tx.filter(F.col("conv_id") >= "conv_00000008"), d)
+    r = IndexReader(spark, d)
+    assert r.stats["analyzer"] == "simple"
+    assert search(r, "neural", k=5, with_text=False).count() > 0
