@@ -1332,6 +1332,33 @@ def ann_index_topk_q(spark, sf_dir):
     return top.select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
+_SIMPLE_IDX_CACHE: dict[str, str] = {}
+
+
+def _simple_index(spark, sf_dir) -> str:
+    """Build (once per process per sf_dir) a REAL engine index over the
+    documents table with the SQL-portable analyzer; shared by every
+    engine_* driver query so the driver pays one build, not one per
+    row."""
+    import tempfile
+
+    from .operators.indexer import build_index
+
+    if sf_dir not in _SIMPLE_IDX_CACHE:
+        d = _t(spark, sf_dir, "documents")
+        tx = d.select(
+            F.format_string("c%09d", F.col("doc_id")).alias("conv_id"),
+            F.lit(0).alias("turn_idx"),
+            F.lit("user").alias("role"),
+            F.col("text"),
+            F.lit(None).cast("timestamp").alias("ts"),
+        )
+        idx = tempfile.mkdtemp(prefix="engine_sql_idx_")
+        build_index(tx, idx, n_buckets=8, analyzer="simple")
+        _SIMPLE_IDX_CACHE[sf_dir] = idx
+    return _SIMPLE_IDX_CACHE[sf_dir]
+
+
 @register("engine_bm25_documents", _BM25_DOCS_SQL)
 def engine_bm25_documents(spark, sf_dir):
     """The FULL engine — build_index -> compressed SPIMI postings ->
@@ -1344,26 +1371,64 @@ def engine_bm25_documents(spark, sf_dir):
     bridge float summation order. Complements transcript_bm25_engine,
     which keeps the reference-faithful analyzer and is rank-identity-
     checked against the numpy oracle in pytest instead."""
-    import tempfile
-
-    from .operators.indexer import build_index
     from .operators.scorer import IndexReader, search
 
-    d = _t(spark, sf_dir, "documents")
-    tx = d.select(
-        F.format_string("c%09d", F.col("doc_id")).alias("conv_id"),
-        F.lit(0).alias("turn_idx"),
-        F.lit("user").alias("role"),
-        F.col("text"),
-        F.lit(None).cast("timestamp").alias("ts"),
-    )
-    idx = tempfile.mkdtemp(prefix="engine_sql_idx_")
-    build_index(tx, idx, n_buckets=8, analyzer="simple")
-    reader = IndexReader(spark, idx)
+    reader = IndexReader(spark, _simple_index(spark, sf_dir))
     hits = search(reader, "spark join shuffle", k=10)
     return hits.select(
         F.substring("conv_id", 2, 9).cast("long").alias("doc_id"),
         F.round("score", 4).alias("score"))
+
+
+@register("engine_term_stats_documents", f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents
+)
+SELECT term,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS cf
+FROM toks GROUP BY term ORDER BY term
+""")
+def engine_term_stats_documents(spark, sf_dir):
+    """The built index's WHOLE term dictionary (every term's df/cf from
+    the SPIMI run-merge's metadata aggregation) hash-checked against
+    direct SQL token counting — validates the pack's stats tables
+    themselves, not just search results."""
+    from .operators.scorer import IndexReader
+
+    reader = IndexReader(spark, _simple_index(spark, sf_dir))
+    return (reader.term_stats
+            .groupBy("term")
+            .agg(F.sum("df").cast("long").alias("df"),
+                 F.sum("cf").cast("long").alias("cf"))
+            .orderBy("term"))
+
+
+@register("engine_doc_stats_documents", f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS dl
+FROM toks GROUP BY doc_id ORDER BY doc_id
+""")
+def engine_doc_stats_documents(spark, sf_dir):
+    """Per-doc analyzed length (dl) from the index's doc_stats table —
+    the BM25 length normalization input — hash-checked against direct
+    SQL token counting. Internal docIDs map back through the forward
+    table's conv_id (c%09d of the source doc_id). Docs whose text
+    analyzes to zero tokens carry dl=0 in doc_stats and have no tokens
+    in the oracle, so both sides drop them for the compare."""
+    from .operators.scorer import IndexReader
+
+    reader = IndexReader(spark, _simple_index(spark, sf_dir))
+    docs = reader.docs.select(
+        "doc_id", F.substring("conv_id", 2, 9).cast("long").alias("src_id"))
+    return (reader.doc_stats.join(docs, "doc_id")
+            .filter(F.col("dl") > 0)
+            .select(F.col("src_id").alias("doc_id"),
+                    F.col("dl").cast("long").alias("dl"))
+            .orderBy("doc_id"))
 
 
 @register("transcript_bm25_engine")
