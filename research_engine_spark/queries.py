@@ -1354,7 +1354,8 @@ def _simple_index(spark, sf_dir) -> str:
             F.lit(None).cast("timestamp").alias("ts"),
         )
         idx = tempfile.mkdtemp(prefix="engine_sql_idx_")
-        build_index(tx, idx, n_buckets=8, analyzer="simple")
+        build_index(tx, idx, n_buckets=8, analyzer="simple",
+                    with_positions=True)
         _SIMPLE_IDX_CACHE[sf_dir] = idx
     return _SIMPLE_IDX_CACHE[sf_dir]
 
@@ -1429,6 +1430,52 @@ def engine_doc_stats_documents(spark, sf_dir):
             .select(F.col("src_id").alias("doc_id"),
                     F.col("dl").cast("long").alias("dl"))
             .orderBy("doc_id"))
+
+
+@register("engine_phrase_documents", f"""
+WITH tk AS (
+  SELECT doc_id, {_TOK_SQL} AS tk FROM documents
+),
+corpus AS (SELECT count(*) AS n, sum(len(tk)) AS tok FROM tk),
+occ AS (
+  SELECT t.doc_id, count(*) AS ptf
+  FROM tk t, unnest(generate_series(1, greatest(len(t.tk) - 1, 0))) AS g(i)
+  WHERE t.tk[i] = 'table' AND t.tk[i + 1] = 'hash'
+  GROUP BY t.doc_id
+),
+flat AS (SELECT doc_id, unnest(tk) AS term FROM tk),
+idfs AS (
+  SELECT sum(ln(1 + (corpus.n - d.df + 0.5) / (d.df + 0.5))) AS s
+  FROM (SELECT term, count(DISTINCT doc_id) AS df FROM flat
+        WHERE term IN ('table', 'hash') GROUP BY term) d, corpus
+)
+SELECT CAST(o.doc_id AS BIGINT) AS doc_id,
+       round(idfs.s * o.ptf
+             / (o.ptf + 1.2 * (1 - 0.75 + 0.75 * len(t.tk)
+                               / (corpus.tok * 1.0 / corpus.n))), 4)
+         AS score
+FROM occ o JOIN tk t USING (doc_id), corpus, idfs
+ORDER BY idfs.s * o.ptf
+         / (o.ptf + 1.2 * (1 - 0.75 + 0.75 * len(t.tk)
+                           / (corpus.tok * 1.0 / corpus.n))) DESC,
+         o.doc_id ASC
+LIMIT 10
+""")
+def engine_phrase_documents(spark, sf_dir):
+    """Exact-phrase top-k (R3) over the REAL positional index,
+    driver-HASH-checked: the oracle recomputes Lucene-shaped phrase
+    scoring — ptf = consecutive-position matches, score =
+    (Σ idf) * ptf / (ptf + k1·norm) — from raw positions in SQL, so the
+    whole positional pipeline (per-term position capture in the tokenize
+    pass, position blocks through the run-merge shuffle, query-time
+    np.isin intersection) is validated end-to-end."""
+    from .operators.scorer import IndexReader, phrase_search
+
+    reader = IndexReader(spark, _simple_index(spark, sf_dir))
+    hits = phrase_search(reader, "table hash", k=10, with_text=True)
+    return hits.select(
+        F.substring("conv_id", 2, 9).cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"))
 
 
 @register("transcript_bm25_engine")
