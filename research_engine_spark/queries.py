@@ -1478,6 +1478,55 @@ def engine_phrase_documents(spark, sf_dir):
         F.round("score", 4).alias("score"))
 
 
+@register("engine_fuzzy_documents", f"""
+WITH tk AS (
+  SELECT doc_id, {_TOK_SQL} AS tk FROM documents
+),
+corpus AS (SELECT count(*) AS n, sum(len(tk)) AS tok FROM tk),
+flat AS (SELECT doc_id, unnest(tk) AS term FROM tk),
+vocab AS (SELECT term, count(DISTINCT doc_id) AS df FROM flat GROUP BY term),
+q(qterm) AS (VALUES ('tabel'), ('hach')),
+clauses AS (
+  -- Lucene AUTO: both typo terms are length 3-5 -> max 1 edit;
+  -- transpositions count ONE (damerau: 'tabel'->'table' = 1)
+  SELECT v.term, v.df,
+         1.0 - damerau_levenshtein(v.term, q.qterm) * 1.0
+               / least(length(q.qterm), length(v.term)) AS w
+  FROM vocab v, q
+  WHERE damerau_levenshtein(v.term, q.qterm) <= 1
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM flat GROUP BY doc_id, term),
+dl AS (SELECT doc_id, len(tk) AS dl FROM tk),
+scored AS (
+  SELECT tf.doc_id,
+         sum( c.w * ln(1 + (corpus.n - c.df + 0.5) / (c.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                         / (corpus.tok * 1.0 / corpus.n))) ) AS score
+  FROM tf JOIN clauses c USING (term) JOIN dl USING (doc_id), corpus
+  GROUP BY tf.doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, round(score, 4) AS score
+FROM scored ORDER BY score DESC, doc_id ASC
+LIMIT 10
+""")
+def engine_fuzzy_documents(spark, sf_dir):
+    """Fuzzy AUTO retrieval (R5) over the REAL index, driver-HASH-
+    checked: 'tabel' reaches 'table' through a transposition (ONE
+    Damerau edit — the Lucene transpositions=true semantics classic
+    Levenshtein misses) and 'hach' reaches 'hash'; the oracle redoes
+    the expansion with DuckDB's damerau_levenshtein and the Lucene
+    boost 1 - ed/min(|q|,|t|). The sf0.01 vocabulary (~31 terms) is far
+    under the engine's max_expansions=50 cap, so engine and oracle see
+    identical clause sets."""
+    from .operators.scorer import IndexReader, search
+
+    reader = IndexReader(spark, _simple_index(spark, sf_dir))
+    hits = search(reader, "tabel hach", k=10, fuzzy=True)
+    return hits.select(
+        F.substring("conv_id", 2, 9).cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"))
+
+
 @register("transcript_bm25_engine")
 def transcript_bm25_engine(spark, sf_dir):
     """The real engine end-to-end on synthetic transcripts: build the
