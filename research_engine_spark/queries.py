@@ -1527,6 +1527,69 @@ def engine_fuzzy_documents(spark, sf_dir):
         F.round("score", 4).alias("score"))
 
 
+@register("engine_bool_should_documents", f"""
+WITH tk AS (
+  SELECT doc_id, {_TOK_SQL} AS tk FROM documents
+),
+corpus AS (SELECT count(*) AS n, sum(len(tk)) AS tok FROM tk),
+flat AS (SELECT doc_id, unnest(tk) AS term FROM tk),
+dl AS (SELECT doc_id, len(tk) AS dl FROM tk),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM flat
+  WHERE term IN ('table', 'hash') GROUP BY term
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM flat
+  WHERE term IN ('table', 'hash') GROUP BY doc_id, term
+),
+tscore AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (corpus.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                         / (corpus.tok * 1.0 / corpus.n))) ) AS ts
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), corpus
+  GROUP BY tf.doc_id
+),
+occ AS (
+  SELECT t.doc_id, count(*) AS ptf
+  FROM tk t, unnest(generate_series(1, greatest(len(t.tk) - 1, 0))) AS g(i)
+  WHERE t.tk[i] = 'table' AND t.tk[i + 1] = 'hash'
+  GROUP BY t.doc_id
+),
+pscore AS (
+  SELECT o.doc_id,
+         (SELECT sum(ln(1 + (corpus.n - df.df + 0.5) / (df.df + 0.5)))
+          FROM df, corpus)
+         * o.ptf / (o.ptf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                    / (corpus.tok * 1.0 / corpus.n))) AS ps
+  FROM occ o JOIN dl USING (doc_id), corpus
+),
+combined AS (
+  SELECT coalesce(t.doc_id, p.doc_id) AS doc_id,
+         coalesce(t.ts, 0) + 2.0 * coalesce(p.ps, 0) AS score
+  FROM tscore t FULL OUTER JOIN pscore p ON t.doc_id = p.doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, round(score, 4) AS score
+FROM combined ORDER BY score DESC, doc_id ASC
+LIMIT 10
+""")
+def engine_bool_should_documents(spark, sf_dir):
+    """R4 bool/should over the REAL index, driver-HASH-checked: match
+    clause over all query terms PLUS the phrase clause at boost 2.0
+    (es_search_final.py:13-34 shape), both recomputed independently in
+    SQL and combined with the same full-outer coalesce."""
+    from .operators.scorer import IndexReader, bool_should_search
+
+    reader = IndexReader(spark, _simple_index(spark, sf_dir))
+    hits = bool_should_search(reader, "table hash", k=10)
+    docs = spark.read.parquet(
+        _SIMPLE_IDX_CACHE[sf_dir] + "/docs").select(
+        "doc_id", F.substring("conv_id", 2, 9).cast("long").alias("src_id"))
+    return (hits.join(docs, "doc_id")
+            .select(F.col("src_id").alias("doc_id"),
+                    F.round("score", 4).alias("score")))
+
+
 @register("transcript_bm25_engine")
 def transcript_bm25_engine(spark, sf_dir):
     """The real engine end-to-end on synthetic transcripts: build the
