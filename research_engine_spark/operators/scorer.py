@@ -681,18 +681,24 @@ def search(
     b = reader.stats["b"] if b is None else b
     qterms = analyze_query(
         query, mode=reader.stats.get("analyzer", "english_folded"))
-    empty = spark.createDataFrame(
-        [], "doc_id bigint, score double, conv_id string, turn_idx int"
-        + (", text string" if with_text else ""))
+
+    def empty() -> DataFrame:
+        # built lazily: a py4j createDataFrame costs ~0.1s of driver
+        # time, a measurable share of warm single-query latency when
+        # constructed eagerly on EVERY call
+        return spark.createDataFrame(
+            [], "doc_id bigint, score double, conv_id string, turn_idx int"
+            + (", text string" if with_text else ""))
+
     if not qterms:
-        return empty
+        return empty()
     if fuzzy:
         prune = False
         meta = _fuzzy_term_meta(reader, qterms, k1, b, max_expansions)
     else:
         meta = _term_meta(reader, qterms, k1, b)
     if meta.empty:
-        return empty
+        return empty()
     meta = meta.assign(qtf=meta["qtf"].astype(np.float64))
     avgdl = reader.stats["avgdl"]
     total_gub = float(meta["gub"].sum())
