@@ -134,6 +134,12 @@ def test_compact_crash_rolls_forward(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(indexer.os, "rename", real_rename)
     # marker still pending; postings promoted but term_stats/lineage not
     assert os.path.exists(os.path.join(d, "_compact_pending.json"))
+    # queries stay CORRECT in the half-swapped state: compacted postings
+    # plus pre-compact term_stats aggregate to the same df/cf totals, so
+    # a reader opened mid-crash serves identical results
+    mid = _topk(spark, d, k=8)
+    for q in QUERIES:
+        assert before[q] == mid[q], q
     res = compact_index(spark, d)  # finishes the swap, then no-op
     assert res["compacted"] is False
     assert res["n_snapshots_before"] == 1
