@@ -1590,6 +1590,92 @@ def engine_bool_should_documents(spark, sf_dir):
                     F.round("score", 4).alias("score")))
 
 
+_MF_IDX_CACHE: dict[str, str] = {}
+
+
+@register("engine_multifield_documents", f"""
+WITH tk AS (
+  SELECT doc_id, {_TOK_SQL} AS tk FROM documents
+),
+corpus AS (SELECT count(*) AS n, sum(len(tk)) AS tok FROM tk),
+flat AS (SELECT doc_id, unnest(tk) AS term FROM tk),
+dl AS (SELECT doc_id, len(tk) AS dl FROM tk),
+df_t AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM flat
+  WHERE term IN ('table', 'src7') GROUP BY term
+),
+tf_t AS (
+  SELECT doc_id, term, count(*) AS tf FROM flat
+  WHERE term IN ('table', 'src7') GROUP BY doc_id, term
+),
+tscore AS (
+  SELECT tf_t.doc_id,
+         sum( ln(1 + (corpus.n - df_t.df + 0.5) / (df_t.df + 0.5))
+              * tf_t.tf / (tf_t.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                           / (corpus.tok * 1.0 / corpus.n))) ) AS s
+  FROM tf_t JOIN df_t USING (term) JOIN dl USING (doc_id), corpus
+  GROUP BY tf_t.doc_id
+),
+-- source field: one token per doc (simple analyzer of the source id),
+-- so tf = 1, dl = 1, avgdl = 1; only 'src7' matches
+src AS (SELECT doc_id, lower(source) AS term FROM documents),
+df_s AS (SELECT count(*) AS df FROM src WHERE term = 'src7'),
+sscore AS (
+  SELECT s.doc_id,
+         ln(1 + (corpus.n - df_s.df + 0.5) / (df_s.df + 0.5))
+         * 1.0 / (1.0 + 1.2) AS s
+  FROM src s, df_s, corpus WHERE s.term = 'src7'
+),
+comb AS (
+  SELECT doc_id, 1.0 * s AS f FROM tscore
+  UNION ALL SELECT doc_id, 2.0 * s FROM sscore
+),
+final AS (
+  SELECT doc_id, max(f) + 0.3 * (sum(f) - max(f)) AS score
+  FROM comb GROUP BY doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, round(score, 4) AS score
+FROM final ORDER BY score DESC, doc_id ASC
+LIMIT 10
+""")
+def engine_multifield_documents(spark, sf_dir):
+    """ES multi_match best_fields (R2) over REAL per-field sub-indexes,
+    driver-HASH-checked: fields text^1.0 + source^2.0 with
+    tie_breaker=0.3, query "table src7" (one term per field). Lucene
+    keeps separate statistics per field, and so does the engine (one
+    full sub-index each, shared docID space); the oracle recomputes both
+    fields' BM25 independently — the source field collapses to
+    tf=dl=avgdl=1 — and applies the same max + tie_breaker*rest
+    combination."""
+    import tempfile
+
+    from .operators.multifield import (MultiFieldReader,
+                                       build_multifield_index,
+                                       search_multifield)
+
+    if sf_dir not in _MF_IDX_CACHE:
+        d = _t(spark, sf_dir, "documents")
+        tx = d.select(
+            F.format_string("c%09d", F.col("doc_id")).alias("conv_id"),
+            F.lit(0).alias("turn_idx"),
+            F.lit("user").alias("role"),
+            F.col("text"),
+            F.col("source"),
+            F.lit(None).cast("timestamp").alias("ts"),
+        )
+        idx = tempfile.mkdtemp(prefix="engine_mf_idx_")
+        build_multifield_index(tx, idx, {"text": 1.0, "source": 2.0},
+                               n_buckets=4, analyzer="simple")
+        _MF_IDX_CACHE[sf_dir] = idx
+    mf = MultiFieldReader(spark, _MF_IDX_CACHE[sf_dir])
+    hits = search_multifield(mf, "table src7", k=10, tie_breaker=0.3)
+    docs = mf.readers["text"].docs.select(
+        "doc_id", F.substring("conv_id", 2, 9).cast("long").alias("src_id"))
+    return (hits.join(docs, "doc_id")
+            .select(F.col("src_id").alias("doc_id"),
+                    F.round("score", 4).alias("score")))
+
+
 @register("transcript_bm25_engine")
 def transcript_bm25_engine(spark, sf_dir):
     """The real engine end-to-end on synthetic transcripts: build the
