@@ -1676,6 +1676,44 @@ def engine_multifield_documents(spark, sf_dir):
                     F.round("score", 4).alias("score")))
 
 
+@register("engine_lifecycle_bm25_documents", _BM25_DOCS_SQL)
+def engine_lifecycle_bm25_documents(spark, sf_dir):
+    """The SEGMENT LIFECYCLE driver-hash-checked: build over half the
+    corpus, append_segment the other half (new snapshot, query-time
+    stats aggregation), compact_index (force-merge to one snapshot,
+    staged crash-safe swap), then search — the oracle is the SAME
+    whole-corpus BM25 SQL as engine_bm25_documents, so a hash match
+    proves append+compact reach exactly the state a fresh full build
+    would (scores AND docIDs). Own build (not the shared cache): the
+    lifecycle is the thing under test."""
+    import tempfile
+
+    from .operators.indexer import (append_segment, build_index,
+                                    compact_index)
+    from .operators.scorer import IndexReader, search
+
+    d = _t(spark, sf_dir, "documents")
+    tx = d.select(
+        F.format_string("c%09d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("text"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    half = d.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+    cut = F.format_string("c%09d", F.lit(int(half)))
+    idx = tempfile.mkdtemp(prefix="engine_lc_idx_")
+    build_index(tx.filter(F.col("conv_id") <= cut), idx,
+                n_buckets=4, analyzer="simple")
+    append_segment(tx.filter(F.col("conv_id") > cut), idx)
+    compact_index(spark, idx)
+    reader = IndexReader(spark, idx)
+    hits = search(reader, "spark join shuffle", k=10)
+    return hits.select(
+        F.substring("conv_id", 2, 9).cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"))
+
+
 @register("transcript_bm25_engine")
 def transcript_bm25_engine(spark, sf_dir):
     """The real engine end-to-end on synthetic transcripts: build the
