@@ -287,7 +287,7 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3,
 
 
 def near_dup_clusters(pairs: DataFrame, id_a: str = "id_a",
-                      id_b: str = "id_b", max_iter: int = 10) -> DataFrame:
+                      id_b: str = "id_b", max_iter: int = 25) -> DataFrame:
     """Connected components over near-dup pair edges -> one cluster per
     duplicate group: (doc_id, cluster_id), cluster_id = MIN doc_id in
     the component (deterministic canonical representative).
@@ -302,7 +302,9 @@ def near_dup_clusters(pairs: DataFrame, id_a: str = "id_a",
     its own id; each round takes the min of its label and its
     neighbors' labels. Converges in O(component diameter) rounds —
     near-dup components are dense and shallow (a near-dup of a near-dup
-    is nearly a near-dup), so the default budget of 10 rounds is deep.
+    is nearly a near-dup), so the default budget of 25 rounds is deep —
+    and a higher budget costs nothing when unused (the loop exits at the
+    first unchanged round).
     Each round is one shuffle join + aggregate; labels are
     localCheckpoint'ed per round so the plan never accumulates iteration
     lineage, and the loop exits as soon as a round changes nothing. For

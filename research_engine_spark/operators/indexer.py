@@ -839,7 +839,7 @@ def _compact_marker(out_dir: str) -> str:
     return os.path.join(out_dir, "_compact_pending.json")
 
 
-def snapshot_census(post_path: str) -> set | None:
+def snapshot_census(post_path: str, stop_after: int | None = None) -> set | None:
     """Distinct snapshot_ids in a postings dir from parquet FOOTER column
     stats alone — a driver-side metadata pass, zero Spark jobs (the
     compaction gate runs per streaming micro-batch, so it must be free).
@@ -848,6 +848,11 @@ def snapshot_census(post_path: str) -> set | None:
     between min and max, and appends write one snapshot per file — when
     a file DOES span snapshots (min != max), both endpoints are counted
     and the ">1 snapshots" answer the gate needs is still exact.
+
+    stop_after: early-exit once MORE than this many distinct snapshots
+    are seen — gate callers only need "census exceeds K", and without
+    the bound a long-unattended streaming index (thousands of segment
+    files) would pay the full footer walk on every micro-batch.
     """
     import pyarrow.parquet as pq
 
@@ -873,6 +878,8 @@ def snapshot_census(post_path: str) -> set | None:
                         vals.add(st.max)
                         found = True
                         break
+            if stop_after is not None and len(vals) > int(stop_after):
+                return vals
             if md.num_row_groups and not found:
                 return None
     return vals
@@ -955,13 +962,16 @@ def compact_index(
     post_path = os.path.join(out_dir, "postings")
     # no-op gate from parquet footer stats: zero Spark jobs when there is
     # nothing to merge (the gate runs per micro-batch under compact_every)
-    census = snapshot_census(post_path)
+    census = snapshot_census(post_path, stop_after=1)
     if census is not None and len(census) <= 1:
         return {"compacted": False, "n_snapshots_before": len(census),
                 "n_blocks_before": None, "n_blocks_after": None,
                 "snapshot_id": next(iter(census)) if census else None,
                 "wall_sec": round(time.monotonic() - t0, 3)}
     postings = spark.read.parquet(post_path)
+    # the gate census may have early-exited; re-walk without the bound
+    # for the exact snapshot list (still driver-side metadata)
+    census = snapshot_census(post_path)
     snaps = sorted(census) if census is not None else [
         r["snapshot_id"] for r in
         postings.select("snapshot_id").distinct().collect()]

@@ -194,7 +194,8 @@ def make_foreach_batch(index_dir: str, compact_every: int | None = None):
             from ..operators.indexer import (_compact_marker, compact_index,
                                              snapshot_census)
 
-            census = snapshot_census(os.path.join(index_dir, "postings"))
+            census = snapshot_census(os.path.join(index_dir, "postings"),
+                                     stop_after=int(compact_every))
             if (os.path.exists(_compact_marker(index_dir))
                     or census is None or len(census) > int(compact_every)):
                 compact_index(batch_df.sparkSession, index_dir)
