@@ -61,10 +61,45 @@ class ResearchEngine:
 
     def compact(self, **kwargs) -> dict:
         """Force-merge appended segments (ES _forcemerge analog); query
-        results are bit-identical before/after, fewer blocks decode."""
+        results are bit-identical before/after, fewer blocks decode.
+        Pending deletes are physically purged (postings dropped, stats
+        recomputed exactly) in the same crash-safe swap."""
         res = compact_index(self.spark, self.index_dir, **kwargs)
         self._reader = None
         return res
+
+    # --- document lifecycle (beyond the reference: it can only rebuild,
+    # vector_store.py:13) ----------------------------------------------------
+    def delete(self, doc_ids) -> int:
+        """Tombstone explicit docIDs (Lucene liveDocs analog): O(|ids|),
+        excluded from every search immediately, physically purged at the
+        next compact(). Corpus stats stay as-built until then — exactly
+        ES-before-merge semantics."""
+        from .operators.deletes import delete_ids
+
+        n = delete_ids(self.index_dir, doc_ids)
+        self._reader = None
+        return n
+
+    def delete_by_query(self, where) -> int:
+        """ES ``_delete_by_query`` analog: tombstone every doc matching a
+        predicate (string or Column) over the docs table. Distributed —
+        the matching set never passes through the driver."""
+        from .operators.deletes import delete_by_query
+
+        n = delete_by_query(self.reader, where)
+        self._reader = None
+        return n
+
+    def upsert(self, transcripts: DataFrame, **kwargs) -> dict:
+        """Overwrite-by-(conv_id, turn_idx) (ES index-action analog):
+        tombstones existing versions of the incoming keys and appends the
+        new rows as a segment. No existing segment is rewritten."""
+        from .operators.deletes import upsert_turns
+
+        stats = upsert_turns(transcripts, self.index_dir, **kwargs)
+        self._reader = None
+        return stats
 
     @property
     def reader(self) -> IndexReader:

@@ -314,11 +314,17 @@ def _segmented_delta_decode(bufs: list[bytes],
     return cs - np.repeat(base, counts)
 
 
-def _merge_runs_factory(snapshot_id: str, with_positions: bool):
+def _merge_runs_factory(snapshot_id: str, with_positions: bool,
+                        dead_bc=None):
     """Reduce-side SPIMI merge: one partition of (term, salt) runs ->
     doc-sorted posting blocks (POSTINGS_SCHEMA). Run payloads decode in
     a few whole-partition numpy passes (segmented cumsum), then the
-    merged rows flow through the same block emission as before."""
+    merged rows flow through the same block emission as before.
+
+    dead_bc: optional Spark broadcast of a SORTED int64 array of
+    tombstoned docIDs (compaction purge, operators/deletes.py) — matching
+    postings are dropped right after decode, so purged blocks re-pack
+    dense and every block bound is exact for the surviving corpus."""
 
     def merge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         t0 = time.monotonic()
@@ -354,6 +360,21 @@ def _merge_runs_factory(snapshot_id: str, with_positions: bool):
         else:
             pos_all = None
         del pdf
+        if dead_bc is not None and dead_bc.value.size:
+            dead = dead_bc.value  # sorted unique int64
+            pos_in = np.searchsorted(dead, doc_ids_all)
+            pos_in[pos_in == dead.size] = 0
+            live = dead[pos_in] != doc_ids_all
+            if not live.all():
+                doc_ids_all = doc_ids_all[live]
+                tfs_all = tfs_all[live]
+                dls_all = dls_all[live]
+                rcodes = rcodes[live]
+                rsalts = rsalts[live]
+                if pos_all is not None:
+                    pos_all = pos_all[live]
+            if doc_ids_all.size == 0:
+                return
         # global (term, salt, doc_id) order: runs from different input
         # partitions may interleave in doc space
         order2 = np.lexsort((doc_ids_all, rsalts, rcodes))
@@ -564,6 +585,52 @@ def _total_tokens_from_term_stats(ts_path: str,
     tbl = ds.to_table(columns=["cf"], filter=flt)
     s = pc.sum(tbl["cf"]).as_py()
     return int(s or 0)
+
+
+def _term_stats_from_postings(postings: DataFrame,
+                              snapshot_id: str) -> DataFrame:
+    """EXACT term_stats recomputed from a postings table itself:
+    df = Σ posting_count, max_tf/min_dl from block metadata, and cf from
+    decoding ONLY the tfs payload (one whole-partition varbyte decode +
+    a segmented sum — gaps/dls/positions never decode). Used by the
+    purging compaction, where the old term_stats rows still count the
+    deleted docs and cannot be aggregated."""
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            counts = pdf["posting_count"].to_numpy(np.int64)
+            flat = vb_decode(
+                b"".join(bytes(x) for x in pdf["tfs"])).astype(np.int64)
+            starts = np.concatenate(
+                ([0], np.cumsum(counts)[:-1])).astype(np.int64)
+            cf_blk = np.add.reduceat(flat, starts) if flat.size else \
+                np.zeros(0, dtype=np.int64)
+            out = pd.DataFrame({
+                "term": pdf["term"].to_numpy(),
+                "df": counts, "cf": cf_blk,
+                "max_tf": pdf["max_tf"].to_numpy(np.int64),
+                "min_dl": pdf["min_dl"].to_numpy(np.int64),
+                "bucket": pdf["bucket"].to_numpy(np.int64),
+            })
+            yield (out.groupby(["term", "bucket"], as_index=False)
+                   .agg(df=("df", "sum"), cf=("cf", "sum"),
+                        max_tf=("max_tf", "max"), min_dl=("min_dl", "min")))
+
+    part = postings.select(
+        "term", "bucket", "posting_count", "max_tf", "min_dl", "tfs",
+    ).mapInPandas(
+        partial,
+        schema=("term string, bucket long, df long, cf long, "
+                "max_tf long, min_dl long"))
+    return (part.groupBy("term", "bucket")
+            .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"),
+                 F.max("max_tf").cast("int").alias("max_tf"),
+                 F.min("min_dl").cast("int").alias("min_dl"))
+            .withColumn("snapshot_id", F.lit(snapshot_id))
+            .select("term", "df", "cf", "max_tf", "min_dl", "snapshot_id",
+                    F.col("bucket").cast("int").alias("bucket")))
 
 
 def _pack_segment(
@@ -892,10 +959,19 @@ def _finish_compact_swap(out_dir: str) -> None:
     its staged dir still exists; a leftover ``*_precompact`` dir from a
     crash between rename and cleanup is simply removed. Re-running this
     function (or compact_index, which calls it first) completes the swap.
+
+    A purging compaction (tombstones applied, operators/deletes.py)
+    additionally stages docs / doc_stats / corpus_stats.json; those are
+    promoted by the same promote-if-staged rule, and the tombstone dir is
+    removed LAST (after every rename) — a crash mid-swap leaves the
+    tombstones in place, so searches stay delete-correct against
+    whichever table generation they see, and the rerun finishes the swap.
     """
     import shutil
 
-    for tbl in _COMPACT_TABLES:
+    purging = os.path.exists(
+        os.path.join(out_dir, "corpus_stats.json_compacting"))
+    for tbl in _COMPACT_TABLES + ("docs", "doc_stats"):
         live = os.path.join(out_dir, tbl)
         staged = live + "_compacting"
         backup = live + "_precompact"
@@ -905,6 +981,13 @@ def _finish_compact_swap(out_dir: str) -> None:
             os.rename(staged, live)
         if os.path.exists(backup):
             shutil.rmtree(backup)
+    staged_stats = os.path.join(out_dir, "corpus_stats.json_compacting")
+    if os.path.exists(staged_stats):
+        os.replace(staged_stats, os.path.join(out_dir, "corpus_stats.json"))
+    if purging:
+        from .deletes import clear_tombstones
+
+        clear_tombstones(out_dir)
     marker = _compact_marker(out_dir)
     if os.path.exists(marker):
         os.remove(marker)
@@ -952,6 +1035,19 @@ def compact_index(
     # finish an interrupted swap first (idempotent)
     if os.path.exists(_compact_marker(out_dir)):
         _finish_compact_swap(out_dir)
+    else:
+        # no commit marker: any staged leftovers are from a crash BEFORE
+        # the commit point — discard them (a later swap must never
+        # promote a stale stage, e.g. a pre-crash corpus_stats.json)
+        import shutil
+
+        for tbl in _COMPACT_TABLES + ("docs", "doc_stats"):
+            staged = os.path.join(out_dir, tbl) + "_compacting"
+            if os.path.exists(staged):
+                shutil.rmtree(staged)
+        staged_stats = os.path.join(out_dir, "corpus_stats.json_compacting")
+        if os.path.exists(staged_stats):
+            os.remove(staged_stats)
     with open(os.path.join(out_dir, "corpus_stats.json")) as f:
         stats = json.load(f)
     n_buckets = int(stats["n_buckets"])
@@ -960,10 +1056,15 @@ def compact_index(
         n_partitions = int(spark.conf.get("spark.sql.shuffle.partitions",
                                           "32"))
     post_path = os.path.join(out_dir, "postings")
+    # tombstones force a (purging) compaction even with one snapshot;
+    # their footer row count is as free as the snapshot census
+    from .deletes import deleted_ids_sorted, n_tombstone_rows
+
+    purge = n_tombstone_rows(out_dir) > 0
     # no-op gate from parquet footer stats: zero Spark jobs when there is
     # nothing to merge (the gate runs per micro-batch under compact_every)
     census = snapshot_census(post_path, stop_after=1)
-    if census is not None and len(census) <= 1:
+    if not purge and census is not None and len(census) <= 1:
         return {"compacted": False, "n_snapshots_before": len(census),
                 "n_blocks_before": None, "n_blocks_after": None,
                 "snapshot_id": next(iter(census)) if census else None,
@@ -976,7 +1077,7 @@ def compact_index(
         r["snapshot_id"] for r in
         postings.select("snapshot_id").distinct().collect()]
     n_blocks_before = postings.count()
-    if len(snaps) <= 1:
+    if not purge and len(snaps) <= 1:
         return {"compacted": False, "n_snapshots_before": len(snaps),
                 "n_blocks_before": int(n_blocks_before),
                 "n_blocks_after": int(n_blocks_before),
@@ -984,6 +1085,10 @@ def compact_index(
                 "wall_sec": round(time.monotonic() - t0, 3)}
     if snapshot_id is None:
         snapshot_id = f"compact_{len(snaps)}"
+    dead_bc = None
+    if purge:
+        dead_bc = spark.sparkContext.broadcast(
+            deleted_ids_sorted(out_dir))
 
     # exact per-term df across segments from block metadata (posting_count
     # sums; payload columns never enter this aggregation). Only HOT terms
@@ -1017,7 +1122,7 @@ def compact_index(
         .select("term", "salt", "n", "gaps", "tfs", "dls", "poss")
     )
     merged = runs_like.repartition(n_partitions, "term", "salt").mapInPandas(
-        _merge_runs_factory(snapshot_id, with_positions),
+        _merge_runs_factory(snapshot_id, with_positions, dead_bc=dead_bc),
         schema=POSTINGS_SCHEMA,
     ).withColumn("bucket",
                  F.pmod(F.hash("term"), F.lit(n_buckets)).cast("int"))
@@ -1026,18 +1131,26 @@ def compact_index(
         "overwrite").partitionBy("bucket").parquet(staged_post)
 
     # term_stats: one row per (term, bucket) aggregated across segments —
-    # same totals the reader already computes per query, persisted once
+    # same totals the reader already computes per query, persisted once.
+    # A PURGING compaction can't aggregate the old rows (they count the
+    # deleted docs): it recomputes term_stats EXACTLY from the staged
+    # purged postings — df/max_tf/min_dl from block metadata, cf from a
+    # tfs-only decode (the one payload column the metadata can't supply).
     ts_path = os.path.join(out_dir, "term_stats")
-    ts_new = (
-        spark.read.parquet(ts_path)
-        .groupBy("term", "bucket")
-        .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"),
-             F.max("max_tf").alias("max_tf"),
-             F.min("min_dl").alias("min_dl"))
-        .withColumn("snapshot_id", F.lit(snapshot_id))
-        .select("term", "df", "cf", "max_tf", "min_dl", "snapshot_id",
-                "bucket")
-    )
+    if purge:
+        ts_new = _term_stats_from_postings(
+            spark.read.parquet(post_path + "_compacting"), snapshot_id)
+    else:
+        ts_new = (
+            spark.read.parquet(ts_path)
+            .groupBy("term", "bucket")
+            .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"),
+                 F.max("max_tf").alias("max_tf"),
+                 F.min("min_dl").alias("min_dl"))
+            .withColumn("snapshot_id", F.lit(snapshot_id))
+            .select("term", "df", "cf", "max_tf", "min_dl", "snapshot_id",
+                    "bucket")
+        )
     ts_new.repartition(n_buckets, "bucket").write.mode(
         "overwrite").partitionBy("bucket").parquet(ts_path + "_compacting")
 
@@ -1064,6 +1177,42 @@ def compact_index(
     lineage.write.mode("overwrite").parquet(
         os.path.join(out_dir, "lineage") + "_compacting")
 
+    n_purged = 0
+    if purge:
+        # physical purge of the forward tables + exact stats rebuild.
+        # docIDs are PRESERVED (delta codecs handle the gaps), so no
+        # other table needs renumbering and appended segments keep
+        # composing.
+        tomb = spark.createDataFrame(
+            pd.DataFrame({"doc_id": dead_bc.value}),
+            "doc_id bigint") if dead_bc.value.size else None
+        for tbl in ("docs", "doc_stats"):
+            src_tbl = spark.read.parquet(os.path.join(out_dir, tbl))
+            if tomb is not None:
+                src_tbl = src_tbl.join(F.broadcast(tomb), "doc_id",
+                                       "left_anti")
+            src_tbl.write.mode("overwrite").parquet(
+                os.path.join(out_dir, tbl) + "_compacting")
+        import pyarrow.dataset as pads
+
+        # count the staged DOCS table, not doc_stats: zero-token docs
+        # (empty/whitespace text) have no doc_stats row but DO count in
+        # n_docs, exactly as build_index counts them
+        n_docs_new = int(pads.dataset(
+            os.path.join(out_dir, "docs") + "_compacting",
+            format="parquet").count_rows())
+        n_purged = int(stats["n_docs"]) - n_docs_new
+        total_tokens = _total_tokens_from_term_stats(
+            ts_path + "_compacting")
+        new_stats = dict(stats)
+        new_stats.update(
+            n_docs=n_docs_new,
+            avgdl=(total_tokens / n_docs_new) if n_docs_new else 0.0,
+            total_tokens=int(total_tokens))
+        with open(os.path.join(out_dir,
+                               "corpus_stats.json_compacting"), "w") as f:
+            json.dump(new_stats, f)
+
     # commit point: every staged table is fully written (parquet _SUCCESS)
     marker = _compact_marker(out_dir)
     tmp = marker + ".tmp"
@@ -1073,8 +1222,10 @@ def compact_index(
         os.fsync(f.fileno())
     os.replace(tmp, marker)
     _finish_compact_swap(out_dir)
+    if dead_bc is not None:
+        dead_bc.unpersist()
     return {"compacted": True, "n_snapshots_before": len(snaps),
             "n_blocks_before": int(n_blocks_before),
             "n_blocks_after": int(n_blocks_after),
-            "snapshot_id": snapshot_id,
+            "snapshot_id": snapshot_id, "n_purged": n_purged,
             "wall_sec": round(time.monotonic() - t0, 3)}

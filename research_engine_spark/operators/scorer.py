@@ -87,6 +87,12 @@ class IndexReader:
         # (salt, block_id, max_tf, min_dl) frames; bounded by the same
         # BLOCK_META_BUDGET that gates reading them at all)
         self._block_meta_cache: dict[str, pd.DataFrame] = {}
+        # tombstone awareness (operators/deletes.py): a cheap parquet
+        # footer count at construction/refresh; >0 switches every search
+        # path to anti-join its candidates against the tombstone set
+        from .deletes import n_tombstone_rows
+
+        self.n_deleted_rows = n_tombstone_rows(self.index_dir)
 
     def _tbl(self, name: str) -> DataFrame:
         if name not in self._cache:
@@ -127,6 +133,29 @@ class IndexReader:
         """Per-doc (doc_id, dl) — dl lives here, not in docs (the forward
         table write carries no tokenizer pass)."""
         return self._tbl("doc_stats")
+
+    @property
+    def has_deletes(self) -> bool:
+        return self.n_deleted_rows > 0
+
+    def live_only(self, df: DataFrame, col: str = "doc_id") -> DataFrame:
+        """Exclude tombstoned docs (no-op when there are none). Anti-join
+        against the distinct deleted-id set — broadcast-hinted while the
+        footer row count says the set is small (it is, by construction:
+        deletes are a fraction of ingest; see deletes.py scale notes),
+        a shuffled anti-join beyond that. Never a collect."""
+        if not self.has_deletes:
+            return df
+        from .deletes import tombstones_df
+
+        tomb = tombstones_df(self.spark, self.index_dir)
+        if tomb is None:
+            return df
+        if self.n_deleted_rows <= 5_000_000:
+            tomb = F.broadcast(tomb)
+        if col != "doc_id":
+            tomb = tomb.withColumnRenamed("doc_id", col)
+        return df.join(tomb, col, "left_anti")
 
     def bucket_of(self, terms: list[str]) -> dict[str, int]:
         """term->bucket via driver-side Murmur3 (bit-identical to the
@@ -726,15 +755,23 @@ def search(
     if _all_matches:
         partials = matching.select(*payload_cols).mapInPandas(
             _decode_partials_factory(avgdl, k1, b), schema=PARTIAL_SCHEMA)
-        return _sum_deterministic(partials).select("doc_id", "score")
+        return reader.live_only(
+            _sum_deterministic(partials).select("doc_id", "score"))
 
     def plain_topk() -> DataFrame:
         partials = matching.select(*payload_cols).mapInPandas(
             _decode_partials_factory(avgdl, k1, b), schema=PARTIAL_SCHEMA)
-        return (_sum_deterministic(partials)
-                .select("doc_id", "score")
+        return (reader.live_only(
+                    _sum_deterministic(partials).select("doc_id", "score"))
                 .orderBy(F.desc("score"), F.asc("doc_id")).limit(int(k)))
 
+    if reader.has_deletes:
+        # tombstones invalidate the prune math (θ_meta's "k distinct
+        # docs" argument and the θ-decode sample may count deleted docs,
+        # overestimating the k-th LIVE score -> unsafe skips). Exactly
+        # Lucene's posture pre-merge: scan, filter liveDocs, let the next
+        # compaction purge and restore block-max pruning.
+        prune = False
     if not prune:
         topk = plain_topk()
     else:
@@ -1058,12 +1095,12 @@ def search_many(
             (F.col("qtf") * F.col("idf") * F.col("tf_part")).alias("partial"),
         )
     )
-    scored = partials.groupBy("qid", "doc_id").agg(
+    scored = reader.live_only(partials.groupBy("qid", "doc_id").agg(
         F.aggregate(
             F.array_sort(F.collect_list(F.struct("term", "partial"))),
             F.lit(0.0),
             lambda acc, x: acc + x["partial"],
-        ).alias("score"))
+        ).alias("score")))
     # two-stage exact top-k: the union of per-subgroup top-k contains the
     # global top-k, and stage 2 ranks ≤ n_sub*k rows per query
     sub = F.pmod(F.hash("doc_id"), F.lit(int(n_sub)))
@@ -1198,8 +1235,8 @@ def phrase_scores(reader: IndexReader, phrase: str,
                             "score": scores.astype(np.float64)})
 
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    return rows.repartition(n_part, "doc_id").mapInPandas(
-        match, schema="doc_id bigint, score double")
+    return reader.live_only(rows.repartition(n_part, "doc_id").mapInPandas(
+        match, schema="doc_id bigint, score double"))
 
 
 def phrase_search(reader: IndexReader, phrase: str, k: int = 10,

@@ -1714,6 +1714,130 @@ def engine_lifecycle_bm25_documents(spark, sf_dir):
         F.round("score", 4).alias("score"))
 
 
+_DEL_PRED = "doc_id % 7 = 3"  # the deleted subset, same on both sides
+
+
+@register("engine_delete_bm25_documents", f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+corpus AS (SELECT count(*) AS n, sum(dl) AS tok FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+qterms AS (SELECT unnest(['spark','join','shuffle']) AS term),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks
+  WHERE term IN (SELECT term FROM qterms) GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (corpus.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                         / (corpus.tok * 1.0 / corpus.n))) ) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), corpus
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 4) AS score FROM scored
+WHERE NOT ({_DEL_PRED})
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+""")
+def engine_delete_bm25_documents(spark, sf_dir):
+    """TOMBSTONE semantics driver-hash-checked: build the real index,
+    delete_by_query a subset, search WITHOUT compacting. The oracle
+    computes BM25 with FULL-corpus statistics (df/N/avgdl still include
+    the deleted docs — the ES/Lucene pre-merge contract) but excludes the
+    deleted docs from the result set: a hash match proves the engine's
+    tombstone anti-join removes exactly the right docs while leaving
+    every surviving score bit-unchanged. Own build (the shared cache
+    index must stay delete-free for the other engine_* rows)."""
+    import tempfile
+
+    from .operators.deletes import delete_by_query
+    from .operators.indexer import build_index
+    from .operators.scorer import IndexReader, search
+
+    d = _t(spark, sf_dir, "documents")
+    tx = d.select(
+        F.format_string("c%09d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("text"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    idx = tempfile.mkdtemp(prefix="engine_del_idx_")
+    build_index(tx, idx, n_buckets=4, analyzer="simple")
+    reader = IndexReader(spark, idx)
+    delete_by_query(
+        reader, "cast(substring(conv_id, 2, 9) as bigint) % 7 = 3")
+    hits = search(reader, "spark join shuffle", k=10)
+    return hits.select(
+        F.substring("conv_id", 2, 9).cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"))
+
+
+@register("engine_purge_bm25_documents", f"""
+WITH live AS (SELECT * FROM documents WHERE NOT ({_DEL_PRED})),
+toks AS (
+  SELECT doc_id, unnest({_TOK_SQL}) AS term FROM live
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+corpus AS (SELECT count(*) AS n, sum(dl) AS tok FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+qterms AS (SELECT unnest(['spark','join','shuffle']) AS term),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks
+  WHERE term IN (SELECT term FROM qterms) GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (corpus.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                         / (corpus.tok * 1.0 / corpus.n))) ) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), corpus
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 4) AS score FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+""")
+def engine_purge_bm25_documents(spark, sf_dir):
+    """PHYSICAL PURGE driver-hash-checked: delete a subset, then
+    compact_index (tombstoned postings dropped during the run-merge
+    decode, term_stats/corpus stats recomputed exactly, crash-safe
+    swap), then search. The oracle computes BM25 over the surviving
+    corpus ONLY — df, N and avgdl all shrink — so a hash match proves
+    the purge reaches bit-exactly the state a fresh build over the
+    surviving documents would. One corpus-level count differs from a
+    fresh build by design: zero-token docs keep their docIDs (purge
+    never renumbers), which no score depends on."""
+    import tempfile
+
+    from .operators.deletes import delete_by_query
+    from .operators.indexer import build_index, compact_index
+    from .operators.scorer import IndexReader, search
+
+    d = _t(spark, sf_dir, "documents")
+    tx = d.select(
+        F.format_string("c%09d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("text"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    idx = tempfile.mkdtemp(prefix="engine_purge_idx_")
+    build_index(tx, idx, n_buckets=4, analyzer="simple")
+    reader = IndexReader(spark, idx)
+    delete_by_query(
+        reader, "cast(substring(conv_id, 2, 9) as bigint) % 7 = 3")
+    compact_index(spark, idx)
+    reader = IndexReader(spark, idx)
+    hits = search(reader, "spark join shuffle", k=10)
+    return hits.select(
+        F.substring("conv_id", 2, 9).cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"))
+
+
 @register("transcript_bm25_engine")
 def transcript_bm25_engine(spark, sf_dir):
     """The real engine end-to-end on synthetic transcripts: build the

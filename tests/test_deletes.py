@@ -1,0 +1,242 @@
+"""Document deletion lifecycle (operators/deletes.py): tombstones exclude
+docs from every search path immediately with surviving scores bit-unchanged
+(ES/Lucene pre-merge semantics), compaction physically purges them with
+stats recomputed exactly (bit-identical to a fresh build over the
+surviving corpus), and upsert = tombstone + append.
+
+The reference cannot do any of this — "no deletions (rebuild to delete)",
+retrieval/vector_store.py:13 — so these tests define the contract.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from research_engine_spark.corpus import synth_transcripts
+from research_engine_spark.operators.deletes import (
+    delete_by_query,
+    delete_ids,
+    deleted_ids_sorted,
+    n_tombstone_rows,
+    upsert_turns,
+)
+from research_engine_spark.operators.indexer import build_index, compact_index
+from research_engine_spark.operators.scorer import (
+    IndexReader,
+    bool_should_search,
+    phrase_search,
+    search,
+    search_many,
+)
+
+N_CONVS = 30
+SEED = 77
+CUT = "conv_00000005"  # delete predicate: convs 0..4
+QUERIES = ["neural networks", "machine learning", "transformer attention"]
+
+
+@pytest.fixture(scope="module")
+def base_index(spark, tmp_path_factory):
+    """One positional build shared by every test via directory copy —
+    each test mutates its own copy, never the base."""
+    d = str(tmp_path_factory.mktemp("del_base"))
+    tx = synth_transcripts(spark, n_convs=N_CONVS, seed=SEED)
+    build_index(tx, os.path.join(d, "idx"), n_buckets=4,
+                with_positions=True)
+    return os.path.join(d, "idx")
+
+
+@pytest.fixture()
+def idx(base_index, tmp_path):
+    d = str(tmp_path / "idx")
+    shutil.copytree(base_index, d)
+    return d
+
+
+def _rows(df, cols=("doc_id", "score")):
+    return [tuple(r[c] for c in cols) for r in df.collect()]
+
+
+def test_delete_excludes_immediately_scores_unchanged(spark, idx):
+    reader = IndexReader(spark, idx)
+    before = _rows(search(reader, QUERIES[0], k=8, with_text=False))
+    victim = before[0][0]
+    assert delete_ids(idx, [victim]) == 1
+    reader = IndexReader(spark, idx)
+    assert reader.has_deletes
+    after = _rows(search(reader, QUERIES[0], k=8, with_text=False))
+    after_ids = {r[0] for r in after}
+    assert victim not in after_ids
+    # surviving docs keep bit-identical scores (stats-stale semantics)
+    before_by_id = dict(before)
+    for doc_id, score in after:
+        if doc_id in before_by_id:
+            assert score == before_by_id[doc_id]
+    # the freed slot is refilled up to k when matches exist
+    assert len(after) >= len(before) - 1
+
+
+def test_delete_by_query_all_paths_excluded(spark, idx):
+    reader = IndexReader(spark, idx)
+    n = delete_by_query(reader, f"conv_id < '{CUT}'")
+    assert n > 0
+    dead = set(np.asarray(
+        reader.docs.filter(F.col("conv_id") < CUT)
+        .select("doc_id").toPandas()["doc_id"]).tolist())
+    for q in QUERIES:
+        assert not dead & {r[0] for r in _rows(
+            search(reader, q, k=50, with_text=False))}
+        assert not dead & {r[0] for r in _rows(
+            search(reader, q, k=50, with_text=False, fuzzy=True))}
+        assert not dead & {r[0] for r in _rows(
+            bool_should_search(reader, q, k=50))}
+    assert not dead & {r[0] for r in _rows(
+        phrase_search(reader, "neural networks", k=50))}
+    many = search_many(reader, {f"q{i}": q for i, q in enumerate(QUERIES)},
+                       k=50)
+    assert not dead & {r["doc_id"] for r in many.collect()}
+
+
+def test_prune_falls_back_and_stays_exact(spark, idx):
+    reader = IndexReader(spark, idx)
+    delete_by_query(reader, f"conv_id < '{CUT}'")
+    plain = _rows(search(reader, QUERIES[0], k=10, with_text=False))
+    stats: dict = {}
+    pruned = _rows(search(reader, QUERIES[0], k=10, with_text=False,
+                          prune=True, prune_stats=stats))
+    assert pruned == plain
+
+
+def test_compact_purges_bit_identical_to_fresh_build(spark, idx, tmp_path):
+    reader = IndexReader(spark, idx)
+    delete_by_query(reader, f"conv_id < '{CUT}'")
+    res = compact_index(spark, idx)
+    assert res["compacted"] and res["n_purged"] > 0
+    # tombstones applied and removed; reader sees a clean index
+    assert n_tombstone_rows(idx) == 0
+    assert deleted_ids_sorted(idx).size == 0
+
+    fresh_dir = str(tmp_path / "fresh")
+    tx = synth_transcripts(spark, n_convs=N_CONVS, seed=SEED)
+    build_index(tx.filter(F.col("conv_id") >= CUT), fresh_dir,
+                n_buckets=4, with_positions=True)
+
+    purged = IndexReader(spark, idx)
+    fresh = IndexReader(spark, fresh_dir)
+    # exact stats equality: n_docs, total_tokens, avgdl
+    for key in ("n_docs", "total_tokens", "avgdl"):
+        assert purged.stats[key] == fresh.stats[key], key
+    # docIDs differ (purge preserves them, fresh renumbers) — compare on
+    # the stable (conv_id, turn_idx) identity; scores must be bit-equal
+    # (same df/cf/dl/avgdl integers, same term-sorted fold)
+    for q in QUERIES:
+        a = _rows(search(purged, q, k=10), ("conv_id", "turn_idx", "score"))
+        bzz = _rows(search(fresh, q, k=10), ("conv_id", "turn_idx", "score"))
+        assert a == bzz
+    # forward tables physically shrank
+    assert purged.docs.filter(F.col("conv_id") < CUT).count() == 0
+    assert purged.docs.count() == purged.stats["n_docs"]
+    assert purged.doc_stats.count() == fresh.doc_stats.count()
+
+
+def test_purge_handles_term_vanishing(spark, idx):
+    """Deleting every doc of some terms must drop those terms from the
+    purged term_stats entirely (df would be 0)."""
+    reader = IndexReader(spark, idx)
+    only_there = (
+        reader.doc_stats.join(
+            reader.docs.filter(F.col("conv_id") < CUT), "doc_id",
+            "left_semi").count())
+    assert only_there > 0
+    delete_by_query(reader, f"conv_id < '{CUT}'")
+    compact_index(spark, idx)
+    purged = IndexReader(spark, idx)
+    ts = purged.term_stats
+    assert ts.filter(F.col("df") <= 0).count() == 0
+    # postings and term_stats agree on df after the purge
+    post_df = (purged.postings.groupBy("term")
+               .agg(F.sum("posting_count").alias("df")))
+    ts_df = purged.term_stats.groupBy("term").agg(
+        F.sum("df").alias("df2"))
+    joined = post_df.join(ts_df, "term", "full_outer")
+    assert joined.filter(
+        F.col("df").isNull() | F.col("df2").isNull()
+        | (F.col("df") != F.col("df2"))).count() == 0
+
+
+def test_double_delete_and_unknown_ids_are_noops(spark, idx):
+    reader = IndexReader(spark, idx)
+    top = _rows(search(reader, QUERIES[0], k=3, with_text=False))
+    victim = top[0][0]
+    delete_ids(idx, [victim])
+    delete_ids(idx, [victim, 10**12 + 5])  # dup + nonexistent
+    reader = IndexReader(spark, idx)
+    n_docs_before = reader.stats["n_docs"]
+    res = compact_index(spark, idx)
+    assert res["n_purged"] == 1
+    purged = IndexReader(spark, idx)
+    assert purged.stats["n_docs"] == n_docs_before - 1
+
+
+def test_upsert_replaces_turn(spark, idx):
+    reader = IndexReader(spark, idx)
+    row = reader.docs.orderBy("doc_id").first()
+    new_rows = spark.createDataFrame(
+        [(row["conv_id"], row["turn_idx"], row["role"],
+          "zzreplacedtoken fresh content entirely", row["ts"])],
+        "conv_id string, turn_idx int, role string, text string, "
+        "ts timestamp")
+    stats = upsert_turns(new_rows, idx)
+    assert stats["n_replaced"] == 1
+    reader = IndexReader(spark, idx)
+    hits = _rows(search(reader, "zzreplacedtoken", k=5),
+                 ("conv_id", "turn_idx", "score"))
+    assert [(h[0], h[1]) for h in hits] == [(row["conv_id"],
+                                            row["turn_idx"])]
+    # exactly one live version of the key
+    live = reader.live_only(reader.docs).filter(
+        (F.col("conv_id") == row["conv_id"])
+        & (F.col("turn_idx") == row["turn_idx"]))
+    assert live.count() == 1
+    # purge keeps the replacement searchable and drops the old version
+    compact_index(spark, idx)
+    purged = IndexReader(spark, idx)
+    assert not purged.has_deletes
+    hits2 = _rows(search(purged, "zzreplacedtoken", k=5),
+                  ("conv_id", "turn_idx", "score"))
+    assert [(h[0], h[1]) for h in hits2] == [(row["conv_id"],
+                                             row["turn_idx"])]
+    assert purged.docs.filter(
+        (F.col("conv_id") == row["conv_id"])
+        & (F.col("turn_idx") == row["turn_idx"])).count() == 1
+
+
+def test_stale_tombstones_self_heal(spark, idx):
+    """Tombstones for ids that were already purged (crash between swap
+    and tombstone cleanup) are harmless: searches unaffected, the next
+    compaction applies them as a no-op purge and clears them."""
+    reader = IndexReader(spark, idx)
+    delete_by_query(reader, f"conv_id < '{CUT}'")
+    compact_index(spark, idx)
+    purged_ids = deleted_ids_sorted(idx)
+    assert purged_ids.size == 0
+    before = _rows(search(IndexReader(spark, idx), QUERIES[0], k=10,
+                          with_text=False))
+    # resurrect tombstones pointing at ids that no longer exist
+    dead = IndexReader(spark, idx)
+    max_id = dead.docs.agg(F.max("doc_id")).collect()[0][0]
+    delete_ids(idx, [max_id + 10, max_id + 11])
+    mid = _rows(search(IndexReader(spark, idx), QUERIES[0], k=10,
+                       with_text=False))
+    assert mid == before
+    res = compact_index(spark, idx)
+    assert res["compacted"] and res["n_purged"] == 0
+    assert n_tombstone_rows(idx) == 0
+    after = _rows(search(IndexReader(spark, idx), QUERIES[0], k=10,
+                         with_text=False))
+    assert after == before
