@@ -35,8 +35,9 @@ def with_rank(
       here is bounded by top_n rows.
     - ``top_n`` None (full-depth rank, e.g. RRF over complete rankings):
       range-partition by the sort keys, partition-local ``row_number``,
-      then add per-partition base offsets from ONE O(#partitions) collect
-      — the docids.py global-ordering idiom. Identical ranks to a global
+      then add per-partition base offsets from an in-plan cumsum over the
+      O(#partitions) count table (no driver collect, no extra action) —
+      the docids.py global-ordering idiom. Identical ranks to a global
       sort, but no stage ever holds more than one range partition. The
       INPUT is persisted before ``repartitionByRange`` (the docids.py
       idiom): its range-boundary sampling job otherwise re-runs the whole
@@ -55,23 +56,26 @@ def with_rank(
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     sort_cols = [F.col(score_col).desc()] + [F.col(c).asc() for c in tiebreak]
     src = df.persist() if persist_input else df
-    local = (
+    ranged = (
         src.repartitionByRange(n_part, *sort_cols)
         .withColumn("pid", F.spark_partition_id())
     )
     w = Window.partitionBy("pid").orderBy(*order)
-    local = local.withColumn("local_rank", F.row_number().over(w)).persist()
-    counts = local.groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()
-    if persist_input:
-        src.unpersist()  # local is materialized; the input cache is done
-    base, acc = {}, 0
-    for r in sorted(counts, key=lambda r: r["pid"]):
-        base[r["pid"]] = acc
-        acc += int(r["n"])
-    base_df = spark.createDataFrame(
-        [(int(p), int(b)) for p, b in base.items()], "pid int, base bigint")
+    local = ranged.withColumn("local_rank", F.row_number().over(w))
+    # base offsets computed IN-PLAN (no driver collect): the per-pid count
+    # table has at most n_part rows, so the cumsum window over it is
+    # bounded-by-construction even though it is single-partition. Both
+    # branches read the same range exchange (ReuseExchange), so pid
+    # assignment is consistent; see with_rank_per_key for the cache note.
+    wo = (Window.partitionBy(F.lit(0)).orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = (
+        ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("base", F.coalesce(F.sum("n").over(wo), F.lit(0)))
+        .drop("n")
+    )
     return (
-        local.join(F.broadcast(base_df), "pid")
+        local.join(F.broadcast(offsets), "pid")
         .withColumn("rank", (F.col("base") + F.col("local_rank")).cast("int"))
         .drop("pid", "local_rank", "base")
     )
@@ -88,10 +92,11 @@ def with_rank_per_key(
     (score desc, tiebreaks asc) — W2 generalized to many lists at once.
 
     N ranked lists (RRF inputs, per-query rankings) normally cost N
-    with_rank passes = N range-sampling jobs + N offset collects. Tagging
+    with_rank passes = N range-sampling jobs + N offset passes. Tagging
     the lists and ranking per key pays ONE repartitionByRange over
-    (key, sort keys), ONE keyed-window pass, and ONE tiny
-    (key × partition) offset collect for all of them. Identical ranks to
+    (key, sort keys), ONE keyed-window pass, and ONE tiny in-plan
+    (key × partition) offset cumsum for all of them — a single lazy plan,
+    zero driver round-trips. Identical ranks to
     a per-list global sort: range partitioning by (key, score…) keeps
     each key's rows globally ordered across its partitions, and the base
     offset of (key, pid) counts that key's rows in earlier partitions.
@@ -108,28 +113,31 @@ def with_rank_per_key(
         .withColumn("pid", F.spark_partition_id())
     )
     w = Window.partitionBy(key_col, "pid").orderBy(*order)
-    local = ranged.withColumn(
-        "local_rank", F.row_number().over(w)).persist()
-    counts = (local.groupBy(key_col, "pid")
-              .agg(F.count(F.lit(1)).alias("n")).collect())
-    if persist_input:
-        src.unpersist()
-    if not counts:
-        return (local.withColumn("rank", F.lit(0).cast("int"))
-                .drop("pid", "local_rank"))
-    base: dict[tuple, int] = {}
-    acc: dict = {}
-    for r in sorted(counts, key=lambda r: (r[key_col], r["pid"])):
-        k = r[key_col]
-        base[(k, r["pid"])] = acc.get(k, 0)
-        acc[k] = acc.get(k, 0) + int(r["n"])
-    from pyspark.sql import Row
-
-    base_df = spark.createDataFrame(
-        [Row(**{key_col: k, "pid": int(p), "base": int(b)})
-         for (k, p), b in base.items()])
+    local = ranged.withColumn("local_rank", F.row_number().over(w))
+    # Per-(key, pid) base offsets WITHOUT a driver collect: aggregate the
+    # tiny (key, pid, n) table and cumsum it with a window keyed by
+    # key_col alone — at most n_part rows per key, so the window is
+    # bounded and never single-partition over data-scale input. Both
+    # branches consume the SAME range exchange (AQE ReusedExchange — one
+    # shuffle, one job), and even if the exchange were recomputed the pid
+    # assignment is deterministic: the range boundaries are fixed at plan
+    # time and ``src`` is persisted (or caller-persisted) above.
+    wo = (Window.partitionBy(key_col).orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = (
+        ranged.groupBy(key_col, "pid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("base", F.coalesce(F.sum("n").over(wo), F.lit(0)))
+        .drop("n")
+    )
+    # src's cache outlives this call on purpose: the whole rank is now ONE
+    # lazy plan (the old design collected counts — an extra job — which
+    # also gave it a place to unpersist). The cached input is the
+    # post-aggregation ranked set, orders of magnitude below the scan, and
+    # MEMORY_AND_DISK LRU eviction reclaims it; callers that loop should
+    # pass persist_input=False and manage their own cache.
     return (
-        local.join(F.broadcast(base_df), [key_col, "pid"])
+        local.join(F.broadcast(offsets), [key_col, "pid"])
         .withColumn("rank", (F.col("base") + F.col("local_rank")).cast("int"))
         .drop("pid", "local_rank", "base")
     )
