@@ -88,7 +88,7 @@ def main() -> None:
     bm25_total = 0.0
     for i, q in enumerate(REFERENCE_QUERIES):
         t0 = time.monotonic()
-        search(reader, q, k=10, with_text=False).collect()
+        search(reader, q, k=10, with_text=False, prune=False).collect()
         dt = time.monotonic() - t0
         queries_sec[f"bm25_q{i+1:02d}"] = round(dt, 3)
         bm25_total += dt

@@ -684,7 +684,7 @@ def search(
     k: int = 10,
     k1: float | None = None,
     b: float | None = None,
-    prune: bool = False,
+    prune: bool = True,
     with_text: bool = True,
     fuzzy: bool = False,
     max_expansions: int = 50,
@@ -692,8 +692,12 @@ def search(
     prune_stats: dict | None = None,
 ) -> DataFrame:
     """Top-k BM25. Returns (doc_id, score, conv_id, turn_idx[, text])
-    ordered by (score desc, doc_id asc). prune=True enables the exact
-    two-phase block-max path (identical results, fewer decoded blocks).
+    ordered by (score desc, doc_id asc). prune=True (default) enables the
+    exact two-phase block-max path (identical results, fewer decoded
+    blocks); the prune/no-prune gate is decided DRIVER-side from postings
+    metadata, so when it falls back the cost over prune=False is zero
+    Spark jobs (measured −9% worst case, +77% best —
+    BENCH/BASELINE.md crossover table).
     fuzzy=True expands query terms within Lucene AUTO edit distance
     (R5: the reference's default ``fuzziness: AUTO``,
     retrieval/es_search_final.py:21); each expansion scores as a weighted
