@@ -161,6 +161,27 @@ def main() -> None:
         queries_sec[f"phrase_q{i+1:02d}"] = round(dt, 3)
         phrase_total += dt
 
+    # --- 2e. delete lifecycle on the main index (last reader use) ----------
+    # tombstone ~1/16 of docs, search through the tombstones, physically
+    # purge via compaction, search again — the ES delete_by_query +
+    # forcemerge lifecycle the reference can't do without a rebuild
+    from research_engine_spark.operators.deletes import delete_by_query
+    from research_engine_spark.operators.indexer import compact_index
+
+    t0 = time.monotonic()
+    delete_by_query(reader, "doc_id % 16 = 0")
+    queries_sec["delete_by_query"] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    search(reader, REFERENCE_QUERIES[0], k=10, with_text=False).collect()
+    queries_sec["bm25_tombstoned_q01"] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    compact_index(spark, idx_dir)
+    queries_sec["purge_compact"] = round(time.monotonic() - t0, 3)
+    reader = IndexReader(spark, idx_dir)
+    t0 = time.monotonic()
+    search(reader, REFERENCE_QUERIES[0], k=10, with_text=False).collect()
+    queries_sec["bm25_purged_q01"] = round(time.monotonic() - t0, 3)
+
     # --- 3. operator suite sample at the sf dir ----------------------------
     for name in ["q01_pricing_summary", "q03_top_orders", "term_frequencies",
                  "exact_dedup_documents", "rrf_user_fusion",
