@@ -580,6 +580,10 @@ def _total_tokens_from_term_stats(ts_path: str,
     import pyarrow.dataset as pads
 
     ds = pads.dataset(ts_path, format="parquet")
+    # a delete-everything purge stages an empty term_stats dir (no data
+    # files, or marker-only files with no usable schema): zero tokens
+    if "cf" not in ds.schema.names:
+        return 0
     flt = (pads.field("snapshot_id") == snapshot_id
            if snapshot_id is not None else None)
     tbl = ds.to_table(columns=["cf"], filter=flt)
@@ -1129,6 +1133,10 @@ def compact_index(
     staged_post = post_path + "_compacting"
     merged.repartition(n_buckets, "bucket").write.mode(
         "overwrite").partitionBy("bucket").parquet(staged_post)
+    # explicit read schema for the staged dir: a delete-everything purge
+    # stages an EMPTY postings dir, where inference has nothing to read
+    staged_schema = T.StructType(
+        POSTINGS_SCHEMA.fields + [T.StructField("bucket", T.IntegerType())])
 
     # term_stats: one row per (term, bucket) aggregated across segments —
     # same totals the reader already computes per query, persisted once.
@@ -1139,7 +1147,8 @@ def compact_index(
     ts_path = os.path.join(out_dir, "term_stats")
     if purge:
         ts_new = _term_stats_from_postings(
-            spark.read.parquet(post_path + "_compacting"), snapshot_id)
+            spark.read.schema(staged_schema).parquet(
+                post_path + "_compacting"), snapshot_id)
     else:
         ts_new = (
             spark.read.parquet(ts_path)
@@ -1156,7 +1165,7 @@ def compact_index(
 
     # lineage: rewritten from the compacted postings so the invariant
     # "lineage covers every current posting exactly once" holds
-    compacted_tbl = spark.read.parquet(staged_post)
+    compacted_tbl = spark.read.schema(staged_schema).parquet(staged_post)
     n_blocks_after = compacted_tbl.count()
     lineage = (
         compacted_tbl.groupBy("partition_id")

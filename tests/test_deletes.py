@@ -240,3 +240,94 @@ def test_stale_tombstones_self_heal(spark, idx):
     after = _rows(search(IndexReader(spark, idx), QUERIES[0], k=10,
                          with_text=False))
     assert after == before
+
+
+def test_delete_everything_then_compact(spark, idx):
+    """Tombstoning the whole corpus leaves empty searches, and the purge
+    reaches a consistent empty index (n_docs=0, avgdl=0) that still
+    accepts queries and new appends."""
+    import json
+
+    reader = IndexReader(spark, idx)
+    delete_by_query(reader, "doc_id >= 0")
+    assert search(reader, QUERIES[0], k=5, with_text=False).count() == 0
+    res = compact_index(spark, idx)
+    assert res["compacted"] and res["n_purged"] > 0
+    empty = IndexReader(spark, idx)
+    assert empty.stats["n_docs"] == 0 and empty.stats["avgdl"] == 0.0
+    assert search(empty, QUERIES[0], k=5, with_text=False).count() == 0
+    # the empty index is still appendable
+    from research_engine_spark.operators.indexer import append_segment
+
+    tx = synth_transcripts(spark, n_convs=3, seed=123)
+    append_segment(tx, idx)
+    revived = IndexReader(spark, idx)
+    with open(os.path.join(idx, "corpus_stats.json")) as f:
+        assert json.load(f)["n_docs"] == revived.docs.count()
+    assert search(revived, QUERIES[0], k=5, with_text=False).count() > 0
+
+
+def test_delete_then_append_then_purge(spark, idx):
+    """Tombstones on the base segment + a live appended segment: the
+    purge drops only the tombstoned base docs, keeps every appended doc,
+    and the merged stats equal a fresh build over (surviving base +
+    appended) — the docID-preservation invariant under composition."""
+    from research_engine_spark.operators.indexer import append_segment
+
+    reader = IndexReader(spark, idx)
+    delete_by_query(reader, f"conv_id < '{CUT}'")
+    extra = synth_transcripts(spark, n_convs=4, seed=555).withColumn(
+        "conv_id", F.concat(F.lit("x"), F.col("conv_id")))
+    append_segment(extra, idx)
+    merged = IndexReader(spark, idx)
+    # appended docs are live despite the pending tombstones
+    assert merged.live_only(merged.docs).filter(
+        F.col("conv_id").startswith("x")).count() == extra.count()
+    res = compact_index(spark, idx)
+    assert res["compacted"] and res["n_purged"] > 0
+    purged = IndexReader(spark, idx)
+    assert not purged.has_deletes
+    assert purged.docs.filter(F.col("conv_id") < CUT).count() == 0
+    assert purged.docs.filter(
+        F.col("conv_id").startswith("x")).count() == extra.count()
+    # scores match a fresh build over the same surviving corpus
+    fresh_dir = idx + "_fresh"
+    fresh_src = purged.docs.select(
+        "conv_id", "turn_idx", "role", "text", "ts")
+    build_index(fresh_src, fresh_dir, n_buckets=4, with_positions=True)
+    fresh = IndexReader(spark, fresh_dir)
+    for q in QUERIES:
+        got = _rows(search(purged, q, k=10),
+                    ("conv_id", "turn_idx", "score"))
+        want = _rows(search(fresh, q, k=10),
+                     ("conv_id", "turn_idx", "score"))
+        assert [(g[0], g[1]) for g in got] == [(w[0], w[1]) for w in want]
+        np.testing.assert_allclose([g[2] for g in got],
+                                   [w[2] for w in want], rtol=1e-12)
+
+
+def test_upsert_same_key_twice_last_wins(spark, idx):
+    reader = IndexReader(spark, idx)
+    row = reader.docs.orderBy("doc_id").first()
+    schema = ("conv_id string, turn_idx int, role string, text string, "
+              "ts timestamp")
+    v1 = spark.createDataFrame(
+        [(row["conv_id"], row["turn_idx"], row["role"],
+          "zzversionone only", row["ts"])], schema)
+    v2 = spark.createDataFrame(
+        [(row["conv_id"], row["turn_idx"], row["role"],
+          "zzversiontwo only", row["ts"])], schema)
+    upsert_turns(v1, idx)
+    upsert_turns(v2, idx)
+    reader = IndexReader(spark, idx)
+    assert search(reader, "zzversionone", k=5).count() == 0
+    hits = _rows(search(reader, "zzversiontwo", k=5),
+                 ("conv_id", "turn_idx"))
+    assert hits == [(row["conv_id"], row["turn_idx"])]
+    assert reader.live_only(reader.docs).filter(
+        (F.col("conv_id") == row["conv_id"])
+        & (F.col("turn_idx") == row["turn_idx"])).count() == 1
+    compact_index(spark, idx)
+    purged = IndexReader(spark, idx)
+    assert search(purged, "zzversionone", k=5).count() == 0
+    assert search(purged, "zzversiontwo", k=5).count() == 1
