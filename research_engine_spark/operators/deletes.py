@@ -153,8 +153,14 @@ def upsert_turns(transcripts: DataFrame, index_dir: str, **append_kwargs):
     spark = transcripts.sparkSession
     reader = IndexReader(spark, index_dir)
     keys = transcripts.select("conv_id", "turn_idx").distinct()
-    old = (reader.docs.join(F.broadcast(keys), ["conv_id", "turn_idx"],
-                            "left_semi")
+    # broadcast the incoming key set only while it is broadcast-sized
+    # (same posture as IndexReader.live_only): a bulk upsert of tens of
+    # millions of keys must fall back to a shuffled semi-join, not pin
+    # the whole set on the driver. The count is one cheap job over the
+    # incoming batch, which the append below scans anyway.
+    if keys.count() <= 5_000_000:
+        keys = F.broadcast(keys)
+    old = (reader.docs.join(keys, ["conv_id", "turn_idx"], "left_semi")
            .select("doc_id"))
     d = _tomb_path(index_dir)
     before = n_tombstone_rows(index_dir)
