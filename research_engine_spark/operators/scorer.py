@@ -765,8 +765,16 @@ def search(
     def plain_topk() -> DataFrame:
         partials = matching.select(*payload_cols).mapInPandas(
             _decode_partials_factory(avgdl, k1, b), schema=PARTIAL_SCHEMA)
-        return (reader.live_only(
-                    _sum_deterministic(partials).select("doc_id", "score"))
+        if len(meta) == 1:
+            # single-term query: each doc holds exactly one posting for
+            # the term, so its partial IS its score — skip the per-doc
+            # sum shuffle entirely (decode -> TakeOrdered, one narrow
+            # stage). Bit-identical: summing one element is the element.
+            scored = partials.select(
+                "doc_id", F.col("partial").alias("score"))
+        else:
+            scored = _sum_deterministic(partials).select("doc_id", "score")
+        return (reader.live_only(scored)
                 .orderBy(F.desc("score"), F.asc("doc_id")).limit(int(k)))
 
     if reader.has_deletes:
@@ -888,8 +896,10 @@ def search(
                 partials = pruned.select(*payload_cols).mapInPandas(
                     _decode_partials_factory(avgdl, k1, b),
                     schema=PARTIAL_SCHEMA)
-                topk = (_sum_deterministic(partials)
-                        .select("doc_id", "score")
+                # one posting per doc for the single term: the partial
+                # IS the score — no per-doc sum shuffle (see plain_topk)
+                topk = (partials
+                        .select("doc_id", F.col("partial").alias("score"))
                         .orderBy(F.desc("score"), F.asc("doc_id"))
                         .limit(int(k)))
                 if not with_text:
