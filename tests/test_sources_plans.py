@@ -119,3 +119,18 @@ def test_batch_search_plan_shape(reader):
     for line in plan.splitlines():
         if "Window" in line and "windowspecdefinition" in line.lower():
             assert "qid" in line, f"unpartitioned window:\n{line}"
+
+
+def test_single_term_search_has_no_aggregate_shuffle(reader):
+    """A single-term query has exactly one partial per doc, so its plain
+    plan must feed the decode straight into TakeOrderedAndProject — no
+    per-doc sum HashAggregate and no hashpartitioning(doc_id) exchange.
+    A multi-term query on the same reader DOES need the deterministic
+    per-doc sum (regression guard for the shortcut's scope)."""
+    single = search(reader, "neural", k=10, with_text=False, prune=False)
+    plan = _formatted_plan(single)
+    assert "TakeOrderedAndProject" in plan
+    assert "hashpartitioning(doc_id" not in plan
+    multi = search(reader, "neural networks", k=10, with_text=False,
+                   prune=False)
+    assert "hashpartitioning(doc_id" in _formatted_plan(multi)
