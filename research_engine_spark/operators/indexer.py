@@ -50,7 +50,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .codec import vb_decode, vb_encode
+from .codec import vb_decode, vb_encode, vb_lengths
 from .docids import with_doc_ids
 
 BLOCK_SIZE = 128
@@ -131,6 +131,92 @@ def decode_positions_block(buf: bytes, n_postings: int) -> list[np.ndarray]:
     return out
 
 
+def encode_positions_flat(flat_pos: np.ndarray,
+                          counts: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Vectorized positions pack (r3 verdict: the per-run Python-list
+    ``encode_positions_block`` doubled the positional build; this is the
+    one-``vb_encode``-per-partition replacement, byte-identical output).
+
+    flat_pos: concatenated ascending positions of all postings;
+    counts: per-posting position count (== tf). Builds the SAME stream as
+    concatenating ``encode_positions_block([p])`` per posting —
+    ``[n_pos, first_abs, deltas...]`` per posting — in one numpy pass.
+
+    Returns ``(buf, posting_byte_offsets)`` where
+    ``buf[off[j]:off[e]]`` is exactly the bytes for postings ``j..e-1``
+    (slice runs/blocks at any posting boundary)."""
+    c = np.asarray(counts, dtype=np.int64)
+    P = c.size
+    total = int(c.sum())
+    ps = np.zeros(P + 1, dtype=np.int64)
+    np.cumsum(c, out=ps[1:])
+    deltas = np.empty(total, dtype=np.uint64)
+    if total:
+        fp = np.asarray(flat_pos, dtype=np.int64)
+        deltas[0] = np.uint64(fp[0])
+        deltas[1:] = np.diff(fp).astype(np.uint64)
+        starts = ps[:-1][c > 0]  # reset: each posting's first pos absolute
+        deltas[starts] = fp[starts].astype(np.uint64)
+    stream = np.empty(total + P, dtype=np.uint64)
+    cnt_idx = ps[:-1] + np.arange(P, dtype=np.int64)
+    stream[cnt_idx] = c.astype(np.uint64)
+    if total:
+        val_idx = np.arange(total, dtype=np.int64) + np.repeat(
+            np.arange(1, P + 1, dtype=np.int64), c)
+        stream[val_idx] = deltas
+    buf = vb_encode(stream)
+    boff = np.zeros(stream.size + 1, dtype=np.int64)
+    np.cumsum(vb_lengths(stream), out=boff[1:])
+    posting_boff = boff[np.append(cnt_idx, stream.size)]
+    return buf, posting_boff
+
+
+def decode_positions_flat(bufs: list[bytes], counts: np.ndarray) -> np.ndarray:
+    """Vectorized inverse of ``encode_positions_flat`` over a
+    CONCATENATION of position streams: per-posting counts are already
+    known from the decoded tf stream (n_positions == tf by construction),
+    so the embedded count prefixes are skipped by index arithmetic and
+    absolutes are restored with one segmented cumsum — no per-posting
+    Python loop (the r3 merge-side regression)."""
+    c = np.asarray(counts, dtype=np.int64)
+    P = c.size
+    stream = vb_decode(b"".join(bufs)).astype(np.int64)
+    ps = np.zeros(P + 1, dtype=np.int64)
+    np.cumsum(c, out=ps[1:])
+    cnt_idx = ps[:-1] + np.arange(P, dtype=np.int64)
+    mask = np.ones(stream.size, dtype=bool)
+    mask[cnt_idx] = False
+    deltas = stream[mask]
+    cs = np.cumsum(deltas)
+    base = np.zeros(P, dtype=np.int64)
+    nz = c > 0
+    starts = ps[:-1]
+    base[nz] = cs[starts[nz]] - deltas[starts[nz]]
+    return cs - np.repeat(base, c)
+
+
+def _slice_pos(flat_pos: np.ndarray, counts: np.ndarray,
+               gs: np.ndarray, ge: np.ndarray) -> list[bytes]:
+    """Encode all positions once, slice per group at posting boundaries."""
+    buf, pboff = encode_positions_flat(flat_pos, counts)
+    return [buf[pboff[s]:pboff[e]] for s, e in zip(gs, ge)]
+
+
+def _segment_gather(flat: np.ndarray, starts_src: np.ndarray,
+                    lens: np.ndarray) -> np.ndarray:
+    """Gather variable-length segments of ``flat`` (given source start
+    offsets + lengths) into one contiguous array, vectorized."""
+    lens = np.asarray(lens, dtype=np.int64)
+    total = int(lens.sum())
+    out_starts = np.zeros(lens.size, dtype=np.int64)
+    if lens.size > 1:
+        np.cumsum(lens[:-1], out=out_starts[1:])
+    idx = (np.arange(total, dtype=np.int64)
+           - np.repeat(out_starts, lens)
+           + np.repeat(np.asarray(starts_src, dtype=np.int64), lens))
+    return flat[idx]
+
+
 def bm25_idf(n_docs: int, df: np.ndarray | int) -> np.ndarray | float:
     """Lucene BM25 idf: ln(1 + (N - df + 0.5)/(df + 0.5))."""
     return np.log(1.0 + (n_docs - np.asarray(df, dtype=np.float64) + 0.5)
@@ -173,10 +259,10 @@ def _doc_term_arrays(pdf: pd.DataFrame, with_positions: bool,
         ukey = skey[bounds]
         counts = np.diff(np.concatenate((bounds, [skey.size]))).astype(
             np.int64)
-        pos_groups = np.split(pos[order].astype(np.int32), bounds[1:])
+        pos_sorted = pos[order]  # grouped by (doc, term), ascending in-group
     else:
         ukey, counts = np.unique(key, return_counts=True)
-        pos_groups = None
+        pos_sorted = None
     d = ukey // n_terms
     c = ukey % n_terms
     # term-major, doc-ascending (doc ids within one doc-index group of a
@@ -187,13 +273,16 @@ def _doc_term_arrays(pdf: pd.DataFrame, with_positions: bool,
     rdoc = rows_doc[order2]
     rtf = counts[order2].astype(np.int64)
     rdl = lens[d][order2].astype(np.int64)
-    rpos = [pos_groups[i] for i in order2] if pos_groups is not None else None
+    # flat positions re-grouped to (term, doc) posting order in one
+    # vectorized gather — no per-posting np.split/list (r3 regression)
+    rpos_flat = (_segment_gather(pos_sorted, bounds[order2], rtf)
+                 if pos_sorted is not None else None)
     # per-doc stats (docs with >= 1 token), doc-sorted
     docs_mask = lens > 0
     pd_ids = doc_ids_in[docs_mask]
     pd_dls = lens[docs_mask]
     o = np.argsort(pd_ids)
-    return tcodes, terms, rdoc, rtf, rdl, rpos, pd_ids[o], pd_dls[o]
+    return tcodes, terms, rdoc, rtf, rdl, rpos_flat, pd_ids[o], pd_dls[o]
 
 
 # Map-side SPIMI run: one row per (input partition, term) holding that
@@ -212,8 +301,6 @@ RUNS_SCHEMA = (
 
 def _partition_runs_factory(with_positions: bool,
                             analyzer: str = "english_folded"):
-    from .codec import vb_lengths
-
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         parts = [p for p in batches if len(p)]
         if not parts:
@@ -263,8 +350,10 @@ def _partition_runs_factory(with_positions: bool,
                           for s, e in zip(gs, ge)],
             "tfs_": [t_bytes[t_off[s]:t_off[e]] for s, e in zip(gs, ge)],
             "dls_": [d_bytes[d_off[s]:d_off[e]] for s, e in zip(gs, ge)],
-            "poss_": ([encode_positions_block(rpos[s:e])
-                       for s, e in zip(gs, ge)] if with_positions
+            # ONE varbyte encode for the whole partition's positions,
+            # sliced per run at posting byte boundaries (byte-identical
+            # to per-posting encode_positions_block; r3 verdict fix #1)
+            "poss_": (_slice_pos(rpos, rtf, gs, ge) if with_positions
                       else [None] * gs.size),
         }
         runs = pd.DataFrame({
@@ -351,14 +440,13 @@ def _merge_runs_factory(snapshot_id: str, with_positions: bool,
         rcodes = np.repeat(codes[order], counts)
         rsalts = np.repeat(pdf["salt"].to_numpy(np.int64)[order], counts)
         if with_positions:
-            pos_all_l: list = []
-            for buf, nn in zip(pdf["poss"].to_numpy()[order], counts):
-                pos_all_l.extend(decode_positions_block(bytes(buf),
-                                                        int(nn)))
-            pos_all = np.empty(len(pos_all_l), dtype=object)
-            pos_all[:] = pos_all_l
+            # one vectorized decode for ALL runs' positions — counts per
+            # posting are the already-decoded tfs (n_positions == tf by
+            # construction), so no per-posting Python loop (r3 fix #1)
+            pos_bufs = [bytes(x) for x in pdf["poss"].to_numpy()[order]]
+            pos_flat = decode_positions_flat(pos_bufs, tfs_all)
         else:
-            pos_all = None
+            pos_flat = None
         del pdf
         if dead_bc is not None and dead_bc.value.size:
             dead = dead_bc.value  # sorted unique int64
@@ -366,37 +454,45 @@ def _merge_runs_factory(snapshot_id: str, with_positions: bool,
             pos_in[pos_in == dead.size] = 0
             live = dead[pos_in] != doc_ids_all
             if not live.all():
+                if pos_flat is not None:
+                    pos_flat = pos_flat[np.repeat(live, tfs_all)]
                 doc_ids_all = doc_ids_all[live]
                 tfs_all = tfs_all[live]
                 dls_all = dls_all[live]
                 rcodes = rcodes[live]
                 rsalts = rsalts[live]
-                if pos_all is not None:
-                    pos_all = pos_all[live]
             if doc_ids_all.size == 0:
                 return
         # global (term, salt, doc_id) order: runs from different input
         # partitions may interleave in doc space
         order2 = np.lexsort((doc_ids_all, rsalts, rcodes))
+        if pos_flat is not None:
+            ps = np.zeros(tfs_all.size + 1, dtype=np.int64)
+            np.cumsum(tfs_all, out=ps[1:])
+            pos_flat = _segment_gather(pos_flat, ps[:-1][order2],
+                                       tfs_all[order2])
         yield _emit_blocks(
             uniq_terms, rcodes[order2], rsalts[order2],
             doc_ids_all[order2], tfs_all[order2], dls_all[order2],
-            pos_all[order2] if pos_all is not None else None,
-            pid, t0, snapshot_id)
+            pos_flat, pid, t0, snapshot_id)
 
     return merge
 
 
 def _emit_blocks(uniq_terms, codes, salts_all, doc_ids_all, tfs_all,
-                 dls_all, pos_all, pid: int, t0: float,
+                 dls_all, pos_flat, pid: int, t0: float,
                  snapshot_id: str) -> pd.DataFrame:
     """(term, salt, doc_id)-sorted posting rows -> POSTINGS_SCHEMA block
     rows with in-band lineage fields. Takes NO corpus stats: block skip
     bounds are recomputed at query time from the stored skylines, so the
     pack is independent of N/avgdl — a streaming append packs identically
-    regardless of global stats."""
-    from .codec import vb_lengths
+    regardless of global stats.
 
+    pos_flat: flat positions aligned with the (sorted) posting rows
+    (per-posting count == tf), or None. Encoded ONCE for the whole
+    partition and sliced per block at posting byte boundaries."""
+    if pos_flat is not None:
+        pos_buf, pboff = encode_positions_flat(pos_flat, tfs_all)
     # group boundaries where (term code, salt) changes
     n_rows = codes.size
     change = np.empty(n_rows, dtype=bool)
@@ -455,8 +551,8 @@ def _emit_blocks(uniq_terms, codes, salts_all, doc_ids_all, tfs_all,
             out["tfs"].append(t_bytes[t_off[s]:t_off[e]])
             out["dls"].append(d_bytes[d_off[s]:d_off[e]])
             out["poss"].append(
-                encode_positions_block(list(pos_all[gs:ge][s:e]))
-                if pos_all is not None else None)
+                pos_buf[pboff[gs + s]:pboff[gs + e]]
+                if pos_flat is not None else None)
     wall_ms = (time.monotonic() - t0) * 1000.0
     res = pd.DataFrame(out)
     res["partition_id"] = np.int32(pid)

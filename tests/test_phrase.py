@@ -33,6 +33,36 @@ def test_positions_codec_roundtrip():
         assert np.array_equal(np.asarray(a, dtype=np.int64), b)
 
 
+def test_positions_flat_codec_matches_per_posting():
+    """The vectorized one-pass pack (r4) must be byte-identical to the
+    per-posting encode_positions_block stream, slice at any posting
+    boundary, and invert via decode_positions_flat."""
+    from research_engine_spark.operators.indexer import (
+        decode_positions_flat,
+        encode_positions_flat,
+    )
+
+    rng = np.random.default_rng(7)
+    lists = [np.sort(rng.choice(5000, size=int(rng.integers(1, 40)),
+                                replace=False)).astype(np.int64)
+             for _ in range(257)]
+    counts = np.array([len(p) for p in lists], dtype=np.int64)
+    flat = np.concatenate(lists)
+    buf, pboff = encode_positions_flat(flat, counts)
+    # whole-stream identity with the per-posting encoder
+    assert buf == encode_positions_block(lists)
+    # arbitrary posting-boundary slices are themselves valid blocks
+    for s, e in [(0, 257), (0, 1), (10, 128), (200, 257)]:
+        assert buf[pboff[s]:pboff[e]] == encode_positions_block(lists[s:e])
+        back = decode_positions_block(buf[pboff[s]:pboff[e]], e - s)
+        for a, b in zip(lists[s:e], back):
+            assert np.array_equal(a, b)
+    # flat decode over a concatenation of buffers
+    flat_back = decode_positions_flat(
+        [buf[pboff[0]:pboff[100]], buf[pboff[100]:pboff[257]]], counts)
+    assert np.array_equal(flat_back, flat)
+
+
 @pytest.fixture(scope="module")
 def pos_index(spark):
     tx = synth_transcripts(spark, n_convs=60, seed=21)
