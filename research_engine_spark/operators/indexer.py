@@ -404,7 +404,7 @@ def _segmented_delta_decode(bufs: list[bytes],
 
 
 def _merge_runs_factory(snapshot_id: str, with_positions: bool,
-                        dead_bc=None):
+                        dead_bc=None, dead_path: str | None = None):
     """Reduce-side SPIMI merge: one partition of (term, salt) runs ->
     doc-sorted posting blocks (POSTINGS_SCHEMA). Run payloads decode in
     a few whole-partition numpy passes (segmented cumsum), then the
@@ -413,7 +413,13 @@ def _merge_runs_factory(snapshot_id: str, with_positions: bool,
     dead_bc: optional Spark broadcast of a SORTED int64 array of
     tombstoned docIDs (compaction purge, operators/deletes.py) — matching
     postings are dropped right after decode, so purged blocks re-pack
-    dense and every block bound is exact for the surviving corpus."""
+    dense and every block bound is exact for the surviving corpus.
+
+    dead_path: segment-scoped alternative for tombstone sets too large
+    to pin on the driver (r3 verdict follow-up): each merge task reads
+    the tombstone parquet itself, range-filtered to the task's own
+    [min, max] docID span (parquet row-group stats prune the scan), so
+    no single process ever materializes the full deleted-id set."""
 
     def merge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         t0 = time.monotonic()
@@ -448,8 +454,21 @@ def _merge_runs_factory(snapshot_id: str, with_positions: bool,
         else:
             pos_flat = None
         del pdf
+        dead = None
         if dead_bc is not None and dead_bc.value.size:
             dead = dead_bc.value  # sorted unique int64
+        elif dead_path is not None and doc_ids_all.size:
+            import pyarrow.dataset as pads
+
+            lo = int(doc_ids_all.min())
+            hi = int(doc_ids_all.max())
+            flt = (pads.field("doc_id") >= lo) & (pads.field("doc_id") <= hi)
+            arr = (pads.dataset(dead_path, format="parquet")
+                   .to_table(columns=["doc_id"], filter=flt)
+                   .column("doc_id").to_numpy())
+            if arr.size:
+                dead = np.unique(arr.astype(np.int64))
+        if dead is not None:
             pos_in = np.searchsorted(dead, doc_ids_all)
             pos_in[pos_in == dead.size] = 0
             live = dead[pos_in] != doc_ids_all
@@ -1099,8 +1118,15 @@ def compact_index(
     max_group_postings: int = 500_000,
     n_partitions: int | None = None,
     snapshot_id: str | None = None,
+    max_driver_mask_ids: int = 10_000_000,
 ) -> dict:
     """Force-merge every appended segment into one compacted snapshot.
+
+    max_driver_mask_ids: purge-mask strategy gate. At or below this many
+    tombstone rows the deleted-id set is materialized once on the driver
+    and broadcast (fastest); above it NOTHING materializes the full set —
+    each merge task range-reads the tombstone parquet for its own docID
+    span (segment-scoped mask; see _merge_runs_factory dead_path).
 
     The Lucene forceMerge / Elasticsearch ``_forcemerge`` analog the
     reference relies on implicitly (its single-node ES merges segments in
@@ -1186,9 +1212,15 @@ def compact_index(
     if snapshot_id is None:
         snapshot_id = f"compact_{len(snaps)}"
     dead_bc = None
+    dead_path = None
     if purge:
-        dead_bc = spark.sparkContext.broadcast(
-            deleted_ids_sorted(out_dir))
+        if n_tombstone_rows(out_dir) <= max_driver_mask_ids:
+            dead_bc = spark.sparkContext.broadcast(
+                deleted_ids_sorted(out_dir))
+        else:
+            from .deletes import _tomb_path
+
+            dead_path = _tomb_path(out_dir)
 
     # exact per-term df across segments from block metadata (posting_count
     # sums; payload columns never enter this aggregation). Only HOT terms
@@ -1222,7 +1254,8 @@ def compact_index(
         .select("term", "salt", "n", "gaps", "tfs", "dls", "poss")
     )
     merged = runs_like.repartition(n_partitions, "term", "salt").mapInPandas(
-        _merge_runs_factory(snapshot_id, with_positions, dead_bc=dead_bc),
+        _merge_runs_factory(snapshot_id, with_positions, dead_bc=dead_bc,
+                            dead_path=dead_path),
         schema=POSTINGS_SCHEMA,
     ).withColumn("bucket",
                  F.pmod(F.hash("term"), F.lit(n_buckets)).cast("int"))
@@ -1288,14 +1321,15 @@ def compact_index(
         # docIDs are PRESERVED (delta codecs handle the gaps), so no
         # other table needs renumbering and appended segments keep
         # composing.
-        tomb = spark.createDataFrame(
-            pd.DataFrame({"doc_id": dead_bc.value}),
-            "doc_id bigint") if dead_bc.value.size else None
+        from .deletes import tombstones_df
+
+        tomb = tombstones_df(spark, out_dir)
+        if tomb is not None and dead_bc is not None:
+            tomb = F.broadcast(tomb)  # small set; else shuffled anti-join
         for tbl in ("docs", "doc_stats"):
             src_tbl = spark.read.parquet(os.path.join(out_dir, tbl))
             if tomb is not None:
-                src_tbl = src_tbl.join(F.broadcast(tomb), "doc_id",
-                                       "left_anti")
+                src_tbl = src_tbl.join(tomb, "doc_id", "left_anti")
             src_tbl.write.mode("overwrite").parquet(
                 os.path.join(out_dir, tbl) + "_compacting")
         import pyarrow.dataset as pads

@@ -331,3 +331,64 @@ def test_upsert_same_key_twice_last_wins(spark, idx):
     purged = IndexReader(spark, idx)
     assert search(purged, "zzversionone", k=5).count() == 0
     assert search(purged, "zzversiontwo", k=5).count() == 1
+
+
+def test_delete_counts_are_distinct_new(spark, idx):
+    """Re-deleting already-tombstoned docs reports 0, not the re-match
+    count (ES _delete_by_query semantics; r3 verdict #5 / ADVICE)."""
+    reader = IndexReader(spark, idx)
+    n1 = delete_by_query(reader, f"conv_id < '{CUT}'")
+    assert n1 > 0
+    n2 = delete_by_query(reader, f"conv_id < '{CUT}'")
+    assert n2 == 0
+    live = _rows(search(reader, QUERIES[0], k=1, with_text=False))
+    victim = live[0][0]
+    assert delete_ids(idx, [victim]) == 1
+    assert delete_ids(idx, [victim]) == 0
+    assert delete_ids(idx, [victim, victim + 10**9]) == 1
+
+
+def test_upsert_replaced_count_is_new_only(spark, idx):
+    """Upserting the same key twice replaces one live doc each time
+    (the prior version), never re-counting already-tombstoned ones."""
+    reader = IndexReader(spark, idx)
+    row = reader.docs.orderBy("doc_id").first()
+    schema = ("conv_id string, turn_idx int, role string, text string, "
+              "ts timestamp")
+    mk = lambda txt: spark.createDataFrame(
+        [(row["conv_id"], row["turn_idx"], row["role"], txt, row["ts"])],
+        schema)
+    s1 = upsert_turns(mk("zzcounted one"), idx)
+    assert s1["n_replaced"] == 1
+    s2 = upsert_turns(mk("zzcounted two"), idx)
+    assert s2["n_replaced"] == 1  # replaces v1's live doc, not the dead base
+
+
+def test_purge_segment_scoped_mask_matches_broadcast(spark, idx, tmp_path):
+    """max_driver_mask_ids=0 forces the executor-side range-read mask
+    (no driver materialization of the deleted-id set): the purged index
+    must still be bit-identical to a fresh build over the survivors."""
+    reader = IndexReader(spark, idx)
+    delete_by_query(reader, f"conv_id < '{CUT}'")
+    res = compact_index(spark, idx, max_driver_mask_ids=0)
+    assert res["compacted"] and res["n_purged"] > 0
+    assert n_tombstone_rows(idx) == 0
+
+    fresh_dir = str(tmp_path / "fresh")
+    tx = synth_transcripts(spark, n_convs=N_CONVS, seed=SEED)
+    build_index(tx.filter(F.col("conv_id") >= CUT), fresh_dir,
+                n_buckets=4, with_positions=True)
+    purged = IndexReader(spark, idx)
+    fresh = IndexReader(spark, fresh_dir)
+    for key in ("n_docs", "total_tokens", "avgdl"):
+        assert purged.stats[key] == fresh.stats[key], key
+    for q in QUERIES:
+        a = _rows(search(purged, q, k=10), ("conv_id", "turn_idx", "score"))
+        b = _rows(search(fresh, q, k=10), ("conv_id", "turn_idx", "score"))
+        assert a == b
+    # positional path also purged through the executor-side mask
+    pa_ = _rows(phrase_search(purged, QUERIES[0], k=10),
+                ("conv_id", "turn_idx", "score"))
+    pb_ = _rows(phrase_search(fresh, QUERIES[0], k=10),
+                ("conv_id", "turn_idx", "score"))
+    assert pa_ == pb_
