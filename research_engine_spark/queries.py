@@ -1288,21 +1288,94 @@ def clean_text_documents(spark, sf_dir):
     return d.select("doc_id", normalize_ws(c).alias("cleaned"))
 
 
-# --- rows-only entries (no SQL oracle: non-SQL-expressible semantics) -----
+# --- formerly rows-only entries, now fixture-oracled (VERDICT r3 #3) ------
+# The LSH hyperplanes the engine draws (seed 42) are PERSISTED as a
+# parquet fixture (fixtures/ann_planes_d64.parquet, written by
+# scripts/gen_oracle_fixtures.py), so DuckDB recomputes bucket membership
+# relationally: sign = list_dot_product(v, plane) >= 0, bucket =
+# bit-weighted sum. SimHash needs no fixture at all — its token hash is
+# the first 8 bytes of md5, which DuckDB computes natively (an
+# INDEPENDENT md5 implementation, a stronger check than replaying ours).
 
-@register("simhash_near_pairs")
+_PLANES_FIXTURE = "/root/repo/fixtures/ann_planes_d64.parquet"
+
+_LSH_ANN_SQL = f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id = 0),
+planes AS (SELECT tbl, plane, vec
+           FROM read_parquet('{_PLANES_FIXTURE}')),
+qb AS (
+  SELECT p.tbl,
+         sum(CASE WHEN list_dot_product(q.qv, p.vec) >= 0
+             THEN CAST(1 AS BIGINT) << p.plane ELSE 0 END) AS bucket
+  FROM planes p, q GROUP BY p.tbl),
+eb AS (
+  SELECT e.vec_id, p.tbl,
+         sum(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        p.vec) >= 0
+             THEN CAST(1 AS BIGINT) << p.plane ELSE 0 END) AS bucket
+  FROM embeddings e, planes p WHERE e.vec_id <> 0
+  GROUP BY e.vec_id, p.tbl),
+cand AS (SELECT DISTINCT eb.vec_id
+         FROM eb JOIN qb ON eb.tbl = qb.tbl AND eb.bucket = qb.bucket)
+SELECT e.vec_id,
+       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    q.qv), 4) AS cosine
+FROM embeddings e JOIN cand USING (vec_id), q
+ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
+
+_SIMHASH_SQL = r"""
+WITH tf AS (
+  SELECT doc_id, tok, count(*) AS cnt FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+    FROM documents WHERE doc_id < 100)
+  WHERE tok <> '' GROUP BY doc_id, tok
+), hh AS (
+  SELECT tok, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h
+  FROM (SELECT DISTINCT tok FROM tf)
+), bits AS (
+  SELECT tf.doc_id, j.j,
+         sum(CASE WHEN ((hh.h >> CAST(j.j AS UBIGINT)) & 1) = 1
+             THEN cnt ELSE -cnt END) AS acc
+  FROM tf JOIN hh USING (tok), range(0, 64) j(j)
+  GROUP BY tf.doc_id, j.j
+), fp0 AS (
+  SELECT doc_id,
+         sum(CASE WHEN acc > 0 THEN
+               CASE WHEN j = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+                    ELSE CAST(1 AS BIGINT) << j END
+             ELSE 0 END)::BIGINT AS simhash
+  FROM bits GROUP BY doc_id
+), fp AS (
+  SELECT d.doc_id, coalesce(fp0.simhash, 0) AS simhash
+  FROM (SELECT doc_id FROM documents WHERE doc_id < 100) d
+  LEFT JOIN fp0 USING (doc_id)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 16
+"""
+
+
+@register("simhash_near_pairs", _SIMHASH_SQL)
 def simhash_near_pairs_q(spark, sf_dir):
     """SimHash near-dup pairs (pigeonhole chunk join + bit_count verify).
-    Rows-only check: the 64-bit packing UDF is not SQL-portable."""
+    The DuckDB twin brute-forces all pairs from fingerprints it computes
+    itself (md5-derived token hashes, signed bit accumulation) — the
+    pigeonhole candidate generation is exactness-preserving, so the two
+    must agree on every pair."""
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return DD.simhash_near_pairs(d, max_hamming=16)
 
 
-@register("lsh_ann_topk")
+@register("lsh_ann_topk", _LSH_ANN_SQL)
 def lsh_ann_topk(spark, sf_dir):
     """LSH-bucketed approximate NN (random hyperplanes; scale path for
-    similarity search). Rows-only: bucket membership depends on seeded
-    hyperplanes, not SQL-expressible."""
+    similarity search). The DuckDB twin recomputes bucket membership
+    from the persisted plane fixture (same seed-42 draws)."""
     from .operators.similarity import lsh_bucketed_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1312,12 +1385,13 @@ def lsh_ann_topk(spark, sf_dir):
     return top.select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
-@register("ann_index_topk")
+@register("ann_index_topk", _LSH_ANN_SQL)
 def ann_index_topk_q(spark, sf_dir):
     """Indexed ANN: build-time LSH bucket partitioning (temp dir), then a
-    partition-pruned bucket read + exact rescore. Rows-only: bucket
-    membership depends on seeded hyperplanes. Partition pruning is plan-
-    asserted in tests/test_operators.py."""
+    partition-pruned bucket read + exact rescore. Same plane fixture /
+    SQL twin as lsh_ann_topk (identical planes by construction) — what
+    differs is the ENGINE path: bucket membership decided at build time,
+    partition-pruned read (plan-asserted in tests/test_operators.py)."""
     import tempfile
 
     from .operators.similarity import ann_index_topk, build_ann_index
