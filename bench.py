@@ -6,11 +6,20 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
  "sf": ..., plus engine-specific extras (turns_per_sec, n_turns, cores)}.
 
-Workload:
+Variance bands (VERDICT r3 #2: one contended window made the r2-vs-r3
+comparison unreadable): the whole workload runs $SPARK_GRAFT_BENCH_RUNS
+times (default 3) in one session. "queries" reports the per-query MIN
+(the least-contended observation — compare these across rounds) and
+"queries_median" the per-query median (the typical-cost band); headline
+aggregates derive from the min, with *_median twins alongside.
+
+Workload per run:
 1. index-build throughput: deterministic synthetic transcript corpus sized
    by sf -> full SPIMI build (turns/sec is the north-rule metric);
-2. BM25 top-k latency over the reference query set on the built index;
-3. a sample of the relational/text operator suite at the sf dir.
+2. BM25 top-k latency over the reference query set on the built index
+   (plain, pruned, batched, fuzzy, phrase/positional);
+3. the delete lifecycle (tombstone -> search -> purge -> search);
+4. a sample of the relational/text operator suite at the sf dir.
 """
 
 from __future__ import annotations
@@ -18,31 +27,31 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
 import sys
 import tempfile
 import time
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.1
-
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+def run_once(spark, sf_dir: str, cores: int, warm: bool) -> dict:
+    """One full measurement pass. Returns {"queries": {...}, extras}."""
     from research_engine_spark.corpus import synth_transcripts
-    from research_engine_spark.operators.indexer import build_index
-    from research_engine_spark.operators.scorer import IndexReader, search
+    from research_engine_spark.operators.deletes import delete_by_query
+    from research_engine_spark.operators.indexer import (
+        build_index,
+        compact_index,
+    )
+    from research_engine_spark.operators.scorer import (
+        IndexReader,
+        phrase_search,
+        search,
+        search_many,
+    )
     from research_engine_spark.queries import Q
     from research_engine_spark.reference_queries import REFERENCE_QUERIES
-    from research_engine_spark.session import get_spark
-
-    spark = get_spark(
-        app_name="bench", cores=cores, shuffle_partitions=max(cores, 16),
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
-    )
 
     queries_sec: dict[str, float] = {}
-    t_total = time.monotonic()
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.1
 
     # --- 1. index build ----------------------------------------------------
     # corpus is materialized first: the metric is index-build throughput
@@ -53,17 +62,17 @@ def main() -> None:
         spark, n_convs=n_convs, seed=42, n_partitions=max(cores * 2, 16)
     ).write.mode("overwrite").parquet(src_dir)
     tx = spark.read.parquet(src_dir)
-    # throwaway warmup build (same as scripts/scaling_job.py, methodology
-    # in BENCH/BASELINE.md): the FIRST Spark jobs of a session pay JVM
-    # JIT/codegen + Python-worker spin-up (~10s measured), which is
-    # session overhead, not per-build throughput — steady-state
-    # turns/sec is the north-rule metric
-    warm_dir = tempfile.mkdtemp(prefix="bench_warm_")
-    build_index(
-        synth_transcripts(spark, n_convs=200, seed=1,
-                          n_partitions=max(cores, 8)),
-        warm_dir, n_buckets=4, n_partitions=max(cores, 8))
-    shutil.rmtree(warm_dir, ignore_errors=True)
+    if not warm:
+        # throwaway warmup build (methodology in BENCH/BASELINE.md): the
+        # FIRST Spark jobs of a session pay JVM JIT/codegen +
+        # Python-worker spin-up (~10s measured) — session overhead, not
+        # per-build throughput; steady-state turns/sec is the metric
+        warm_dir = tempfile.mkdtemp(prefix="bench_warm_")
+        build_index(
+            synth_transcripts(spark, n_convs=200, seed=1,
+                              n_partitions=max(cores, 8)),
+            warm_dir, n_buckets=4, n_partitions=max(cores, 8))
+        shutil.rmtree(warm_dir, ignore_errors=True)
     idx_dir = tempfile.mkdtemp(prefix="bench_idx_")
     t0 = time.monotonic()
     stats = build_index(tx, idx_dir, n_buckets=max(cores, 16),
@@ -71,36 +80,25 @@ def main() -> None:
     build_sec = time.monotonic() - t0
     queries_sec["index_build"] = round(build_sec, 3)
     n_turns = stats["n_docs"]
-    turns_per_sec = n_turns / build_sec
 
     # --- 2. BM25 query latency --------------------------------------------
     reader = IndexReader(spark, idx_dir)
-    # one untimed warmup query: pays the postings/doc_stats file-listing
-    # and first-scan codegen once (session overhead, not per-query
-    # latency — same steady-state methodology as the build warmup)
-    # the warmup term must EXIST in the vocab: search() short-circuits
-    # unknown-term queries to a lazily-built empty frame (zero Spark
-    # jobs), so "warmup" warmed nothing and q01 still paid first-scan
-    # codegen. "architecture" is pinned in the synthetic vocab
-    # (corpus.py) and is not a reference-query term, so the warmup runs
-    # the real scan path without pre-caching any timed query's blocks.
+    # one untimed warmup query paying the postings/doc_stats file-listing
+    # and first-scan codegen (the warmup term must EXIST in the vocab:
+    # search() short-circuits unknown terms to zero Spark jobs.
+    # "architecture" is pinned in the synthetic vocab and is not a
+    # reference-query term, so no timed query's blocks are pre-cached)
     search(reader, "architecture", k=1, with_text=False).collect()
-    bm25_total = 0.0
     for i, q in enumerate(REFERENCE_QUERIES):
         t0 = time.monotonic()
         search(reader, q, k=10, with_text=False, prune=False).collect()
-        dt = time.monotonic() - t0
-        queries_sec[f"bm25_q{i+1:02d}"] = round(dt, 3)
-        bm25_total += dt
+        queries_sec[f"bm25_q{i+1:02d}"] = round(time.monotonic() - t0, 3)
 
     # --- 2b. block-max pruned path (identical results, fewer decodes) ------
-    bm25p_total = 0.0
     for i, q in enumerate(REFERENCE_QUERIES):
         t0 = time.monotonic()
         search(reader, q, k=10, with_text=False, prune=True).collect()
-        dt = time.monotonic() - t0
-        queries_sec[f"bm25p_q{i+1:02d}"] = round(dt, 3)
-        bm25p_total += dt
+        queries_sec[f"bm25p_q{i+1:02d}"] = round(time.monotonic() - t0, 3)
 
     # prune observability: what did the gate decide on the first query?
     pstats: dict = {}
@@ -112,12 +110,9 @@ def main() -> None:
             "inf") else None
 
     # --- 2b2. batch: ALL reference queries in ONE Spark job ----------------
-    from research_engine_spark.operators.scorer import search_many
-
     t0 = time.monotonic()
     search_many(reader, list(REFERENCE_QUERIES), k=10).collect()
-    batch_sec = time.monotonic() - t0
-    queries_sec["bm25_batch_all"] = round(batch_sec, 3)
+    queries_sec["bm25_batch_all"] = round(time.monotonic() - t0, 3)
 
     # --- 2c. fuzzy (AUTO edit-distance expansion) ---------------------------
     fuzzy_queries = ["neurel netwerk traning", "transformr atention"]
@@ -125,13 +120,10 @@ def main() -> None:
     # codegen (same steady-state methodology as above)
     search(reader, "architectre", k=1, with_text=False,
            fuzzy=True).collect()
-    fuzzy_total = 0.0
     for i, q in enumerate(fuzzy_queries):
         t0 = time.monotonic()
         search(reader, q, k=10, with_text=False, fuzzy=True).collect()
-        dt = time.monotonic() - t0
-        queries_sec[f"fuzzy_q{i+1:02d}"] = round(dt, 3)
-        fuzzy_total += dt
+        queries_sec[f"fuzzy_q{i+1:02d}"] = round(time.monotonic() - t0, 3)
 
     # --- 2c2. batch fuzzy: both typo queries in ONE Spark job --------------
     t0 = time.monotonic()
@@ -139,35 +131,26 @@ def main() -> None:
     queries_sec["fuzzy_batch_all"] = round(time.monotonic() - t0, 3)
 
     # --- 2d. positional index + phrase latency ------------------------------
-    from research_engine_spark.operators.scorer import phrase_search
-
     pos_dir = tempfile.mkdtemp(prefix="bench_posidx_")
     t0 = time.monotonic()
     build_index(tx, pos_dir, n_buckets=max(cores, 16),
                 n_partitions=max(cores * 2, 16), with_positions=True)
-    pos_build_sec = time.monotonic() - t0
-    queries_sec["index_build_positional"] = round(pos_build_sec, 3)
+    queries_sec["index_build_positional"] = round(time.monotonic() - t0, 3)
     pos_reader = IndexReader(spark, pos_dir)
     phrase_queries = ["neural networks", "machine learning models",
                       "attention mechanism"]
     # untimed warmup on the positional reader (first positional-postings
     # scan pays file-listing + codegen, session overhead as above)
     phrase_search(pos_reader, "architecture design", k=1).collect()
-    phrase_total = 0.0
     for i, q in enumerate(phrase_queries):
         t0 = time.monotonic()
         phrase_search(pos_reader, q, k=10).collect()
-        dt = time.monotonic() - t0
-        queries_sec[f"phrase_q{i+1:02d}"] = round(dt, 3)
-        phrase_total += dt
+        queries_sec[f"phrase_q{i+1:02d}"] = round(time.monotonic() - t0, 3)
 
     # --- 2e. delete lifecycle on the main index (last reader use) ----------
     # tombstone ~1/16 of docs, search through the tombstones, physically
     # purge via compaction, search again — the ES delete_by_query +
     # forcemerge lifecycle the reference can't do without a rebuild
-    from research_engine_spark.operators.deletes import delete_by_query
-    from research_engine_spark.operators.indexer import compact_index
-
     t0 = time.monotonic()
     delete_by_query(reader, "doc_id % 16 = 0")
     queries_sec["delete_by_query"] = round(time.monotonic() - t0, 3)
@@ -190,32 +173,71 @@ def main() -> None:
         Q[name](spark, sf_dir).collect()
         queries_sec[name] = round(time.monotonic() - t0, 3)
 
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    shutil.rmtree(pos_dir, ignore_errors=True)
+    shutil.rmtree(src_dir, ignore_errors=True)
+    spark.catalog.clearCache()
+    return {"queries": queries_sec, "n_turns": int(n_turns),
+            "prune_stats_q01": pstats}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_runs = max(int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")), 1)
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.1
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from research_engine_spark.reference_queries import REFERENCE_QUERIES
+    from research_engine_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="bench", cores=cores, shuffle_partitions=max(cores, 16),
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+
+    t_total = time.monotonic()
+    runs = [run_once(spark, sf_dir, cores, warm=(i > 0))
+            for i in range(n_runs)]
     total = time.monotonic() - t_total
+
+    names = list(runs[0]["queries"])
+    q_min = {k: min(r["queries"][k] for r in runs) for k in names}
+    q_med = {k: round(statistics.median(r["queries"][k] for r in runs), 3)
+             for k in names}
+
+    def _agg(qs: dict, prefix: str) -> float:
+        vals = [v for k, v in qs.items() if k.startswith(prefix)]
+        return round(sum(vals) / len(vals), 3)
+
+    n_turns = runs[0]["n_turns"]
     out = {
         "metric": "index_build_throughput_plus_bm25_latency",
         "value": round(total, 3),
         "unit": "sec",
-        "queries": queries_sec,
+        "queries": q_min,
+        "queries_median": q_med,
+        "runs": n_runs,
         "sf": sf,
-        "n_turns": int(n_turns),
-        "index_build_sec": round(build_sec, 3),
-        "turns_per_sec": round(turns_per_sec, 1),
-        "bm25_mean_latency_sec": round(bm25_total / len(REFERENCE_QUERIES), 3),
-        "bm25_pruned_mean_latency_sec": round(
-            bm25p_total / len(REFERENCE_QUERIES), 3),
-        "bm25_batch_all_sec": round(batch_sec, 3),
+        "n_turns": n_turns,
+        "index_build_sec": q_min["index_build"],
+        "index_build_sec_median": q_med["index_build"],
+        "turns_per_sec": round(n_turns / q_min["index_build"], 1),
+        "turns_per_sec_median": round(n_turns / q_med["index_build"], 1),
+        "bm25_mean_latency_sec": _agg(q_min, "bm25_q"),
+        "bm25_mean_latency_sec_median": _agg(q_med, "bm25_q"),
+        "bm25_pruned_mean_latency_sec": _agg(q_min, "bm25p_q"),
+        "bm25_pruned_mean_latency_sec_median": _agg(q_med, "bm25p_q"),
+        "bm25_batch_all_sec": q_min["bm25_batch_all"],
         "bm25_batch_per_query_sec": round(
-            batch_sec / len(REFERENCE_QUERIES), 3),
-        "prune_stats_q01": pstats,
-        "fuzzy_mean_latency_sec": round(fuzzy_total / len(fuzzy_queries), 3),
-        "phrase_mean_latency_sec": round(
-            phrase_total / len(phrase_queries), 3),
-        "index_build_positional_sec": round(pos_build_sec, 3),
+            q_min["bm25_batch_all"] / len(REFERENCE_QUERIES), 3),
+        "prune_stats_q01": runs[0]["prune_stats_q01"],
+        "fuzzy_mean_latency_sec": _agg(q_min, "fuzzy_q"),
+        "phrase_mean_latency_sec": _agg(q_min, "phrase_q"),
+        "index_build_positional_sec": q_min["index_build_positional"],
+        "index_build_positional_sec_median": q_med["index_build_positional"],
         "cores": cores,
     }
-    shutil.rmtree(idx_dir, ignore_errors=True)
-    shutil.rmtree(pos_dir, ignore_errors=True)
-    shutil.rmtree(src_dir, ignore_errors=True)
     spark.stop()
     print(json.dumps(out))
 

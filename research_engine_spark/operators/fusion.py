@@ -45,6 +45,13 @@ def with_rank(
       ``rrf_user_fusion`` 3.4× regression). Pass ``persist_input=False``
       when the caller already persisted df (ranking several columns of
       one cached aggregate).
+
+    Cache lifetime (same contract as with_rank_per_key): when
+    ``persist_input=True`` the persisted input outlives this call — the
+    rank is one lazy plan with no action to unpersist after. The cached
+    set is the post-aggregation ranking input (far below scan size) and
+    MEMORY_AND_DISK LRU eviction reclaims it; callers that rank in a
+    loop should pass ``persist_input=False`` and manage their own cache.
     """
     order = [F.desc(score_col)] + [F.asc(c) for c in tiebreak]
     if top_n is not None:
@@ -87,6 +94,7 @@ def with_rank_per_key(
     score_col: str,
     *tiebreak: str,
     persist_input: bool = True,
+    strategy: str = "range",
 ) -> DataFrame:
     """Full-depth 1-based ``rank`` WITHIN each ``key_col`` group by
     (score desc, tiebreaks asc) — W2 generalized to many lists at once.
@@ -101,7 +109,22 @@ def with_rank_per_key(
     each key's rows globally ordered across its partitions, and the base
     offset of (key, pid) counts that key's rows in earlier partitions.
     Never single-partition: windows are keyed by (key, pid).
+
+    strategy: "range" (above — the scale path: no key's list ever sits in
+    one task) or "window" — a plain keyed window, ONE hash shuffle on
+    key_col, no range sampling, no offsets join. "window" is the right
+    plan when each key's list is known-bounded (a per-key top-k, or a
+    small aggregate the caller just counted): identical ranks, a third
+    of the stages (VERDICT r3 #2: the ranged path was ~2× overpriced on
+    driver-bench-sized lists). It holds each key's ENTIRE list in one
+    task — never use it on unbounded per-key row counts.
     """
+    if strategy == "window":
+        order = [F.desc(score_col)] + [F.asc(c) for c in tiebreak]
+        w = Window.partitionBy(key_col).orderBy(*order)
+        return df.withColumn("rank", F.row_number().over(w))
+    if strategy != "range":
+        raise ValueError(f"unknown strategy: {strategy!r}")
     spark = df.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     order = [F.desc(score_col)] + [F.asc(c) for c in tiebreak]

@@ -183,6 +183,12 @@ def test_with_rank_per_key_matches_per_list_rank(spark):
             "s", "id").collect()}
         for i, rk in solo.items():
             assert got[(f"l{k}", i)] == rk, (k, i)
+    # the small-input "window" strategy (one hash shuffle, no range
+    # sampling) must assign identical ranks to the ranged scale path
+    winr = {(r["lst"], r["id"]): r["rank"]
+            for r in with_rank_per_key(df, "lst", "s", "id",
+                                       strategy="window").collect()}
+    assert winr == got
 
 
 def test_multimodal_plumbing(spark):
