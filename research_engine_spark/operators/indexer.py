@@ -946,23 +946,24 @@ def append_segment(transcripts: DataFrame, out_dir: str,
     spark = transcripts.sparkSession
     if n_partitions is None:
         n_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    from pyspark import StorageLevel
-
     with open(os.path.join(out_dir, "corpus_stats.json")) as f:
         stats = json.load(f)
     base = int(stats["n_docs"])
-    # the segment is CACHED and reused for the forward write, the count,
-    # and the pack — never re-derived from the docs table: re-reading
-    # docs and filtering doc_id >= base (the old shape) lists and
-    # footer-scans the ENTIRE forward table once per micro-batch, which
-    # at 10^12 turns is an O(all files) metadata pass per append.
-    # with_doc_ids is deterministic (global sort-derived offsets), so a
-    # cache-evicted recompute reproduces identical ids.
+    # the segment is MATERIALIZED once (eager localCheckpoint: lineage
+    # truncated) and reused for the forward write, the count, and the
+    # pack — never re-derived from the docs table: re-reading docs and
+    # filtering doc_id >= base (the old shape) lists and footer-scans the
+    # ENTIRE forward table once per micro-batch, which at 10^12 turns is
+    # an O(all files) metadata pass per append. Checkpointing (not just
+    # persist) means a lost partition can never silently recompute a
+    # NON-deterministic caller input (sample/limit sources) into doc_ids
+    # inconsistent with the already-written docs table (ADVICE r3) —
+    # the pack consumes exactly the rows that were written, or fails.
     seg = (
         with_doc_ids(transcripts)
         .withColumn("doc_id", F.col("doc_id") + F.lit(base))
         .select("doc_id", "conv_id", "turn_idx", "role", "text", "ts")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     seg.write.mode("append").parquet(os.path.join(out_dir, "docs"))
     # one tokenize pass inside the run-merge pack; the segment's token
@@ -978,7 +979,8 @@ def append_segment(transcripts: DataFrame, out_dir: str,
         with_positions=bool(stats.get("positions", False)),
         analyzer=stats.get("analyzer", "english_folded"),
     )
-    seg.unpersist()
+    # checkpoint blocks are reclaimed by the ContextCleaner once seg goes
+    # out of scope (streaming appends don't accumulate pinned blocks)
     seg_tokens = _total_tokens_from_term_stats(
         os.path.join(out_dir, "term_stats"), snapshot_id=snapshot_id)
     stats["n_docs"] = base + int(n_new)

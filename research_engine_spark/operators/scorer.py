@@ -77,6 +77,11 @@ class IndexReader:
         with open(os.path.join(self.index_dir, "corpus_stats.json")) as f:
             self.stats = json.load(f)
         self.n_buckets = int(self.stats["n_buckets"])
+        # refresh() re-runs this: release any cache_postings() pins first
+        # (a mutated index invalidates the cached blocks)
+        for df in getattr(self, "_pinned", []):
+            df.unpersist()
+        self._pinned: list[DataFrame] = []
         self._cache: dict[str, DataFrame] = {}
         # term-dictionary cache: term -> (df, max_tf, min_dl) or None for
         # a vocab miss. The Lucene-terms-dictionary-cache analog: repeated
@@ -99,6 +104,56 @@ class IndexReader:
             self._cache[name] = self.spark.read.parquet(
                 os.path.join(self.index_dir, name))
         return self._cache[name]
+
+    def cache_postings(self, include_docs: bool = False,
+                       eager: bool = True) -> "IndexReader":
+        """Pin the postings table in executor storage for hot interactive
+        query mixes (VERDICT r3 #7): after batch-first, the next latency
+        lever is that every single query re-scans (and re-decompresses)
+        the postings parquet from disk. Persisting the scan once
+        (MEMORY_AND_DISK — spills, never recomputes-from-disk-per-query)
+        turns the per-query scan into an InMemoryTableScan whose
+        bucket/term filters still prune at cached-batch granularity:
+        batch min/max stats cover (bucket, term) and the build writes
+        postings bucket-partitioned and term-sorted, so cached batches
+        are term-clustered and non-matching batches are skipped without
+        decode. Results are bit-identical (same rows, same plan past the
+        scan) — rank identity is pytest-guarded.
+
+        Scale posture: this is an OPT-IN for serving tiers where the hot
+        index fits cluster storage memory (postings are varbyte blocks,
+        ~1/3 the raw text size); at 10^12 turns you cache the hot buckets'
+        sub-index, not the whole table — pass the reader a bucket-filtered
+        postings dir (or rely on MEMORY_AND_DISK spill). Driver-side
+        pyarrow paths (term dictionary, block-meta gate, θ block fetch)
+        are unaffected — they never touch the Spark scan.
+
+        include_docs=True additionally pins the forward table + doc_stats
+        (the with_text join side — that join is otherwise a full forward
+        scan per query). eager=True materializes now (one count each) so
+        the first timed query doesn't pay the fill. Undone by uncache();
+        refresh() also unpins (a mutated index invalidates cached blocks).
+        """
+        from pyspark import StorageLevel
+
+        names = ["postings"] + (["docs", "doc_stats"] if include_docs
+                                else [])
+        for name in names:
+            df = self._tbl(name)
+            if not df.storageLevel.useMemory:
+                df = df.persist(StorageLevel.MEMORY_AND_DISK)
+                self._cache[name] = df
+                self._pinned.append(df)
+                if eager:
+                    df.count()
+        return self
+
+    def uncache(self) -> "IndexReader":
+        """Release every table pinned by cache_postings()."""
+        for df in self._pinned:
+            df.unpersist()
+        self._pinned.clear()
+        return self
 
     def refresh(self) -> "IndexReader":
         """Re-read corpus_stats.json and drop memoized table handles.

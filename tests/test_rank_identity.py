@@ -51,6 +51,26 @@ def test_pruned_custom_params(reader, oracle):
     _assert_rank_identical(eng, ora, "pruned custom params")
 
 
+def test_cached_postings_rank_identity(reader, oracle):
+    """cache_postings() (VERDICT r3 #7) must be a pure latency lever:
+    identical rows/scores through the InMemoryTableScan, pruned and
+    unpruned, and uncache() releases every pinned block."""
+    try:
+        reader.cache_postings(include_docs=True)
+        assert reader.postings.storageLevel.useMemory
+        assert reader.docs.storageLevel.useMemory
+        for q in REFERENCE_QUERIES[:4]:
+            for prune in (False, True):
+                eng = search(reader, q, k=10, prune=prune,
+                             with_text=False).toPandas()
+                ora = oracle.search(q, k=10)
+                _assert_rank_identical(eng, ora, f"cached {q!r} prune={prune}")
+    finally:
+        reader.uncache()
+    assert not reader.postings.storageLevel.useMemory
+    assert not reader._pinned
+
+
 def test_empty_query(reader):
     assert search(reader, "", k=5).count() == 0
     assert search(reader, "   !!! ...", k=5).count() == 0
