@@ -119,3 +119,42 @@ def clean_text(col: Column) -> Column:
 def sanitize_id(col: Column) -> Column:
     """F8: '/'->'_', ':'->'_' (translate, no regex)."""
     return F.translate(col, "/:", "__")
+
+
+# F5 tail (VERDICT r3 stretch #9): unidecode-lite transliteration of the
+# Latin-1 Supplement + Latin Extended-A letters to ASCII — the common
+# fold the reference gets from unidecode (old_scripts/text_clean.py:7,55)
+# without the library. 1:1 maps are the NFKD base letter (generated from
+# unicodedata, frozen here as constants and unit-verified against NFKD);
+# the handful NFKD won't decompose (stroked/Norse letters) are pinned to
+# unidecode's published choices. Deliberately NOT Cyrillic/Greek/CJK
+# romanization — same "deliberate subset" posture as the mojibake repair.
+_DIA_SRC = (
+    "ÀÁÂÃÄÅÇÈÉÊËÌÍÎÏÑÒÓÔÕÖÙÚÛÜÝàáâãäåçèéêëìíîïñòóôõöùúûüýÿ"
+    "ĀāĂăĄąĆćĈĉĊċČčĎďĒēĔĕĖėĘęĚěĜĝĞğĠġĢģĤĥĨĩĪīĬĭĮįİĴĵĶķĹĺĻļĽľ"
+    "ŃńŅņŇňŌōŎŏŐőŔŕŖŗŘřŚśŜŝŞşŠšŢţŤťŨũŪūŬŭŮůŰűŲųŴŵŶŷŸŹźŻżŽžſ"
+    "ĐđĦħŁłØøÐðıŦŧŊŋ"
+)
+_DIA_DST = (
+    "AAAAAACEEEEIIIINOOOOOUUUUYaaaaaaceeeeiiiinooooouuuuyy"
+    "AaAaAaCcCcCcCcDdEeEeEeEeEeGgGgGgGgHhIiIiIiIiIJjKkLlLlLl"
+    "NnNnNnOoOoOoRrRrRrSsSsSsSsTtTtUuUuUuUuUuUuWwYyYZzZzZzs"
+    "DdHhLlOoDdiTtNn"
+)
+# letters whose transliteration is 2 ASCII chars — translate() can't
+# grow strings, so these are replace() passes (7 fixed literals)
+_DIA_MULTI = (("ß", "ss"), ("Æ", "AE"), ("æ", "ae"), ("Œ", "OE"),
+              ("œ", "oe"), ("Þ", "Th"), ("þ", "th"))
+
+
+def fold_diacritics(col: Column) -> Column:
+    """F5 tail: fold Latin diacritics/ligature letters to ASCII
+    ("naïve café øre" -> "naive cafe ore"). JVM-side: one translate()
+    for the 1:1 maps + seven literal replace() passes for the
+    two-char expansions; non-Latin scripts pass through untouched.
+    Display/cleaning aid — BM25 token identity already goes through the
+    analyzer's own fold, which this does not alter."""
+    c = F.translate(col, _DIA_SRC, _DIA_DST)
+    for src, dst in _DIA_MULTI:
+        c = F.replace(c, F.lit(src), F.lit(dst))
+    return c

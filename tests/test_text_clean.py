@@ -99,3 +99,40 @@ def test_fix_mojibake_udf(spark):
         [("CafÃ©",), ("ok",), (None,)], "v string")
     got = [r[0] for r in df.select(fix_mojibake_udf()(F.col("v"))).collect()]
     assert got == ["Café", "ok", None]
+
+
+def test_fold_diacritics_matches_nfkd():
+    """Every 1:1 map in the frozen constant equals the NFKD base letter
+    (the constants were generated from unicodedata; this guards typos)."""
+    import unicodedata
+
+    from research_engine_spark.functions.text_clean import (
+        _DIA_DST,
+        _DIA_SRC,
+    )
+
+    assert len(_DIA_SRC) == len(_DIA_DST)
+    pinned = set("ĐđĦħŁłØøÐðıŦŧŊŋ")  # NFKD won't decompose these
+    for s, d in zip(_DIA_SRC, _DIA_DST):
+        if s in pinned:
+            continue
+        base = "".join(c for c in unicodedata.normalize("NFKD", s)
+                       if not unicodedata.combining(c))
+        assert base == d, f"{s!r}: NFKD base {base!r} != mapped {d!r}"
+
+
+def test_fold_diacritics(spark):
+    from research_engine_spark.functions.text_clean import fold_diacritics
+
+    got = _run(spark, fold_diacritics, [
+        "naïve café øre straße Æon Œuvre Þing",
+        "Łódź İstanbul señor ātma",
+        "真正的 unicode stays",
+        "plain ascii",
+    ])
+    assert got == [
+        "naive cafe ore strasse AEon OEuvre Thing",
+        "Lodz Istanbul senor atma",
+        "真正的 unicode stays",
+        "plain ascii",
+    ]
