@@ -59,6 +59,23 @@ from .indexer import bm25_idf, bm25_tf_part
 PARTIAL_SCHEMA = "doc_id bigint, term string, partial double, gub double"
 
 
+# Small-query short-circuit (the ES coordinating-node analog): when the
+# query terms' TOTAL posting count (Σ df, known driver-side from the term
+# dictionary) fits this budget, fetch every matching block with pyarrow —
+# the same bucket-pruned, row-group-stat-skipped access pattern as the θ
+# fetch — and score in numpy, issuing ZERO Spark jobs. At 10^12 turns any
+# common term blows the budget instantly and the distributed path runs;
+# rare-term/interactive queries stay sub-100ms instead of paying the
+# one-Spark-job-per-query floor the README documents. Exactness: the
+# numpy scorer is the same decode + same bm25_tf_part + the same
+# term-sorted strict left fold as _sum_deterministic — bit-identity vs
+# the distributed path is pytest-guarded on the full reference set.
+DRIVER_TOPK_MAX_POSTINGS = 262_144
+# tombstone sets larger than this stay on the executors (the Spark path
+# anti-joins them); below it the distinct ids are a driver-side mask
+DRIVER_LOCAL_MAX_DELETES = 2_000_000
+
+
 @dataclass
 class IndexReader:
     """Handle on an index directory produced by build_index().
@@ -72,6 +89,9 @@ class IndexReader:
 
     spark: SparkSession
     index_dir: str
+    # Σ df budget for the zero-Spark-job driver-local top-k (see
+    # DRIVER_TOPK_MAX_POSTINGS); 0 disables (every query distributed)
+    driver_local_max_postings: int = DRIVER_TOPK_MAX_POSTINGS
 
     def __post_init__(self) -> None:
         with open(os.path.join(self.index_dir, "corpus_stats.json")) as f:
@@ -526,6 +546,129 @@ def _fetch_blocks_arrow(reader: IndexReader,
     return pd.concat(frames, ignore_index=True)
 
 
+def _deleted_ids_arrow(reader: IndexReader) -> np.ndarray:
+    """Distinct tombstoned doc_ids as a sorted int64 array (driver-side
+    pyarrow read; gated by DRIVER_LOCAL_MAX_DELETES at the call site)."""
+    import pyarrow.dataset as pads
+
+    from .deletes import TOMBSTONE_DIR
+
+    p = os.path.join(reader.index_dir, TOMBSTONE_DIR)
+    ds = pads.dataset(p, format="parquet")
+    ids = ds.to_table(columns=["doc_id"])["doc_id"].to_numpy(
+        zero_copy_only=False)
+    return np.unique(ids.astype(np.int64))
+
+
+def _fetch_term_blocks_arrow(reader: IndexReader,
+                             terms: list[str]) -> pd.DataFrame:
+    """ALL payload blocks of the given terms, driver-side (bucket-pruned
+    dirs + parquet row-group term stats; postings are term-sorted within
+    files so non-matching row groups are skipped)."""
+    import pyarrow.dataset as pads
+
+    buckets = sorted(set(reader.bucket_of(terms).values()))
+    frames = []
+    for bkt in buckets:
+        p = os.path.join(reader.index_dir, "postings", f"bucket={bkt}")
+        if not os.path.exists(p):
+            continue
+        ds = pads.dataset(p, format="parquet")
+        tbl = ds.to_table(columns=["term", "doc_gaps", "tfs", "dls"],
+                          filter=pads.field("term").isin(terms))
+        frames.append(tbl.to_pandas())
+    if not frames:
+        return pd.DataFrame(columns=["term", "doc_gaps", "tfs", "dls"])
+    return pd.concat(frames, ignore_index=True)
+
+
+def _search_driver_local(reader: IndexReader, meta: pd.DataFrame,
+                         k: int, k1: float, b: float,
+                         with_text: bool,
+                         prune_stats: dict | None) -> DataFrame | None:
+    """Zero-Spark-job top-k for budget-sized queries. Returns None when
+    the tombstone set is too large to mask driver-side (caller falls back
+    to the distributed path and its anti-join)."""
+    spark = reader.spark
+    deleted: np.ndarray | None = None
+    if reader.has_deletes:
+        if reader.n_deleted_rows > DRIVER_LOCAL_MAX_DELETES:
+            return None
+        deleted = _deleted_ids_arrow(reader)
+    avgdl = reader.stats["avgdl"]
+    rows = _fetch_term_blocks_arrow(reader, meta["term"].tolist())
+    # same per-clause weights, same expression shape as
+    # _decode_partials_factory (row.qtf * row.idf * tf_part). A term can
+    # carry SEVERAL clauses (two fuzzy query terms expanding to the same
+    # index term) — one partial row per clause, exactly like the Spark
+    # path's broadcast join against one info row per clause.
+    wt: dict[str, list[tuple[float, float]]] = {}
+    for t, q, i in zip(meta["term"], meta["qtf"], meta["idf"]):
+        wt.setdefault(t, []).append((float(q), float(i)))
+    ids_l, term_l, part_l = [], [], []
+    for row in rows.itertuples(index=False):
+        doc_ids = delta_decode(vb_decode(bytes(row.doc_gaps)))
+        tfs = vb_decode(bytes(row.tfs)).astype(np.int64)
+        dls = vb_decode(bytes(row.dls)).astype(np.int64)
+        tf_part = bm25_tf_part(tfs, dls, avgdl, k1, b)
+        for qtf, idf in wt[row.term]:
+            ids_l.append(doc_ids)
+            term_l.append(np.full(doc_ids.size, row.term, dtype=object))
+            part_l.append(qtf * idf * tf_part)
+    schema = "doc_id bigint, score double"
+    if prune_stats is not None:
+        prune_stats.update(path="driver_local",
+                           n_blocks=int(len(rows)))
+    if not ids_l:
+        topk = spark.createDataFrame([], schema)
+    else:
+        docs = np.concatenate(ids_l)
+        terms_arr = np.concatenate(term_l)
+        parts = np.concatenate(part_l)
+        if deleted is not None and deleted.size:
+            keep = ~np.isin(docs, deleted)
+            docs, terms_arr, parts = docs[keep], terms_arr[keep], \
+                parts[keep]
+        if docs.size == 0:
+            return (spark.createDataFrame([], schema) if not with_text
+                    else spark.createDataFrame(
+                        [], schema + ", conv_id string, turn_idx int,"
+                        " text string"))
+        # strict left fold in (term, partial) order per doc — the exact
+        # order _sum_deterministic's array_sort + aggregate uses (struct
+        # sort: term asc, then partial asc for duplicate clause terms,
+        # which fuzzy expansion can produce)
+        t_rank = {t: r for r, t in enumerate(sorted(wt))}
+        t_idx = np.fromiter((t_rank[t] for t in terms_arr),
+                            dtype=np.int64, count=terms_arr.size)
+        order = np.lexsort((parts, t_idx, docs))
+        d_s, p_s = docs[order], parts[order]
+        starts = np.flatnonzero(np.r_[True, d_s[1:] != d_s[:-1]])
+        lens = np.diff(np.r_[starts, d_s.size])
+        uniq = d_s[starts]
+        scores = np.zeros(uniq.size, dtype=np.float64)
+        for j in range(int(lens.max())):
+            sel = lens > j
+            scores[sel] = scores[sel] + p_s[starts[sel] + j]
+        top = np.lexsort((uniq, -scores))[:int(k)]
+        # a VALUES literal parses to a LocalRelation: collect() is
+        # executeCollect, NO job — createDataFrame would parallelize the
+        # rows into an RDD and cost one. repr(float) round-trips the
+        # exact double bits through the SQL parser (shortest-repr IEEE754
+        # round-trip; asserted in tests via bit-identity).
+        vals = ", ".join(
+            f"(CAST({int(uniq[i])} AS BIGINT),"
+            f" CAST({float(scores[i])!r} AS DOUBLE))" for i in top)
+        topk = spark.sql(
+            f"SELECT * FROM VALUES {vals} AS t(doc_id, score)")
+    if not with_text:
+        return topk
+    docs_tbl = reader.docs.select("doc_id", "conv_id", "turn_idx", "text")
+    return (docs_tbl.join(F.broadcast(topk), "doc_id")
+            .select("doc_id", "score", "conv_id", "turn_idx", "text")
+            .orderBy(F.desc("score"), F.asc("doc_id")))
+
+
 def _theta_from_rows(rows, meta: pd.DataFrame, avgdl: float, k: int,
                      k1: float, b: float) -> float:
     """θ from decoded best-block payload rows: per-doc partial sums across
@@ -790,6 +933,17 @@ def search(
     meta = meta.assign(qtf=meta["qtf"].astype(np.float64))
     avgdl = reader.stats["avgdl"]
     total_gub = float(meta["gub"].sum())
+
+    # driver-local short-circuit: Σ df within budget -> fetch blocks with
+    # pyarrow, score in numpy, zero Spark jobs (bit-identical; see
+    # DRIVER_TOPK_MAX_POSTINGS). _all_matches stays distributed (its
+    # result is corpus-sized input to multifield, not k rows).
+    if (not _all_matches
+            and int(meta["df"].sum()) <= reader.driver_local_max_postings):
+        local = _search_driver_local(reader, meta, k, k1, b, with_text,
+                                     prune_stats)
+        if local is not None:
+            return local
 
     buckets = sorted({int(v) for v in
                       reader.bucket_of(meta["term"].tolist()).values()})

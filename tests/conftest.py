@@ -50,7 +50,13 @@ def index_dir(spark, transcripts_df):
 
 @pytest.fixture(scope="session")
 def reader(spark, index_dir):
-    return IndexReader(spark, index_dir)
+    # driver_local_max_postings=0: the session reader exercises the
+    # DISTRIBUTED engine (at this corpus size every query would otherwise
+    # take the zero-Spark-job driver-local shortcut and the scan / prune /
+    # fold machinery would lose its entire test surface). The shortcut
+    # itself is covered by tests/test_driver_local.py, which compares it
+    # bit-for-bit against this reader.
+    return IndexReader(spark, index_dir, driver_local_max_postings=0)
 
 
 @pytest.fixture(scope="session")

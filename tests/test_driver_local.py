@@ -1,0 +1,105 @@
+"""The zero-Spark-job driver-local top-k (DRIVER_TOPK_MAX_POSTINGS gate):
+bit-identical to the distributed path on the full reference set, honors
+tombstones, falls back above the budget, and really issues no Spark job.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from research_engine_spark.operators.scorer import IndexReader, search
+from tests.conftest import REFERENCE_QUERIES
+
+
+@pytest.fixture(scope="module")
+def local_reader(spark, index_dir):
+    return IndexReader(spark, index_dir)  # default budget: gate fires
+
+
+def _pdf(df):
+    return df.toPandas()
+
+
+@pytest.mark.parametrize("query", REFERENCE_QUERIES)
+def test_bit_identical_to_distributed(local_reader, reader, query):
+    stats: dict = {}
+    loc = _pdf(search(local_reader, query, k=10, with_text=False,
+                      prune_stats=stats))
+    assert stats.get("path") == "driver_local"
+    dist = _pdf(search(reader, query, k=10, with_text=False, prune=False))
+    assert list(loc["doc_id"]) == list(dist["doc_id"])
+    assert np.allclose(loc["score"], dist["score"], rtol=0, atol=0), (
+        f"{query!r}: driver-local scores not bit-identical")
+
+
+def test_zero_spark_jobs(local_reader, spark):
+    sc = spark.sparkContext
+    # warm the term dictionary so the probe measures steady state
+    search(local_reader, "neural networks", k=5, with_text=False).count()
+    sc.setJobGroup("driver_local_probe", "probe")
+    try:
+        df = search(local_reader, "neural networks", k=5, with_text=False)
+        rows = df.collect()  # LocalTableScan: executeCollect, no job
+        assert len(rows) == 5
+        jobs = sc.statusTracker().getJobIdsForGroup("driver_local_probe")
+        assert list(jobs) == [], f"driver-local path launched jobs: {jobs}"
+    finally:
+        sc.setJobGroup(None, None)
+
+
+def test_with_text_equality(local_reader, reader):
+    loc = _pdf(search(local_reader, "neural networks", k=10))
+    dist = _pdf(search(reader, "neural networks", k=10, prune=False))
+    assert loc.to_dict("records") == dist.to_dict("records")
+
+
+def test_fuzzy_driver_local(local_reader, reader):
+    q = "neurel netwerk"
+    loc = _pdf(search(local_reader, q, k=10, with_text=False, fuzzy=True))
+    dist = _pdf(search(reader, q, k=10, with_text=False, fuzzy=True))
+    assert list(loc["doc_id"]) == list(dist["doc_id"])
+    assert np.allclose(loc["score"], dist["score"], rtol=0, atol=0)
+
+
+def test_custom_params(local_reader, oracle):
+    eng = _pdf(search(local_reader, "machine learning", k=5, k1=0.9, b=0.4,
+                      with_text=False))
+    ora = oracle.search("machine learning", k=5, k1=0.9, b=0.4)
+    assert list(eng["doc_id"]) == list(ora["doc_id"])
+    assert np.allclose(eng["score"], ora["score"], rtol=0, atol=0)
+
+
+def test_budget_fallback(spark, index_dir):
+    """Σ df over budget -> the distributed path runs (path != local)."""
+    r = IndexReader(spark, index_dir, driver_local_max_postings=1)
+    stats: dict = {}
+    df = search(r, "neural networks", k=5, with_text=False, prune=False,
+                prune_stats=stats)
+    assert stats.get("path") != "driver_local"
+    assert df.count() == 5
+
+
+def test_tombstones_respected(spark, transcripts_df, tmp_path):
+    """Driver-local path must exclude tombstoned docs (and match the
+    distributed anti-join), then purge cleanly."""
+    from research_engine_spark.operators.deletes import delete_ids
+    from research_engine_spark.operators.indexer import build_index
+
+    d = str(tmp_path / "idx")
+    build_index(transcripts_df.limit(400), d, n_buckets=4)
+    r = IndexReader(spark, d)
+    base = _pdf(search(r, "neural networks", k=5, with_text=False))
+    victims = [int(x) for x in base["doc_id"][:2]]
+    delete_ids(d, victims)
+    r.refresh()
+    stats: dict = {}
+    after = _pdf(search(r, "neural networks", k=5, with_text=False,
+                        prune_stats=stats))
+    assert stats.get("path") == "driver_local"
+    assert not set(victims) & set(after["doc_id"])
+    dist = _pdf(search(
+        IndexReader(spark, d, driver_local_max_postings=0),
+        "neural networks", k=5, with_text=False, prune=False))
+    assert list(after["doc_id"]) == list(dist["doc_id"])
+    assert np.allclose(after["score"], dist["score"], rtol=0, atol=0)
