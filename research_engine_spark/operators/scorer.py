@@ -582,85 +582,133 @@ def _fetch_term_blocks_arrow(reader: IndexReader,
     return pd.concat(frames, ignore_index=True)
 
 
-def _search_driver_local(reader: IndexReader, meta: pd.DataFrame,
-                         k: int, k1: float, b: float,
-                         with_text: bool,
-                         prune_stats: dict | None) -> DataFrame | None:
-    """Zero-Spark-job top-k for budget-sized queries. Returns None when
-    the tombstone set is too large to mask driver-side (caller falls back
-    to the distributed path and its anti-join)."""
-    spark = reader.spark
+def _driver_local_topk_pd(reader: IndexReader, meta: pd.DataFrame,
+                          k: int, k1: float, b: float) -> pd.DataFrame | None:
+    """numpy top-k over pyarrow-fetched blocks for one or many queries.
+
+    meta: one row per (qid, term) clause with qtf/idf (the same clause
+    table the distributed paths broadcast). Returns (qid, doc_id, score)
+    rows, per-qid-(score desc, doc_id asc)-ordered, or None when the
+    tombstone set is too large to mask driver-side (caller falls back to
+    the distributed anti-join path). Bit-identity contract: same decode,
+    same float64 partial expression ((qtf*idf)*tf_part), and the same
+    term-sorted strict left fold as _sum_deterministic."""
     deleted: np.ndarray | None = None
     if reader.has_deletes:
         if reader.n_deleted_rows > DRIVER_LOCAL_MAX_DELETES:
             return None
         deleted = _deleted_ids_arrow(reader)
     avgdl = reader.stats["avgdl"]
-    rows = _fetch_term_blocks_arrow(reader, meta["term"].tolist())
-    # same per-clause weights, same expression shape as
-    # _decode_partials_factory (row.qtf * row.idf * tf_part). A term can
-    # carry SEVERAL clauses (two fuzzy query terms expanding to the same
-    # index term) — one partial row per clause, exactly like the Spark
-    # path's broadcast join against one info row per clause.
-    wt: dict[str, list[tuple[float, float]]] = {}
-    for t, q, i in zip(meta["term"], meta["qtf"], meta["idf"]):
-        wt.setdefault(t, []).append((float(q), float(i)))
-    ids_l, term_l, part_l = [], [], []
+    terms = sorted(set(meta["term"]))
+    rows = _fetch_term_blocks_arrow(reader, terms)
+    # per-clause weights: a term can carry SEVERAL clauses (two fuzzy
+    # query terms of one query expanding to the same index term, or the
+    # same term across batch queries) — one partial row per clause,
+    # exactly like the Spark paths' broadcast join against the clause
+    # table.
+    wt: dict[str, list[tuple[str, float, float]]] = {}
+    for qid, t, q, i in zip(meta["qid"], meta["term"], meta["qtf"],
+                            meta["idf"]):
+        wt.setdefault(t, []).append((qid, float(q), float(i)))
+    qid_l, ids_l, term_l, part_l = [], [], [], []
+    n_blocks = 0
     for row in rows.itertuples(index=False):
         doc_ids = delta_decode(vb_decode(bytes(row.doc_gaps)))
         tfs = vb_decode(bytes(row.tfs)).astype(np.int64)
         dls = vb_decode(bytes(row.dls)).astype(np.int64)
         tf_part = bm25_tf_part(tfs, dls, avgdl, k1, b)
-        for qtf, idf in wt[row.term]:
+        n_blocks += 1
+        for qid, qtf, idf in wt[row.term]:
+            qid_l.append(np.full(doc_ids.size, qid, dtype=object))
             ids_l.append(doc_ids)
             term_l.append(np.full(doc_ids.size, row.term, dtype=object))
             part_l.append(qtf * idf * tf_part)
-    schema = "doc_id bigint, score double"
+    empty = pd.DataFrame({"qid": pd.Series(dtype=object),
+                          "doc_id": pd.Series(dtype=np.int64),
+                          "score": pd.Series(dtype=np.float64)})
+    empty.attrs["n_blocks"] = n_blocks
+    if not ids_l:
+        return empty
+    qids = np.concatenate(qid_l)
+    docs = np.concatenate(ids_l)
+    terms_arr = np.concatenate(term_l)
+    parts = np.concatenate(part_l)
+    if deleted is not None and deleted.size:
+        keep = ~np.isin(docs, deleted)
+        qids, docs, terms_arr, parts = (qids[keep], docs[keep],
+                                        terms_arr[keep], parts[keep])
+    if docs.size == 0:
+        return empty
+    # strict left fold in (term, partial) order per (qid, doc) — the
+    # exact order _sum_deterministic's array_sort + aggregate uses
+    # (struct sort: term asc, then partial asc for duplicate clause
+    # terms)
+    t_rank = {t: r for r, t in enumerate(terms)}
+    t_idx = np.fromiter((t_rank[t] for t in terms_arr),
+                        dtype=np.int64, count=terms_arr.size)
+    q_rank = {q: r for r, q in enumerate(sorted(set(meta["qid"])))}
+    q_idx = np.fromiter((q_rank[q] for q in qids),
+                        dtype=np.int64, count=qids.size)
+    order = np.lexsort((parts, t_idx, docs, q_idx))
+    q_s, d_s, p_s = q_idx[order], docs[order], parts[order]
+    new_grp = (d_s[1:] != d_s[:-1]) | (q_s[1:] != q_s[:-1])
+    starts = np.flatnonzero(np.r_[True, new_grp])
+    lens = np.diff(np.r_[starts, d_s.size])
+    uniq_d, uniq_q = d_s[starts], q_s[starts]
+    scores = np.zeros(uniq_d.size, dtype=np.float64)
+    for j in range(int(lens.max())):
+        sel = lens > j
+        scores[sel] = scores[sel] + p_s[starts[sel] + j]
+    inv_q = {r: q for q, r in q_rank.items()}
+    frames = []
+    for qc in np.unique(uniq_q):
+        m = uniq_q == qc
+        dq, sq = uniq_d[m], scores[m]
+        top = np.lexsort((dq, -sq))[:int(k)]
+        frames.append(pd.DataFrame({
+            "qid": inv_q[int(qc)], "doc_id": dq[top], "score": sq[top]}))
+    out = pd.concat(frames, ignore_index=True)
+    out.attrs["n_blocks"] = n_blocks
+    return out
+
+
+def _values_df(spark: SparkSession, rows_sql: list[str],
+               names: str) -> DataFrame:
+    """Local-relation result handoff: a VALUES literal parses to a
+    LocalRelation, so collect() is executeCollect — NO Spark job
+    (createDataFrame would parallelize the rows into an RDD and cost
+    one). repr(float) round-trips the exact double bits through the SQL
+    parser (shortest-repr IEEE754 round-trip; asserted in tests via
+    bit-identity)."""
+    vals = ", ".join(rows_sql)
+    return spark.sql(f"SELECT * FROM VALUES {vals} AS t({names})")
+
+
+def _search_driver_local(reader: IndexReader, meta: pd.DataFrame,
+                         k: int, k1: float, b: float,
+                         with_text: bool,
+                         prune_stats: dict | None) -> DataFrame | None:
+    """Zero-Spark-job top-k for budget-sized single queries."""
+    spark = reader.spark
+    topk_pd = _driver_local_topk_pd(reader, meta.assign(qid="q"),
+                                    k, k1, b)
+    if topk_pd is None:
+        return None
     if prune_stats is not None:
         prune_stats.update(path="driver_local",
-                           n_blocks=int(len(rows)))
-    if not ids_l:
+                           n_blocks=int(topk_pd.attrs.get("n_blocks", 0)))
+    schema = "doc_id bigint, score double"
+    if topk_pd.empty:
         topk = spark.createDataFrame([], schema)
+        if with_text:
+            return spark.createDataFrame(
+                [], schema + ", conv_id string, turn_idx int, text string")
     else:
-        docs = np.concatenate(ids_l)
-        terms_arr = np.concatenate(term_l)
-        parts = np.concatenate(part_l)
-        if deleted is not None and deleted.size:
-            keep = ~np.isin(docs, deleted)
-            docs, terms_arr, parts = docs[keep], terms_arr[keep], \
-                parts[keep]
-        if docs.size == 0:
-            return (spark.createDataFrame([], schema) if not with_text
-                    else spark.createDataFrame(
-                        [], schema + ", conv_id string, turn_idx int,"
-                        " text string"))
-        # strict left fold in (term, partial) order per doc — the exact
-        # order _sum_deterministic's array_sort + aggregate uses (struct
-        # sort: term asc, then partial asc for duplicate clause terms,
-        # which fuzzy expansion can produce)
-        t_rank = {t: r for r, t in enumerate(sorted(wt))}
-        t_idx = np.fromiter((t_rank[t] for t in terms_arr),
-                            dtype=np.int64, count=terms_arr.size)
-        order = np.lexsort((parts, t_idx, docs))
-        d_s, p_s = docs[order], parts[order]
-        starts = np.flatnonzero(np.r_[True, d_s[1:] != d_s[:-1]])
-        lens = np.diff(np.r_[starts, d_s.size])
-        uniq = d_s[starts]
-        scores = np.zeros(uniq.size, dtype=np.float64)
-        for j in range(int(lens.max())):
-            sel = lens > j
-            scores[sel] = scores[sel] + p_s[starts[sel] + j]
-        top = np.lexsort((uniq, -scores))[:int(k)]
-        # a VALUES literal parses to a LocalRelation: collect() is
-        # executeCollect, NO job — createDataFrame would parallelize the
-        # rows into an RDD and cost one. repr(float) round-trips the
-        # exact double bits through the SQL parser (shortest-repr IEEE754
-        # round-trip; asserted in tests via bit-identity).
-        vals = ", ".join(
-            f"(CAST({int(uniq[i])} AS BIGINT),"
-            f" CAST({float(scores[i])!r} AS DOUBLE))" for i in top)
-        topk = spark.sql(
-            f"SELECT * FROM VALUES {vals} AS t(doc_id, score)")
+        topk = _values_df(spark, [
+            f"(CAST({int(r.doc_id)} AS BIGINT),"
+            f" CAST({float(r.score)!r} AS DOUBLE))"
+            for r in topk_pd.itertuples(index=False)],
+            "doc_id, score")
     if not with_text:
         return topk
     docs_tbl = reader.docs.select("doc_id", "conv_id", "turn_idx", "text")
@@ -890,11 +938,15 @@ def search(
     prune_stats: dict | None = None,
 ) -> DataFrame:
     """Top-k BM25. Returns (doc_id, score, conv_id, turn_idx[, text])
-    ordered by (score desc, doc_id asc). prune=True (default) enables the
-    exact two-phase block-max path (identical results, fewer decoded
-    blocks); the prune/no-prune gate is decided DRIVER-side from postings
-    metadata, so when it falls back the cost over prune=False is zero
-    Spark jobs (measured −9% worst case, +77% best —
+    ordered by (score desc, doc_id asc). Queries whose terms' total
+    posting count fits reader.driver_local_max_postings take the
+    zero-Spark-job driver-local path (pyarrow block fetch + numpy
+    scoring, bit-identical — see DRIVER_TOPK_MAX_POSTINGS); the
+    distributed paths below run beyond the budget. prune=True (default)
+    enables the exact two-phase block-max path (identical results, fewer
+    decoded blocks); the prune/no-prune gate is decided DRIVER-side from
+    postings metadata, so when it falls back the cost over prune=False
+    is zero Spark jobs (measured −9% worst case, +77% best —
     BENCH/BASELINE.md crossover table).
     fuzzy=True expands query terms within Lucene AUTO edit distance
     (R5: the reference's default ``fuzziness: AUTO``,
@@ -1255,6 +1307,10 @@ def search_many(
     query with ONE shared vocabulary-candidate job for the whole batch
     (_fuzzy_term_meta_many) — per-query scores stay bit-identical to
     ``search(..., fuzzy=True)``.
+    Batches whose term-union posting count fits
+    reader.driver_local_max_postings take the zero-Spark-job
+    driver-local path (see DRIVER_TOPK_MAX_POSTINGS) — bit-identical,
+    same ordering.
     Returns (qid, doc_id, score[, conv_id, turn_idx, text]) ordered by
     (qid, score desc, doc_id asc).
     """
@@ -1298,6 +1354,39 @@ def search_many(
             return spark.createDataFrame([], out_cols)
         allmeta = pd.concat(metas, ignore_index=True)
     terms = sorted(set(allmeta["term"]))
+
+    # driver-local short-circuit for budget-sized batches: decode volume
+    # is the term UNION (a term's blocks decode once however many batch
+    # queries share it — same amortization as the distributed batch
+    # path), so the gate is Σ df over DISTINCT terms.
+    if (int(allmeta.drop_duplicates("term")["df"].sum())
+            <= reader.driver_local_max_postings):
+        topk_pd = _driver_local_topk_pd(reader, allmeta, k, k1, b)
+        if topk_pd is not None:
+            if topk_pd.empty:
+                return spark.createDataFrame([], out_cols)
+            if len(topk_pd) <= 2048 and not with_text:
+                # rows are already in (qid, score desc, doc_id) order —
+                # a VALUES LocalRelation preserves it and collect() is
+                # executeCollect: zero Spark jobs for the whole batch
+                return _values_df(spark, [
+                    "('{}', CAST({} AS BIGINT), CAST({!r} AS DOUBLE))"
+                    .format(str(r.qid).replace("'", "''"),
+                            int(r.doc_id), float(r.score))
+                    for r in topk_pd.itertuples(index=False)],
+                    "qid, doc_id, score")
+            # huge batches / text fetch: one tiny local-rows job (beats
+            # a megabyte SQL string through the parser)
+            res = spark.createDataFrame(
+                topk_pd, "qid string, doc_id bigint, score double")
+            if with_text:
+                docs = reader.docs.select(
+                    "doc_id", "conv_id", "turn_idx", "text")
+                res = docs.join(F.broadcast(res), "doc_id").select(
+                    "qid", "doc_id", "score", "conv_id", "turn_idx",
+                    "text")
+            return res.orderBy("qid", F.desc("score"), F.asc("doc_id"))
+
     buckets = sorted({int(v) for v in reader.bucket_of(terms).values()})
     avgdl = reader.stats["avgdl"]
 

@@ -103,3 +103,43 @@ def test_tombstones_respected(spark, transcripts_df, tmp_path):
         "neural networks", k=5, with_text=False, prune=False))
     assert list(after["doc_id"]) == list(dist["doc_id"])
     assert np.allclose(after["score"], dist["score"], rtol=0, atol=0)
+
+
+def test_search_many_driver_local(local_reader, reader, spark):
+    """Batch driver-local: bit-identical to the distributed batch path,
+    zero Spark jobs for the no-text case."""
+    from research_engine_spark.operators.scorer import search_many
+
+    qs = {"a": "neural networks", "b": "machine learning",
+          "it's": "transformer attention"}  # qid with a quote: escaping
+    sc = spark.sparkContext
+    # warm the term dictionary outside the probe
+    loc_df = search_many(local_reader, qs, k=5)
+    sc.setJobGroup("batch_local_probe", "probe")
+    try:
+        loc = loc_df.collect()
+        jobs = sc.statusTracker().getJobIdsForGroup("batch_local_probe")
+        assert list(jobs) == [], f"batch driver-local launched jobs: {jobs}"
+    finally:
+        sc.setJobGroup(None, None)
+    dist = search_many(reader, qs, k=5).collect()
+    assert [tuple(r) for r in loc] == [tuple(r) for r in dist]
+
+
+def test_search_many_driver_local_fuzzy(local_reader, reader):
+    from research_engine_spark.operators.scorer import search_many
+
+    qs = ["neurel netwerk", "machne lerning"]
+    loc = search_many(local_reader, qs, k=5, fuzzy=True).collect()
+    dist = search_many(reader, qs, k=5, fuzzy=True).collect()
+    assert [tuple(r) for r in loc] == [tuple(r) for r in dist]
+
+
+def test_search_many_driver_local_with_text(local_reader, reader):
+    from research_engine_spark.operators.scorer import search_many
+
+    loc = search_many(local_reader, ["neural networks"], k=5,
+                      with_text=True).collect()
+    dist = search_many(reader, ["neural networks"], k=5,
+                       with_text=True).collect()
+    assert [tuple(r) for r in loc] == [tuple(r) for r in dist]
