@@ -583,8 +583,10 @@ def _fetch_term_blocks_arrow(reader: IndexReader,
 
 
 def _driver_local_topk_pd(reader: IndexReader, meta: pd.DataFrame,
-                          k: int, k1: float, b: float) -> pd.DataFrame | None:
-    """numpy top-k over pyarrow-fetched blocks for one or many queries.
+                          k: int | None, k1: float,
+                          b: float) -> pd.DataFrame | None:
+    """numpy top-k (k=None: the full ranked match set) over
+    pyarrow-fetched blocks for one or many queries.
 
     meta: one row per (qid, term) clause with qtf/idf (the same clause
     table the distributed paths broadcast). Returns (qid, doc_id, score)
@@ -664,7 +666,9 @@ def _driver_local_topk_pd(reader: IndexReader, meta: pd.DataFrame,
     for qc in np.unique(uniq_q):
         m = uniq_q == qc
         dq, sq = uniq_d[m], scores[m]
-        top = np.lexsort((dq, -sq))[:int(k)]
+        top = np.lexsort((dq, -sq))
+        if k is not None:
+            top = top[:int(k)]
         frames.append(pd.DataFrame({
             "qid": inv_q[int(qc)], "doc_id": dq[top], "score": sq[top]}))
     out = pd.concat(frames, ignore_index=True)
@@ -1461,6 +1465,140 @@ def _decode_positions_factory():
     return run
 
 
+def _phrase_prologue(reader: IndexReader, phrase: str,
+                     k1: float | None, b: float | None):
+    """Shared analyze/term-dictionary prologue of the phrase paths.
+    Returns (ordered_terms, uniq, meta, sum_idf, k1, b); ordered_terms is
+    [] for an empty analysis and meta is short when a phrase term is
+    absent from the vocabulary (no phrase match anywhere)."""
+    if not reader.stats.get("positions"):
+        raise ValueError("index was built without positions "
+                         "(build_index(with_positions=True))")
+    k1 = reader.stats["k1"] if k1 is None else k1
+    b = reader.stats["b"] if b is None else b
+    from ..functions.analyzer import analyze
+
+    ordered_terms = analyze(
+        phrase, mode=reader.stats.get("analyzer", "english_folded"))
+    uniq = sorted(set(ordered_terms))
+    meta = _term_meta(reader, [(t, 1) for t in uniq], k1, b)
+    # float64 sum in phrase order — mirrored by the oracle
+    idf_by_term = dict(zip(meta["term"], meta["idf"]))
+    sum_idf = 0.0
+    if len(meta) == len(uniq):
+        for t in ordered_terms:
+            sum_idf += float(idf_by_term[t])
+    return ordered_terms, uniq, meta, sum_idf, k1, b
+
+
+_PHRASE_SHIFT = np.int64(1) << np.int64(32)
+
+
+def _phrase_match_np(ordered_terms: list[str],
+                     by_term: dict[str, tuple[np.ndarray, np.ndarray]],
+                     dl_docs: np.ndarray, dl_vals: np.ndarray,
+                     sum_idf: float, avgdl: float, k1: float, b: float):
+    """The phrase intersection + scoring kernel, shared verbatim in
+    semantics with the distributed match(): positions lift to global keys
+    doc_id * 2^32 + pos, one np.isin per phrase term, ptf by unique
+    count, score = sum_idf * tf_part(ptf, dl). by_term: term ->
+    (doc-per-position int64, global key int64). Returns
+    (match_docs, scores) or None for no match."""
+    cand = by_term[ordered_terms[0]][1]
+    for i, t in enumerate(ordered_terms[1:], start=1):
+        if cand.size == 0:
+            return None
+        cand = cand[np.isin(cand + np.int64(i), by_term[t][1])]
+    if cand.size == 0:
+        return None
+    match_docs, ptfs = np.unique(cand // _PHRASE_SHIFT, return_counts=True)
+    pos = np.searchsorted(dl_docs, match_docs)
+    dls = dl_vals[pos]
+    scores = sum_idf * bm25_tf_part(ptfs.astype(np.int64), dls, avgdl,
+                                    k1, b)
+    return match_docs.astype(np.int64), scores.astype(np.float64)
+
+
+def _phrase_scores_driver_local(reader: IndexReader, phrase: str,
+                                k1: float | None = None,
+                                b: float | None = None
+                                ) -> pd.DataFrame | None:
+    """Zero-Spark-job twin of phrase_scores for budget-sized phrases:
+    pyarrow block fetch (incl. the positional payload), numpy decode +
+    intersection. Returns the FULL (doc_id, score) match set as pandas,
+    or None when over budget / tombstones too large (caller falls back
+    to the distributed path)."""
+    from .indexer import decode_positions_block
+
+    ordered_terms, uniq, meta, sum_idf, k1, b = _phrase_prologue(
+        reader, phrase, k1, b)
+    empty = pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                          "score": pd.Series(dtype=np.float64)})
+    if not ordered_terms:
+        return empty
+    if len(meta) < len(uniq):
+        return empty  # a phrase term is absent
+    if int(meta["df"].sum()) > reader.driver_local_max_postings:
+        return None
+    deleted: np.ndarray | None = None
+    if reader.has_deletes:
+        if reader.n_deleted_rows > DRIVER_LOCAL_MAX_DELETES:
+            return None
+        deleted = _deleted_ids_arrow(reader)
+    avgdl = reader.stats["avgdl"]
+
+    import pyarrow.dataset as pads
+
+    buckets = sorted(set(reader.bucket_of(uniq).values()))
+    frames = []
+    for bkt in buckets:
+        p = os.path.join(reader.index_dir, "postings", f"bucket={bkt}")
+        if not os.path.exists(p):
+            continue
+        ds = pads.dataset(p, format="parquet")
+        frames.append(ds.to_table(
+            columns=["term", "doc_gaps", "dls", "poss"],
+            filter=pads.field("term").isin(uniq)).to_pandas())
+    rows = (pd.concat(frames, ignore_index=True) if frames
+            else pd.DataFrame(columns=["term", "doc_gaps", "dls", "poss"]))
+    per_term_docs: dict[str, list] = {t: [] for t in uniq}
+    per_term_keys: dict[str, list] = {t: [] for t in uniq}
+    dl_pairs: dict[int, int] = {}
+    for row in rows.itertuples(index=False):
+        doc_ids = delta_decode(vb_decode(bytes(row.doc_gaps)))
+        dls = vb_decode(bytes(row.dls)).astype(np.int64)
+        poss = decode_positions_block(bytes(row.poss), doc_ids.size)
+        lens = np.fromiter((p.size for p in poss), dtype=np.int64,
+                           count=doc_ids.size)
+        docs_rep = np.repeat(doc_ids, lens)
+        pos_flat = (np.concatenate(poss).astype(np.int64) if lens.sum()
+                    else np.empty(0, np.int64))
+        per_term_docs[row.term].append(docs_rep)
+        per_term_keys[row.term].append(docs_rep * _PHRASE_SHIFT + pos_flat)
+        dl_pairs.update(zip(doc_ids.tolist(), dls.tolist()))
+    by_term = {}
+    for t in uniq:
+        if not per_term_keys[t]:
+            return empty
+        by_term[t] = (np.concatenate(per_term_docs[t]),
+                      np.concatenate(per_term_keys[t]))
+    dl_docs = np.fromiter(dl_pairs.keys(), dtype=np.int64,
+                          count=len(dl_pairs))
+    dl_vals = np.fromiter(dl_pairs.values(), dtype=np.int64,
+                          count=len(dl_pairs))
+    o = np.argsort(dl_docs)
+    dl_docs, dl_vals = dl_docs[o], dl_vals[o]
+    hit = _phrase_match_np(ordered_terms, by_term, dl_docs, dl_vals,
+                           sum_idf, avgdl, k1, b)
+    if hit is None:
+        return empty
+    match_docs, scores = hit
+    if deleted is not None and deleted.size:
+        keep = ~np.isin(match_docs, deleted)
+        match_docs, scores = match_docs[keep], scores[keep]
+    return pd.DataFrame({"doc_id": match_docs, "score": scores})
+
+
 def phrase_scores(reader: IndexReader, phrase: str,
                   k1: float | None = None, b: float | None = None) -> DataFrame:
     """Exact-phrase scoring over positional postings (R3: the reference's
@@ -1472,27 +1610,13 @@ def phrase_scores(reader: IndexReader, phrase: str,
     with ptf = 0 are excluded. Returns the FULL scored set (doc_id, score).
     """
     spark = reader.spark
-    if not reader.stats.get("positions"):
-        raise ValueError("index was built without positions "
-                         "(build_index(with_positions=True))")
-    k1 = reader.stats["k1"] if k1 is None else k1
-    b = reader.stats["b"] if b is None else b
-    from ..functions.analyzer import analyze
-
-    ordered_terms = analyze(
-        phrase, mode=reader.stats.get("analyzer", "english_folded"))
+    ordered_terms, uniq, meta, sum_idf, k1, b = _phrase_prologue(
+        reader, phrase, k1, b)
     empty = spark.createDataFrame([], "doc_id bigint, score double")
     if not ordered_terms:
         return empty
-    uniq = sorted(set(ordered_terms))
-    meta = _term_meta(reader, [(t, 1) for t in uniq], k1, b)
     if len(meta) < len(uniq):
         return empty  # a phrase term is absent -> no phrase match anywhere
-    idf_by_term = dict(zip(meta["term"], meta["idf"]))
-    # float64 sum in phrase order — mirrored by the oracle
-    sum_idf = 0.0
-    for t in ordered_terms:
-        sum_idf += float(idf_by_term[t])
     avgdl = reader.stats["avgdl"]
     n_uniq = len(uniq)
 
@@ -1551,12 +1675,33 @@ def phrase_scores(reader: IndexReader, phrase: str,
         match, schema="doc_id bigint, score double"))
 
 
+def _topk_pd_to_df(spark: SparkSession, pdf: pd.DataFrame,
+                   k: int) -> DataFrame:
+    """(score desc, doc_id asc) top-k of a pandas (doc_id, score) set as
+    a job-free VALUES LocalRelation (createDataFrame for the empty
+    case)."""
+    if pdf.empty:
+        return spark.createDataFrame([], "doc_id bigint, score double")
+    d = pdf["doc_id"].to_numpy(np.int64)
+    s = pdf["score"].to_numpy(np.float64)
+    top = np.lexsort((d, -s))[:int(k)]
+    return _values_df(spark, [
+        f"(CAST({int(d[i])} AS BIGINT), CAST({float(s[i])!r} AS DOUBLE))"
+        for i in top], "doc_id, score")
+
+
 def phrase_search(reader: IndexReader, phrase: str, k: int = 10,
                   k1: float | None = None, b: float | None = None,
                   with_text: bool = False) -> DataFrame:
-    """Top-k exact-phrase query (R3)."""
-    scored = phrase_scores(reader, phrase, k1, b)
-    topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(int(k))
+    """Top-k exact-phrase query (R3). Budget-sized phrases (Σ df of the
+    phrase terms within reader.driver_local_max_postings) run entirely
+    driver-side — zero Spark jobs, bit-identical (test-guarded)."""
+    local = _phrase_scores_driver_local(reader, phrase, k1, b)
+    if local is not None:
+        topk = _topk_pd_to_df(reader.spark, local, k)
+    else:
+        scored = phrase_scores(reader, phrase, k1, b)
+        topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(int(k))
     if not with_text:
         return topk
     docs = reader.docs.select("doc_id", "conv_id", "turn_idx", "text")
@@ -1572,7 +1717,37 @@ def bool_should_search(reader: IndexReader, query: str, k: int = 10,
     """R4: the reference's bool/should query shape (es_search_final.py:
     13-34): a match clause over all query terms PLUS a phrase clause with
     boost 2.0, minimum_should_match=1 — score = term_score +
-    phrase_boost * phrase_score, docs matching either clause qualify."""
+    phrase_boost * phrase_score, docs matching either clause qualify.
+    When BOTH clauses fit the driver-local budget the whole query runs
+    driver-side (zero Spark jobs), with the same coalesce-and-combine
+    float expression as the distributed full-outer join."""
+    spark = reader.spark
+    k1r = reader.stats["k1"] if k1 is None else k1
+    br = reader.stats["b"] if b is None else b
+    local = None
+    qterms = analyze_query(
+        query, mode=reader.stats.get("analyzer", "english_folded"))
+    if qterms:
+        meta = _term_meta(reader, qterms, k1r, br)
+        if (not meta.empty
+                and int(meta["df"].sum())
+                <= reader.driver_local_max_postings):
+            local = _driver_local_topk_pd(
+                reader, meta.assign(
+                    qid="q", qtf=meta["qtf"].astype(np.float64)),
+                k=None, k1=k1r, b=br)  # None -> full match set
+    if local is not None:
+        pl = _phrase_scores_driver_local(reader, query, k1, b)
+        if pl is not None:
+            t = local.set_index("doc_id")["score"]
+            p = pl.set_index("doc_id")["score"]
+            allids = t.index.union(p.index)
+            ts = t.reindex(allids, fill_value=0.0).to_numpy(np.float64)
+            ps = p.reindex(allids, fill_value=0.0).to_numpy(np.float64)
+            combined = pd.DataFrame({
+                "doc_id": allids.to_numpy(np.int64),
+                "score": ts + float(phrase_boost) * ps})
+            return _topk_pd_to_df(spark, combined, k)
     terms_scored = search(reader, query, k=k, k1=k1, b=b, with_text=False,
                           _all_matches=True)
     ph_scored = phrase_scores(reader, query, k1, b)

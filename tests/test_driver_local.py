@@ -143,3 +143,96 @@ def test_search_many_driver_local_with_text(local_reader, reader):
     dist = search_many(reader, ["neural networks"], k=5,
                        with_text=True).collect()
     assert [tuple(r) for r in loc] == [tuple(r) for r in dist]
+
+
+@pytest.fixture(scope="module")
+def pos_pair(spark):
+    """(driver-local reader, distributed reader) over one positional
+    index."""
+    import shutil
+    import tempfile
+
+    from research_engine_spark.corpus import synth_transcripts
+    from research_engine_spark.operators.indexer import build_index
+
+    tx = synth_transcripts(spark, n_convs=60, seed=21)
+    d = tempfile.mkdtemp()
+    build_index(tx, d, n_buckets=4, with_positions=True)
+    yield (IndexReader(spark, d),
+           IndexReader(spark, d, driver_local_max_postings=0))
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.mark.parametrize("phrase", [
+    "neural networks", "machine learning", "the neural",
+    "neural neural", "nonexistentterm networks"])
+def test_phrase_driver_local(pos_pair, phrase):
+    from research_engine_spark.operators.scorer import phrase_search
+
+    loc_r, dist_r = pos_pair
+    loc = _pdf(phrase_search(loc_r, phrase, k=10))
+    dist = _pdf(phrase_search(dist_r, phrase, k=10))
+    assert list(loc["doc_id"]) == list(dist["doc_id"]), phrase
+    assert np.allclose(loc["score"], dist["score"], rtol=0, atol=0), phrase
+
+
+def test_phrase_driver_local_zero_jobs(pos_pair, spark):
+    from research_engine_spark.operators.scorer import phrase_search
+
+    loc_r, _ = pos_pair
+    phrase_search(loc_r, "neural networks", k=5).count()  # warm dict
+    sc = spark.sparkContext
+    sc.setJobGroup("phrase_local_probe", "probe")
+    try:
+        rows = phrase_search(loc_r, "neural networks", k=5).collect()
+        assert rows
+        jobs = sc.statusTracker().getJobIdsForGroup("phrase_local_probe")
+        assert list(jobs) == [], f"phrase driver-local launched jobs: {jobs}"
+    finally:
+        sc.setJobGroup(None, None)
+
+
+@pytest.mark.parametrize("query", ["neural networks", "machine learning"])
+def test_bool_should_driver_local(pos_pair, query):
+    from research_engine_spark.operators.scorer import bool_should_search
+
+    loc_r, dist_r = pos_pair
+    loc = _pdf(bool_should_search(loc_r, query, k=10))
+    dist = _pdf(bool_should_search(dist_r, query, k=10))
+    assert list(loc["doc_id"]) == list(dist["doc_id"]), query
+    assert np.allclose(loc["score"], dist["score"], rtol=0, atol=0), query
+
+
+def test_phrase_driver_local_with_text(pos_pair):
+    from research_engine_spark.operators.scorer import phrase_search
+
+    loc_r, dist_r = pos_pair
+    loc = _pdf(phrase_search(loc_r, "neural networks", k=5, with_text=True))
+    dist = _pdf(phrase_search(dist_r, "neural networks", k=5,
+                              with_text=True))
+    assert loc.to_dict("records") == dist.to_dict("records")
+
+
+def test_phrase_driver_local_tombstones(spark, tmp_path):
+    from research_engine_spark.corpus import synth_transcripts
+    from research_engine_spark.operators.deletes import delete_ids
+    from research_engine_spark.operators.indexer import build_index
+    from research_engine_spark.operators.scorer import phrase_search
+
+    d = str(tmp_path / "pidx")
+    # same corpus as pos_pair: "neural networks" is known to occur here
+    build_index(synth_transcripts(spark, n_convs=60, seed=21), d,
+                n_buckets=4, with_positions=True)
+    r = IndexReader(spark, d)
+    base = _pdf(phrase_search(r, "neural networks", k=5))
+    assert len(base) > 0
+    victims = [int(x) for x in base["doc_id"][:1]]
+    delete_ids(d, victims)
+    r.refresh()
+    after = _pdf(phrase_search(r, "neural networks", k=5))
+    assert not set(victims) & set(after["doc_id"])
+    dist = _pdf(phrase_search(
+        IndexReader(spark, d, driver_local_max_postings=0),
+        "neural networks", k=5))
+    assert list(after["doc_id"]) == list(dist["doc_id"])
+    assert np.allclose(after["score"], dist["score"], rtol=0, atol=0)

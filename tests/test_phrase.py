@@ -68,7 +68,9 @@ def pos_index(spark):
     tx = synth_transcripts(spark, n_convs=60, seed=21)
     d = tempfile.mkdtemp()
     build_index(tx, d, n_buckets=4, with_positions=True)
-    yield IndexReader(spark, d)
+    # budget 0: these tests cover the DISTRIBUTED phrase/bool machinery
+    # (test_driver_local.py covers the driver-local twin bit-for-bit)
+    yield IndexReader(spark, d, driver_local_max_postings=0)
     shutil.rmtree(d, ignore_errors=True)
 
 
