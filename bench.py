@@ -81,8 +81,12 @@ def run_once(spark, sf_dir: str, cores: int, warm: bool) -> dict:
     queries_sec["index_build"] = round(build_sec, 3)
     n_turns = stats["n_docs"]
 
-    # --- 2. BM25 query latency --------------------------------------------
-    reader = IndexReader(spark, idx_dir)
+    # --- 2. BM25 query latency (DISTRIBUTED path, r1-r3-comparable) --------
+    # driver_local_max_postings=0 pins the distributed machinery: at sf0.1
+    # most reference queries fit the r4 driver-local budget and would
+    # otherwise run zero-Spark-job, erasing cross-round comparability.
+    # Section 2f measures the driver-local serving tier explicitly.
+    reader = IndexReader(spark, idx_dir, driver_local_max_postings=0)
     # one untimed warmup query paying the postings/doc_stats file-listing
     # and first-scan codegen (the warmup term must EXIST in the vocab:
     # search() short-circuits unknown terms to zero Spark jobs.
@@ -148,7 +152,7 @@ def run_once(spark, sf_dir: str, cores: int, warm: bool) -> dict:
     build_index(tx, pos_dir, n_buckets=max(cores, 16),
                 n_partitions=max(cores * 2, 16), with_positions=True)
     queries_sec["index_build_positional"] = round(time.monotonic() - t0, 3)
-    pos_reader = IndexReader(spark, pos_dir)
+    pos_reader = IndexReader(spark, pos_dir, driver_local_max_postings=0)
     phrase_queries = ["neural networks", "machine learning models",
                       "attention mechanism"]
     # untimed warmup on the positional reader (first positional-postings
@@ -158,6 +162,32 @@ def run_once(spark, sf_dir: str, cores: int, warm: bool) -> dict:
         t0 = time.monotonic()
         phrase_search(pos_reader, q, k=10).collect()
         queries_sec[f"phrase_q{i+1:02d}"] = round(time.monotonic() - t0, 3)
+
+    # --- 2f. driver-local serving tier (r4) ---------------------------------
+    # default-budget readers: queries whose summed posting count fits
+    # driver_local_max_postings run with ZERO Spark jobs (pyarrow block
+    # fetch + numpy top-k, bit-identical — test-guarded). This is the
+    # interactive-latency answer; over-budget queries fall back to the
+    # distributed path above, so these numbers are the honest mix.
+    local_reader = IndexReader(spark, idx_dir)
+    search(local_reader, "architecture", k=1, with_text=False).collect()
+    n_local = 0
+    for i, q in enumerate(REFERENCE_QUERIES):
+        st: dict = {}
+        t0 = time.monotonic()
+        search(local_reader, q, k=10, with_text=False,
+               prune_stats=st).collect()
+        queries_sec[f"bm25l_q{i+1:02d}"] = round(time.monotonic() - t0, 4)
+        n_local += st.get("path") == "driver_local"
+    t0 = time.monotonic()
+    search_many(local_reader, list(REFERENCE_QUERIES), k=10).collect()
+    queries_sec["bm25_batch_all_local"] = round(time.monotonic() - t0, 4)
+    pos_local = IndexReader(spark, pos_dir)
+    phrase_search(pos_local, "architecture design", k=1).collect()
+    for i, q in enumerate(phrase_queries):
+        t0 = time.monotonic()
+        phrase_search(pos_local, q, k=10).collect()
+        queries_sec[f"phrasel_q{i+1:02d}"] = round(time.monotonic() - t0, 4)
 
     # --- 2e. delete lifecycle on the main index (last reader use) ----------
     # tombstone ~1/16 of docs, search through the tombstones, physically
@@ -190,7 +220,7 @@ def run_once(spark, sf_dir: str, cores: int, warm: bool) -> dict:
     shutil.rmtree(src_dir, ignore_errors=True)
     spark.catalog.clearCache()
     return {"queries": queries_sec, "n_turns": int(n_turns),
-            "prune_stats_q01": pstats}
+            "prune_stats_q01": pstats, "n_driver_local": int(n_local)}
 
 
 def main() -> None:
@@ -246,6 +276,12 @@ def main() -> None:
         "bm25_batch_per_query_sec": round(
             q_min["bm25_batch_all"] / len(REFERENCE_QUERIES), 3),
         "prune_stats_q01": runs[0]["prune_stats_q01"],
+        "bm25_local_mean_latency_sec": _agg(q_min, "bm25l_q"),
+        "bm25_local_mean_latency_sec_median": _agg(q_med, "bm25l_q"),
+        "bm25_batch_all_local_sec": q_min["bm25_batch_all_local"],
+        "n_driver_local_of": [runs[0]["n_driver_local"],
+                              len(REFERENCE_QUERIES)],
+        "phrase_local_mean_latency_sec": _agg(q_min, "phrasel_q"),
         "fuzzy_mean_latency_sec": _agg(q_min, "fuzzy_q"),
         "phrase_mean_latency_sec": _agg(q_min, "phrase_q"),
         "index_build_positional_sec": q_min["index_build_positional"],
