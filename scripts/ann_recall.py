@@ -7,10 +7,15 @@ ann_index_topk vs exact cosine on a planted dim-768 corpus, for
 n_tables ∈ {2, 4, 8} (n_planes=8), plus the candidate fraction each
 setting actually reads (the I/O prune factor).
 
-Corpus: n_base seeded-gaussian vectors; every query is a noised copy of a
-corpus vector (so true near neighbors exist — recall over pure-random
-queries would measure noise). Exact top-10 is computed with numpy over
-the same vectors (identical cosine math to brute_force_topk; verified in
+Corpus: n_base seeded-gaussian background vectors PLUS, per query, a
+planted cluster of 10 noised copies of the query's base vector. In pure
+gaussian high-dim data only ONE vector can be near a query — exact
+top-10 would be 9 near-orthogonal random vectors no sublinear method
+can (or should) find, and recall@10 would measure noise (~0.05,
+observed). With a planted 10-cluster the exact top-10 IS the cluster,
+so recall@10 measures what an ANN index is for: retrieving genuinely
+near vectors. Exact top-10 is computed with numpy over the same vectors
+(identical cosine math to brute_force_topk; verified in
 tests/test_operators.py).
 
 Usage: python scripts/ann_recall.py [--n-base 10000] [--n-queries 20]
@@ -53,25 +58,30 @@ def main() -> None:
     from research_engine_spark.session import get_spark
 
     rng = np.random.default_rng(7)
-    X = rng.standard_normal((args.n_base, args.dim))
-    q_src = rng.choice(args.n_base, size=args.n_queries, replace=False)
-    Q = X[q_src] + args.noise * rng.standard_normal(
+    bg = rng.standard_normal((args.n_base, args.dim))
+    bases = rng.standard_normal((args.n_queries, args.dim))
+    planted = np.concatenate([
+        b[None, :] + args.noise * rng.standard_normal((10, args.dim))
+        for b in bases])                       # 10 cluster members / query
+    X = np.concatenate([bg, planted])
+    Q = bases + args.noise * rng.standard_normal(
         (args.n_queries, args.dim))
+    n_total = X.shape[0]
 
     # exact cosine top-10 per query (numpy twin of brute_force_topk:
     # same scores, same (cosine desc, id asc) tiebreak)
     Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-    cos = Qn @ Xn.T                                   # (n_queries, n_base)
+    cos = Qn @ Xn.T                                   # (n_queries, n_total)
     exact_top = []
     for i in range(args.n_queries):
-        order = np.lexsort((np.arange(args.n_base), -cos[i]))
+        order = np.lexsort((np.arange(n_total), -cos[i]))
         exact_top.append(set(order[:10].tolist()))
 
     spark = get_spark(app_name="ann_recall", cores=args.cores,
                       extra_conf={"spark.ui.showConsoleProgress": "false"})
     emb = spark.createDataFrame(pd.DataFrame({
-        "vec_id": np.arange(args.n_base, dtype=np.int64),
+        "vec_id": np.arange(n_total, dtype=np.int64),
         "embedding": [r.astype(np.float32).tolist() for r in X],
     }))
 
@@ -86,7 +96,7 @@ def main() -> None:
                    ann_index_topk(spark, d, qvec, k=10).collect()}
             hits += len(got & exact_top[i])
             cand_frac.append(
-                ann_candidates(spark, d, qvec).count() / args.n_base)
+                ann_candidates(spark, d, qvec).count() / n_total)
         curve.append({
             "n_tables": n_tables, "n_planes": 8,
             "recall_at_10": round(hits / (10 * args.n_queries), 4),
@@ -97,6 +107,7 @@ def main() -> None:
         shutil.rmtree(d, ignore_errors=True)
 
     payload = {"dim": args.dim, "n_base": args.n_base,
+               "n_total": int(n_total),
                "n_queries": args.n_queries, "noise": args.noise,
                "curve": curve}
     os.makedirs(os.path.dirname(args.out), exist_ok=True)

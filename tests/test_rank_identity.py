@@ -135,7 +135,9 @@ def test_prune_engages_on_skewed_tf(spark, tmp_path):
     df = spark.createDataFrame(pdf)
     idx = str(tmp_path / "skew_idx")
     build_index(df, idx, n_buckets=4)
-    reader = IndexReader(spark, idx)
+    # budget 0: these assert the DISTRIBUTED block-max machinery
+    # engages; the tiny corpus would otherwise go driver-local
+    reader = IndexReader(spark, idx, driver_local_max_postings=0)
 
     stats: dict = {}
     pruned = search(reader, "skewterm", k=10, prune=True, with_text=False,
@@ -172,7 +174,9 @@ def test_prune_two_phase_multi_term(spark, tmp_path):
     df = spark.createDataFrame(pdf)
     idx = str(tmp_path / "skew2_idx")
     build_index(df, idx, n_buckets=4)
-    reader = IndexReader(spark, idx)
+    # budget 0: these assert the DISTRIBUTED block-max machinery
+    # engages; the tiny corpus would otherwise go driver-local
+    reader = IndexReader(spark, idx, driver_local_max_postings=0)
 
     stats: dict = {}
     pruned = search(reader, "alpha beta", k=10, prune=True,
