@@ -1130,6 +1130,17 @@ def compact_index(
     each merge task range-reads the tombstone parquet for its own docID
     span (segment-scoped mask; see _merge_runs_factory dead_path).
 
+    Concurrency contract (single writer, quiescent readers): the staged
+    swap is crash-safe (see _finish_compact_swap) and delete-CORRECT at
+    every instant — tombstones are removed last, so no reader ever sees
+    a purged doc — but it is not cross-table atomic: an IndexReader
+    constructed while a PURGING compaction is mid-swap can pair purged
+    postings with the pre-purge corpus_stats.json (old N/avgdl),
+    transiently skewing surviving docs' scores until refresh(). Run
+    compact_index as the only writer and (re)construct readers after it
+    returns; a generation-manifest indirection is the documented next
+    step if concurrent readers ever need mid-swap statistical exactness.
+
     The Lucene forceMerge / Elasticsearch ``_forcemerge`` analog the
     reference relies on implicitly (its single-node ES merges segments in
     the background; docker-compose.yml:3-10): after many streaming
