@@ -86,7 +86,11 @@ def run_once(spark, sf_dir: str, cores: int, warm: bool) -> dict:
     # most reference queries fit the r4 driver-local budget and would
     # otherwise run zero-Spark-job, erasing cross-round comparability.
     # Section 2f measures the driver-local serving tier explicitly.
-    reader = IndexReader(spark, idx_dir, driver_local_max_postings=0)
+    # driver_local_max_vocab=0 likewise pins fuzzy EXPANSION to the
+    # one-JVM-job vocabulary scan (r1-r3 shape); section 2f measures
+    # the driver-local expansion.
+    reader = IndexReader(spark, idx_dir, driver_local_max_postings=0,
+                         driver_local_max_vocab=0)
     # one untimed warmup query paying the postings/doc_stats file-listing
     # and first-scan codegen (the warmup term must EXIST in the vocab:
     # search() short-circuits unknown terms to zero Spark jobs.
@@ -152,7 +156,8 @@ def run_once(spark, sf_dir: str, cores: int, warm: bool) -> dict:
     build_index(tx, pos_dir, n_buckets=max(cores, 16),
                 n_partitions=max(cores * 2, 16), with_positions=True)
     queries_sec["index_build_positional"] = round(time.monotonic() - t0, 3)
-    pos_reader = IndexReader(spark, pos_dir, driver_local_max_postings=0)
+    pos_reader = IndexReader(spark, pos_dir, driver_local_max_postings=0,
+                             driver_local_max_vocab=0)
     phrase_queries = ["neural networks", "machine learning models",
                       "attention mechanism"]
     # untimed warmup on the positional reader (first positional-postings
@@ -182,6 +187,11 @@ def run_once(spark, sf_dir: str, cores: int, warm: bool) -> dict:
     t0 = time.monotonic()
     search_many(local_reader, list(REFERENCE_QUERIES), k=10).collect()
     queries_sec["bm25_batch_all_local"] = round(time.monotonic() - t0, 4)
+    for i, q in enumerate(fuzzy_queries):
+        t0 = time.monotonic()
+        search(local_reader, q, k=10, with_text=False,
+               fuzzy=True).collect()
+        queries_sec[f"fuzzyl_q{i+1:02d}"] = round(time.monotonic() - t0, 4)
     pos_local = IndexReader(spark, pos_dir)
     phrase_search(pos_local, "architecture design", k=1).collect()
     for i, q in enumerate(phrase_queries):
@@ -282,6 +292,7 @@ def main() -> None:
         "n_driver_local_of": [runs[0]["n_driver_local"],
                               len(REFERENCE_QUERIES)],
         "phrase_local_mean_latency_sec": _agg(q_min, "phrasel_q"),
+        "fuzzy_local_mean_latency_sec": _agg(q_min, "fuzzyl_q"),
         "fuzzy_mean_latency_sec": _agg(q_min, "fuzzy_q"),
         "phrase_mean_latency_sec": _agg(q_min, "phrase_q"),
         "index_build_positional_sec": q_min["index_build_positional"],

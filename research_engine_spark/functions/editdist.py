@@ -65,3 +65,49 @@ def damerau_levenshtein(a: str, b: str, cap: int | None = None) -> int:
             )
         last_row[a[i - 1]] = i
     return d[la + 1][lb + 1]
+
+
+def levenshtein_many(terms: list[str], b: str):
+    """Classic Levenshtein distance of MANY candidate strings vs one
+    query token, vectorized over the candidate axis — the driver-local
+    numpy twin of the JVM ``F.levenshtein`` prefilter in the distributed
+    fuzzy path (operators/scorer.py). Same role, same semantics: callers
+    threshold at ``2 * max_edits`` (DL <= e implies Levenshtein <= 2e)
+    and run the exact scalar :func:`damerau_levenshtein` over survivors,
+    so the two paths expand bit-identically by construction.
+
+    Returns an int64 array aligned with ``terms``. The DP iterates over
+    character positions (both tokens are short — callers length-band
+    first), with every step an O(n_candidates) numpy op.
+    """
+    import numpy as np
+
+    n = len(terms)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    lens = np.fromiter((len(t) for t in terms), dtype=np.int64, count=n)
+    L = max(1, int(lens.max()))
+    # fixed-width UTF-32 view: rows are codepoints, zero-padded. The pad
+    # never matches a real query char, and a row's distance is captured
+    # at column j == len(row) before padding can contribute.
+    M = np.asarray(terms, dtype=f"U{L}").view(np.uint32).reshape(n, L)
+    bcode = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
+    lb = bcode.size
+    out = np.empty(n, dtype=np.int64)
+    out[lens == 0] = lb
+    dp = np.broadcast_to(np.arange(lb + 1, dtype=np.int64),
+                         (n, lb + 1)).copy()
+    for j in range(1, L + 1):
+        new = np.empty_like(dp)
+        new[:, 0] = j
+        cj = M[:, j - 1]
+        for k in range(1, lb + 1):
+            sub = dp[:, k - 1] + (cj != bcode[k - 1])
+            np.minimum(sub, dp[:, k] + 1, out=sub)
+            np.minimum(sub, new[:, k - 1] + 1, out=sub)
+            new[:, k] = sub
+        dp = new
+        done = lens == j
+        if done.any():
+            out[done] = dp[done, lb]
+    return out

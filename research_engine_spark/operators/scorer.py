@@ -74,6 +74,15 @@ DRIVER_TOPK_MAX_POSTINGS = 262_144
 # tombstone sets larger than this stay on the executors (the Spark path
 # anti-joins them); below it the distinct ids are a driver-side mask
 DRIVER_LOCAL_MAX_DELETES = 2_000_000
+# term-dictionary row budget for the driver-local FUZZY expansion (the
+# Lucene terms-dict-in-RAM analog): at or below this many term_stats
+# parquet rows (footer count, incl. per-segment duplicates — a safe
+# upper bound) the whole dictionary loads once per reader and fuzzy
+# expansion runs driver-side (numpy length-band + levenshtein_many
+# prefilter, same scalar Damerau DP as the distributed path — see
+# _fuzzy_term_meta_many). ~2M rows ≈ tens of MB of driver memory;
+# beyond it expansion stays a one-JVM-job vocabulary scan.
+DRIVER_LOCAL_MAX_VOCAB = 2_000_000
 
 
 @dataclass
@@ -92,6 +101,9 @@ class IndexReader:
     # Σ df budget for the zero-Spark-job driver-local top-k (see
     # DRIVER_TOPK_MAX_POSTINGS); 0 disables (every query distributed)
     driver_local_max_postings: int = DRIVER_TOPK_MAX_POSTINGS
+    # term-dictionary row budget for driver-local fuzzy expansion (see
+    # DRIVER_LOCAL_MAX_VOCAB); 0 disables (expansion always distributed)
+    driver_local_max_vocab: int = DRIVER_LOCAL_MAX_VOCAB
 
     def __post_init__(self) -> None:
         with open(os.path.join(self.index_dir, "corpus_stats.json")) as f:
@@ -108,6 +120,12 @@ class IndexReader:
         # queries (and every query of a search_many batch) skip the
         # pyarrow bucket read entirely. Cleared by refresh().
         self._term_cache: dict[str, tuple | None] = {}
+        # full-dictionary cache for driver-local fuzzy expansion:
+        # False = not yet attempted, None = over budget, else the
+        # aggregated (term, df, max_tf, min_dl) pandas frame + a cached
+        # int64 array of term lengths. Cleared by refresh().
+        self._vocab_pd: pd.DataFrame | None | bool = False
+        self._vocab_tlen = None
         # per-term block metadata cache for the prune gate (driver-side
         # (salt, block_id, max_tf, min_dl) frames; bounded by the same
         # BLOCK_META_BUDGET that gates reading them at all)
@@ -278,6 +296,34 @@ class IndexReader:
                 if self._term_cache[t] is not None]
         return pd.DataFrame(rows, columns=["term", "df", "max_tf", "min_dl"])
 
+    def vocab_arrow(self) -> pd.DataFrame | None:
+        """The FULL term dictionary as pandas (term, df, max_tf, min_dl,
+        segment-aggregated) for driver-local fuzzy expansion — the
+        Lucene terms-dict-in-RAM analog. Returns None when the
+        dictionary's parquet footer row-count exceeds
+        driver_local_max_vocab (count includes per-segment duplicates, a
+        safe upper bound — fuzzy expansion then stays a one-JVM-job
+        vocabulary scan). Loaded once per reader; refresh() invalidates.
+        """
+        if self._vocab_pd is not False:
+            return self._vocab_pd
+        import pyarrow.dataset as pads
+
+        ds = pads.dataset(os.path.join(self.index_dir, "term_stats"),
+                          format="parquet")
+        if (self.driver_local_max_vocab <= 0
+                or ds.count_rows() > self.driver_local_max_vocab):
+            self._vocab_pd = None
+            return None
+        pdf = ds.to_table(
+            columns=["term", "df", "max_tf", "min_dl"]).to_pandas()
+        pdf = (pdf.groupby("term", as_index=False)
+               .agg(df=("df", "sum"), max_tf=("max_tf", "max"),
+                    min_dl=("min_dl", "min")))
+        self._vocab_pd = pdf
+        self._vocab_tlen = pdf["term"].str.len().to_numpy(np.int64)
+        return pdf
+
 
 def _term_meta(reader: IndexReader, qterms: list[tuple[str, int]],
                k1: float, b: float) -> pd.DataFrame:
@@ -348,7 +394,35 @@ def _fuzzy_term_meta_many(reader: IndexReader,
                 m = m.assign(qid=qid, qtf=m["qtf"].astype(np.float64))
                 frames.append(m[["qid", "term", "qtf", "df", "max_tf",
                                  "min_dl", "idf", "gub"]])
-    if fuzzy_rows:
+    cpd = pd.DataFrame()
+    vocab = reader.vocab_arrow() if fuzzy_rows else None
+    if fuzzy_rows and vocab is not None:
+        # driver-local expansion (zero Spark jobs): same two stages as
+        # the distributed path below — numpy length-band + classic
+        # levenshtein <= 2e prefilter (levenshtein_many, the F.levenshtein
+        # twin), then the shared exact Damerau DP over survivors — so the
+        # expansions are bit-identical by construction (test-guarded).
+        from ..functions.editdist import levenshtein_many
+
+        fr = pd.DataFrame(fuzzy_rows, columns=[
+            "qid", "qterm", "raw_qtf", "maxed", "qlen"])
+        tlen_np = reader._vocab_tlen  # cached with the vocab frame
+        parts = []
+        for (qterm, maxed, qlen), grp in fr.groupby(
+                ["qterm", "maxed", "qlen"], sort=False):
+            band = ((tlen_np >= qlen - maxed)
+                    & (tlen_np <= qlen + maxed))
+            sub = vocab.loc[band]
+            if sub.empty:
+                continue
+            lev = levenshtein_many(sub["term"].tolist(), qterm)
+            sub = sub.loc[lev <= 2 * maxed]
+            if sub.empty:
+                continue
+            parts.append(grp.merge(sub, how="cross"))
+        if parts:
+            cpd = pd.concat(parts, ignore_index=True)
+    elif fuzzy_rows:
         qdf = spark.createDataFrame(
             fuzzy_rows,
             "qid string, qterm string, raw_qtf int, maxed int, qlen int")
@@ -378,41 +452,41 @@ def _fuzzy_term_meta_many(reader: IndexReader,
                  F.min("min_dl").alias("min_dl"))
         )
         cpd = cand.toPandas()
-        if not cpd.empty:
-            from ..functions.editdist import damerau_levenshtein
+    if not cpd.empty:
+        from ..functions.editdist import damerau_levenshtein
 
-            # one DP per DISTINCT (term, qterm) pair (queries of a batch
-            # often share typo terms)
-            pairs = cpd[["term", "qterm"]].drop_duplicates()
-            ed_map = {(t, q): damerau_levenshtein(t, q)
-                      for t, q in zip(pairs["term"], pairs["qterm"])}
-            cpd = cpd.assign(ed=[
-                ed_map[(t, q)]
-                for t, q in zip(cpd["term"], cpd["qterm"])])
-            cpd = cpd[cpd["ed"] <= cpd["maxed"]]
-        if not cpd.empty:
-            tlens = cpd["term"].str.len().to_numpy(np.int64)
-            cpd = cpd.assign(
-                boost=1.0 - cpd["ed"].to_numpy(np.float64)
-                / np.minimum(cpd["qlen"].to_numpy(np.int64), tlens))
-            # Lucene max_expansions cap, ranked (boost desc, df desc,
-            # term asc) per (qid, query term)
-            cpd = (cpd.sort_values(
-                       ["qid", "qterm", "boost", "df", "term"],
-                       ascending=[True, True, False, False, True])
-                   .groupby(["qid", "qterm"], sort=False)
-                   .head(int(max_expansions))
-                   .reset_index(drop=True))
-            cpd["qtf"] = (cpd["raw_qtf"].astype(np.float64)
-                          * cpd["boost"].astype(np.float64))
-            cpd["idf"] = bm25_idf(n_docs, cpd["df"].to_numpy())
-            cpd["gub"] = (
-                cpd["qtf"].to_numpy() * cpd["idf"].to_numpy()
-                * bm25_tf_part(cpd["max_tf"].to_numpy(),
-                               cpd["min_dl"].to_numpy(), avgdl, k1, b)
-            )
-            frames.append(cpd[["qid", "term", "qtf", "df", "max_tf",
-                               "min_dl", "idf", "gub"]])
+        # one DP per DISTINCT (term, qterm) pair (queries of a batch
+        # often share typo terms)
+        pairs = cpd[["term", "qterm"]].drop_duplicates()
+        ed_map = {(t, q): damerau_levenshtein(t, q)
+                  for t, q in zip(pairs["term"], pairs["qterm"])}
+        cpd = cpd.assign(ed=[
+            ed_map[(t, q)]
+            for t, q in zip(cpd["term"], cpd["qterm"])])
+        cpd = cpd[cpd["ed"] <= cpd["maxed"]]
+    if not cpd.empty:
+        tlens = cpd["term"].str.len().to_numpy(np.int64)
+        cpd = cpd.assign(
+            boost=1.0 - cpd["ed"].to_numpy(np.float64)
+            / np.minimum(cpd["qlen"].to_numpy(np.int64), tlens))
+        # Lucene max_expansions cap, ranked (boost desc, df desc,
+        # term asc) per (qid, query term)
+        cpd = (cpd.sort_values(
+                   ["qid", "qterm", "boost", "df", "term"],
+                   ascending=[True, True, False, False, True])
+               .groupby(["qid", "qterm"], sort=False)
+               .head(int(max_expansions))
+               .reset_index(drop=True))
+        cpd["qtf"] = (cpd["raw_qtf"].astype(np.float64)
+                      * cpd["boost"].astype(np.float64))
+        cpd["idf"] = bm25_idf(n_docs, cpd["df"].to_numpy())
+        cpd["gub"] = (
+            cpd["qtf"].to_numpy() * cpd["idf"].to_numpy()
+            * bm25_tf_part(cpd["max_tf"].to_numpy(),
+                           cpd["min_dl"].to_numpy(), avgdl, k1, b)
+        )
+        frames.append(cpd[["qid", "term", "qtf", "df", "max_tf",
+                           "min_dl", "idf", "gub"]])
     if not frames:
         return pd.DataFrame(columns=["qid", "term", "qtf", "df", "max_tf",
                                      "min_dl", "idf", "gub"])

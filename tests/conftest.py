@@ -56,7 +56,11 @@ def reader(spark, index_dir):
     # fold machinery would lose its entire test surface). The shortcut
     # itself is covered by tests/test_driver_local.py, which compares it
     # bit-for-bit against this reader.
-    return IndexReader(spark, index_dir, driver_local_max_postings=0)
+    # driver_local_max_vocab=0 likewise pins the fuzzy EXPANSION to the
+    # one-JVM-job vocabulary scan (test_driver_local.py covers the
+    # driver-local expansion twin bit-for-bit).
+    return IndexReader(spark, index_dir, driver_local_max_postings=0,
+                       driver_local_max_vocab=0)
 
 
 @pytest.fixture(scope="session")

@@ -236,3 +236,74 @@ def test_phrase_driver_local_tombstones(spark, tmp_path):
         "neural networks", k=5))
     assert list(after["doc_id"]) == list(dist["doc_id"])
     assert np.allclose(after["score"], dist["score"], rtol=0, atol=0)
+
+
+def test_levenshtein_many_matches_scalar():
+    """levenshtein_many (the F.levenshtein numpy twin) vs a scalar
+    reference DP on random short tokens, incl. empty strings."""
+    import random
+
+    from research_engine_spark.functions.editdist import levenshtein_many
+
+    def lev(a, b):
+        d = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            nd = [i]
+            for j, cb in enumerate(b, 1):
+                nd.append(min(d[j] + 1, nd[-1] + 1, d[j - 1] + (ca != cb)))
+            d = nd
+        return d[-1]
+
+    rnd = random.Random(5)
+    cands = ["".join(rnd.choices("abcdef", k=rnd.randint(0, 9)))
+             for _ in range(300)]
+    for q in ["", "a", "abc", "fedcba", "abcdefab", "ünïcode"]:
+        got = levenshtein_many(cands, q)
+        assert list(got) == [lev(t, q) for t in cands], q
+
+
+FUZZY_QUERIES = ["neurel netwerk traning", "transformr atention",
+                 "hte machin lerning"]
+
+
+@pytest.mark.parametrize("query", FUZZY_QUERIES)
+def test_fuzzy_driver_local_identity(local_reader, spark, query):
+    from research_engine_spark.operators.scorer import IndexReader, search
+
+    dist = IndexReader(spark, local_reader.index_dir,
+                       driver_local_max_postings=0,
+                       driver_local_max_vocab=0)
+    loc = _pdf(search(local_reader, query, k=10, with_text=False,
+                      fuzzy=True))
+    d = _pdf(search(dist, query, k=10, with_text=False, fuzzy=True))
+    assert list(loc["doc_id"]) == list(d["doc_id"]), query
+    assert np.allclose(loc["score"], d["score"], rtol=0, atol=0), query
+
+
+def test_fuzzy_batch_driver_local_identity(local_reader, spark):
+    from research_engine_spark.operators.scorer import (IndexReader,
+                                                        search_many)
+
+    dist = IndexReader(spark, local_reader.index_dir,
+                       driver_local_max_postings=0,
+                       driver_local_max_vocab=0)
+    loc = _pdf(search_many(local_reader, FUZZY_QUERIES, k=5, fuzzy=True))
+    d = _pdf(search_many(dist, FUZZY_QUERIES, k=5, fuzzy=True))
+    assert loc.to_dict("records") == d.to_dict("records")
+
+
+def test_fuzzy_driver_local_zero_jobs(local_reader, spark):
+    from research_engine_spark.operators.scorer import search
+
+    search(local_reader, FUZZY_QUERIES[0], k=5, with_text=False,
+           fuzzy=True).collect()  # warm dictionary + vocab
+    sc = spark.sparkContext
+    sc.setJobGroup("fuzzy_local_probe", "probe")
+    try:
+        rows = search(local_reader, FUZZY_QUERIES[0], k=5,
+                      with_text=False, fuzzy=True).collect()
+        assert rows
+        jobs = sc.statusTracker().getJobIdsForGroup("fuzzy_local_probe")
+        assert list(jobs) == [], f"fuzzy driver-local launched jobs: {jobs}"
+    finally:
+        sc.setJobGroup(None, None)
