@@ -307,3 +307,19 @@ def test_fuzzy_driver_local_zero_jobs(local_reader, spark):
         assert list(jobs) == [], f"fuzzy driver-local launched jobs: {jobs}"
     finally:
         sc.setJobGroup(None, None)
+
+
+def test_vocab_arrow_budget_gate(local_reader, spark):
+    from research_engine_spark.operators.scorer import IndexReader
+
+    v = local_reader.vocab_arrow()
+    assert v is not None and {"term", "df", "max_tf", "min_dl"} <= set(
+        v.columns)
+    assert v["term"].is_unique  # segment-aggregated
+    assert local_reader.vocab_arrow() is v  # cached per reader
+    gated = IndexReader(spark, local_reader.index_dir,
+                        driver_local_max_vocab=0)
+    assert gated.vocab_arrow() is None
+    tiny = IndexReader(spark, local_reader.index_dir,
+                       driver_local_max_vocab=1)
+    assert tiny.vocab_arrow() is None  # over budget -> distributed
