@@ -59,6 +59,56 @@ class MultiFieldReader:
         self.spark = spark
 
 
+def _search_multifield_driver_local(mf: MultiFieldReader, query: str,
+                                    tie_breaker: float,
+                                    k1: float | None, b: float | None):
+    """Zero-Spark-job best_fields twin: every field's FULL match set is
+    at most Σ df rows, so when EVERY field fits its reader's
+    driver_local_max_postings budget the per-field sets come from
+    _driver_local_topk_pd(k=None) and the max + tie_breaker*rest
+    combination runs in pandas. Returns the combined (doc_id, score)
+    pandas frame, or None when any field is over budget / tombstones too
+    large (caller falls back to the distributed union+agg)."""
+    import numpy as np
+    import pandas as pd
+
+    from .scorer import _driver_local_topk_pd, _term_meta
+    from ..functions.analyzer import analyze_query
+
+    frames = []
+    for field, reader in mf.readers.items():
+        k1f = reader.stats["k1"] if k1 is None else k1
+        bf = reader.stats["b"] if b is None else b
+        qterms = analyze_query(
+            query, mode=reader.stats.get("analyzer", "english_folded"))
+        if not qterms:
+            continue
+        meta = _term_meta(reader, qterms, k1f, bf)
+        if meta.empty:
+            continue  # no query term in this field's vocab: contributes 0
+        if int(meta["df"].sum()) > reader.driver_local_max_postings:
+            return None
+        full = _driver_local_topk_pd(
+            reader, meta.assign(qid="q",
+                                qtf=meta["qtf"].astype(np.float64)),
+            k=None, k1=k1f, b=bf)
+        if full is None:
+            return None
+        frames.append(pd.DataFrame({
+            "doc_id": full["doc_id"].to_numpy(np.int64),
+            "fscore": full["score"].to_numpy(np.float64)
+            * float(mf.boosts[field])}))
+    if not frames:
+        return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                             "score": pd.Series(dtype=np.float64)})
+    allf = pd.concat(frames, ignore_index=True)
+    g = allf.groupby("doc_id", sort=True)["fscore"]
+    mx, sm = g.max(), g.sum()
+    score = mx + float(tie_breaker) * (sm - mx)
+    return pd.DataFrame({"doc_id": score.index.to_numpy(np.int64),
+                         "score": score.to_numpy(np.float64)})
+
+
 def search_multifield(
     mf: MultiFieldReader,
     query: str,
@@ -73,8 +123,17 @@ def search_multifield(
     doc can be k+1-th in every field yet top-k combined only when
     tie_breaker > 0), so each field contributes its FULL scored set for
     the query terms (still only matching postings) and the combination is
-    a union + max/sum aggregate + distributed top-k.
+    a union + max/sum aggregate + distributed top-k. When every field
+    fits the driver-local posting budget the whole query instead runs
+    zero-Spark-job (see _search_multifield_driver_local; same float64
+    ops — sum order can differ by ulps under tie_breaker > 0, which the
+    4-decimal driver rounding and tests absorb).
     """
+    local = _search_multifield_driver_local(mf, query, tie_breaker, k1, b)
+    if local is not None:
+        from .scorer import _topk_pd_to_df
+
+        return _topk_pd_to_df(mf.spark, local, k)
     parts = []
     for field, reader in mf.readers.items():
         boost = float(mf.boosts[field])

@@ -323,3 +323,40 @@ def test_vocab_arrow_budget_gate(local_reader, spark):
     tiny = IndexReader(spark, local_reader.index_dir,
                        driver_local_max_vocab=1)
     assert tiny.vocab_arrow() is None  # over budget -> distributed
+
+
+def test_multifield_driver_local(spark, tmp_path):
+    """best_fields zero-job twin: bit-identical doc order to the
+    distributed union+agg (scores to 1e-12 under tie_breaker sums), and
+    really no Spark job."""
+    from pyspark.sql import functions as F
+
+    from research_engine_spark.corpus import synth_transcripts
+    from research_engine_spark.operators.multifield import (
+        MultiFieldReader, build_multifield_index, search_multifield)
+
+    tx = synth_transcripts(spark, n_convs=50, seed=9).withColumn(
+        "title", F.substring("text", 1, 20))
+    d = str(tmp_path / "mf")
+    build_multifield_index(tx, d, {"text": 1.0, "title": 3.0}, n_buckets=4)
+    mf = MultiFieldReader(spark, d)
+    mfd = MultiFieldReader(spark, d)
+    for r in mfd.readers.values():
+        r.driver_local_max_postings = 0
+    for tie in (0.0, 0.3):
+        a = _pdf(search_multifield(mf, "neural networks", k=10,
+                                   tie_breaker=tie))
+        b = _pdf(search_multifield(mfd, "neural networks", k=10,
+                                   tie_breaker=tie))
+        assert list(a["doc_id"]) == list(b["doc_id"]), tie
+        assert np.allclose(a["score"], b["score"], rtol=1e-12, atol=0), tie
+    sc = spark.sparkContext
+    search_multifield(mf, "neural networks", k=5).collect()  # warm
+    sc.setJobGroup("mf_local_probe", "probe")
+    try:
+        rows = search_multifield(mf, "neural networks", k=5).collect()
+        assert rows
+        jobs = sc.statusTracker().getJobIdsForGroup("mf_local_probe")
+        assert list(jobs) == [], f"multifield local launched jobs: {jobs}"
+    finally:
+        sc.setJobGroup(None, None)

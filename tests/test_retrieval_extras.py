@@ -76,7 +76,8 @@ def test_rechunk_geometry(spark):
     assert c1.iloc[0]["chunk_text"].split()[0] == "w0"
 
 
-def test_multifield_best_fields(spark, transcripts_df, transcripts_pd):
+@pytest.mark.parametrize("path", ["driver_local", "distributed"])
+def test_multifield_best_fields(spark, transcripts_df, transcripts_pd, path):
     from research_engine_spark.operators.multifield import (
         MultiFieldReader, build_multifield_index, search_multifield)
     from research_engine_spark.oracle import BM25Oracle
@@ -86,6 +87,11 @@ def test_multifield_best_fields(spark, transcripts_df, transcripts_pd):
         boosts = {"text": 3.0, "role": 1.0}
         build_multifield_index(transcripts_df, d, boosts, n_buckets=4)
         mf = MultiFieldReader(spark, d)
+        if path == "distributed":
+            # pin budget 0 so the union+agg machinery keeps oracle
+            # coverage (default readers take the zero-job pandas twin)
+            for r in mf.readers.values():
+                r.driver_local_max_postings = 0
         # oracle: independent per-field BM25, max-combination
         oracles = {}
         for field in boosts:
