@@ -63,10 +63,21 @@ class ResearchEngine:
         """Force-merge appended segments (ES _forcemerge analog); query
         results are bit-identical before/after, fewer blocks decode.
         Pending deletes are physically purged (postings dropped, stats
-        recomputed exactly) in the same crash-safe swap."""
+        recomputed exactly) in the same atomic generation commit. The
+        previous generation's files survive for concurrent readers until
+        gc() (keep_generations=2 default; see operators/generations.py)."""
         res = compact_index(self.spark, self.index_dir, **kwargs)
         self._reader = None
         return res
+
+    def gc(self, keep: int = 1) -> list[str]:
+        """Reclaim physical dirs of generations outside the retention
+        window (Iceberg expireSnapshots analog). keep=1 keeps only the
+        current generation — call once no reader pinned to an older
+        generation is live."""
+        from .operators.generations import gc_generations
+
+        return gc_generations(self.index_dir, keep=keep)
 
     # --- document lifecycle (beyond the reference: it can only rebuild,
     # vector_store.py:13) ----------------------------------------------------

@@ -40,12 +40,14 @@ range-reads the tombstone parquet for its own docID span (parquet
 row-group stats prune the scan), so the full deleted-id set is never
 materialized in any single process.
 
-Concurrency contract: the index is single-writer. compact_index's staged
-swap is crash-safe (idempotent roll-forward) but not atomic across
-tables for CONCURRENT readers — a reader constructed mid-swap could pair
-purged postings with pre-purge corpus_stats (slightly skewed surviving
-scores, never resurrected docs: tombstones are removed last). Construct
-readers before or after a compaction, not during (ADVICE r3).
+Concurrency contract: the index is single-writer, but readers are safe
+at ANY instant — a purging compaction stages the whole new table set
+(including the emptied tombstone mapping) as a new GENERATION and
+publishes it with one atomic pointer replace (operators/generations.py).
+An IndexReader pins the pointer snapshot it loaded at construction, so
+it sees either entirely the pre-purge generation (old postings + old
+stats + old tombstones: delete-correct, bit-identical scores) or
+entirely the post-purge one. The r3 mid-swap stats-skew window is gone.
 """
 
 from __future__ import annotations
@@ -62,7 +64,13 @@ TOMBSTONE_DIR = "tombstones"
 
 
 def _tomb_path(index_dir: str) -> str:
-    return os.path.join(index_dir, TOMBSTONE_DIR)
+    """CURRENT generation's tombstone dir (generation-pointer resolved;
+    flat ``<index_dir>/tombstones`` on an uncompacted index). Readers
+    that need snapshot consistency pass their own pinned path instead
+    (IndexReader._path)."""
+    from .generations import resolve
+
+    return resolve(index_dir, TOMBSTONE_DIR)
 
 
 def delete_ids(index_dir: str, doc_ids: Iterable[int]) -> int:
@@ -121,24 +129,28 @@ def delete_by_query(reader, where: Column | str) -> int:
     return int(written)
 
 
-def tombstones_df(spark: SparkSession, index_dir: str) -> DataFrame | None:
+def tombstones_df(spark: SparkSession, index_dir: str,
+                  path: str | None = None) -> DataFrame | None:
     """Distinct tombstoned docIDs as a DataFrame, or None if there are
     none. (Distinct: the same id may be deleted twice, and upserts of
-    the same turn tombstone repeatedly.)"""
-    d = _tomb_path(index_dir)
+    the same turn tombstone repeatedly.) ``path`` pins the physical dir
+    (a reader's generation snapshot); default resolves the current
+    generation."""
+    d = path if path is not None else _tomb_path(index_dir)
     if not os.path.isdir(d) or not any(
             f.endswith(".parquet") for f in os.listdir(d)):
         return None
     return spark.read.parquet(d).select("doc_id").distinct()
 
 
-def n_tombstone_rows(index_dir: str) -> int:
+def n_tombstone_rows(index_dir: str, path: str | None = None) -> int:
     """Row count over the tombstone files from parquet footers only
     (duplicates across files included — an upper bound used to decide
-    whether deletes exist and whether the set is broadcast-sized)."""
+    whether deletes exist and whether the set is broadcast-sized).
+    ``path`` pins the physical dir to a reader's generation snapshot."""
     import pyarrow.dataset as pads
 
-    d = _tomb_path(index_dir)
+    d = path if path is not None else _tomb_path(index_dir)
     if not os.path.isdir(d):
         return 0
     try:
@@ -147,13 +159,13 @@ def n_tombstone_rows(index_dir: str) -> int:
         return 0
 
 
-def deleted_ids_sorted(index_dir: str) -> np.ndarray:
+def deleted_ids_sorted(index_dir: str, path: str | None = None) -> np.ndarray:
     """The distinct deleted-id set as a sorted int64 numpy array
     (driver-side pyarrow read; see the module docstring's scale note).
     Used by compaction's in-merge mask."""
     import pyarrow.dataset as pads
 
-    d = _tomb_path(index_dir)
+    d = path if path is not None else _tomb_path(index_dir)
     if not os.path.isdir(d):
         return np.empty(0, dtype=np.int64)
     ds = pads.dataset(d, format="parquet")

@@ -1,0 +1,217 @@
+"""Generation-manifest indirection for the index table set.
+
+The Lucene ``segments_N`` / Iceberg metadata-pointer analog: one small
+``GENERATION`` JSON file maps each LOGICAL table name (postings,
+term_stats, docs, ...) to its current PHYSICAL directory
+(``postings@3``, ...). Rewriting operations (compaction, purge) stage a
+complete new generation side-by-side and commit it with a single atomic
+``os.replace`` of the pointer — the ONLY mutation any reader can
+observe. Consequences:
+
+- **Cross-table atomicity for concurrent readers** (ADVICE r3): an
+  ``IndexReader`` snapshots the pointer once at construction and
+  resolves every table — including ``corpus_stats.json`` and the
+  tombstone set — through that snapshot, so a reader constructed at any
+  instant sees one consistent generation. The r3 contract ("a reader
+  constructed mid-swap can pair purged postings with pre-purge corpus
+  stats") is now impossible by construction, not by convention.
+- **Crash safety without roll-forward**: a crash before the pointer
+  replace leaves unreferenced ``name@g`` directories (garbage, swept by
+  the next compaction or ``gc_generations``); a crash after it leaves a
+  fully committed index plus sweepable old dirs. There is no window in
+  which the index is partially swapped, so the previous
+  marker + idempotent-rename machinery is gone entirely.
+- **Pinned-snapshot reads**: with ``compact_index(keep_generations=2)``
+  (the default) the previous generation's files survive the commit, so
+  readers opened before a compaction keep working — and keep returning
+  their exact pre-compaction results — until ``gc_generations`` (or the
+  next compaction) reclaims the space. ``keep_generations=1`` reclaims
+  immediately (single-reader deployments).
+
+Layout compatibility: an index with no ``GENERATION`` file resolves
+every logical name to the flat directory (``<index_dir>/postings``) —
+the layout ``build_index`` writes. Fresh builds stay flat ("generation
+0"); the first compaction introduces the pointer. Append-type writers
+(``append_segment``, streaming, deletes) mutate the CURRENT generation
+in place, which is safe because their writes are purely additive (new
+part-files / new tombstone files never invalidate files a concurrent
+reader already listed).
+
+At 10^12 turns the pointer is still one tiny JSON: commit cost is O(1)
+regardless of corpus size, and old-generation retention is bounded by
+``keep_generations`` (the Iceberg snapshot-expiry analog).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+
+POINTER = "GENERATION"
+
+# every logical name a generation pointer may remap. corpus_stats.json is
+# a file, the rest are directories; "tombstones" may legitimately not
+# exist (no deletes pending in that generation).
+LOGICAL_TABLES = (
+    "postings",
+    "term_stats",
+    "lineage",
+    "docs",
+    "doc_stats",
+    "corpus_stats.json",
+    "tombstones",
+)
+
+_PHYS_RE = re.compile(
+    r"^(" + "|".join(re.escape(t) for t in LOGICAL_TABLES) + r")@(\d+)$")
+
+
+def _pointer_path(index_dir: str, gen: int | None = None) -> str:
+    name = POINTER if gen is None else f"{POINTER}@{gen}"
+    return os.path.join(index_dir, name)
+
+
+def read_generation(index_dir: str, gen: int | None = None) -> dict | None:
+    """The pointer dict ``{"gen": int, "tables": {logical: physical}}``,
+    or None for a flat (generation-0) index. ``gen`` selects a retained
+    historical pointer (``GENERATION@g``)."""
+    p = _pointer_path(index_dir, gen)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def current_gen(index_dir: str) -> int:
+    g = read_generation(index_dir)
+    return int(g["gen"]) if g else 0
+
+
+def flat_mapping() -> dict[str, str]:
+    return {t: t for t in LOGICAL_TABLES}
+
+
+def table_mapping(index_dir: str) -> dict[str, str]:
+    """Logical -> physical relative names for the CURRENT generation
+    (flat names when no pointer exists). One pointer read; callers that
+    need snapshot consistency across several tables must call this once
+    and reuse the dict."""
+    g = read_generation(index_dir)
+    m = flat_mapping()
+    if g:
+        m.update(g.get("tables", {}))
+    return m
+
+
+def resolve(index_dir: str, name: str,
+            mapping: dict[str, str] | None = None) -> str:
+    """Physical path of logical table ``name``. Pass a ``mapping`` from
+    :func:`table_mapping` to pin several resolutions to one snapshot."""
+    if mapping is None:
+        mapping = table_mapping(index_dir)
+    return os.path.join(index_dir, mapping.get(name, name))
+
+
+def physical_name(name: str, gen: int) -> str:
+    return f"{name}@{gen}"
+
+
+def commit_generation(index_dir: str, gen: int,
+                      tables: dict[str, str]) -> None:
+    """Atomically publish generation ``gen``. Writes the immutable
+    history copy first (needed by gc to know what older generations
+    reference), then ``os.replace``s the live pointer — the single
+    commit point."""
+    doc = {"gen": int(gen), "tables": dict(tables)}
+    hist = _pointer_path(index_dir, gen)
+    tmp = hist + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(doc, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, hist)
+    tmp2 = _pointer_path(index_dir) + ".tmp"
+    with open(tmp2, "w") as f:
+        json.dump(doc, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp2, _pointer_path(index_dir))
+
+
+def _remove(path: str) -> None:
+    if os.path.isdir(path):
+        shutil.rmtree(path, ignore_errors=True)
+    elif os.path.exists(path):
+        os.remove(path)
+
+
+def discard_uncommitted(index_dir: str) -> list[str]:
+    """Sweep stage leftovers from a compaction that crashed BEFORE its
+    pointer commit: any ``name@g`` with g beyond the current generation,
+    plus legacy ``*_compacting`` / ``*_precompact`` dirs. Never touches
+    committed generations."""
+    cur = current_gen(index_dir)
+    removed = []
+    for entry in os.listdir(index_dir):
+        m = _PHYS_RE.match(entry)
+        if m and int(m.group(2)) > cur:
+            _remove(os.path.join(index_dir, entry))
+            removed.append(entry)
+        elif entry.endswith(("_compacting", "_precompact")):
+            _remove(os.path.join(index_dir, entry))
+            removed.append(entry)
+    return removed
+
+
+def gc_generations(index_dir: str, keep: int = 1) -> list[str]:
+    """Reclaim physical dirs no generation in the retention window
+    references (Iceberg ``expireSnapshots`` analog). ``keep=1`` keeps
+    only the current generation; ``keep=2`` additionally keeps whatever
+    the previous generation referenced, so readers opened before the
+    last commit stay valid. Returns the removed entries."""
+    if keep < 1:
+        raise ValueError("keep must be >= 1")
+    cur = current_gen(index_dir)
+    kept_gens = [g for g in range(cur - keep + 1, cur + 1) if g >= 0]
+    live: set[str] = set()
+    for g in kept_gens:
+        if g == 0:
+            live.update(flat_mapping().values())
+            continue
+        ptr = read_generation(index_dir, g)
+        m = flat_mapping()
+        if ptr:
+            m.update(ptr.get("tables", {}))
+        live.update(m.values())
+    removed = []
+    for entry in os.listdir(index_dir):
+        m2 = _PHYS_RE.match(entry)
+        is_phys = m2 is not None or entry in LOGICAL_TABLES
+        if is_phys and entry not in live:
+            _remove(os.path.join(index_dir, entry))
+            removed.append(entry)
+            continue
+        # stale history pointers outside the retention window
+        if entry.startswith(POINTER + "@"):
+            try:
+                g = int(entry.split("@", 1)[1])
+            except ValueError:
+                continue
+            if g not in kept_gens:
+                _remove(os.path.join(index_dir, entry))
+                removed.append(entry)
+    return removed
+
+
+def reset_generations(index_dir: str) -> None:
+    """Drop every pointer and versioned dir (fresh ``build_index`` over
+    a previously compacted directory starts back at flat gen 0)."""
+    if not os.path.isdir(index_dir):
+        return
+    for entry in os.listdir(index_dir):
+        if entry == POINTER or entry.startswith(POINTER + "@"):
+            _remove(os.path.join(index_dir, entry))
+        elif _PHYS_RE.match(entry):
+            _remove(os.path.join(index_dir, entry))

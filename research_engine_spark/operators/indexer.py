@@ -52,6 +52,10 @@ from pyspark.sql import types as T
 
 from .codec import vb_decode, vb_encode, vb_lengths
 from .docids import with_doc_ids
+from .generations import (commit_generation, current_gen,
+                          discard_uncommitted, gc_generations,
+                          physical_name, reset_generations, resolve,
+                          table_mapping)
 
 BLOCK_SIZE = 128
 
@@ -617,12 +621,16 @@ def build_index(
     if n_partitions is None:
         n_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     os.makedirs(out_dir, exist_ok=True)
+    if mode == "overwrite" and buckets_subset is None:
+        # a fresh full build over a previously compacted directory starts
+        # back at flat generation 0 (operators/generations.py)
+        reset_generations(out_dir)
     t_start = time.monotonic()
     timings: dict[str, float] = {}
 
     # --- forward docs table (no tokenize in this pass) ----------------------
     docs = with_doc_ids(transcripts)
-    docs_path = os.path.join(out_dir, "docs")
+    docs_path = resolve(out_dir, "docs")
     if mode == "overwrite" or not os.path.exists(docs_path):
         (
             docs.select("doc_id", "conv_id", "turn_idx", "role", "text", "ts")
@@ -657,15 +665,15 @@ def build_index(
     # vocab-sized term_stats read costs nothing). Written AFTER the pack:
     # nothing in the pack consumes corpus stats (blocks are param-free by
     # design), so stats derive from the already-written index tables.
-    total_tokens = _total_tokens_from_term_stats(os.path.join(
-        out_dir, "term_stats"))
+    total_tokens = _total_tokens_from_term_stats(
+        resolve(out_dir, "term_stats"))
     avgdl = total_tokens / n_docs if n_docs else 0.0
     corpus_stats = {"n_docs": n_docs, "avgdl": avgdl,
                     "total_tokens": total_tokens, "k1": k1, "b": b,
                     "n_buckets": n_buckets, "block_size": BLOCK_SIZE,
                     "positions": bool(with_positions),
                     "analyzer": analyzer}
-    with open(os.path.join(out_dir, "corpus_stats.json"), "w") as f:
+    with open(resolve(out_dir, "corpus_stats.json"), "w") as f:
         json.dump(corpus_stats, f)
 
     # --- snapshot manifest (Iceberg-snapshot analog for resume) ------------
@@ -823,7 +831,7 @@ def _pack_segment(
                     "doc_id": np.concatenate(ids_l),
                     "dl": np.concatenate(dl_l).astype(np.int32)})
 
-    ds_path = os.path.join(out_dir, "doc_stats")
+    ds_path = resolve(out_dir, "doc_stats")
     if buckets_subset is None or not os.path.exists(ds_path):
         (runs.filter(F.col("kind") == 1).select("gaps", "dls")
          .mapInPandas(_dec_stats, schema="doc_id bigint, dl int")
@@ -849,7 +857,7 @@ def _pack_segment(
         F.max("max_tf").alias("max_tf"),
         F.min("min_dl").alias("min_dl"),
     ).withColumn("snapshot_id", F.lit(snapshot_id))
-    ts_path = os.path.join(out_dir, "term_stats")
+    ts_path = resolve(out_dir, "term_stats")
     # cluster by bucket before the partitioned write: one-ish file per
     # bucket dir instead of (tasks × buckets) shards — term lookups at
     # query time read a single small file per bucket
@@ -891,7 +899,7 @@ def _pack_segment(
         schema=POSTINGS_SCHEMA,
     ).withColumn("bucket", F.pmod(F.hash("term"), F.lit(n_buckets)).cast("int"))
 
-    post_path = os.path.join(out_dir, "postings")
+    post_path = resolve(out_dir, "postings")
     # same clustering rationale as term_stats; blocks are already packed
     # binaries so this shuffle moves ~1/100th of the pair volume
     packed.repartition(n_buckets, "bucket").write.mode(mode).partitionBy(
@@ -922,7 +930,7 @@ def _pack_segment(
         )
         .withColumn("snapshot_id", F.lit(snapshot_id))
     )
-    lineage.write.mode(mode).parquet(os.path.join(out_dir, "lineage"))
+    lineage.write.mode(mode).parquet(resolve(out_dir, "lineage"))
     timings["lineage_sec"] = round(time.monotonic() - t0, 3)
     return timings
 
@@ -946,7 +954,8 @@ def append_segment(transcripts: DataFrame, out_dir: str,
     spark = transcripts.sparkSession
     if n_partitions is None:
         n_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    with open(os.path.join(out_dir, "corpus_stats.json")) as f:
+    stats_path = resolve(out_dir, "corpus_stats.json")
+    with open(stats_path) as f:
         stats = json.load(f)
     base = int(stats["n_docs"])
     # the segment is MATERIALIZED once (eager localCheckpoint: lineage
@@ -965,7 +974,7 @@ def append_segment(transcripts: DataFrame, out_dir: str,
         .select("doc_id", "conv_id", "turn_idx", "role", "text", "ts")
         .localCheckpoint(eager=True)
     )
-    seg.write.mode("append").parquet(os.path.join(out_dir, "docs"))
+    seg.write.mode("append").parquet(resolve(out_dir, "docs"))
     # one tokenize pass inside the run-merge pack; the segment's token
     # total comes from its term_stats rows (snapshot-filtered Σ cf — no
     # extra pass, mirrors build_index)
@@ -982,12 +991,12 @@ def append_segment(transcripts: DataFrame, out_dir: str,
     # checkpoint blocks are reclaimed by the ContextCleaner once seg goes
     # out of scope (streaming appends don't accumulate pinned blocks)
     seg_tokens = _total_tokens_from_term_stats(
-        os.path.join(out_dir, "term_stats"), snapshot_id=snapshot_id)
+        resolve(out_dir, "term_stats"), snapshot_id=snapshot_id)
     stats["n_docs"] = base + int(n_new)
     stats["total_tokens"] = int(stats["total_tokens"]) + seg_tokens
     stats["avgdl"] = (stats["total_tokens"] / stats["n_docs"]
                       if stats["n_docs"] else 0.0)
-    with open(os.path.join(out_dir, "corpus_stats.json"), "w") as f:
+    with open(stats_path, "w") as f:
         json.dump(stats, f)
     return stats
 
@@ -1007,7 +1016,7 @@ def resume_index(transcripts: DataFrame, out_dir: str, **kwargs) -> dict:
         n_buckets = m["n_buckets"]
     missing = [i for i in range(n_buckets) if i not in done]
     if not missing:
-        with open(os.path.join(out_dir, "corpus_stats.json")) as f:
+        with open(resolve(out_dir, "corpus_stats.json")) as f:
             return json.load(f)
     kwargs["n_buckets"] = n_buckets
     kwargs["buckets_subset"] = missing
@@ -1021,10 +1030,6 @@ def resume_index(transcripts: DataFrame, out_dir: str, **kwargs) -> dict:
 # ---------------------------------------------------------------------------
 
 _COMPACT_TABLES = ("postings", "term_stats", "lineage")
-
-
-def _compact_marker(out_dir: str) -> str:
-    return os.path.join(out_dir, "_compact_pending.json")
 
 
 def snapshot_census(post_path: str, stop_after: int | None = None) -> set | None:
@@ -1073,47 +1078,6 @@ def snapshot_census(post_path: str, stop_after: int | None = None) -> set | None
     return vals
 
 
-def _finish_compact_swap(out_dir: str) -> None:
-    """Idempotent promote of the staged ``*_compacting`` tables.
-
-    Roll-forward safe at every crash point: a table is promoted only if
-    its staged dir still exists; a leftover ``*_precompact`` dir from a
-    crash between rename and cleanup is simply removed. Re-running this
-    function (or compact_index, which calls it first) completes the swap.
-
-    A purging compaction (tombstones applied, operators/deletes.py)
-    additionally stages docs / doc_stats / corpus_stats.json; those are
-    promoted by the same promote-if-staged rule, and the tombstone dir is
-    removed LAST (after every rename) — a crash mid-swap leaves the
-    tombstones in place, so searches stay delete-correct against
-    whichever table generation they see, and the rerun finishes the swap.
-    """
-    import shutil
-
-    purging = os.path.exists(
-        os.path.join(out_dir, "corpus_stats.json_compacting"))
-    for tbl in _COMPACT_TABLES + ("docs", "doc_stats"):
-        live = os.path.join(out_dir, tbl)
-        staged = live + "_compacting"
-        backup = live + "_precompact"
-        if os.path.exists(staged):
-            if os.path.exists(live):
-                os.rename(live, backup)
-            os.rename(staged, live)
-        if os.path.exists(backup):
-            shutil.rmtree(backup)
-    staged_stats = os.path.join(out_dir, "corpus_stats.json_compacting")
-    if os.path.exists(staged_stats):
-        os.replace(staged_stats, os.path.join(out_dir, "corpus_stats.json"))
-    if purging:
-        from .deletes import clear_tombstones
-
-        clear_tombstones(out_dir)
-    marker = _compact_marker(out_dir)
-    if os.path.exists(marker):
-        os.remove(marker)
-
-
 def compact_index(
     spark: SparkSession,
     out_dir: str,
@@ -1121,6 +1085,7 @@ def compact_index(
     n_partitions: int | None = None,
     snapshot_id: str | None = None,
     max_driver_mask_ids: int = 10_000_000,
+    keep_generations: int = 2,
 ) -> dict:
     """Force-merge every appended segment into one compacted snapshot.
 
@@ -1130,16 +1095,21 @@ def compact_index(
     each merge task range-reads the tombstone parquet for its own docID
     span (segment-scoped mask; see _merge_runs_factory dead_path).
 
-    Concurrency contract (single writer, quiescent readers): the staged
-    swap is crash-safe (see _finish_compact_swap) and delete-CORRECT at
-    every instant — tombstones are removed last, so no reader ever sees
-    a purged doc — but it is not cross-table atomic: an IndexReader
-    constructed while a PURGING compaction is mid-swap can pair purged
-    postings with the pre-purge corpus_stats.json (old N/avgdl),
-    transiently skewing surviving docs' scores until refresh(). Run
-    compact_index as the only writer and (re)construct readers after it
-    returns; a generation-manifest indirection is the documented next
-    step if concurrent readers ever need mid-swap statistical exactness.
+    Concurrency contract (single writer, concurrent readers OK): the
+    whole new table set — postings, term_stats, lineage, and on a purge
+    docs/doc_stats/corpus_stats/tombstones — is staged side-by-side as
+    ``table@<gen>`` directories and published with ONE atomic pointer
+    replace (operators/generations.py). A reader constructed at any
+    instant resolves every table through the pointer snapshot it loaded,
+    so it sees either entirely the old generation or entirely the new
+    one — the r3 mid-swap stats-skew window no longer exists.
+
+    keep_generations: how many generations of physical files survive the
+    commit (Iceberg snapshot-expiry analog). The default 2 keeps the
+    previous generation on disk so readers opened before the commit keep
+    working (and keep returning their exact pre-compaction results)
+    until gc_generations / the next compaction reclaims it; 1 reclaims
+    immediately (single-reader deployments, today's disk footprint).
 
     The Lucene forceMerge / Elasticsearch ``_forcemerge`` analog the
     reference relies on implicitly (its single-node ES merges segments in
@@ -1161,45 +1131,45 @@ def compact_index(
     re-salted, and the compacted layout is structurally identical to a
     fresh full build's.
 
-    Crash-safe: new postings/term_stats/lineage are staged as
-    ``*_compacting`` dirs, a pending marker commits the swap intent, and
-    the rename swap is idempotent roll-forward (finished by the next
-    compact_index call if interrupted). docs / doc_stats / corpus_stats
-    are untouched — compaction never changes docIDs, scores, or stats.
+    Crash-safe by construction: nothing mutates the live generation
+    before the single pointer replace. A crash mid-staging leaves only
+    unreferenced ``table@<gen+1>`` dirs, swept by the next compaction
+    (discard_uncommitted); a crash after the replace leaves a fully
+    committed index plus old dirs for gc. On a non-purging compaction
+    docs / doc_stats / corpus_stats carry over untouched — compaction
+    never changes docIDs, scores, or stats.
 
     Returns {"compacted": bool, "n_snapshots_before", "n_blocks_before",
     "n_blocks_after", "snapshot_id", "wall_sec"}.
     """
     t0 = time.monotonic()
-    # finish an interrupted swap first (idempotent)
-    if os.path.exists(_compact_marker(out_dir)):
-        _finish_compact_swap(out_dir)
-    else:
-        # no commit marker: any staged leftovers are from a crash BEFORE
-        # the commit point — discard them (a later swap must never
-        # promote a stale stage, e.g. a pre-crash corpus_stats.json)
-        import shutil
+    # sweep stage leftovers of a compaction that crashed before its
+    # pointer commit (a later commit must never reference a stale stage)
+    discard_uncommitted(out_dir)
+    # pin ONE generation snapshot for every read below; stage the next
+    gen_map = table_mapping(out_dir)
+    new_gen = current_gen(out_dir) + 1
 
-        for tbl in _COMPACT_TABLES + ("docs", "doc_stats"):
-            staged = os.path.join(out_dir, tbl) + "_compacting"
-            if os.path.exists(staged):
-                shutil.rmtree(staged)
-        staged_stats = os.path.join(out_dir, "corpus_stats.json_compacting")
-        if os.path.exists(staged_stats):
-            os.remove(staged_stats)
-    with open(os.path.join(out_dir, "corpus_stats.json")) as f:
+    def _live(name: str) -> str:
+        return os.path.join(out_dir, gen_map.get(name, name))
+
+    def _staged(name: str) -> str:
+        return os.path.join(out_dir, physical_name(name, new_gen))
+
+    with open(_live("corpus_stats.json")) as f:
         stats = json.load(f)
     n_buckets = int(stats["n_buckets"])
     with_positions = bool(stats.get("positions", False))
     if n_partitions is None:
         n_partitions = int(spark.conf.get("spark.sql.shuffle.partitions",
                                           "32"))
-    post_path = os.path.join(out_dir, "postings")
+    post_path = _live("postings")
+    tomb_path = _live("tombstones")
     # tombstones force a (purging) compaction even with one snapshot;
     # their footer row count is as free as the snapshot census
     from .deletes import deleted_ids_sorted, n_tombstone_rows
 
-    purge = n_tombstone_rows(out_dir) > 0
+    purge = n_tombstone_rows(out_dir, path=tomb_path) > 0
     # no-op gate from parquet footer stats: zero Spark jobs when there is
     # nothing to merge (the gate runs per micro-batch under compact_every)
     census = snapshot_census(post_path, stop_after=1)
@@ -1227,13 +1197,11 @@ def compact_index(
     dead_bc = None
     dead_path = None
     if purge:
-        if n_tombstone_rows(out_dir) <= max_driver_mask_ids:
+        if n_tombstone_rows(out_dir, path=tomb_path) <= max_driver_mask_ids:
             dead_bc = spark.sparkContext.broadcast(
-                deleted_ids_sorted(out_dir))
+                deleted_ids_sorted(out_dir, path=tomb_path))
         else:
-            from .deletes import _tomb_path
-
-            dead_path = _tomb_path(out_dir)
+            dead_path = tomb_path
 
     # exact per-term df across segments from block metadata (posting_count
     # sums; payload columns never enter this aggregation). Only HOT terms
@@ -1272,7 +1240,7 @@ def compact_index(
         schema=POSTINGS_SCHEMA,
     ).withColumn("bucket",
                  F.pmod(F.hash("term"), F.lit(n_buckets)).cast("int"))
-    staged_post = post_path + "_compacting"
+    staged_post = _staged("postings")
     merged.repartition(n_buckets, "bucket").write.mode(
         "overwrite").partitionBy("bucket").parquet(staged_post)
     # explicit read schema for the staged dir: a delete-everything purge
@@ -1286,11 +1254,11 @@ def compact_index(
     # deleted docs): it recomputes term_stats EXACTLY from the staged
     # purged postings — df/max_tf/min_dl from block metadata, cf from a
     # tfs-only decode (the one payload column the metadata can't supply).
-    ts_path = os.path.join(out_dir, "term_stats")
+    ts_path = _live("term_stats")
     if purge:
         ts_new = _term_stats_from_postings(
-            spark.read.schema(staged_schema).parquet(
-                post_path + "_compacting"), snapshot_id)
+            spark.read.schema(staged_schema).parquet(staged_post),
+            snapshot_id)
     else:
         ts_new = (
             spark.read.parquet(ts_path)
@@ -1303,7 +1271,7 @@ def compact_index(
                     "bucket")
         )
     ts_new.repartition(n_buckets, "bucket").write.mode(
-        "overwrite").partitionBy("bucket").parquet(ts_path + "_compacting")
+        "overwrite").partitionBy("bucket").parquet(_staged("term_stats"))
 
     # lineage: rewritten from the compacted postings so the invariant
     # "lineage covers every current posting exactly once" holds
@@ -1325,8 +1293,7 @@ def compact_index(
         )
         .withColumn("snapshot_id", F.lit(snapshot_id))
     )
-    lineage.write.mode("overwrite").parquet(
-        os.path.join(out_dir, "lineage") + "_compacting")
+    lineage.write.mode("overwrite").parquet(_staged("lineage"))
 
     n_purged = 0
     if purge:
@@ -1336,44 +1303,46 @@ def compact_index(
         # composing.
         from .deletes import tombstones_df
 
-        tomb = tombstones_df(spark, out_dir)
+        tomb = tombstones_df(spark, out_dir, path=tomb_path)
         if tomb is not None and dead_bc is not None:
             tomb = F.broadcast(tomb)  # small set; else shuffled anti-join
         for tbl in ("docs", "doc_stats"):
-            src_tbl = spark.read.parquet(os.path.join(out_dir, tbl))
+            src_tbl = spark.read.parquet(_live(tbl))
             if tomb is not None:
                 src_tbl = src_tbl.join(tomb, "doc_id", "left_anti")
-            src_tbl.write.mode("overwrite").parquet(
-                os.path.join(out_dir, tbl) + "_compacting")
+            src_tbl.write.mode("overwrite").parquet(_staged(tbl))
         import pyarrow.dataset as pads
 
         # count the staged DOCS table, not doc_stats: zero-token docs
         # (empty/whitespace text) have no doc_stats row but DO count in
         # n_docs, exactly as build_index counts them
         n_docs_new = int(pads.dataset(
-            os.path.join(out_dir, "docs") + "_compacting",
-            format="parquet").count_rows())
+            _staged("docs"), format="parquet").count_rows())
         n_purged = int(stats["n_docs"]) - n_docs_new
-        total_tokens = _total_tokens_from_term_stats(
-            ts_path + "_compacting")
+        total_tokens = _total_tokens_from_term_stats(_staged("term_stats"))
         new_stats = dict(stats)
         new_stats.update(
             n_docs=n_docs_new,
             avgdl=(total_tokens / n_docs_new) if n_docs_new else 0.0,
             total_tokens=int(total_tokens))
-        with open(os.path.join(out_dir,
-                               "corpus_stats.json_compacting"), "w") as f:
+        with open(_staged("corpus_stats.json"), "w") as f:
             json.dump(new_stats, f)
 
-    # commit point: every staged table is fully written (parquet _SUCCESS)
-    marker = _compact_marker(out_dir)
-    tmp = marker + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump({"snapshot_id": snapshot_id, "stage": "swap"}, f)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, marker)
-    _finish_compact_swap(out_dir)
+    # commit point: every staged table is fully written (parquet
+    # _SUCCESS); ONE atomic pointer replace publishes the generation
+    tables = dict(gen_map)
+    for tbl in _COMPACT_TABLES:
+        tables[tbl] = physical_name(tbl, new_gen)
+    if purge:
+        for tbl in ("docs", "doc_stats", "corpus_stats.json"):
+            tables[tbl] = physical_name(tbl, new_gen)
+        # the purge consumed the tombstones: the new generation maps them
+        # to a (never-created => empty) versioned dir, while the OLD
+        # generation keeps its tombstone files — readers pinned there
+        # stay delete-correct until gc reclaims the whole generation
+        tables["tombstones"] = physical_name("tombstones", new_gen)
+    commit_generation(out_dir, new_gen, tables)
+    gc_generations(out_dir, keep=keep_generations)
     if dead_bc is not None:
         dead_bc.unpersist()
     return {"compacted": True, "n_snapshots_before": len(snaps),

@@ -106,7 +106,16 @@ class IndexReader:
     driver_local_max_vocab: int = DRIVER_LOCAL_MAX_VOCAB
 
     def __post_init__(self) -> None:
-        with open(os.path.join(self.index_dir, "corpus_stats.json")) as f:
+        # pin ONE generation snapshot for the reader's whole lifetime
+        # (operators/generations.py): every table — postings, stats,
+        # corpus_stats.json, tombstones — resolves through this mapping,
+        # so a reader constructed while a compaction commits still sees
+        # a single consistent generation (ADVICE r3 cross-table
+        # atomicity). refresh() re-pins to the then-current generation.
+        from .generations import table_mapping
+
+        self._gen_tables = table_mapping(self.index_dir)
+        with open(self._path("corpus_stats.json")) as f:
             self.stats = json.load(f)
         self.n_buckets = int(self.stats["n_buckets"])
         # refresh() re-runs this: release any cache_postings() pins first
@@ -135,12 +144,17 @@ class IndexReader:
         # path to anti-join its candidates against the tombstone set
         from .deletes import n_tombstone_rows
 
-        self.n_deleted_rows = n_tombstone_rows(self.index_dir)
+        self.n_deleted_rows = n_tombstone_rows(
+            self.index_dir, path=self._path("tombstones"))
+
+    def _path(self, name: str) -> str:
+        """Physical path of a logical table under this reader's pinned
+        generation snapshot."""
+        return os.path.join(self.index_dir, self._gen_tables.get(name, name))
 
     def _tbl(self, name: str) -> DataFrame:
         if name not in self._cache:
-            self._cache[name] = self.spark.read.parquet(
-                os.path.join(self.index_dir, name))
+            self._cache[name] = self.spark.read.parquet(self._path(name))
         return self._cache[name]
 
     def cache_postings(self, include_docs: bool = False,
@@ -241,7 +255,8 @@ class IndexReader:
             return df
         from .deletes import tombstones_df
 
-        tomb = tombstones_df(self.spark, self.index_dir)
+        tomb = tombstones_df(self.spark, self.index_dir,
+                             path=self._path("tombstones"))
         if tomb is None:
             return df
         if self.n_deleted_rows <= 5_000_000:
@@ -272,8 +287,7 @@ class IndexReader:
             buckets = sorted(set(self.bucket_of(missing).values()))
             frames = []
             for bkt in buckets:
-                p = os.path.join(self.index_dir, "term_stats",
-                                 f"bucket={bkt}")
+                p = os.path.join(self._path("term_stats"), f"bucket={bkt}")
                 if not os.path.exists(p):
                     continue
                 ds = pads.dataset(p, format="parquet")
@@ -309,8 +323,7 @@ class IndexReader:
             return self._vocab_pd
         import pyarrow.dataset as pads
 
-        ds = pads.dataset(os.path.join(self.index_dir, "term_stats"),
-                          format="parquet")
+        ds = pads.dataset(self._path("term_stats"), format="parquet")
         if (self.driver_local_max_vocab <= 0
                 or ds.count_rows() > self.driver_local_max_vocab):
             self._vocab_pd = None
@@ -570,7 +583,7 @@ def _block_meta_arrow(reader: IndexReader,
                 "sky_tfs", "sky_dls"]
         frames = []
         for bkt in buckets:
-            p = os.path.join(reader.index_dir, "postings", f"bucket={bkt}")
+            p = os.path.join(reader._path("postings"), f"bucket={bkt}")
             if not os.path.exists(p):
                 continue
             ds = pads.dataset(p, format="parquet")
@@ -608,7 +621,7 @@ def _fetch_blocks_arrow(reader: IndexReader,
         & (pads.field("block_id") == int(bk)) for t, s, bk in keys])
     frames = []
     for bkt in buckets:
-        p = os.path.join(reader.index_dir, "postings", f"bucket={bkt}")
+        p = os.path.join(reader._path("postings"), f"bucket={bkt}")
         if not os.path.exists(p):
             continue
         ds = pads.dataset(p, format="parquet")
@@ -627,7 +640,7 @@ def _deleted_ids_arrow(reader: IndexReader) -> np.ndarray:
 
     from .deletes import TOMBSTONE_DIR
 
-    p = os.path.join(reader.index_dir, TOMBSTONE_DIR)
+    p = reader._path(TOMBSTONE_DIR)
     ds = pads.dataset(p, format="parquet")
     ids = ds.to_table(columns=["doc_id"])["doc_id"].to_numpy(
         zero_copy_only=False)
@@ -644,7 +657,7 @@ def _fetch_term_blocks_arrow(reader: IndexReader,
     buckets = sorted(set(reader.bucket_of(terms).values()))
     frames = []
     for bkt in buckets:
-        p = os.path.join(reader.index_dir, "postings", f"bucket={bkt}")
+        p = os.path.join(reader._path("postings"), f"bucket={bkt}")
         if not os.path.exists(p):
             continue
         ds = pads.dataset(p, format="parquet")
@@ -1626,7 +1639,7 @@ def _phrase_scores_driver_local(reader: IndexReader, phrase: str,
     buckets = sorted(set(reader.bucket_of(uniq).values()))
     frames = []
     for bkt in buckets:
-        p = os.path.join(reader.index_dir, "postings", f"bucket={bkt}")
+        p = os.path.join(reader._path("postings"), f"bucket={bkt}")
         if not os.path.exists(p):
             continue
         ds = pads.dataset(p, format="parquet")

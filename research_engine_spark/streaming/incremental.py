@@ -112,11 +112,14 @@ def _col_min_any(path: str, col: str):
 def _cleanup_partial_segment(index_dir: str, pending: dict) -> None:
     """Remove every file the interrupted segment may have written and
     restore corpus_stats.json to its pre-append values."""
+    from ..operators.generations import table_mapping
+
+    gen_map = table_mapping(index_dir)
     base = int(pending["n_docs_before"])
     snap = pending["snapshot_id"]
 
     for tbl in ("docs", "doc_stats"):
-        tdir = os.path.join(index_dir, tbl)
+        tdir = os.path.join(index_dir, gen_map[tbl])
         if not os.path.isdir(tdir):
             continue
         for fp in _parquet_files(tdir):
@@ -127,7 +130,7 @@ def _cleanup_partial_segment(index_dir: str, pending: dict) -> None:
                 os.remove(fp)
 
     for tbl in ("postings", "term_stats", "lineage"):
-        root = os.path.join(index_dir, tbl)
+        root = os.path.join(index_dir, gen_map[tbl])
         if not os.path.isdir(root):
             continue
         for fp in _parquet_files(root):
@@ -136,7 +139,7 @@ def _cleanup_partial_segment(index_dir: str, pending: dict) -> None:
             if mn == snap:
                 os.remove(fp)
 
-    stats_path = os.path.join(index_dir, "corpus_stats.json")
+    stats_path = os.path.join(index_dir, gen_map["corpus_stats.json"])
     with open(stats_path) as f:
         stats = json.load(f)
     stats["n_docs"] = base
@@ -156,9 +159,10 @@ def make_foreach_batch(index_dir: str, compact_every: int | None = None):
     unbounded micro-batching otherwise accretes one segment per batch
     and every query decodes ever more small tail blocks). The gate is a
     driver-side parquet-footer census (zero Spark jobs between
-    compactions); compaction itself is crash-safe with its own
-    roll-forward marker, finished here on the next batch if interrupted
-    (indexer._finish_compact_swap via compact_index).
+    compactions); compaction itself commits atomically via the
+    generation pointer (operators/generations.py) — an interrupted
+    attempt leaves only unreferenced staged dirs, swept by the next
+    compact_index call.
     """
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
@@ -177,7 +181,9 @@ def make_foreach_batch(index_dir: str, compact_every: int | None = None):
             applied.add(int(batch_id))
             _write_json_atomic(_batch_marker(index_dir), sorted(applied))
             return
-        with open(os.path.join(index_dir, "corpus_stats.json")) as f:
+        from ..operators.generations import resolve
+
+        with open(resolve(index_dir, "corpus_stats.json")) as f:
             stats_before = json.load(f)
         snapshot_id = f"stream_{batch_id}"
         _write_json_atomic(_pending_marker(index_dir), {
@@ -191,13 +197,11 @@ def make_foreach_batch(index_dir: str, compact_every: int | None = None):
         _write_json_atomic(_batch_marker(index_dir), sorted(applied))
         os.remove(_pending_marker(index_dir))
         if compact_every:
-            from ..operators.indexer import (_compact_marker, compact_index,
-                                             snapshot_census)
+            from ..operators.indexer import compact_index, snapshot_census
 
-            census = snapshot_census(os.path.join(index_dir, "postings"),
+            census = snapshot_census(resolve(index_dir, "postings"),
                                      stop_after=int(compact_every))
-            if (os.path.exists(_compact_marker(index_dir))
-                    or census is None or len(census) > int(compact_every)):
+            if census is None or len(census) > int(compact_every):
                 compact_index(batch_df.sparkSession, index_dir)
 
     return apply

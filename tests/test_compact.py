@@ -1,8 +1,9 @@
 """Segment compaction (Lucene forceMerge / ES _forcemerge analog):
 compacting appended segments must be result-invariant (bit-identical
 top-k docIDs and scores), reduce block count, keep the lineage
-covers-every-posting-once invariant, and roll forward from a crash at
-any swap point."""
+covers-every-posting-once invariant, and survive a crash at any point:
+before the generation-pointer commit the live index is untouched, after
+it the new generation is fully live (operators/generations.py)."""
 
 from __future__ import annotations
 
@@ -16,6 +17,12 @@ from pyspark.sql import functions as F
 
 from research_engine_spark.corpus import synth_transcripts
 from research_engine_spark.operators import indexer
+from research_engine_spark.operators.generations import (
+    current_gen,
+    gc_generations,
+    read_generation,
+    resolve,
+)
 from research_engine_spark.operators.indexer import (
     append_segment,
     build_index,
@@ -63,9 +70,9 @@ def test_compact_preserves_results_exactly(spark, segmented_index):
     assert res["n_snapshots_before"] == 3
     # fewer-or-equal blocks: per-segment tail blocks merged into full ones
     assert res["n_blocks_after"] <= res["n_blocks_before"]
-    post = spark.read.parquet(os.path.join(d, "postings"))
+    post = spark.read.parquet(resolve(d, "postings"))
     assert post.select("snapshot_id").distinct().count() == 1
-    ts = spark.read.parquet(os.path.join(d, "term_stats"))
+    ts = spark.read.parquet(resolve(d, "term_stats"))
     assert ts.select("snapshot_id").distinct().count() == 1
     # one term_stats row per term after compaction
     dup = (ts.groupBy("term").count().filter(F.col("count") > 1).count())
@@ -73,17 +80,21 @@ def test_compact_preserves_results_exactly(spark, segmented_index):
     after = _topk(spark, d)
     for q in QUERIES:
         assert before[q] == after[q], q  # bit-identical ids AND scores
-    # staged/backup dirs and the marker are gone
+    # the compaction committed generation 1 atomically: the pointer maps
+    # the rewritten tables to @1 dirs, and (keep_generations=2 default)
+    # the flat generation-0 dirs survive for readers opened pre-commit
+    gen = read_generation(d)
+    assert gen is not None and gen["gen"] == 1
     for tbl in ("postings", "term_stats", "lineage"):
-        assert not os.path.exists(os.path.join(d, tbl + "_compacting"))
-        assert not os.path.exists(os.path.join(d, tbl + "_precompact"))
-    assert not os.path.exists(os.path.join(d, "_compact_pending.json"))
+        assert gen["tables"][tbl] == f"{tbl}@1"
+        assert os.path.isdir(os.path.join(d, f"{tbl}@1"))
+        assert os.path.isdir(os.path.join(d, tbl))  # kept for old readers
 
 
 def test_compact_lineage_covers_every_posting_once(spark, segmented_index):
     d = segmented_index  # already compacted by the previous test
-    post = spark.read.parquet(os.path.join(d, "postings"))
-    lin = spark.read.parquet(os.path.join(d, "lineage"))
+    post = spark.read.parquet(resolve(d, "postings"))
+    lin = spark.read.parquet(resolve(d, "lineage"))
     n_postings = post.agg(F.sum("posting_count")).collect()[0][0]
     n_lineage = lin.agg(F.sum("posting_count")).collect()[0][0]
     assert n_postings == n_lineage
@@ -107,11 +118,12 @@ def test_compact_noop_on_single_snapshot(spark, tmp_path):
     assert _topk(spark, d, k=5) == before
 
 
-def test_compact_crash_rolls_forward(spark, tmp_path, monkeypatch):
-    """Crash after the commit marker lands mid-swap: the next
-    compact_index call must finish the swap and serve identical
-    results."""
-    d = str(tmp_path / "crashy")
+def test_compact_crash_before_commit_leaves_live_index(spark, tmp_path,
+                                                       monkeypatch):
+    """Crash at ANY point before the pointer commit: the live generation
+    is untouched (identical results, no pointer), the stage leftovers
+    are swept by the next compact_index call, which then succeeds."""
+    d = str(tmp_path / "crashy_precommit")
     tx = synth_transcripts(spark, n_convs=20, seed=31)
     first = tx.filter(F.col("conv_id") < "conv_00000010")
     second = tx.filter(F.col("conv_id") >= "conv_00000010")
@@ -119,34 +131,57 @@ def test_compact_crash_rolls_forward(spark, tmp_path, monkeypatch):
     append_segment(second, d)
     before = _topk(spark, d, k=8)
 
-    real_rename = os.rename
-    calls = {"n": 0}
+    def exploding_commit(*a, **kw):
+        raise RuntimeError("simulated crash before pointer commit")
 
-    def exploding_rename(src, dst):
-        real_rename(src, dst)
-        calls["n"] += 1
-        if calls["n"] == 2:  # crash right after promoting ONE table part
-            raise RuntimeError("simulated crash mid-swap")
-
-    monkeypatch.setattr(indexer.os, "rename", exploding_rename)
+    monkeypatch.setattr(indexer, "commit_generation", exploding_commit)
     with pytest.raises(RuntimeError, match="simulated crash"):
         compact_index(spark, d)
-    monkeypatch.setattr(indexer.os, "rename", real_rename)
-    # marker still pending; postings promoted but term_stats/lineage not
-    assert os.path.exists(os.path.join(d, "_compact_pending.json"))
-    # queries stay CORRECT in the half-swapped state: compacted postings
-    # plus pre-compact term_stats aggregate to the same df/cf totals, so
-    # a reader opened mid-crash serves identical results
+    monkeypatch.undo()
+    # nothing committed: still generation 0, staged @1 dirs are garbage
+    assert read_generation(d) is None
+    assert os.path.isdir(os.path.join(d, "postings@1"))  # the leftover
     mid = _topk(spark, d, k=8)
     for q in QUERIES:
         assert before[q] == mid[q], q
-    res = compact_index(spark, d)  # finishes the swap, then no-op
-    assert res["compacted"] is False
-    assert res["n_snapshots_before"] == 1
-    assert not os.path.exists(os.path.join(d, "_compact_pending.json"))
+    res = compact_index(spark, d)  # sweeps the stage, compacts cleanly
+    assert res["compacted"] is True
+    assert current_gen(d) == 1
     after = _topk(spark, d, k=8)
     for q in QUERIES:
         assert before[q] == after[q], q
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_compact_crash_after_commit_is_committed(spark, tmp_path,
+                                                 monkeypatch):
+    """Crash right after the pointer replace (before gc): the new
+    generation is fully live; a rerun no-ops and gc reclaims the old
+    generation's dirs."""
+    d = str(tmp_path / "crashy_postcommit")
+    tx = synth_transcripts(spark, n_convs=20, seed=33)
+    first = tx.filter(F.col("conv_id") < "conv_00000010")
+    second = tx.filter(F.col("conv_id") >= "conv_00000010")
+    build_index(first, d, n_buckets=2)
+    append_segment(second, d)
+    before = _topk(spark, d, k=8)
+
+    def exploding_gc(*a, **kw):
+        raise RuntimeError("simulated crash after pointer commit")
+
+    monkeypatch.setattr(indexer, "gc_generations", exploding_gc)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        compact_index(spark, d)
+    monkeypatch.undo()
+    assert current_gen(d) == 1  # committed despite the crash
+    after = _topk(spark, d, k=8)
+    for q in QUERIES:
+        assert before[q] == after[q], q
+    res = compact_index(spark, d)  # nothing left to merge
+    assert res["compacted"] is False
+    removed = gc_generations(d, keep=1)
+    assert "postings" in removed  # old flat generation reclaimed
+    assert _topk(spark, d, k=8) == after
     shutil.rmtree(d, ignore_errors=True)
 
 
@@ -194,7 +229,7 @@ def test_streaming_auto_compaction(spark, tmp_path):
             & (F.col("conv_id") < f"conv_{hi:08d}"))
         fb(batch, i)
     from research_engine_spark.operators.indexer import snapshot_census
-    census = snapshot_census(os.path.join(d, "postings"))
+    census = snapshot_census(resolve(d, "postings"))
     assert census is not None and len(census) <= 2, census
     r = IndexReader(spark, d)
     assert r.stats["n_docs"] == len(full_pd)
@@ -219,7 +254,7 @@ def test_compact_resalts_hot_terms(spark, tmp_path):
     before = _topk(spark, d, k=8)
     res = compact_index(spark, d, max_group_postings=50)
     assert res["compacted"] is True
-    post = spark.read.parquet(os.path.join(d, "postings"))
+    post = spark.read.parquet(resolve(d, "postings"))
     n_salted = (post.groupBy("term")
                 .agg(F.countDistinct("salt").alias("ns"))
                 .filter(F.col("ns") > 1).count())

@@ -262,7 +262,9 @@ def test_delete_everything_then_compact(spark, idx):
     tx = synth_transcripts(spark, n_convs=3, seed=123)
     append_segment(tx, idx)
     revived = IndexReader(spark, idx)
-    with open(os.path.join(idx, "corpus_stats.json")) as f:
+    from research_engine_spark.operators.generations import resolve
+
+    with open(resolve(idx, "corpus_stats.json")) as f:
         assert json.load(f)["n_docs"] == revived.docs.count()
     assert search(revived, QUERIES[0], k=5, with_text=False).count() > 0
 

@@ -1,0 +1,198 @@
+"""Generation-manifest indirection (operators/generations.py): atomic
+cross-table commits, pinned reader snapshots across purging compactions
+(the ADVICE-r3 mid-swap consistency window), retention + gc."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from research_engine_spark.corpus import synth_transcripts
+from research_engine_spark.operators.deletes import delete_ids
+from research_engine_spark.operators.generations import (
+    commit_generation,
+    current_gen,
+    discard_uncommitted,
+    flat_mapping,
+    gc_generations,
+    read_generation,
+    reset_generations,
+    resolve,
+    table_mapping,
+)
+from research_engine_spark.operators.indexer import (
+    append_segment,
+    build_index,
+    compact_index,
+)
+from research_engine_spark.operators.scorer import IndexReader, search
+
+Q = "neural networks"
+
+
+# ---------------------------------------------------------------------------
+# pure pointer mechanics (no Spark)
+# ---------------------------------------------------------------------------
+
+def test_pointer_roundtrip_and_resolve(tmp_path):
+    d = str(tmp_path)
+    assert read_generation(d) is None
+    assert current_gen(d) == 0
+    # flat fallback
+    assert resolve(d, "postings") == os.path.join(d, "postings")
+    m = flat_mapping()
+    m["postings"] = "postings@1"
+    commit_generation(d, 1, m)
+    assert current_gen(d) == 1
+    assert resolve(d, "postings") == os.path.join(d, "postings@1")
+    assert resolve(d, "docs") == os.path.join(d, "docs")
+    # immutable history copy exists and matches
+    assert read_generation(d, 1) == read_generation(d)
+
+
+def test_gc_retention_window(tmp_path):
+    d = str(tmp_path)
+    # physical dirs for three generations of postings + flat docs
+    for name in ("postings", "postings@1", "postings@2", "docs"):
+        os.makedirs(os.path.join(d, name))
+    m1 = flat_mapping()
+    m1["postings"] = "postings@1"
+    commit_generation(d, 1, m1)
+    m2 = dict(m1)
+    m2["postings"] = "postings@2"
+    commit_generation(d, 2, m2)
+    # keep=2: gen1+gen2 referenced -> flat postings (only gen0) goes
+    removed = gc_generations(d, keep=2)
+    assert removed == ["postings"]
+    assert os.path.isdir(os.path.join(d, "postings@1"))
+    # keep=1: only gen2 survives; gen1's dir and history pointer go
+    removed = gc_generations(d, keep=1)
+    assert "postings@1" in removed
+    assert not os.path.exists(os.path.join(d, "GENERATION@1"))
+    assert os.path.isdir(os.path.join(d, "postings@2"))
+    assert os.path.isdir(os.path.join(d, "docs"))  # still referenced
+
+
+def test_discard_uncommitted_sweeps_future_stages_only(tmp_path):
+    d = str(tmp_path)
+    os.makedirs(os.path.join(d, "postings"))
+    os.makedirs(os.path.join(d, "postings@1"))  # future: current gen is 0
+    os.makedirs(os.path.join(d, "term_stats_compacting"))  # legacy stage
+    removed = set(discard_uncommitted(d))
+    assert removed == {"postings@1", "term_stats_compacting"}
+    assert os.path.isdir(os.path.join(d, "postings"))
+
+
+def test_reset_generations(tmp_path):
+    d = str(tmp_path)
+    os.makedirs(os.path.join(d, "postings"))
+    os.makedirs(os.path.join(d, "postings@3"))
+    commit_generation(d, 3, {**flat_mapping(), "postings": "postings@3"})
+    reset_generations(d)
+    assert read_generation(d) is None
+    assert not os.path.exists(os.path.join(d, "postings@3"))
+    assert os.path.isdir(os.path.join(d, "postings"))
+
+
+# ---------------------------------------------------------------------------
+# end-to-end: pinned readers across a purging compaction
+# ---------------------------------------------------------------------------
+
+def _res(reader, q=Q, k=8):
+    pdf = search(reader, q, k=k).toPandas()
+    return list(zip(pdf["doc_id"].tolist(), pdf["score"].tolist()))
+
+
+@pytest.fixture()
+def purged_setup(spark, tmp_path):
+    d = str(tmp_path / "genidx")
+    tx = synth_transcripts(spark, n_convs=20, seed=91)
+    first = tx.filter(F.col("conv_id") < "conv_00000010")
+    second = tx.filter(F.col("conv_id") >= "conv_00000010")
+    build_index(first, d, n_buckets=2)
+    append_segment(second, d)
+    r0 = IndexReader(spark, d)
+    victims = [int(x.doc_id) for x in
+               search(r0, Q, k=3, with_text=False).collect()]
+    delete_ids(d, victims)
+    return d, victims
+
+
+def test_old_reader_pinned_across_purging_compaction(spark, purged_setup):
+    """THE mid-swap consistency guarantee: a reader constructed before a
+    purging compaction keeps serving its exact pre-compaction results —
+    old postings + old stats + old tombstones, one consistent generation
+    — while a reader constructed after sees the purged generation, and
+    both agree on every surviving doc's score bit-for-bit."""
+    d, victims = purged_setup
+    old_reader = IndexReader(spark, d)
+    before = _res(old_reader)
+    assert not any(doc in victims for doc, _ in before)
+    res = compact_index(spark, d)  # keep_generations=2 default
+    assert res["compacted"] and res["n_purged"] >= len(victims)
+    assert current_gen(d) == 1
+    # the OLD reader still resolves generation-0 paths and still answers
+    # identically (tombstone-excluded, pre-purge stats)
+    assert old_reader._gen_tables == flat_mapping()
+    assert _res(old_reader) == before
+    # a NEW reader sees the purged generation: same ranked docs, scores
+    # recomputed over the surviving corpus (fresh-build identity is
+    # asserted in test_deletes; here: no victim resurfaces, stats moved)
+    new_reader = IndexReader(spark, d)
+    assert new_reader._gen_tables["postings"] == "postings@1"
+    after_ids = [doc for doc, _ in _res(new_reader)]
+    assert not any(doc in victims for doc in after_ids)
+    assert new_reader.stats["n_docs"] < old_reader.stats["n_docs"]
+    assert new_reader.n_deleted_rows == 0  # purged generation: no tombs
+
+
+def test_gc_after_readers_drain(spark, purged_setup):
+    d, _ = purged_setup
+    compact_index(spark, d)
+    removed = gc_generations(d, keep=1)
+    # the whole flat generation is reclaimed, incl. the consumed
+    # tombstones; the purged generation serves unaffected
+    assert {"postings", "docs", "tombstones"} <= set(removed)
+    r = IndexReader(spark, d)
+    assert len(_res(r)) > 0
+
+
+def test_append_and_delete_compose_on_new_generation(spark, purged_setup):
+    """Writers after a purging compaction mutate the NEW generation's
+    physical dirs: appends land in docs@1/postings@1, deletes in
+    tombstones@1, and search reflects both."""
+    d, _ = purged_setup
+    compact_index(spark, d)
+    gc_generations(d, keep=1)
+    n_before = IndexReader(spark, d).stats["n_docs"]
+    extra = synth_transcripts(spark, n_convs=3, seed=77)
+    append_segment(extra, d)
+    m = table_mapping(d)
+    assert m["docs"] == "docs@1"
+    r = IndexReader(spark, d)
+    assert r.stats["n_docs"] == n_before + extra.count()
+    hit = search(r, Q, k=1, with_text=False).collect()
+    delete_ids(d, [int(hit[0].doc_id)])
+    assert os.path.isdir(os.path.join(d, "tombstones@1"))
+    assert not os.path.exists(os.path.join(d, "tombstones"))
+    r = IndexReader(spark, d)
+    assert int(hit[0].doc_id) not in [
+        x.doc_id for x in search(r, Q, k=8, with_text=False).collect()]
+
+
+def test_fresh_build_resets_to_flat(spark, purged_setup):
+    d, _ = purged_setup
+    compact_index(spark, d)
+    assert current_gen(d) == 1
+    tx = synth_transcripts(spark, n_convs=5, seed=5)
+    build_index(tx, d, n_buckets=2)
+    assert read_generation(d) is None
+    assert not os.path.exists(os.path.join(d, "postings@1"))
+    r = IndexReader(spark, d)
+    assert r.stats["n_docs"] == tx.count()
+    shutil.rmtree(d, ignore_errors=True)
