@@ -150,6 +150,16 @@ class ResearchEngine:
             hits = with_highlights(hits, query)
         return hits
 
+    def es_search(self, body: dict, k1: float | None = None,
+                  b: float | None = None) -> DataFrame:
+        """Execute an Elasticsearch query body verbatim
+        (match / match_phrase / multi_match / bool / size / _source —
+        the es_search_final.py:12-37 surface; see operators/esdsl.py).
+        A reference user's ``search_body`` runs unchanged."""
+        from .operators.esdsl import es_search as _es
+
+        return _es(self.reader, body, k1=k1, b=b)
+
     def phrase_search(self, phrase: str, top_k: int = DEFAULT_TOP_K,
                       **kwargs) -> DataFrame:
         return phrase_search(self.reader, phrase, k=top_k, with_text=True,

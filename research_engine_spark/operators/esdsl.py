@@ -1,0 +1,475 @@
+"""Elasticsearch query-DSL front-end: execute the reference's search
+bodies natively.
+
+The reference talks to ES with JSON query bodies
+(retrieval/es_search_final.py:12-37, es_search.py:11-15): a bool/should
+of multi_match clauses (best_fields with per-field boosts + fuzziness
+AUTO, plus a phrase-type multi_match at boost 2.0),
+minimum_should_match=1, size, _source projection. This module accepts
+those bodies verbatim and compiles them onto the engine's operators, so
+a reference user can paste their ``search_body`` unchanged:
+
+    es_search(index, {
+        "query": {"bool": {"should": [
+            {"multi_match": {"query": q, "fields": ["text^3", "role"],
+                             "type": "best_fields", "fuzziness": "AUTO"}},
+            {"multi_match": {"query": q, "fields": ["text", "role"],
+                             "type": "phrase", "boost": 2.0}}],
+            "minimum_should_match": 1}},
+        "size": 10})
+
+Supported clauses: match (optional fuzziness/boost), match_phrase,
+multi_match (best_fields | most_fields | phrase, ``field^boost``
+specs, tie_breaker, fuzziness on the non-phrase types — exactly what
+ES supports), bool (should / must / must_not / filter /
+minimum_should_match, arbitrarily nested), match_all. Body keys:
+query, size (ES default 10), _source (docs-column projection).
+
+Scoring composition is ES/Lucene's: should and must clauses SUM, a doc
+must satisfy every must / filter / minimum_should_match gate and no
+must_not clause; filter matches contribute score 0. Each leaf clause is
+scored by the engine's exact primitives (BM25 ``search`` full match
+set, positional ``phrase_scores``, per-field sub-indexes for
+multi_match — Lucene keeps separate field statistics and so do we,
+operators/multifield.py), so every leaf is the same machinery the
+driver hash-checks against DuckDB.
+
+Spark-first shape: one full-match score frame per leaf (only matching
+postings, never the corpus), composed with union + groupBy(doc_id) /
+joins — a single shuffle over matching docs per bool level — and a
+final TakeOrderedAndProject. Serving tier: when EVERY leaf of the tree
+fits the reader's driver-local budgets the whole body evaluates in
+pandas with zero Spark jobs (same float64 ops as the distributed
+composition), falling back per-query otherwise — the gate is the same
+Σ df metadata check the plain serving paths use.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .multifield import MultiFieldReader
+from .scorer import (
+    IndexReader,
+    _driver_local_topk_pd,
+    _fuzzy_term_meta,
+    _phrase_scores_driver_local,
+    _term_meta,
+    _topk_pd_to_df,
+    phrase_scores,
+    search,
+)
+
+DEFAULT_SIZE = 10  # the ES default
+
+
+class ESQueryError(ValueError):
+    """Malformed or unsupported query body."""
+
+
+class _Ctx:
+    def __init__(self, index, k1, b):
+        if isinstance(index, MultiFieldReader):
+            self.readers = dict(index.readers)
+            self.default_field = next(iter(index.readers))
+            self.spark = index.spark
+        elif isinstance(index, IndexReader):
+            self.readers = {"text": index}
+            self.default_field = "text"
+            self.spark = index.spark
+        else:
+            raise ESQueryError(f"unsupported index type: {type(index)!r}")
+        self.k1 = k1
+        self.b = b
+
+    def reader(self, field: str) -> IndexReader:
+        # a single-field index answers for any field name, like an ES
+        # index whose only analyzed text field backs the query
+        if field in self.readers:
+            return self.readers[field]
+        if len(self.readers) == 1:
+            return next(iter(self.readers.values()))
+        raise ESQueryError(
+            f"unknown field {field!r}; index has {sorted(self.readers)}")
+
+
+def _field_boost(spec: str) -> tuple[str, float]:
+    """Parse an ES field spec ``name`` or ``name^2.5``."""
+    if "^" in spec:
+        name, w = spec.split("^", 1)
+        return name, float(w)
+    return spec, 1.0
+
+
+def _leaf_spec(body) -> tuple[str, dict]:
+    """Normalize {field: "q"} / {field: {"query": ..., ...}}."""
+    if not isinstance(body, dict) or len(body) != 1:
+        raise ESQueryError(f"clause must have exactly one field: {body!r}")
+    [(field, spec)] = body.items()
+    if not isinstance(spec, dict):
+        spec = {"query": spec}
+    if "query" not in spec:
+        raise ESQueryError(f"clause for {field!r} lacks 'query'")
+    return field, spec
+
+
+def _fuzzy_flag(spec: dict) -> bool:
+    fz = spec.get("fuzziness", 0)
+    if fz in (0, "0", None):
+        return False
+    if fz == "AUTO":
+        return True
+    raise ESQueryError(
+        f"fuzziness={fz!r} unsupported (AUTO is the Lucene ladder the "
+        "engine implements; fixed distances are not)")
+
+
+# ---------------------------------------------------------------------------
+# driver-local (pandas) evaluation — None means "over budget, go Spark"
+# ---------------------------------------------------------------------------
+
+def _match_pd(ctx: _Ctx, reader: IndexReader, spec: dict):
+    from ..functions.analyzer import analyze_query
+
+    k1 = reader.stats["k1"] if ctx.k1 is None else ctx.k1
+    b = reader.stats["b"] if ctx.b is None else ctx.b
+    qterms = analyze_query(
+        spec["query"], mode=reader.stats.get("analyzer", "english_folded"))
+    if not qterms:
+        return _EMPTY_PD.copy()
+    if _fuzzy_flag(spec):
+        if reader.vocab_arrow() is None:
+            return None  # vocabulary over budget: expansion needs a job
+        meta = _fuzzy_term_meta(reader, qterms, k1, b,
+                                int(spec.get("max_expansions", 50)))
+    else:
+        meta = _term_meta(reader, qterms, k1, b)
+    if meta.empty:
+        return _EMPTY_PD.copy()
+    if int(meta["df"].sum()) > reader.driver_local_max_postings:
+        return None
+    full = _driver_local_topk_pd(
+        reader, meta.assign(qid="q", qtf=meta["qtf"].astype(np.float64)),
+        k=None, k1=k1, b=b)
+    if full is None:
+        return None
+    return full[["doc_id", "score"]]
+
+
+_EMPTY_PD = pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                          "score": pd.Series(dtype=np.float64)})
+
+
+def _scale_pd(pdf, boost: float):
+    if pdf is None or boost == 1.0:
+        return pdf
+    out = pdf.copy()
+    out["score"] = out["score"].to_numpy(np.float64) * float(boost)
+    return out
+
+
+def _combine_fields_pd(frames: list, mtype: str, tie_breaker: float):
+    if not frames:
+        return _EMPTY_PD.copy()
+    allf = pd.concat(frames, ignore_index=True)
+    g = allf.groupby("doc_id", sort=True)["score"]
+    if mtype == "most_fields":
+        score = g.sum()
+    else:  # best_fields / phrase: best field + tie_breaker * rest
+        mx, sm = g.max(), g.sum()
+        score = mx + float(tie_breaker) * (sm - mx)
+    return pd.DataFrame({"doc_id": score.index.to_numpy(np.int64),
+                         "score": score.to_numpy(np.float64)})
+
+
+def _clause_pd(ctx: _Ctx, clause: dict):
+    if not isinstance(clause, dict) or len(clause) != 1:
+        raise ESQueryError(f"clause must have exactly one key: {clause!r}")
+    [(kind, body)] = clause.items()
+    if kind == "match":
+        field, spec = _leaf_spec(body)
+        out = _match_pd(ctx, ctx.reader(field), spec)
+        return _scale_pd(out, float(spec.get("boost", 1.0)))
+    if kind == "match_phrase":
+        field, spec = _leaf_spec(body)
+        reader = ctx.reader(field)
+        out = _phrase_scores_driver_local(
+            reader, spec["query"], ctx.k1, ctx.b)
+        return _scale_pd(out, float(spec.get("boost", 1.0)))
+    if kind == "multi_match":
+        mtype, fields, tie = _multi_match_parts(ctx, body)
+        frames = []
+        for fname, fboost in fields:
+            reader = ctx.reader(fname)
+            if mtype == "phrase":
+                part = _phrase_scores_driver_local(
+                    reader, body["query"], ctx.k1, ctx.b)
+            else:
+                part = _match_pd(ctx, reader, body)
+            if part is None:
+                return None
+            if not part.empty:
+                frames.append(_scale_pd(part, fboost))
+        out = _combine_fields_pd(frames, mtype, tie)
+        return _scale_pd(out, float(body.get("boost", 1.0)))
+    if kind == "bool":
+        return _bool_pd(ctx, body)
+    if kind == "match_all":
+        return None  # corpus-sized: always distributed
+    raise ESQueryError(f"unsupported clause type {kind!r}")
+
+
+def _bool_pd(ctx: _Ctx, spec: dict):
+    should = [_clause_pd(ctx, c) for c in _aslist(spec.get("should"))]
+    must = [_clause_pd(ctx, c) for c in _aslist(spec.get("must"))]
+    filt = [_clause_pd(ctx, c) for c in _aslist(spec.get("filter"))]
+    mustnot = [_clause_pd(ctx, c) for c in _aslist(spec.get("must_not"))]
+    if any(x is None for x in should + must + filt + mustnot):
+        return None
+    msm = int(spec.get("minimum_should_match", 0) or 0)
+    if not must and not filt and not should:
+        raise ESQueryError("bool query needs must, filter or should")
+
+    if must:
+        ids = reduce(lambda a, b: a.intersection(b),
+                     (pd.Index(m["doc_id"]) for m in must))
+        base = pd.DataFrame({"doc_id": ids.to_numpy(np.int64)})
+        base["score"] = np.zeros(len(base))
+        for m in must:
+            s = m.set_index("doc_id")["score"]
+            base["score"] += s.reindex(base["doc_id"]).to_numpy(np.float64)
+    elif filt:
+        ids = reduce(lambda a, b: a.intersection(b),
+                     (pd.Index(f["doc_id"]) for f in filt))
+        base = pd.DataFrame({"doc_id": ids.to_numpy(np.int64),
+                             "score": np.zeros(len(ids))})
+        filt = []
+    else:
+        base = None
+
+    if should:
+        allc = pd.concat(
+            [s.assign(_cid=i) for i, s in enumerate(should)],
+            ignore_index=True)
+        agg = allc.groupby("doc_id").agg(
+            sscore=("score", "sum"), n=("_cid", "nunique"))
+        if base is None:
+            agg = agg[agg["n"] >= max(msm, 1)]
+            base = pd.DataFrame({
+                "doc_id": agg.index.to_numpy(np.int64),
+                "score": agg["sscore"].to_numpy(np.float64)})
+        else:
+            s = agg["sscore"].reindex(base["doc_id"])
+            n = agg["n"].reindex(base["doc_id"]).fillna(0)
+            base = base.assign(
+                score=base["score"].to_numpy(np.float64)
+                + s.fillna(0.0).to_numpy(np.float64))
+            if msm:
+                base = base[n.to_numpy() >= msm]
+    for f in filt:
+        base = base[base["doc_id"].isin(f["doc_id"])]
+    for mn in mustnot:
+        base = base[~base["doc_id"].isin(mn["doc_id"])]
+    out = base.reset_index(drop=True)
+    return _scale_pd(out, float(spec.get("boost", 1.0)))
+
+
+# ---------------------------------------------------------------------------
+# distributed (Spark) evaluation
+# ---------------------------------------------------------------------------
+
+def _scale_df(df: DataFrame, boost: float) -> DataFrame:
+    if boost == 1.0:
+        return df
+    return df.select("doc_id",
+                     (F.col("score") * F.lit(float(boost))).alias("score"))
+
+
+def _match_df(ctx: _Ctx, reader: IndexReader, spec: dict) -> DataFrame:
+    return search(reader, spec["query"], k1=ctx.k1, b=ctx.b,
+                  with_text=False, fuzzy=_fuzzy_flag(spec),
+                  max_expansions=int(spec.get("max_expansions", 50)),
+                  _all_matches=True).select("doc_id", "score")
+
+
+def _multi_match_parts(ctx: _Ctx, body: dict):
+    mtype = body.get("type", "best_fields")
+    if mtype not in ("best_fields", "most_fields", "phrase"):
+        raise ESQueryError(f"multi_match type {mtype!r} unsupported "
+                           "(best_fields, most_fields, phrase)")
+    if mtype == "phrase" and _fuzzy_flag(body):
+        raise ESQueryError("ES ignores fuzziness on phrase-type "
+                           "multi_match; remove it")
+    fields = [_field_boost(fs) for fs in
+              _aslist(body.get("fields")) or [ctx.default_field]]
+    return mtype, fields, float(body.get("tie_breaker", 0.0))
+
+
+def _combine_fields_df(ctx: _Ctx, parts: list[DataFrame], mtype: str,
+                       tie_breaker: float) -> DataFrame:
+    if not parts:
+        return ctx.spark.createDataFrame([], "doc_id bigint, score double")
+    unioned = reduce(DataFrame.unionByName, parts)
+    if mtype == "most_fields":
+        agg = F.sum("score").alias("score")
+    else:
+        agg = (F.max("score") + F.lit(float(tie_breaker))
+               * (F.sum("score") - F.max("score"))).alias("score")
+    return unioned.groupBy("doc_id").agg(agg)
+
+
+def _clause_df(ctx: _Ctx, clause: dict) -> DataFrame:
+    [(kind, body)] = clause.items()
+    if kind == "match":
+        field, spec = _leaf_spec(body)
+        out = _match_df(ctx, ctx.reader(field), spec)
+        return _scale_df(out, float(spec.get("boost", 1.0)))
+    if kind == "match_phrase":
+        field, spec = _leaf_spec(body)
+        out = phrase_scores(ctx.reader(field), spec["query"], ctx.k1, ctx.b)
+        return _scale_df(out, float(spec.get("boost", 1.0)))
+    if kind == "multi_match":
+        mtype, fields, tie = _multi_match_parts(ctx, body)
+        parts = []
+        for fname, fboost in fields:
+            reader = ctx.reader(fname)
+            if mtype == "phrase":
+                part = phrase_scores(reader, body["query"], ctx.k1, ctx.b)
+            else:
+                part = _match_df(ctx, reader, body)
+            parts.append(_scale_df(part, fboost))
+        out = _combine_fields_df(ctx, parts, mtype, tie)
+        return _scale_df(out, float(body.get("boost", 1.0)))
+    if kind == "bool":
+        return _bool_df(ctx, body)
+    if kind == "match_all":
+        reader = next(iter(ctx.readers.values()))
+        docs = reader.live_only(reader.docs.select("doc_id"))
+        boost = float(body.get("boost", 1.0)) if isinstance(body, dict) \
+            else 1.0
+        return docs.select("doc_id", F.lit(boost).alias("score"))
+    raise ESQueryError(f"unsupported clause type {kind!r}")
+
+
+def _aslist(x):
+    if x is None:
+        return []
+    return x if isinstance(x, list) else [x]
+
+
+def _bool_df(ctx: _Ctx, spec: dict) -> DataFrame:
+    should = [_clause_df(ctx, c) for c in _aslist(spec.get("should"))]
+    must = [_clause_df(ctx, c) for c in _aslist(spec.get("must"))]
+    filt = [_clause_df(ctx, c) for c in _aslist(spec.get("filter"))]
+    mustnot = [_clause_df(ctx, c) for c in _aslist(spec.get("must_not"))]
+    msm = int(spec.get("minimum_should_match", 0) or 0)
+    if not must and not filt and not should:
+        raise ESQueryError("bool query needs must, filter or should")
+
+    base = None
+    if must:
+        # every must matches: chained inner joins, scores sum
+        base = must[0]
+        for i, m in enumerate(must[1:]):
+            other = m.withColumnRenamed("score", f"_ms{i}")
+            base = (base.join(other, "doc_id")
+                    .select("doc_id", (F.col("score")
+                                       + F.col(f"_ms{i}")).alias("score")))
+    elif filt:
+        base = filt[0].select("doc_id", F.lit(0.0).alias("score"))
+        filt = filt[1:]
+
+    if should:
+        withc = [s.withColumn("_cid", F.lit(i))
+                 for i, s in enumerate(should)]
+        agg = (reduce(DataFrame.unionByName, withc)
+               .groupBy("doc_id")
+               .agg(F.sum("score").alias("_ss"),
+                    F.countDistinct("_cid").alias("_n")))
+        if base is None:
+            base = (agg.filter(F.col("_n") >= max(msm, 1))
+                    .select("doc_id", F.col("_ss").alias("score")))
+        else:
+            base = base.join(agg, "doc_id", "left")
+            if msm:
+                base = base.filter(
+                    F.coalesce(F.col("_n"), F.lit(0)) >= msm)
+            base = base.select(
+                "doc_id",
+                (F.col("score")
+                 + F.coalesce(F.col("_ss"), F.lit(0.0))).alias("score"))
+    for f in filt:
+        base = base.join(f.select("doc_id"), "doc_id", "left_semi")
+    if mustnot:
+        excl = reduce(DataFrame.unionByName,
+                      [m.select("doc_id") for m in mustnot])
+        base = base.join(excl, "doc_id", "left_anti")
+    return _scale_df(base, float(spec.get("boost", 1.0)))
+
+
+# ---------------------------------------------------------------------------
+# entry points
+# ---------------------------------------------------------------------------
+
+def es_search(index, body: dict, k1: float | None = None,
+              b: float | None = None) -> DataFrame:
+    """Execute an ES query body against an IndexReader or
+    MultiFieldReader. Returns (doc_id, score[, _source cols]) ordered by
+    (score desc, doc_id asc), limited to ``size`` (ES default 10).
+    Budget-sized bodies run with zero Spark jobs (see module doc)."""
+    if "query" not in body:
+        raise ESQueryError("body lacks 'query'")
+    ctx = _Ctx(index, k1, b)
+    k = int(body.get("size", DEFAULT_SIZE))
+    local = _clause_pd(ctx, body["query"])
+    if local is not None:
+        topk = _topk_pd_to_df(ctx.spark, local[["doc_id", "score"]], k)
+    else:
+        scored = _clause_df(ctx, body["query"])
+        topk = (scored.orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(k))
+    source = body.get("_source")
+    if not source:
+        return topk
+    docs = next(iter(ctx.readers.values())).docs
+    cols = [c for c in source if c in docs.columns]
+    missing = sorted(set(source) - set(cols))
+    if missing:
+        raise ESQueryError(f"_source fields not in docs table: {missing}")
+    return (docs.select("doc_id", *cols)
+            .join(F.broadcast(topk), "doc_id")
+            .select("doc_id", "score", *cols)
+            .orderBy(F.desc("score"), F.asc("doc_id")))
+
+
+def reference_search_body(query: str, fields: dict[str, float] | None = None,
+                          size: int = 10) -> dict:
+    """The reference's exact enhanced search body
+    (retrieval/es_search_final.py:13-37), parameterized by field boosts
+    (its ``chunk_text^3, title^2, authors`` — default: the transcript
+    text field at boost 3): best_fields multi_match with fuzziness AUTO
+    + phrase multi_match at boost 2.0, minimum_should_match=1."""
+    fields = fields or {"text": 3.0}
+    specs = [f"{f}^{w:g}" if w != 1.0 else f
+             for f, w in sorted(fields.items())]
+    flat = [f for f, _ in (_field_boost(s) for s in specs)]
+    return {
+        "query": {
+            "bool": {
+                "should": [
+                    {"multi_match": {"query": query, "fields": specs,
+                                     "type": "best_fields",
+                                     "fuzziness": "AUTO"}},
+                    {"multi_match": {"query": query, "fields": flat,
+                                     "type": "phrase", "boost": 2.0}},
+                ],
+                "minimum_should_match": 1,
+            }
+        },
+        "size": int(size),
+    }

@@ -1673,6 +1673,90 @@ def engine_bool_should_documents(spark, sf_dir):
                     F.round("score", 4).alias("score")))
 
 
+@register("engine_es_dsl_documents")
+def engine_es_dsl_documents(spark, sf_dir):
+    """The ES query-DSL front-end (operators/esdsl.py) over the REAL
+    index, driver-HASH-checked: the es_search_final.py:13-34 clause
+    shape — bool/should of a match clause plus a phrase clause at boost
+    2.0, minimum_should_match=1 — submitted as a verbatim ES body and
+    compiled onto the engine. The oracle is the SAME SQL as
+    engine_bool_should_documents (registered below): both paths must
+    reproduce DuckDB's recomputation from raw text exactly."""
+    from .operators.esdsl import es_search
+    from .operators.scorer import IndexReader
+
+    reader = IndexReader(spark, _simple_index(spark, sf_dir))
+    hits = es_search(reader, {
+        "query": {"bool": {
+            "should": [
+                {"match": {"text": "table hash"}},
+                {"match_phrase": {"text": {"query": "table hash",
+                                           "boost": 2.0}}},
+            ],
+            "minimum_should_match": 1}},
+        "size": 10})
+    docs = spark.read.parquet(
+        _SIMPLE_IDX_CACHE[sf_dir] + "/docs").select(
+        "doc_id", F.substring("conv_id", 2, 9).cast("long").alias("src_id"))
+    return (hits.join(docs, "doc_id")
+            .select(F.col("src_id").alias("doc_id"),
+                    F.round("score", 4).alias("score")))
+
+
+# same recomputation: the DSL path and the dedicated operator must both
+# match the one SQL oracle
+SQL["engine_es_dsl_documents"] = SQL["engine_bool_should_documents"]
+
+
+@register("engine_es_bool_must_documents", f"""
+WITH tk AS (
+  SELECT doc_id, {_TOK_SQL} AS tk FROM documents
+),
+corpus AS (SELECT count(*) AS n, sum(len(tk)) AS tok FROM tk),
+flat AS (SELECT doc_id, unnest(tk) AS term FROM tk),
+dl AS (SELECT doc_id, len(tk) AS dl FROM tk),
+df AS (
+  SELECT count(DISTINCT doc_id) AS df FROM flat WHERE term = 'table'
+),
+tf AS (
+  SELECT doc_id, count(*) AS tf FROM flat WHERE term = 'table'
+  GROUP BY doc_id
+),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1 + (corpus.n - df.df + 0.5) / (df.df + 0.5))
+         * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                    / (corpus.tok * 1.0 / corpus.n))) AS score
+  FROM tf JOIN dl USING (doc_id), df, corpus
+  WHERE tf.doc_id NOT IN
+        (SELECT DISTINCT doc_id FROM flat WHERE term = 'hash')
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, round(score, 4) AS score
+FROM scored ORDER BY score DESC, doc_id ASC
+LIMIT 10
+""")
+def engine_es_bool_must_documents(spark, sf_dir):
+    """ES bool must + must_not through the DSL front-end over the REAL
+    index, driver-HASH-checked: docs that match 'table' (scored) and do
+    NOT contain 'hash' — the oracle recomputes the BM25 clause and the
+    exclusion set from raw text."""
+    from .operators.esdsl import es_search
+    from .operators.scorer import IndexReader
+
+    reader = IndexReader(spark, _simple_index(spark, sf_dir))
+    hits = es_search(reader, {
+        "query": {"bool": {
+            "must": [{"match": {"text": "table"}}],
+            "must_not": [{"match": {"text": "hash"}}]}},
+        "size": 10})
+    docs = spark.read.parquet(
+        _SIMPLE_IDX_CACHE[sf_dir] + "/docs").select(
+        "doc_id", F.substring("conv_id", 2, 9).cast("long").alias("src_id"))
+    return (hits.join(docs, "doc_id")
+            .select(F.col("src_id").alias("doc_id"),
+                    F.round("score", 4).alias("score")))
+
+
 _MF_IDX_CACHE: dict[str, str] = {}
 
 

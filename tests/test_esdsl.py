@@ -1,0 +1,194 @@
+"""ES query-DSL front-end (operators/esdsl.py): the reference's search
+bodies (es_search_final.py:12-37) execute natively and agree bit-for-bit
+with the engine primitives they compile to, on both the distributed and
+the zero-Spark-job driver-local evaluation paths."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import numpy as np
+import pytest
+
+from research_engine_spark.corpus import synth_transcripts
+from research_engine_spark.operators.esdsl import (
+    ESQueryError,
+    es_search,
+    reference_search_body,
+)
+from research_engine_spark.operators.indexer import build_index
+from research_engine_spark.operators.multifield import (
+    MultiFieldReader,
+    build_multifield_index,
+    search_multifield,
+)
+from research_engine_spark.operators.scorer import (
+    IndexReader,
+    bool_should_search,
+    phrase_search,
+    search,
+)
+
+Q = "neural networks"
+
+
+@pytest.fixture(scope="module")
+def es_setup(spark):
+    tx = synth_transcripts(spark, n_convs=60, seed=21)
+    d = tempfile.mkdtemp(prefix="esdsl_idx_")
+    build_index(tx, d, n_buckets=4, with_positions=True)
+    mfd = tempfile.mkdtemp(prefix="esdsl_mf_")
+    build_multifield_index(tx, mfd, {"text": 3.0, "role": 1.0},
+                           n_buckets=4, with_positions=True)
+    yield d, mfd
+    shutil.rmtree(d, ignore_errors=True)
+    shutil.rmtree(mfd, ignore_errors=True)
+
+
+def _pairs(df):
+    pdf = df.select("doc_id", "score").toPandas()
+    return list(zip(pdf["doc_id"].tolist(),
+                    np.round(pdf["score"].to_numpy(np.float64), 10)))
+
+
+def _readers(spark, d):
+    """(driver-local-enabled, distributed-pinned) reader pair."""
+    return (IndexReader(spark, d),
+            IndexReader(spark, d, driver_local_max_postings=0,
+                        driver_local_max_vocab=0))
+
+
+def test_match_equals_search(spark, es_setup):
+    d, _ = es_setup
+    local, dist = _readers(spark, d)
+    want = _pairs(search(dist, Q, k=10, with_text=False))
+    for r in (local, dist):
+        got = _pairs(es_search(r, {"query": {"match": {"text": Q}}}))
+        assert got == want
+
+
+def test_match_phrase_equals_phrase_search(spark, es_setup):
+    d, _ = es_setup
+    local, dist = _readers(spark, d)
+    want = _pairs(phrase_search(dist, Q, k=10))
+    for r in (local, dist):
+        got = _pairs(es_search(
+            r, {"query": {"match_phrase": {"text": Q}}, "size": 10}))
+        assert got == want
+
+
+def test_reference_bool_should_equals_bool_should_search(spark, es_setup):
+    """The es_search_final.py clause shape on one field: match +
+    phrase-boost-2.0, minimum_should_match=1 — must agree with the
+    dedicated bool_should_search operator bit-for-bit."""
+    d, _ = es_setup
+    local, dist = _readers(spark, d)
+    want = _pairs(bool_should_search(dist, Q, k=10))
+    body = {"query": {"bool": {
+        "should": [
+            {"match": {"text": Q}},
+            {"match_phrase": {"text": {"query": Q, "boost": 2.0}}},
+        ],
+        "minimum_should_match": 1}},
+        "size": 10}
+    for r in (local, dist):
+        assert _pairs(es_search(r, body)) == want
+
+
+def test_multi_match_equals_search_multifield(spark, es_setup):
+    _, mfd = es_setup
+    mf = MultiFieldReader(spark, mfd)
+    want = _pairs(search_multifield(mf, Q, k=10, tie_breaker=0.3))
+    got = _pairs(es_search(mf, {"query": {"multi_match": {
+        "query": Q, "fields": ["text^3", "role"],
+        "type": "best_fields", "tie_breaker": 0.3}}, "size": 10}))
+    assert got == want
+
+
+def test_reference_search_body_end_to_end(spark, es_setup):
+    """The reference's FULL enhanced body — fuzzy best_fields +
+    phrase-type multi_match, minimum_should_match=1 — runs on per-field
+    sub-indexes; driver-local and distributed agree."""
+    _, mfd = es_setup
+    mf = MultiFieldReader(spark, mfd)
+    body = reference_search_body(
+        "neural netwrks", fields={"text": 3.0, "role": 1.0}, size=10)
+    got_local = _pairs(es_search(mf, body))
+    assert got_local  # the typo reaches 'networks' via fuzzy AUTO
+    dist = MultiFieldReader(spark, mfd)
+    for r in dist.readers.values():
+        r.driver_local_max_postings = 0
+        r.driver_local_max_vocab = 0
+    assert _pairs(es_search(dist, body)) == got_local
+
+
+def test_minimum_should_match_two(spark, es_setup):
+    d, _ = es_setup
+    local, dist = _readers(spark, d)
+    body = {"query": {"bool": {
+        "should": [{"match": {"text": "neural"}},
+                   {"match_phrase": {"text": Q}}],
+        "minimum_should_match": 2}}, "size": 10000}
+    for r in (local, dist):
+        got = es_search(r, body)
+        ids = {x.doc_id for x in got.collect()}
+        # every hit matches BOTH clauses: phrase hits are a subset of
+        # docs containing 'neural'
+        phrase_ids = {x.doc_id for x in
+                      phrase_search(dist, Q, k=10000).collect()}
+        assert ids and ids <= phrase_ids
+
+
+def test_must_and_must_not(spark, es_setup):
+    d, _ = es_setup
+    local, dist = _readers(spark, d)
+    mids = {x.doc_id for x in search(
+        dist, "machine", k=10000, with_text=False, _all_matches=True
+        ).collect()}
+    nids = {x.doc_id for x in search(
+        dist, "neural", k=10000, with_text=False, _all_matches=True
+        ).collect()}
+    body = {"query": {"bool": {
+        "must": [{"match": {"text": "machine"}}],
+        "must_not": [{"match": {"text": "neural"}}]}},
+        "size": 100000}
+    for r in (local, dist):
+        ids = {x.doc_id for x in es_search(r, body).collect()}
+        assert ids == (mids - nids)
+
+
+def test_filter_scores_zero(spark, es_setup):
+    d, _ = es_setup
+    local, dist = _readers(spark, d)
+    body = {"query": {"bool": {
+        "filter": [{"match": {"text": "machine"}}]}}, "size": 5}
+    for r in (local, dist):
+        rows = es_search(r, body).collect()
+        assert rows and all(x.score == 0.0 for x in rows)
+
+
+def test_source_projection(spark, es_setup):
+    d, _ = es_setup
+    local, _ = _readers(spark, d)
+    df = es_search(local, {"query": {"match": {"text": Q}},
+                           "_source": ["conv_id", "turn_idx", "text"],
+                           "size": 3})
+    assert df.columns == ["doc_id", "score", "conv_id", "turn_idx", "text"]
+    assert df.count() == 3
+
+
+def test_errors(spark, es_setup):
+    d, mfd = es_setup
+    local, _ = _readers(spark, d)
+    mf = MultiFieldReader(spark, mfd)
+    with pytest.raises(ESQueryError, match="unsupported clause"):
+        es_search(local, {"query": {"regexp": {"text": "a.*"}}})
+    with pytest.raises(ESQueryError, match="fuzziness"):
+        es_search(local, {"query": {"match": {
+            "text": {"query": Q, "fuzziness": 2}}}})
+    with pytest.raises(ESQueryError, match="unknown field"):
+        es_search(mf, {"query": {"match": {"title": Q}}})
+    with pytest.raises(ESQueryError, match="_source"):
+        es_search(local, {"query": {"match": {"text": Q}},
+                          "_source": ["nope"]})
