@@ -140,7 +140,9 @@ def bpe_token_count_udf(encoding: str = "cl100k_base"):
     34-37,122 uses cl100k_base). tiktoken is not in this image, so the
     path is gated behind an import-try; without it the engine uses
     analyzed-token counts for ``dl`` (internally consistent — documented
-    deviation, see README)."""
+    deviation, see README). For library-free BPE token counts under a
+    vocabulary trained on the corpus itself, use functions/bpe.py
+    (train_bpe + BPETokenizer.token_count_col)."""
     try:
         import tiktoken
     except ImportError as e:  # pragma: no cover - image has no tiktoken

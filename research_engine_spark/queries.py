@@ -432,6 +432,36 @@ def lang_id_heuristic(spark, sf_dir):
     )
 
 
+@register("bpe_word_counts_documents", """
+WITH words AS (
+  SELECT unnest(list_filter(
+      string_split_regex(lower(text), '\\s+'), w -> w <> '')) AS word
+  FROM documents
+)
+SELECT word, CAST(count(*) AS BIGINT) AS cnt
+FROM words GROUP BY word
+ORDER BY cnt DESC, word ASC
+LIMIT 50
+""")
+def bpe_word_counts_documents(spark, sf_dir):
+    """Stage 1 of distributed BPE training (functions/bpe.py
+    _word_counts), driver-HASH-checked: the corpus-sized pass is a
+    vocabulary-sized word-count shuffle — lowercase + whitespace
+    pre-tokenization, explode, groupBy count, frequency-truncated. The
+    bounded driver merge loop that consumes this table is verified in
+    pytest against the published Sennrich et al. 2016 worked example
+    (tests/test_bpe.py)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(
+            F.split(F.lower(F.col("text")), r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word").agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(50)
+    )
+
+
 @register("doc_fingerprints", """
 SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
        AS fingerprint
