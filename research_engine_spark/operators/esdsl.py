@@ -416,35 +416,75 @@ def _bool_df(ctx: _Ctx, spec: dict) -> DataFrame:
 # entry points
 # ---------------------------------------------------------------------------
 
+def _collect_query_strings(clause: dict) -> list[str]:
+    """Every leaf 'query' string in the tree (for highlighting — ES
+    highlights the terms the query matched)."""
+    [(kind, body)] = clause.items()
+    if kind in ("match", "match_phrase"):
+        _, spec = _leaf_spec(body)
+        return [str(spec["query"])]
+    if kind == "multi_match":
+        return [str(body["query"])]
+    if kind == "bool":
+        out = []
+        for key in ("should", "must", "filter"):
+            for c in _aslist(body.get(key)):
+                out.extend(_collect_query_strings(c))
+        return out
+    return []
+
+
 def es_search(index, body: dict, k1: float | None = None,
               b: float | None = None) -> DataFrame:
     """Execute an ES query body against an IndexReader or
-    MultiFieldReader. Returns (doc_id, score[, _source cols]) ordered by
-    (score desc, doc_id asc), limited to ``size`` (ES default 10).
-    Budget-sized bodies run with zero Spark jobs (see module doc)."""
+    MultiFieldReader. Returns (doc_id, score[, _source cols
+    [, highlight]]) ordered by (score desc, doc_id asc), paginated by
+    ``from``/``size`` (ES defaults 0/10). Budget-sized bodies run with
+    zero Spark jobs (see module doc)."""
     if "query" not in body:
         raise ESQueryError("body lacks 'query'")
     ctx = _Ctx(index, k1, b)
     k = int(body.get("size", DEFAULT_SIZE))
+    frm = int(body.get("from", 0))
     local = _clause_pd(ctx, body["query"])
     if local is not None:
-        topk = _topk_pd_to_df(ctx.spark, local[["doc_id", "score"]], k)
+        ordered = local.sort_values(
+            ["score", "doc_id"], ascending=[False, True],
+            kind="mergesort")[frm:frm + k]
+        topk = _topk_pd_to_df(ctx.spark, ordered[["doc_id", "score"]], k)
     else:
         scored = _clause_df(ctx, body["query"])
-        topk = (scored.orderBy(F.desc("score"), F.asc("doc_id"))
-                .limit(k))
-    source = body.get("_source")
+        topk = scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        topk = topk.offset(frm).limit(k) if frm else topk.limit(k)
+    source = list(body.get("_source") or [])
+    hl = body.get("highlight")
+    hl_field = None
+    if hl:
+        fields = list((hl.get("fields") or {}))
+        if len(fields) != 1:
+            raise ESQueryError("highlight needs exactly one field")
+        hl_field = fields[0]
+        if hl_field not in source:
+            source = source + [hl_field]
     if not source:
         return topk
     docs = next(iter(ctx.readers.values())).docs
-    cols = [c for c in source if c in docs.columns]
-    missing = sorted(set(source) - set(cols))
+    missing = sorted(set(source) - set(docs.columns))
     if missing:
         raise ESQueryError(f"_source fields not in docs table: {missing}")
-    return (docs.select("doc_id", *cols)
-            .join(F.broadcast(topk), "doc_id")
-            .select("doc_id", "score", *cols)
-            .orderBy(F.desc("score"), F.asc("doc_id")))
+    out = (docs.select("doc_id", *source)
+           .join(F.broadcast(topk), "doc_id")
+           .select("doc_id", "score", *source))
+    if hl_field:
+        from .retrieval_extras import with_highlights
+
+        opts = hl["fields"][hl_field] or {}
+        out = with_highlights(
+            out, " ".join(_collect_query_strings(body["query"])),
+            text_col=hl_field,
+            width=int(opts.get("fragment_size", 120)) // 2,
+            max_fragments=int(opts.get("number_of_fragments", 1)))
+    return out.orderBy(F.desc("score"), F.asc("doc_id"))
 
 
 def reference_search_body(query: str, fields: dict[str, float] | None = None,

@@ -192,3 +192,27 @@ def test_errors(spark, es_setup):
     with pytest.raises(ESQueryError, match="_source"):
         es_search(local, {"query": {"match": {"text": Q}},
                           "_source": ["nope"]})
+
+
+def test_from_pagination(spark, es_setup):
+    d, _ = es_setup
+    local, dist = _readers(spark, d)
+    full = _pairs(es_search(dist, {"query": {"match": {"text": Q}},
+                                   "size": 10}))
+    for r in (local, dist):
+        page2 = _pairs(es_search(r, {"query": {"match": {"text": Q}},
+                                     "from": 4, "size": 3}))
+        assert page2 == full[4:7]
+
+
+def test_highlight(spark, es_setup):
+    d, _ = es_setup
+    local, _ = _readers(spark, d)
+    df = es_search(local, {
+        "query": {"match": {"text": Q}},
+        "highlight": {"fields": {"text": {"fragment_size": 100,
+                                          "number_of_fragments": 1}}},
+        "size": 3})
+    rows = df.collect()
+    assert "highlight" in df.columns and len(rows) == 3
+    assert any("neural" in r.highlight.lower() for r in rows)
