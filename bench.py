@@ -199,6 +199,34 @@ def run_once(spark, sf_dir: str, cores: int, warm: bool) -> dict:
         phrase_search(pos_local, q, k=10).collect()
         queries_sec[f"phrasel_q{i+1:02d}"] = round(time.monotonic() - t0, 4)
 
+    # --- 2g. ES query-DSL front-end (r4) -----------------------------------
+    # the reference's es_search_final.py clause shape (bool/should of a
+    # match clause + a boost-2.0 phrase clause, minimum_should_match=1)
+    # submitted as a verbatim ES body through operators/esdsl.py, on the
+    # positional index: driver-local serving per query (zero Spark jobs
+    # inside the budget) + one distributed-pinned datapoint
+    from research_engine_spark.operators.esdsl import es_search
+
+    def _es_body(q: str) -> dict:
+        return {"query": {"bool": {"should": [
+            {"match": {"text": q}},
+            {"match_phrase": {"text": {"query": q, "boost": 2.0}}}],
+            "minimum_should_match": 1}}, "size": 10}
+
+    es_search(pos_local, _es_body("architecture design")).collect()
+    for i, q in enumerate(REFERENCE_QUERIES):
+        t0 = time.monotonic()
+        es_search(pos_local, _es_body(q)).collect()
+        queries_sec[f"esdsl_q{i+1:02d}"] = round(time.monotonic() - t0, 4)
+    # untimed warmup: the composed bool plan (all-matches scan + phrase
+    # + union/groupBy) is a fresh plan shape on this session — first
+    # execution pays codegen, like every other section's warmup
+    es_search(pos_reader, _es_body("architecture design"))\
+        .collect()
+    t0 = time.monotonic()
+    es_search(pos_reader, _es_body(REFERENCE_QUERIES[0])).collect()
+    queries_sec["esdsl_dist_q01"] = round(time.monotonic() - t0, 3)
+
     # --- 2e. delete lifecycle on the main index (last reader use) ----------
     # tombstone ~1/16 of docs, search through the tombstones, physically
     # purge via compaction, search again — the ES delete_by_query +
@@ -295,6 +323,8 @@ def main() -> None:
         "fuzzy_local_mean_latency_sec": _agg(q_min, "fuzzyl_q"),
         "fuzzy_mean_latency_sec": _agg(q_min, "fuzzy_q"),
         "phrase_mean_latency_sec": _agg(q_min, "phrase_q"),
+        "esdsl_local_mean_latency_sec": _agg(q_min, "esdsl_q"),
+        "esdsl_dist_q01_sec": q_min["esdsl_dist_q01"],
         "index_build_positional_sec": q_min["index_build_positional"],
         "index_build_positional_sec_median": q_med["index_build_positional"],
         "cores": cores,
