@@ -150,6 +150,16 @@ class ResearchEngine:
             hits = with_highlights(hits, query)
         return hits
 
+    def explain(self, query: str, doc_id: int, **kwargs) -> dict:
+        """Per-term BM25 breakdown for one document (ES ``_explain``
+        analog): zero Spark jobs at any corpus size — the posting
+        lookup is a block-metadata range probe, never an O(df) read.
+        The folded score is bit-identical to .search's score for the
+        doc."""
+        from .operators.scorer import explain
+
+        return explain(self.reader, query, doc_id, **kwargs)
+
     def es_search(self, body: dict, k1: float | None = None,
                   b: float | None = None) -> DataFrame:
         """Execute an Elasticsearch query body verbatim
