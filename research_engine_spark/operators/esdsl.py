@@ -41,7 +41,11 @@ final TakeOrderedAndProject. Serving tier: when EVERY leaf of the tree
 fits the reader's driver-local budgets the whole body evaluates in
 pandas with zero Spark jobs (same float64 ops as the distributed
 composition), falling back per-query otherwise — the gate is the same
-Σ df metadata check the plain serving paths use.
+Σ df metadata check the plain serving paths use. With three or more
+should clauses the two paths may differ by float ulps (Spark's grouped
+sum is accumulation-order-free only for two addends); the driver's
+4-decimal rounding and the tests absorb this, mirroring the documented
+multifield tie_breaker caveat.
 """
 
 from __future__ import annotations
