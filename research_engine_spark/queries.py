@@ -636,9 +636,9 @@ scored AS (
   FROM tf JOIN df USING (term) JOIN dl USING (doc_id), corpus
   GROUP BY tf.doc_id
 )
-SELECT doc_id, round(score, 4) AS score FROM scored
-ORDER BY score DESC, doc_id ASC
-LIMIT 10
+SELECT doc_id, round(score, 4) AS score
+FROM (SELECT doc_id, score FROM scored
+      ORDER BY score DESC, doc_id ASC LIMIT 10) t
 """
 
 
@@ -956,9 +956,9 @@ scored AS (
        JOIN dl USING (doc_id), corpus
   GROUP BY tf.doc_id
 )
-SELECT doc_id, round(score, 4) AS score FROM scored
-ORDER BY score DESC, doc_id ASC
-LIMIT 10
+SELECT doc_id, round(score, 4) AS score
+FROM (SELECT doc_id, score FROM scored
+      ORDER BY score DESC, doc_id ASC LIMIT 10) t
 """)
 def fuzzy_bm25_documents(spark, sf_dir):
     """R5 fuzzy BM25 over the documents table: typo'd query terms expanded
@@ -1163,9 +1163,9 @@ def _phrase_scores_df(spark, sf_dir, t1: str, t2: str):
 
 @register("phrase_bm25_documents", f"""
 WITH {_PHRASE_CTE}
-SELECT doc_id, round(ps, 4) AS score FROM pscore
-ORDER BY score DESC, doc_id ASC
-LIMIT 10
+SELECT doc_id, round(ps, 4) AS score
+FROM (SELECT doc_id, ps FROM pscore
+      ORDER BY ps DESC, doc_id ASC LIMIT 10) t
 """)
 def phrase_bm25_documents(spark, sf_dir):
     """R3 exact-phrase scoring ("spark join"), DuckDB-checked via a
@@ -1184,11 +1184,12 @@ tscore AS (
   SELECT doc_id, sum(partial) AS ts FROM scored
   WHERE term IN ('spark', 'join') GROUP BY doc_id
 )
-SELECT COALESCE(tscore.doc_id, pscore.doc_id) AS doc_id,
-       round(COALESCE(ts, 0) + 2.0 * COALESCE(ps, 0), 4) AS score
-FROM tscore FULL OUTER JOIN pscore ON tscore.doc_id = pscore.doc_id
-ORDER BY score DESC, doc_id ASC
-LIMIT 10
+SELECT doc_id, round(score, 4) AS score
+FROM (SELECT COALESCE(tscore.doc_id, pscore.doc_id) AS doc_id,
+             COALESCE(ts, 0) + 2.0 * COALESCE(ps, 0) AS score
+      FROM tscore FULL OUTER JOIN pscore
+           ON tscore.doc_id = pscore.doc_id
+      ORDER BY score DESC, doc_id ASC LIMIT 10) t
 """)
 def bool_should_documents(spark, sf_dir):
     """R4 bool/should twin (es_search_final.py:13-34): match clause over
@@ -1619,8 +1620,8 @@ scored AS (
   GROUP BY tf.doc_id
 )
 SELECT CAST(doc_id AS BIGINT) AS doc_id, round(score, 4) AS score
-FROM scored ORDER BY score DESC, doc_id ASC
-LIMIT 10
+FROM (SELECT doc_id, score FROM scored
+      ORDER BY score DESC, doc_id ASC LIMIT 10) t
 """)
 def engine_fuzzy_documents(spark, sf_dir):
     """Fuzzy AUTO retrieval (R5) over the REAL index, driver-HASH-
@@ -1683,8 +1684,8 @@ combined AS (
   FROM tscore t FULL OUTER JOIN pscore p ON t.doc_id = p.doc_id
 )
 SELECT CAST(doc_id AS BIGINT) AS doc_id, round(score, 4) AS score
-FROM combined ORDER BY score DESC, doc_id ASC
-LIMIT 10
+FROM (SELECT doc_id, score FROM combined
+      ORDER BY score DESC, doc_id ASC LIMIT 10) t
 """)
 def engine_bool_should_documents(spark, sf_dir):
     """R4 bool/should over the REAL index, driver-HASH-checked: match
@@ -1746,37 +1747,42 @@ corpus AS (SELECT count(*) AS n, sum(len(tk)) AS tok FROM tk),
 flat AS (SELECT doc_id, unnest(tk) AS term FROM tk),
 dl AS (SELECT doc_id, len(tk) AS dl FROM tk),
 df AS (
-  SELECT count(DISTINCT doc_id) AS df FROM flat WHERE term = 'table'
+  SELECT term, count(DISTINCT doc_id) AS df FROM flat
+  WHERE term IN ('table', 'sort') GROUP BY term
 ),
 tf AS (
-  SELECT doc_id, count(*) AS tf FROM flat WHERE term = 'table'
-  GROUP BY doc_id
+  SELECT doc_id, term, count(*) AS tf FROM flat
+  WHERE term IN ('table', 'sort') GROUP BY doc_id, term
 ),
 scored AS (
   SELECT tf.doc_id,
-         ln(1 + (corpus.n - df.df + 0.5) / (df.df + 0.5))
-         * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
-                    / (corpus.tok * 1.0 / corpus.n))) AS score
-  FROM tf JOIN dl USING (doc_id), df, corpus
+         sum( ln(1 + (corpus.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                         / (corpus.tok * 1.0 / corpus.n))) ) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), corpus
   WHERE tf.doc_id NOT IN
         (SELECT DISTINCT doc_id FROM flat WHERE term = 'hash')
+  GROUP BY tf.doc_id
 )
+-- rank by the UNROUNDED score (a bare ORDER BY score would bind to the
+-- rounded output alias, which at larger sf has boundary ties the
+-- engine's unrounded ranking resolves differently)
 SELECT CAST(doc_id AS BIGINT) AS doc_id, round(score, 4) AS score
-FROM scored ORDER BY score DESC, doc_id ASC
-LIMIT 10
+FROM (SELECT doc_id, score FROM scored
+      ORDER BY score DESC, doc_id ASC LIMIT 10) t
 """)
 def engine_es_bool_must_documents(spark, sf_dir):
     """ES bool must + must_not through the DSL front-end over the REAL
-    index, driver-HASH-checked: docs that match 'table' (scored) and do
-    NOT contain 'hash' — the oracle recomputes the BM25 clause and the
-    exclusion set from raw text."""
+    index, driver-HASH-checked: docs that match 'table sort' (scored,
+    sum over matched terms) and do NOT contain 'hash' — the oracle
+    recomputes the BM25 clause and the exclusion set from raw text."""
     from .operators.esdsl import es_search
     from .operators.scorer import IndexReader
 
     reader = IndexReader(spark, _simple_index(spark, sf_dir))
     hits = es_search(reader, {
         "query": {"bool": {
-            "must": [{"match": {"text": "table"}}],
+            "must": [{"match": {"text": "table sort"}}],
             "must_not": [{"match": {"text": "hash"}}]}},
         "size": 10})
     docs = spark.read.parquet(
@@ -1832,8 +1838,8 @@ final AS (
   FROM comb GROUP BY doc_id
 )
 SELECT CAST(doc_id AS BIGINT) AS doc_id, round(score, 4) AS score
-FROM final ORDER BY score DESC, doc_id ASC
-LIMIT 10
+FROM (SELECT doc_id, score FROM final
+      ORDER BY score DESC, doc_id ASC LIMIT 10) t
 """)
 def engine_multifield_documents(spark, sf_dir):
     """ES multi_match best_fields (R2) over REAL per-field sub-indexes,
@@ -1934,10 +1940,10 @@ scored AS (
   FROM tf JOIN df USING (term) JOIN dl USING (doc_id), corpus
   GROUP BY tf.doc_id
 )
-SELECT doc_id, round(score, 4) AS score FROM scored
-WHERE NOT ({_DEL_PRED})
-ORDER BY score DESC, doc_id ASC
-LIMIT 10
+SELECT doc_id, round(score, 4) AS score
+FROM (SELECT doc_id, score FROM scored
+      WHERE NOT ({_DEL_PRED})
+      ORDER BY score DESC, doc_id ASC LIMIT 10) t
 """)
 def engine_delete_bm25_documents(spark, sf_dir):
     """TOMBSTONE semantics driver-hash-checked: build the real index,
@@ -1994,9 +2000,9 @@ scored AS (
   FROM tf JOIN df USING (term) JOIN dl USING (doc_id), corpus
   GROUP BY tf.doc_id
 )
-SELECT doc_id, round(score, 4) AS score FROM scored
-ORDER BY score DESC, doc_id ASC
-LIMIT 10
+SELECT doc_id, round(score, 4) AS score
+FROM (SELECT doc_id, score FROM scored
+      ORDER BY score DESC, doc_id ASC LIMIT 10) t
 """)
 def engine_purge_bm25_documents(spark, sf_dir):
     """PHYSICAL PURGE driver-hash-checked: delete a subset, then
