@@ -104,6 +104,11 @@ class IndexReader:
     # term-dictionary row budget for driver-local fuzzy expansion (see
     # DRIVER_LOCAL_MAX_VOCAB); 0 disables (expansion always distributed)
     driver_local_max_vocab: int = DRIVER_LOCAL_MAX_VOCAB
+    # time travel (Iceberg ``VERSION AS OF`` analog): open a RETAINED
+    # historical generation instead of the current one — queryable
+    # exactly as it was at that commit, as long as its files survive the
+    # keep_generations window / gc_generations. None = current.
+    generation: int | None = None
 
     def __post_init__(self) -> None:
         # pin ONE generation snapshot for the reader's whole lifetime
@@ -112,9 +117,32 @@ class IndexReader:
         # so a reader constructed while a compaction commits still sees
         # a single consistent generation (ADVICE r3 cross-table
         # atomicity). refresh() re-pins to the then-current generation.
-        from .generations import table_mapping
+        from .generations import (current_gen, flat_mapping,
+                                  read_generation, table_mapping)
 
-        self._gen_tables = table_mapping(self.index_dir)
+        if self.generation is None:
+            self._gen_tables = table_mapping(self.index_dir)
+        else:
+            gen = int(self.generation)
+            if gen == 0:
+                self._gen_tables = flat_mapping()
+            else:
+                ptr = read_generation(self.index_dir, gen)
+                if ptr is None:
+                    raise FileNotFoundError(
+                        f"generation {gen} of {self.index_dir} is not "
+                        f"retained (current: {current_gen(self.index_dir)}"
+                        "; raise compact_index(keep_generations=...) or "
+                        "gc less aggressively to keep history)")
+                self._gen_tables = {**flat_mapping(),
+                                    **ptr.get("tables", {})}
+            # verify the pinned generation's files actually survive
+            probe = self._path("corpus_stats.json")
+            if not os.path.exists(probe):
+                raise FileNotFoundError(
+                    f"generation {gen} of {self.index_dir} was "
+                    "garbage-collected (its pointer remains but "
+                    f"{probe} is gone)")
         with open(self._path("corpus_stats.json")) as f:
             self.stats = json.load(f)
         self.n_buckets = int(self.stats["n_buckets"])

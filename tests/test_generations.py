@@ -196,3 +196,28 @@ def test_fresh_build_resets_to_flat(spark, purged_setup):
     r = IndexReader(spark, d)
     assert r.stats["n_docs"] == tx.count()
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_time_travel_reader(spark, purged_setup):
+    """Iceberg VERSION-AS-OF analog: generation=0 opens the retained
+    pre-purge snapshot (tombstoned search, old stats) while the default
+    reader serves the purged current generation; after gc the historical
+    open fails loudly."""
+    d, victims = purged_setup
+    pre = _res(IndexReader(spark, d))
+    compact_index(spark, d)  # keep_generations=2 default
+    # current generation: purged
+    cur = IndexReader(spark, d)
+    assert cur._gen_tables["postings"] == "postings@1"
+    # time travel to generation 0: bit-identical to the pre-purge state
+    old = IndexReader(spark, d, generation=0)
+    assert old._gen_tables == flat_mapping()
+    assert _res(old) == pre
+    assert old.stats["n_docs"] > cur.stats["n_docs"]
+    # asking for a generation that never existed fails loudly
+    with pytest.raises(FileNotFoundError, match="not retained"):
+        IndexReader(spark, d, generation=7)
+    # after gc(keep=1) the historical files are gone
+    gc_generations(d, keep=1)
+    with pytest.raises(FileNotFoundError):
+        IndexReader(spark, d, generation=0)
