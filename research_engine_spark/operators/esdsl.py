@@ -261,7 +261,7 @@ def _bool_pd(ctx: _Ctx, spec: dict):
             [s.assign(_cid=i) for i, s in enumerate(should)],
             ignore_index=True)
         agg = allc.groupby("doc_id").agg(
-            sscore=("score", "sum"), n=("_cid", "nunique"))
+            sscore=("score", "sum"), n=("_cid", "size"))
         if base is None:
             agg = agg[agg["n"] >= max(msm, 1)]
             base = pd.DataFrame({
@@ -391,10 +391,13 @@ def _bool_df(ctx: _Ctx, spec: dict) -> DataFrame:
     if should:
         withc = [s.withColumn("_cid", F.lit(i))
                  for i, s in enumerate(should)]
+        # every clause frame holds at most ONE row per doc_id (full-match
+        # score sets are doc-grouped), so count(*) == distinct clause
+        # count — no distinct machinery on the widest shuffle
         agg = (reduce(DataFrame.unionByName, withc)
                .groupBy("doc_id")
                .agg(F.sum("score").alias("_ss"),
-                    F.countDistinct("_cid").alias("_n")))
+                    F.count(F.lit(1)).alias("_n")))
         if base is None:
             base = (agg.filter(F.col("_n") >= max(msm, 1))
                     .select("doc_id", F.col("_ss").alias("score")))
