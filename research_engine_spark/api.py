@@ -160,6 +160,15 @@ class ResearchEngine:
 
         return explain(self.reader, query, doc_id, **kwargs)
 
+    def es_aggregations(self, body: dict) -> DataFrame:
+        """ES aggregations over the query's match set (terms /
+        date_histogram / metrics, one nesting level) — exact buckets,
+        no coordinating-node size truncation; see
+        operators/esdsl.py es_aggregations."""
+        from .operators.esdsl import es_aggregations
+
+        return es_aggregations(self.reader, body)
+
     def es_search(self, body: dict, k1: float | None = None,
                   b: float | None = None) -> DataFrame:
         """Execute an Elasticsearch query body verbatim

@@ -520,3 +520,82 @@ def reference_search_body(query: str, fields: dict[str, float] | None = None,
         },
         "size": int(size),
     }
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (the other half of the ES surface)
+# ---------------------------------------------------------------------------
+
+_METRIC_FNS = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max,
+               "value_count": F.count}
+
+
+def _metric_col(name: str, spec: dict):
+    if len(spec) != 1:
+        raise ESQueryError(f"metric agg {name!r} must have one function")
+    [(fn, args)] = spec.items()
+    if fn not in _METRIC_FNS:
+        raise ESQueryError(
+            f"unsupported metric {fn!r} (have {sorted(_METRIC_FNS)})")
+    field = args.get("field")
+    if not field:
+        raise ESQueryError(f"metric agg {name!r} lacks 'field'")
+    return _METRIC_FNS[fn](F.col(field)).alias(name)
+
+
+def es_aggregations(index, body: dict, k1: float | None = None,
+                    b: float | None = None) -> DataFrame:
+    """ES aggregations over the docs matching ``body["query"]``
+    (match_all when omitted): ONE top-level ``terms`` /
+    ``date_histogram`` / metric agg, with optional metric sub-aggs
+    inside the bucket agg — the reference's ES exposes this surface;
+    its code never uses it, but a transcript-analytics user will.
+
+    Spark-first: the match set (doc_ids only, never scores into the
+    agg) left-semi-joins the forward docs table and the buckets are one
+    ``groupBy`` — aggregation over matching docs is exactly the shape
+    Catalyst optimizes best, and unlike ES's coordinating-node bucket
+    merge there is no ``size``-based bucket truncation error: results
+    are exact. Returns a DataFrame (terms: key, doc_count, <sub-aggs>,
+    ordered by doc_count desc then key; date_histogram: key ascending;
+    bare metric: one row)."""
+    aggs = body.get("aggs") or body.get("aggregations")
+    if not aggs or len(aggs) != 1:
+        raise ESQueryError("need exactly one top-level agg in 'aggs'")
+    ctx = _Ctx(index, k1, b)
+    reader = next(iter(ctx.readers.values()))
+    query = body.get("query", {"match_all": {}})
+    [(kind, _)] = query.items()
+    if kind == "match_all":
+        matched = reader.live_only(reader.docs.select("doc_id"))
+    else:
+        matched = _clause_df(ctx, query).select("doc_id")
+    docs = reader.docs.join(matched, "doc_id", "left_semi")
+
+    [(name, spec)] = aggs.items()
+    spec = dict(spec)  # never mutate the caller's body
+    sub = spec.pop("aggs", None)
+    [(atype, args)] = spec.items()
+    subcols = [_metric_col(n, s) for n, s in (sub or {}).items()]
+    if atype == "terms":
+        field = args["field"]
+        out = (docs.groupBy(F.col(field).alias("key"))
+               .agg(F.count(F.lit(1)).alias("doc_count"), *subcols)
+               .orderBy(F.desc("doc_count"), F.asc("key")))
+        if "size" in args:
+            out = out.limit(int(args["size"]))
+        return out
+    if atype == "date_histogram":
+        field = args["field"]
+        interval = args.get("calendar_interval",
+                            args.get("fixed_interval", "day"))
+        units = {"hour": "hour", "day": "day", "week": "week",
+                 "month": "month", "year": "year"}
+        if interval not in units:
+            raise ESQueryError(f"unsupported interval {interval!r}")
+        return (docs.groupBy(F.date_trunc(units[interval],
+                                          F.col(field)).alias("key"))
+                .agg(F.count(F.lit(1)).alias("doc_count"), *subcols)
+                .orderBy(F.asc("key")))
+    # bare metric agg: one row
+    return docs.agg(_metric_col(name, {atype: args}))

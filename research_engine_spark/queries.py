@@ -1793,6 +1793,58 @@ def engine_es_bool_must_documents(spark, sf_dir):
                     F.round("score", 4).alias("score")))
 
 
+_AGG_IDX_CACHE: dict[str, str] = {}
+
+
+@register("engine_es_aggs_documents", f"""
+WITH tk AS (
+  SELECT doc_id, source, n_chars, {_TOK_SQL} AS tk FROM documents
+),
+matched AS (
+  SELECT doc_id, source, n_chars FROM tk
+  WHERE list_contains(tk, 'table') OR list_contains(tk, 'hash')
+)
+SELECT source AS key, CAST(count(*) AS BIGINT) AS doc_count,
+       round(avg(n_chars % 97), 4) AS avg_turn
+FROM matched GROUP BY source
+ORDER BY doc_count DESC, key ASC
+""")
+def engine_es_aggs_documents(spark, sf_dir):
+    """ES aggregations through the DSL front-end over the REAL index,
+    driver-HASH-checked: a terms agg on the role field (mapped from
+    documents.source in a dedicated engine build) with an avg metric
+    sub-agg on turn_idx (mapped from n_chars % 97), over the docs
+    matching a match clause — the oracle regroups the matching docs
+    from raw text. Exact buckets (no ES coordinating-node size
+    truncation)."""
+    import tempfile
+
+    from .operators.esdsl import es_aggregations
+    from .operators.indexer import build_index
+    from .operators.scorer import IndexReader
+
+    if sf_dir not in _AGG_IDX_CACHE:
+        d = _t(spark, sf_dir, "documents")
+        tx = d.select(
+            F.format_string("c%09d", F.col("doc_id")).alias("conv_id"),
+            (F.col("n_chars") % 97).cast("int").alias("turn_idx"),
+            F.col("source").alias("role"),
+            F.col("text"),
+            F.lit(None).cast("timestamp").alias("ts"),
+        )
+        idx = tempfile.mkdtemp(prefix="engine_agg_idx_")
+        build_index(tx, idx, n_buckets=4, analyzer="simple")
+        _AGG_IDX_CACHE[sf_dir] = idx
+    reader = IndexReader(spark, _AGG_IDX_CACHE[sf_dir])
+    out = es_aggregations(reader, {
+        "query": {"match": {"text": "table hash"}},
+        "aggs": {"by_source": {"terms": {"field": "role"},
+                               "aggs": {"avg_turn": {
+                                   "avg": {"field": "turn_idx"}}}}}})
+    return out.select("key", "doc_count",
+                      F.round("avg_turn", 4).alias("avg_turn"))
+
+
 _MF_IDX_CACHE: dict[str, str] = {}
 
 

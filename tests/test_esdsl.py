@@ -216,3 +216,56 @@ def test_highlight(spark, es_setup):
     rows = df.collect()
     assert "highlight" in df.columns and len(rows) == 3
     assert any("neural" in r.highlight.lower() for r in rows)
+
+
+def test_aggregations_terms_with_metric(spark, es_setup):
+    from pyspark.sql import functions as F
+    from research_engine_spark.operators.esdsl import es_aggregations
+
+    d, _ = es_setup
+    r = IndexReader(spark, d)
+    out = es_aggregations(r, {
+        "query": {"match": {"text": "neural"}},
+        "aggs": {"by_role": {"terms": {"field": "role"},
+                 "aggs": {"avg_turn": {"avg": {"field": "turn_idx"}},
+                          "max_turn": {"max": {"field": "turn_idx"}}}}}})
+    assert out.columns == ["key", "doc_count", "avg_turn", "max_turn"]
+    rows = {x.key: x for x in out.collect()}
+    # verify against a manual recount over the match set
+    matched = search(r, "neural", k=100000, with_text=False,
+                     _all_matches=True).select("doc_id")
+    want = (r.docs.join(matched, "doc_id", "left_semi")
+            .groupBy("role").agg(F.count(F.lit(1)).alias("n"),
+                                 F.avg("turn_idx").alias("a")).collect())
+    assert {x.role: (x.n, x.a) for x in want} == {
+        k: (v.doc_count, v.avg_turn) for k, v in rows.items()}
+
+
+def test_aggregations_date_histogram_and_match_all(spark, es_setup):
+    from research_engine_spark.operators.esdsl import es_aggregations
+
+    d, _ = es_setup
+    r = IndexReader(spark, d)
+    out = es_aggregations(r, {
+        "aggs": {"per_day": {"date_histogram": {
+            "field": "ts", "calendar_interval": "day"}}}}).collect()
+    assert sum(x.doc_count for x in out) == r.docs.count()  # match_all
+    keys = [x.key for x in out]
+    assert keys == sorted(keys)  # ascending buckets
+
+
+def test_aggregations_bare_metric_and_errors(spark, es_setup):
+    from research_engine_spark.operators.esdsl import es_aggregations
+
+    d, _ = es_setup
+    r = IndexReader(spark, d)
+    row = es_aggregations(r, {
+        "query": {"match": {"text": "machine"}},
+        "aggs": {"n": {"value_count": {"field": "doc_id"}}}}).collect()[0]
+    n_match = search(r, "machine", k=10**6, with_text=False,
+                     _all_matches=True).count()
+    assert row.n == n_match
+    with pytest.raises(ESQueryError, match="one top-level agg"):
+        es_aggregations(r, {"aggs": {}})
+    with pytest.raises(ESQueryError, match="unsupported metric"):
+        es_aggregations(r, {"aggs": {"x": {"median": {"field": "ts"}}}})
