@@ -169,6 +169,14 @@ class ResearchEngine:
 
         return es_aggregations(self.reader, body)
 
+    def es_msearch(self, bodies, **kwargs) -> DataFrame:
+        """ES ``_msearch`` analog: many bodies, one DataFrame keyed by
+        ``qid`` — budget-sized bodies come back as one job-free
+        LocalRelation; over-budget ones union into a single action."""
+        from .operators.esdsl import es_msearch
+
+        return es_msearch(self.reader, bodies, **kwargs)
+
     def es_search(self, body: dict, k1: float | None = None,
                   b: float | None = None) -> DataFrame:
         """Execute an Elasticsearch query body verbatim

@@ -599,3 +599,40 @@ def es_aggregations(index, body: dict, k1: float | None = None,
                 .orderBy(F.asc("key")))
     # bare metric agg: one row
     return docs.agg(_metric_col(name, {atype: args}))
+
+
+def es_msearch(index, bodies: list[dict] | dict[str, dict],
+               k1: float | None = None,
+               b: float | None = None) -> DataFrame:
+    """ES ``_msearch`` analog: many query bodies, one result DataFrame
+    with a ``qid`` column (list input: "q0", "q1", ...; dict input: its
+    keys). Budget-sized bodies evaluate driver-locally and the whole
+    batch becomes ONE job-free LocalRelation; a mixed batch unions the
+    over-budget bodies' distributed plans — Spark executes the union's
+    legs concurrently in one action, the batch-amortization posture of
+    search_many applied to arbitrary DSL bodies."""
+    if isinstance(bodies, dict):
+        items = list(bodies.items())
+    else:
+        items = [(f"q{i}", body) for i, body in enumerate(bodies)]
+    ctx = _Ctx(index, k1, b)
+    frames = []
+    for qid, body in items:
+        if "query" not in body:
+            raise ESQueryError(f"body {qid!r} lacks 'query'")
+        k = int(body.get("size", DEFAULT_SIZE))
+        frm = int(body.get("from", 0))
+        local = _clause_pd(ctx, body["query"])
+        if local is not None:
+            ordered = local.sort_values(
+                ["score", "doc_id"], ascending=[False, True],
+                kind="mergesort")[frm:frm + k]
+            part = _topk_pd_to_df(ctx.spark,
+                                  ordered[["doc_id", "score"]], k)
+        else:
+            scored = _clause_df(ctx, body["query"])
+            part = scored.orderBy(F.desc("score"), F.asc("doc_id"))
+            part = part.offset(frm).limit(k) if frm else part.limit(k)
+        frames.append(part.select(F.lit(qid).alias("qid"),
+                                  "doc_id", "score"))
+    return reduce(DataFrame.unionByName, frames)

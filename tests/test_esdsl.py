@@ -269,3 +269,25 @@ def test_aggregations_bare_metric_and_errors(spark, es_setup):
         es_aggregations(r, {"aggs": {}})
     with pytest.raises(ESQueryError, match="unsupported metric"):
         es_aggregations(r, {"aggs": {"x": {"median": {"field": "ts"}}}})
+
+
+def test_msearch_matches_individual_bodies(spark, es_setup):
+    from research_engine_spark.operators.esdsl import es_msearch
+
+    d, _ = es_setup
+    local, dist = _readers(spark, d)
+    bodies = {"a": {"query": {"match": {"text": Q}}, "size": 5},
+              "b": {"query": {"match_phrase": {"text": Q}}, "size": 3},
+              "c": {"query": {"match": {"text": "machine"}}, "size": 4}}
+    for r in (local, dist):
+        out = es_msearch(r, bodies)
+        got = {}
+        for row in out.collect():
+            got.setdefault(row.qid, []).append((row.doc_id, row.score))
+        for qid, body in bodies.items():
+            want = [(x.doc_id, x.score)
+                    for x in es_search(r, body).collect()]
+            assert got.get(qid, []) == want, qid
+    # list input names bodies q0..qN
+    out = es_msearch(local, list(bodies.values()))
+    assert {x.qid for x in out.collect()} <= {"q0", "q1", "q2"}
