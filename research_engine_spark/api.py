@@ -70,6 +70,22 @@ class ResearchEngine:
         self._reader = None
         return res
 
+    def snapshot(self, repo_dir: str, name: str) -> dict:
+        """Materialize the current generation as a self-contained flat
+        snapshot under repo_dir/name (ES _snapshot analog; hardlinked
+        where the filesystem allows). The snapshot is itself a valid
+        index dir."""
+        from .operators.generations import snapshot_index
+
+        return snapshot_index(self.index_dir, repo_dir, name)
+
+    def restore(self, repo_dir: str, name: str, target_dir: str) -> dict:
+        """Restore a snapshot into target_dir as a fresh flat index
+        (ES _restore analog)."""
+        from .operators.generations import restore_index
+
+        return restore_index(repo_dir, name, target_dir)
+
     def gc(self, keep: int = 1) -> list[str]:
         """Reclaim physical dirs of generations outside the retention
         window (Iceberg expireSnapshots analog). keep=1 keeps only the

@@ -215,3 +215,89 @@ def reset_generations(index_dir: str) -> None:
             _remove(os.path.join(index_dir, entry))
         elif _PHYS_RE.match(entry):
             _remove(os.path.join(index_dir, entry))
+
+
+# ---------------------------------------------------------------------------
+# Snapshot / restore (ES _snapshot repository analog)
+# ---------------------------------------------------------------------------
+
+def _copytree_linked(src: str, dst: str) -> None:
+    """Copy a table dir hardlinking file content where the filesystem
+    allows (parquet files are immutable once written, so links are
+    safe); falls back to byte copies across devices. The 100 TB
+    deployment swaps this for distcp/reflink — the LAYOUT (one flat
+    consistent generation + metadata) is the portable part."""
+    import shutil
+
+    def _link_or_copy(a, b):
+        try:
+            os.link(a, b)
+        except OSError:
+            shutil.copy2(a, b)
+
+    shutil.copytree(src, dst, copy_function=_link_or_copy)
+
+
+def snapshot_index(index_dir: str, repo_dir: str, name: str) -> dict:
+    """Materialize the CURRENT generation as a self-contained flat
+    snapshot under ``repo_dir/name`` (ES ``PUT _snapshot/.../<name>``
+    analog). Reads the pointer once, so the snapshot is one consistent
+    generation even if a compaction commits mid-copy (its files are
+    retained by keep_generations while we link them). The snapshot is
+    itself a valid flat index dir: IndexReader opens it directly."""
+    snap = os.path.join(repo_dir, name)
+    if os.path.exists(snap):
+        raise FileExistsError(f"snapshot {name!r} already exists")
+    mapping = table_mapping(index_dir)
+    gen = current_gen(index_dir)
+    os.makedirs(snap + ".tmp")
+    copied = []
+    for logical, physical in mapping.items():
+        src = os.path.join(index_dir, physical)
+        if not os.path.exists(src):
+            continue  # e.g. no tombstones in this generation
+        dst = os.path.join(snap + ".tmp", logical)
+        if os.path.isdir(src):
+            _copytree_linked(src, dst)
+        else:
+            import shutil
+
+            shutil.copy2(src, dst)
+        copied.append(logical)
+    # build bookkeeping rides along so the snapshot is fully standalone
+    for extra in ("manifest.json",):
+        src = os.path.join(index_dir, extra)
+        if os.path.exists(src):
+            import shutil
+
+            shutil.copy2(src, os.path.join(snap + ".tmp", extra))
+    meta = {"name": name, "source": os.path.abspath(index_dir),
+            "source_generation": gen, "tables": copied}
+    with open(os.path.join(snap + ".tmp", "SNAPSHOT.json"), "w") as f:
+        json.dump(meta, f)
+    os.rename(snap + ".tmp", snap)  # atomic publish of the snapshot
+    return meta
+
+
+def restore_index(repo_dir: str, name: str, target_dir: str) -> dict:
+    """Restore a snapshot into ``target_dir`` as a fresh flat
+    generation-0 index (ES ``_restore`` analog). Refuses a non-empty
+    target."""
+    snap = os.path.join(repo_dir, name)
+    with open(os.path.join(snap, "SNAPSHOT.json")) as f:
+        meta = json.load(f)
+    if os.path.exists(target_dir) and os.listdir(target_dir):
+        raise FileExistsError(f"restore target {target_dir} not empty")
+    os.makedirs(target_dir, exist_ok=True)
+    for entry in os.listdir(snap):
+        if entry == "SNAPSHOT.json":
+            continue
+        src = os.path.join(snap, entry)
+        dst = os.path.join(target_dir, entry)
+        if os.path.isdir(src):
+            _copytree_linked(src, dst)
+        else:
+            import shutil
+
+            shutil.copy2(src, dst)
+    return meta
