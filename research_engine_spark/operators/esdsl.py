@@ -237,7 +237,9 @@ def _bool_pd(ctx: _Ctx, spec: dict):
         return None
     msm = int(spec.get("minimum_should_match", 0) or 0)
     if not must and not filt and not should:
-        raise ESQueryError("bool query needs must, filter or should")
+        if mustnot:
+            return None  # match_all minus exclusions: corpus-sized
+        raise ESQueryError("empty bool query")
 
     if must:
         ids = reduce(lambda a, b: a.intersection(b),
@@ -372,8 +374,8 @@ def _bool_df(ctx: _Ctx, spec: dict) -> DataFrame:
     filt = [_clause_df(ctx, c) for c in _aslist(spec.get("filter"))]
     mustnot = [_clause_df(ctx, c) for c in _aslist(spec.get("must_not"))]
     msm = int(spec.get("minimum_should_match", 0) or 0)
-    if not must and not filt and not should:
-        raise ESQueryError("bool query needs must, filter or should")
+    if not must and not filt and not should and not mustnot:
+        raise ESQueryError("empty bool query")
 
     base = None
     if must:
@@ -410,6 +412,12 @@ def _bool_df(ctx: _Ctx, spec: dict) -> DataFrame:
                 "doc_id",
                 (F.col("score")
                  + F.coalesce(F.col("_ss"), F.lit(0.0))).alias("score"))
+    if base is None:
+        # only must_not clauses: ES semantics are match_all minus the
+        # exclusions, every hit at score 0 (like a filter context)
+        reader = next(iter(ctx.readers.values()))
+        base = (reader.live_only(reader.docs.select("doc_id"))
+                .select("doc_id", F.lit(0.0).alias("score")))
     for f in filt:
         base = base.join(f.select("doc_id"), "doc_id", "left_semi")
     if mustnot:
@@ -615,6 +623,8 @@ def es_msearch(index, bodies: list[dict] | dict[str, dict],
         items = list(bodies.items())
     else:
         items = [(f"q{i}", body) for i, body in enumerate(bodies)]
+    if not items:
+        raise ESQueryError("es_msearch needs at least one body")
     ctx = _Ctx(index, k1, b)
     frames = []
     for qid, body in items:

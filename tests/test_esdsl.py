@@ -291,3 +291,22 @@ def test_msearch_matches_individual_bodies(spark, es_setup):
     # list input names bodies q0..qN
     out = es_msearch(local, list(bodies.values()))
     assert {x.qid for x in out.collect()} <= {"q0", "q1", "q2"}
+
+
+def test_bool_must_not_only_is_match_all_minus(spark, es_setup):
+    from research_engine_spark.operators.esdsl import es_msearch
+
+    d, _ = es_setup
+    local, dist = _readers(spark, d)
+    nids = {x.doc_id for x in search(
+        dist, "neural", k=10**6, with_text=False, _all_matches=True
+        ).collect()}
+    n_docs = dist.docs.count()
+    body = {"query": {"bool": {"must_not": [{"match": {"text": "neural"}}]}},
+            "size": 10**6}
+    for r in (local, dist):
+        rows = es_search(r, body).collect()
+        assert len(rows) == n_docs - len(nids)
+        assert all(x.score == 0.0 for x in rows)
+    with pytest.raises(ESQueryError, match="at least one body"):
+        es_msearch(local, [])
