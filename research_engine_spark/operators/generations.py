@@ -264,8 +264,13 @@ def snapshot_index(index_dir: str, repo_dir: str, name: str) -> dict:
 
             shutil.copy2(src, dst)
         copied.append(logical)
-    # build bookkeeping rides along so the snapshot is fully standalone
-    for extra in ("manifest.json",):
+    # build + streaming bookkeeping rides along so the snapshot is fully
+    # standalone: manifest.json (bucket-resume checkpoint) and the
+    # streaming exactly-once markers — without stream_batches.json a
+    # restored index would treat already-applied replayed micro-batches
+    # as unseen and double-append them
+    for extra in ("manifest.json", "stream_batches.json",
+                  "stream_pending.json"):
         src = os.path.join(index_dir, extra)
         if os.path.exists(src):
             import shutil
