@@ -86,6 +86,15 @@ class ResearchEngine:
 
         return restore_index(repo_dir, name, target_dir)
 
+    def verify(self, deep: bool = False) -> dict:
+        """Index integrity check (Lucene CheckIndex analog): fast tier
+        is footer/pointer metadata only (no Spark job — safe after
+        every commit at any scale); deep=True adds distributed
+        invariants. See operators/fsck.py."""
+        from .operators.fsck import verify_index
+
+        return verify_index(self.spark, self.index_dir, deep=deep)
+
     def gc(self, keep: int = 1) -> list[str]:
         """Reclaim physical dirs of generations outside the retention
         window (Iceberg expireSnapshots analog). keep=1 keeps only the

@@ -1,0 +1,73 @@
+"""verify_index (operators/fsck.py): green through the whole index
+lifecycle, red on planted corruption."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from research_engine_spark.corpus import synth_transcripts
+from research_engine_spark.operators.deletes import delete_ids
+from research_engine_spark.operators.fsck import verify_index
+from research_engine_spark.operators.generations import resolve
+from research_engine_spark.operators.indexer import (
+    append_segment,
+    build_index,
+    compact_index,
+)
+from research_engine_spark.operators.scorer import IndexReader, search
+
+
+@pytest.fixture(scope="module")
+def fsck_index(spark):
+    tx = synth_transcripts(spark, n_convs=24, seed=55)
+    d = tempfile.mkdtemp(prefix="fsck_idx_")
+    build_index(tx.filter("conv_id < 'conv_00000012'"), d, n_buckets=2)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_green_through_lifecycle(spark, fsck_index):
+    d = fsck_index
+    assert verify_index(spark, d, deep=True)["ok"]
+    extra = synth_transcripts(spark, n_convs=24, seed=55).filter(
+        "conv_id >= 'conv_00000012'")
+    append_segment(extra, d)
+    assert verify_index(spark, d, deep=True)["ok"]
+    r = IndexReader(spark, d)
+    victim = search(r, "neural", k=1, with_text=False).collect()[0].doc_id
+    delete_ids(d, [int(victim)])
+    assert verify_index(spark, d, deep=True)["ok"]
+    compact_index(spark, d)  # purge -> generation 1
+    res = verify_index(spark, d, deep=True)
+    assert res["ok"], res
+
+
+def test_red_on_corruption(spark, fsck_index, tmp_path):
+    # work on a copy: tamper with corpus_stats
+    d = str(tmp_path / "corrupt")
+    shutil.copytree(fsck_index, d)
+    p = resolve(d, "corpus_stats.json")
+    with open(p) as f:
+        stats = json.load(f)
+    stats["n_docs"] += 7
+    with open(p, "w") as f:
+        json.dump(stats, f)
+    res = verify_index(spark, d)
+    assert not res["ok"]
+    assert not res["checks"]["n_docs"]["ok"]
+
+
+def test_red_on_missing_generation_dir(spark, fsck_index, tmp_path):
+    d = str(tmp_path / "missing")
+    shutil.copytree(fsck_index, d)
+    shutil.rmtree(resolve(d, "lineage"))
+    res = verify_index(spark, d)
+    assert not res["ok"]
+    assert resolve(d, "lineage").split(os.sep)[-1] in \
+        res["checks"]["generation_pointer"]["missing"]
