@@ -22,8 +22,23 @@ Supported clauses: match (optional fuzziness/boost), match_phrase,
 multi_match (best_fields | most_fields | phrase, ``field^boost``
 specs, tie_breaker, fuzziness on the non-phrase types — exactly what
 ES supports), bool (should / must / must_not / filter /
-minimum_should_match, arbitrarily nested), match_all. Body keys:
-query, size (ES default 10), _source (docs-column projection).
+minimum_should_match, arbitrarily nested), match_all, and the
+term-level family: term (UNanalyzed exact index term, BM25-scored —
+the ES term-query semantics), terms / prefix / wildcard
+(constant_score rewrite: every doc containing a matching index term
+scores ``boost``, ES's default multi-term rewrite), range and exists
+(docs-table metadata predicates, constant_score). Body keys: query,
+size (ES default 10), from, _source (docs-column projection),
+highlight.
+
+Term-level scale posture: the distributed prefix/wildcard paths never
+enumerate the expansion driver-side — the pattern pushes into the
+postings scan as a Catalyst ``StartsWith``/``RLike`` predicate over the
+term-SORTED parquet files (row-group term min/max statistics skip
+non-matching groups), then only doc_gaps decode; there is no
+max_expansions cliff and no driver term list at any vocabulary size.
+The serving tier expands against the in-RAM vocabulary inside the same
+Σ df posting budget as every other driver-local path.
 
 Scoring composition is ES/Lucene's: should and must clauses SUM, a doc
 must satisfy every must / filter / minimum_should_match gate and no
@@ -57,10 +72,16 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .codec import delta_decode, vb_decode
 from .multifield import MultiFieldReader
 from .scorer import (
+    DRIVER_LOCAL_MAX_DELETES,
+    PARTIAL_SCHEMA,
     IndexReader,
+    _decode_partials_factory,
+    _deleted_ids_arrow,
     _driver_local_topk_pd,
+    _fetch_term_blocks_arrow,
     _fuzzy_term_meta,
     _phrase_scores_driver_local,
     _term_meta,
@@ -122,6 +143,46 @@ def _leaf_spec(body) -> tuple[str, dict]:
     return field, spec
 
 
+def _value_spec(body) -> tuple[str, dict]:
+    """Normalize {field: "v"} / {field: {"value": ..., ...}} (the
+    term/prefix/wildcard clause shapes)."""
+    if not isinstance(body, dict) or len(body) != 1:
+        raise ESQueryError(f"clause must have exactly one field: {body!r}")
+    [(field, spec)] = body.items()
+    if not isinstance(spec, dict):
+        spec = {"value": spec}
+    if "value" not in spec:
+        raise ESQueryError(f"clause for {field!r} lacks 'value'")
+    return field, spec
+
+
+def _terms_parts(body) -> tuple[str, list, float]:
+    """Parse {"terms": {field: [v, ...], "boost": b}} (boost is a
+    sibling of the field key in ES's terms query)."""
+    if not isinstance(body, dict):
+        raise ESQueryError(f"terms clause must be a dict: {body!r}")
+    fields = [k for k in body if k != "boost"]
+    if len(fields) != 1:
+        raise ESQueryError(
+            f"terms clause must have exactly one field: {body!r}")
+    values = body[fields[0]]
+    if not isinstance(values, list) or not values:
+        raise ESQueryError("terms clause needs a non-empty value list")
+    return fields[0], [str(v) for v in values], float(body.get("boost", 1.0))
+
+
+def _wildcard_regex(pattern: str) -> str:
+    """ES wildcard pattern -> regex body (* -> .*, ? -> ., all else
+    literal). The same string compiles identically as a Java regex
+    (distributed rlike) and a Python regex (serving-tier fullmatch):
+    only escaped literals and the two dot forms appear."""
+    import re
+
+    return "".join(
+        ".*" if ch == "*" else "." if ch == "?" else re.escape(ch)
+        for ch in pattern)
+
+
 def _fuzzy_flag(spec: dict) -> bool:
     fz = spec.get("fuzziness", 0)
     if fz in (0, "0", None):
@@ -167,6 +228,72 @@ def _match_pd(ctx: _Ctx, reader: IndexReader, spec: dict):
 
 _EMPTY_PD = pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
                           "score": pd.Series(dtype=np.float64)})
+
+
+def _term_pd(ctx: _Ctx, reader: IndexReader, spec: dict):
+    """ES term query, serving tier: the UNanalyzed value looked up as a
+    literal index term, BM25-scored (qtf=1) — same budget gate and
+    numpy fold as _match_pd."""
+    k1 = reader.stats["k1"] if ctx.k1 is None else ctx.k1
+    b = reader.stats["b"] if ctx.b is None else ctx.b
+    meta = _term_meta(reader, [(str(spec["value"]), 1)], k1, b)
+    if meta.empty:
+        return _EMPTY_PD.copy()
+    if int(meta["df"].sum()) > reader.driver_local_max_postings:
+        return None
+    full = _driver_local_topk_pd(
+        reader, meta.assign(qid="q", qtf=meta["qtf"].astype(np.float64)),
+        k=None, k1=k1, b=b)
+    if full is None:
+        return None
+    return full[["doc_id", "score"]]
+
+
+def _const_docs_pd(reader: IndexReader, terms: list[str], df_sum: int,
+                   boost: float):
+    """Constant-score match set, serving tier: every live doc holding
+    ≥1 of the given index terms scores ``boost`` (the ES
+    constant_score multi-term rewrite). Same Σ df posting budget and
+    tombstone mask as the scored paths; None = go distributed."""
+    if not terms:
+        return _EMPTY_PD.copy()
+    if df_sum > reader.driver_local_max_postings:
+        return None
+    deleted = None
+    if reader.has_deletes:
+        if reader.n_deleted_rows > DRIVER_LOCAL_MAX_DELETES:
+            return None
+        deleted = _deleted_ids_arrow(reader)
+    rows = _fetch_term_blocks_arrow(reader, sorted(set(terms)))
+    ids = [delta_decode(vb_decode(bytes(g))) for g in rows["doc_gaps"]]
+    docs = (np.unique(np.concatenate(ids)) if ids
+            else np.empty(0, np.int64))
+    if deleted is not None and deleted.size and docs.size:
+        docs = docs[~np.isin(docs, deleted)]
+    return pd.DataFrame({"doc_id": docs.astype(np.int64),
+                         "score": np.full(docs.size, float(boost))})
+
+
+def _expand_pattern_pd(ctx: _Ctx, kind: str, body: dict):
+    """prefix/wildcard, serving tier: expand against the in-RAM
+    vocabulary (None when it is over budget), then the constant-score
+    doc set."""
+    field, spec = _value_spec(body)
+    reader = ctx.reader(field)
+    vocab = reader.vocab_arrow()
+    if vocab is None:
+        return None
+    value = str(spec["value"])
+    if kind == "prefix":
+        mask = vocab["term"].str.startswith(value)
+    else:
+        mask = vocab["term"].str.fullmatch(_wildcard_regex(value))
+    matched = vocab[mask.fillna(False).astype(bool)]
+    if matched.empty:
+        return _EMPTY_PD.copy()
+    return _const_docs_pd(reader, matched["term"].tolist(),
+                          int(matched["df"].sum()),
+                          float(spec.get("boost", 1.0)))
 
 
 def _scale_pd(pdf, boost: float):
@@ -221,6 +348,22 @@ def _clause_pd(ctx: _Ctx, clause: dict):
                 frames.append(_scale_pd(part, fboost))
         out = _combine_fields_pd(frames, mtype, tie)
         return _scale_pd(out, float(body.get("boost", 1.0)))
+    if kind == "term":
+        field, spec = _value_spec(body)
+        out = _term_pd(ctx, ctx.reader(field), spec)
+        return _scale_pd(out, float(spec.get("boost", 1.0)))
+    if kind == "terms":
+        field, values, boost = _terms_parts(body)
+        reader = ctx.reader(field)
+        ts = reader.term_stats_arrow(values)
+        if ts.empty:
+            return _EMPTY_PD.copy()
+        return _const_docs_pd(reader, ts["term"].tolist(),
+                              int(ts["df"].sum()), boost)
+    if kind in ("prefix", "wildcard"):
+        return _expand_pattern_pd(ctx, kind, body)
+    if kind in ("range", "exists"):
+        return None  # docs-table metadata scan: always distributed
     if kind == "bool":
         return _bool_pd(ctx, body)
     if kind == "match_all":
@@ -296,6 +439,96 @@ def _scale_df(df: DataFrame, boost: float) -> DataFrame:
                      (F.col("score") * F.lit(float(boost))).alias("score"))
 
 
+def _decode_docids(batches):
+    """mapInPandas: posting blocks -> bare doc_id rows (the membership
+    decode for constant-score multi-term queries — tfs/dls stay
+    unread)."""
+    for pdf in batches:
+        if pdf.empty:
+            continue
+        ids = [delta_decode(vb_decode(bytes(g))) for g in pdf["doc_gaps"]]
+        if ids:
+            yield pd.DataFrame({
+                "doc_id": np.concatenate(ids).astype(np.int64)})
+
+
+def _term_df(ctx: _Ctx, reader: IndexReader, value: str) -> DataFrame:
+    """ES term query, distributed: literal index-term lookup (no
+    analysis), BM25-scored. Single term => one posting per doc, so the
+    decoded partial IS the score — no per-doc sum shuffle (same
+    argument as search()'s single-term path)."""
+    k1 = reader.stats["k1"] if ctx.k1 is None else ctx.k1
+    b = reader.stats["b"] if ctx.b is None else ctx.b
+    meta = _term_meta(reader, [(value, 1)], k1, b)
+    if meta.empty:
+        return ctx.spark.createDataFrame([], "doc_id bigint, score double")
+    meta = meta.assign(qtf=meta["qtf"].astype(np.float64))
+    buckets = sorted({int(v) for v in
+                      reader.bucket_of([value]).values()})
+    info = ctx.spark.createDataFrame(
+        meta[["term", "qtf", "idf", "gub"]],
+        "term string, qtf double, idf double, gub double")
+    matching = (reader.postings
+                .filter(F.col("bucket").isin(buckets)
+                        & (F.col("term") == F.lit(value)))
+                .join(F.broadcast(info), "term"))
+    partials = matching.select(
+        "term", "qtf", "idf", "gub", "doc_gaps", "tfs", "dls"
+    ).mapInPandas(
+        _decode_partials_factory(reader.stats["avgdl"], k1, b),
+        schema=PARTIAL_SCHEMA)
+    return reader.live_only(
+        partials.select("doc_id", F.col("partial").alias("score")))
+
+
+def _const_docs_df(reader: IndexReader, term_pred,
+                   boost: float) -> DataFrame:
+    """Constant-score match set, distributed: the term predicate pushes
+    into the postings scan (term-sorted files => row-group min/max term
+    stats skip non-matching groups), only doc_gaps decode, distinct
+    doc_ids score ``boost``. No driver-side expansion at any vocabulary
+    size."""
+    ids = (reader.postings.filter(term_pred).select("doc_gaps")
+           .mapInPandas(_decode_docids, schema="doc_id bigint")
+           .distinct())
+    return reader.live_only(ids).select(
+        "doc_id", F.lit(float(boost)).alias("score"))
+
+
+def _docs_pred_df(ctx: _Ctx, cond, boost: float) -> DataFrame:
+    """range/exists: a docs-table metadata predicate, constant-score.
+    Filters and the doc_id projection push down to the forward table's
+    parquet scan."""
+    reader = next(iter(ctx.readers.values()))
+    docs = reader.live_only(reader.docs)
+    return (docs.filter(cond)
+            .select("doc_id", F.lit(float(boost)).alias("score")))
+
+
+_RANGE_OPS = {"gte": "__ge__", "gt": "__gt__", "lte": "__le__",
+              "lt": "__lt__"}
+
+
+def _range_cond(ctx: _Ctx, body: dict):
+    if not isinstance(body, dict) or len(body) != 1:
+        raise ESQueryError(f"range clause must have exactly one field: "
+                           f"{body!r}")
+    [(field, spec)] = body.items()
+    if not isinstance(spec, dict):
+        raise ESQueryError("range clause needs {gte/gt/lte/lt: value}")
+    reader = next(iter(ctx.readers.values()))
+    if field not in reader.docs.columns:
+        raise ESQueryError(
+            f"range field {field!r} not in docs table "
+            f"{sorted(reader.docs.columns)}")
+    conds = [getattr(F.col(field), op)(F.lit(spec[k]))
+             for k, op in _RANGE_OPS.items() if k in spec]
+    if not conds:
+        raise ESQueryError("range clause needs at least one of "
+                           "gte/gt/lte/lt")
+    return reduce(lambda a, c: a & c, conds), float(spec.get("boost", 1.0))
+
+
 def _match_df(ctx: _Ctx, reader: IndexReader, spec: dict) -> DataFrame:
     return search(reader, spec["query"], k1=ctx.k1, b=ctx.b,
                   with_text=False, fuzzy=_fuzzy_flag(spec),
@@ -351,6 +584,43 @@ def _clause_df(ctx: _Ctx, clause: dict) -> DataFrame:
             parts.append(_scale_df(part, fboost))
         out = _combine_fields_df(ctx, parts, mtype, tie)
         return _scale_df(out, float(body.get("boost", 1.0)))
+    if kind == "term":
+        field, spec = _value_spec(body)
+        out = _term_df(ctx, ctx.reader(field), str(spec["value"]))
+        return _scale_df(out, float(spec.get("boost", 1.0)))
+    if kind == "terms":
+        field, values, boost = _terms_parts(body)
+        reader = ctx.reader(field)
+        buckets = sorted({int(v) for v in
+                          reader.bucket_of(values).values()})
+        pred = (F.col("bucket").isin(buckets)
+                & F.col("term").isin(values))
+        return _const_docs_df(reader, pred, boost)
+    if kind == "prefix":
+        field, spec = _value_spec(body)
+        return _const_docs_df(
+            ctx.reader(field),
+            F.col("term").startswith(str(spec["value"])),
+            float(spec.get("boost", 1.0)))
+    if kind == "wildcard":
+        field, spec = _value_spec(body)
+        rx = "^" + _wildcard_regex(str(spec["value"])) + "$"
+        return _const_docs_df(ctx.reader(field), F.col("term").rlike(rx),
+                              float(spec.get("boost", 1.0)))
+    if kind == "range":
+        cond, boost = _range_cond(ctx, body)
+        return _docs_pred_df(ctx, cond, boost)
+    if kind == "exists":
+        field = (body or {}).get("field")
+        if not field:
+            raise ESQueryError("exists clause lacks 'field'")
+        reader = next(iter(ctx.readers.values()))
+        if field not in reader.docs.columns:
+            raise ESQueryError(
+                f"exists field {field!r} not in docs table "
+                f"{sorted(reader.docs.columns)}")
+        return _docs_pred_df(ctx, F.col(field).isNotNull(),
+                             float(body.get("boost", 1.0)))
     if kind == "bool":
         return _bool_df(ctx, body)
     if kind == "match_all":
@@ -438,6 +708,9 @@ def _collect_query_strings(clause: dict) -> list[str]:
     if kind in ("match", "match_phrase"):
         _, spec = _leaf_spec(body)
         return [str(spec["query"])]
+    if kind == "term":
+        _, spec = _value_spec(body)
+        return [str(spec["value"])]
     if kind == "multi_match":
         return [str(body["query"])]
     if kind == "bool":

@@ -1793,6 +1793,111 @@ def engine_es_bool_must_documents(spark, sf_dir):
                     F.round("score", 4).alias("score")))
 
 
+@register("engine_term_filter_documents", f"""
+WITH tk AS (
+  SELECT doc_id, {_TOK_SQL} AS tk FROM documents
+),
+corpus AS (SELECT count(*) AS n, sum(len(tk)) AS tok FROM tk),
+flat AS (SELECT doc_id, unnest(tk) AS term FROM tk),
+dl AS (SELECT doc_id, len(tk) AS dl FROM tk),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM flat
+  WHERE term IN ('spark', 'join') GROUP BY term
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM flat
+  WHERE term IN ('spark', 'join') GROUP BY doc_id, term
+),
+hastab AS (SELECT DISTINCT doc_id FROM flat WHERE term LIKE 'tab%'),
+scored AS (
+  -- parenthesized exactly as the engine folds it: boost * (idf * tf_part)
+  SELECT tf.doc_id,
+         sum( (CASE WHEN tf.term = 'join' THEN 0.5 ELSE 1.0 END)
+              * (ln(1 + (corpus.n - df.df + 0.5) / (df.df + 0.5))
+                 * (tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                             / (corpus.tok * 1.0 / corpus.n))))) ) AS score,
+         count(DISTINCT tf.term) AS nterms
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), corpus
+  GROUP BY tf.doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, round(score, 4) AS score
+FROM (SELECT s.doc_id, s.score FROM scored s
+      JOIN hastab USING (doc_id)
+      WHERE s.nterms = 2
+      ORDER BY s.score DESC, s.doc_id ASC LIMIT 10) t
+""")
+def engine_term_filter_documents(spark, sf_dir):
+    """ES term-level queries through the DSL over the REAL index,
+    driver-HASH-checked: bool must of two UNanalyzed ``term`` clauses
+    (BM25-scored, one boosted 0.5 — the intersection-and-sum must
+    semantics) gated by a ``prefix`` clause in FILTER context (docs
+    containing a 'tab%'-prefixed index term; score contribution zero).
+    The oracle recomputes the term scores, the two-term intersection,
+    and the prefix membership set from raw text."""
+    from .operators.esdsl import es_search
+    from .operators.scorer import IndexReader
+
+    reader = IndexReader(spark, _simple_index(spark, sf_dir))
+    hits = es_search(reader, {
+        "query": {"bool": {
+            "must": [
+                {"term": {"text": "spark"}},
+                {"term": {"text": {"value": "join", "boost": 0.5}}},
+            ],
+            "filter": [{"prefix": {"text": {"value": "tab"}}}]}},
+        "size": 10})
+    docs = spark.read.parquet(
+        _SIMPLE_IDX_CACHE[sf_dir] + "/docs").select(
+        "doc_id", F.substring("conv_id", 2, 9).cast("long").alias("src_id"))
+    return (hits.join(docs, "doc_id")
+            .select(F.col("src_id").alias("doc_id"),
+                    F.round("score", 4).alias("score")))
+
+
+@register("engine_wildcard_documents", f"""
+WITH flat AS (
+  SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents
+),
+w AS (SELECT DISTINCT doc_id FROM flat
+      WHERE regexp_full_match(term, 's.a.*')),
+t AS (SELECT DISTINCT doc_id FROM flat
+      WHERE term IN ('table', 'window')),
+u AS (
+  SELECT coalesce(w.doc_id, t.doc_id) AS doc_id,
+         (CASE WHEN w.doc_id IS NOT NULL THEN 1.0 ELSE 0.0 END)
+         + (CASE WHEN t.doc_id IS NOT NULL THEN 2.0 ELSE 0.0 END) AS score
+  FROM w FULL OUTER JOIN t ON w.doc_id = t.doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, round(score, 4) AS score
+FROM (SELECT doc_id, score FROM u
+      ORDER BY score DESC, doc_id ASC LIMIT 25) q
+""")
+def engine_wildcard_documents(spark, sf_dir):
+    """ES constant-score multi-term queries through the DSL over the
+    REAL index, driver-HASH-checked: a ``wildcard`` clause ('s?a*' —
+    the * / ? pattern language) should-summed with a boosted ``terms``
+    clause, every matching doc scoring the clause boost (the ES
+    constant_score rewrite). The oracle recomputes both membership sets
+    from raw text (regexp_full_match twin of the anchored pattern) and
+    the 1/2/3-valued score sum."""
+    from .operators.esdsl import es_search
+    from .operators.scorer import IndexReader
+
+    reader = IndexReader(spark, _simple_index(spark, sf_dir))
+    hits = es_search(reader, {
+        "query": {"bool": {"should": [
+            {"wildcard": {"text": {"value": "s?a*"}}},
+            {"terms": {"text": ["table", "window"], "boost": 2.0}},
+        ], "minimum_should_match": 1}},
+        "size": 25})
+    docs = spark.read.parquet(
+        _SIMPLE_IDX_CACHE[sf_dir] + "/docs").select(
+        "doc_id", F.substring("conv_id", 2, 9).cast("long").alias("src_id"))
+    return (hits.join(docs, "doc_id")
+            .select(F.col("src_id").alias("doc_id"),
+                    F.round("score", 4).alias("score")))
+
+
 _AGG_IDX_CACHE: dict[str, str] = {}
 
 

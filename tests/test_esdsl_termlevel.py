@@ -1,0 +1,191 @@
+"""ES term-level query family (operators/esdsl.py): term / terms /
+prefix / wildcard / range / exists — membership checked against brute
+force over the raw text, serving tier bit-identical to the distributed
+path, zero Spark jobs inside the budgets."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from research_engine_spark.corpus import synth_transcripts
+from research_engine_spark.operators.esdsl import (
+    ESQueryError,
+    _wildcard_regex,
+    es_search,
+)
+from research_engine_spark.operators.indexer import build_index
+from research_engine_spark.operators.scorer import IndexReader
+
+BIG = 10_000  # size larger than any match set in this fixture
+
+
+@pytest.fixture(scope="module")
+def tl_setup(spark):
+    tx = synth_transcripts(spark, n_convs=60, seed=21)
+    d = tempfile.mkdtemp(prefix="esdsl_tl_")
+    # simple analyzer: [a-z0-9]+ runs, no stemming — membership is
+    # recomputable with plain column expressions over the raw text
+    build_index(tx, d, n_buckets=4, analyzer="simple")
+    yield d, tx
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _readers(spark, d):
+    """(driver-local-enabled, distributed-pinned) reader pair."""
+    return (IndexReader(spark, d),
+            IndexReader(spark, d, driver_local_max_postings=0,
+                        driver_local_max_vocab=0))
+
+
+def _pairs(df):
+    # round(10) bridges the documented 3+-should-clause ulp caveat
+    # between the pandas and Spark accumulation orders
+    rows = df.select("doc_id", "score").collect()
+    return [(r.doc_id, float(np.round(r.score, 10))) for r in rows]
+
+
+def _docs_with_token(reader, pred):
+    """Brute-force doc_ids whose simple-analyzed tokens satisfy pred
+    (a Column -> Column predicate over the token column)."""
+    toks = (reader.docs
+            .select("doc_id", F.explode(F.split(
+                F.lower("text"), "[^a-z0-9]+")).alias("tok"))
+            .filter(F.col("tok") != ""))
+    return {r.doc_id for r in
+            toks.filter(pred(F.col("tok"))).select("doc_id")
+            .distinct().collect()}
+
+
+def test_term_equals_match_for_identity_token(spark, tl_setup):
+    # "neural" analyzes to itself under simple, so the UNanalyzed term
+    # query and the analyzed match query must coincide exactly
+    d, _ = tl_setup
+    local, dist = _readers(spark, d)
+    t_loc = _pairs(es_search(local, {
+        "query": {"term": {"text": "neural"}}, "size": 8}))
+    t_dist = _pairs(es_search(dist, {
+        "query": {"term": {"text": "neural"}}, "size": 8}))
+    m = _pairs(es_search(dist, {
+        "query": {"match": {"text": "neural"}}, "size": 8}))
+    assert t_loc == t_dist == m
+    assert len(t_loc) == 8
+
+
+def test_term_is_unanalyzed(spark, tl_setup):
+    # mixed-case value never matches: index terms are the analyzed
+    # (lowercased) tokens and the term query does NOT analyze
+    d, _ = tl_setup
+    local, dist = _readers(spark, d)
+    for r in (local, dist):
+        assert _pairs(es_search(r, {
+            "query": {"term": {"text": "Neural"}}, "size": 5})) == []
+
+
+def test_terms_constant_score_membership(spark, tl_setup):
+    d, _ = tl_setup
+    local, dist = _readers(spark, d)
+    body = {"query": {"terms": {"text": ["neural", "networks"],
+                                "boost": 2.0}}, "size": BIG}
+    expected = _docs_with_token(
+        dist, lambda t: t.isin("neural", "networks"))
+    for r in (local, dist):
+        got = _pairs(es_search(r, body))
+        assert {doc for doc, _ in got} == expected
+        assert all(s == 2.0 for _, s in got)
+    # missing terms are skipped, not errors
+    assert {doc for doc, _ in _pairs(es_search(local, {
+        "query": {"terms": {"text": ["neural", "zzzznope"]}},
+        "size": BIG}))} == _docs_with_token(dist,
+                                            lambda t: t == F.lit("neural"))
+
+
+def test_prefix_membership_both_paths(spark, tl_setup):
+    d, _ = tl_setup
+    local, dist = _readers(spark, d)
+    body = {"query": {"prefix": {"text": {"value": "neur"}}}, "size": BIG}
+    expected = _docs_with_token(dist, lambda t: t.startswith("neur"))
+    assert expected, "fixture lost its neur* tokens"
+    loc, ds = _pairs(es_search(local, body)), _pairs(es_search(dist, body))
+    assert loc == ds
+    assert {doc for doc, _ in loc} == expected
+    assert all(s == 1.0 for _, s in loc)
+
+
+def test_wildcard_membership_and_regex(spark, tl_setup):
+    d, _ = tl_setup
+    local, dist = _readers(spark, d)
+    assert _wildcard_regex("ne*a?") == "ne.*a."
+    assert _wildcard_regex("a.b*") == "a\\.b.*"
+    body = {"query": {"wildcard": {"text": {"value": "neur*"}}},
+            "size": BIG}
+    pfx = {"query": {"prefix": {"text": {"value": "neur"}}}, "size": BIG}
+    for r in (local, dist):
+        assert _pairs(es_search(r, body)) == _pairs(es_search(r, pfx))
+    qbody = {"query": {"wildcard": {"text": {"value": "n??ral"}}},
+             "size": BIG}
+    expected = _docs_with_token(dist, lambda t: t.rlike("^n..ral$"))
+    for r in (local, dist):
+        assert {doc for doc, _ in _pairs(es_search(r, qbody))} == expected
+
+
+def test_range_filter_in_bool(spark, tl_setup):
+    # range is a docs-metadata predicate: filter context keeps the
+    # match clause's scores, membership intersects
+    d, _ = tl_setup
+    local, dist = _readers(spark, d)
+    plain = {"query": {"match": {"text": "neural networks"}}, "size": BIG}
+    body = {"query": {"bool": {
+        "must": [{"match": {"text": "neural networks"}}],
+        "filter": [{"range": {"turn_idx": {"gte": 3, "lt": 40}}}],
+    }}, "size": BIG}
+    in_range = {r.doc_id for r in
+                dist.docs.filter("turn_idx >= 3 AND turn_idx < 40")
+                .select("doc_id").collect()}
+    base = dict(_pairs(es_search(dist, plain)))
+    expected = {doc: s for doc, s in base.items() if doc in in_range}
+    for r in (local, dist):  # range forces distributed either way
+        got = dict(_pairs(es_search(r, body)))
+        assert got == expected
+    with pytest.raises(ESQueryError):
+        es_search(dist, {"query": {"range": {"turn_idx": {}}}})
+    with pytest.raises(ESQueryError):
+        es_search(dist, {"query": {"range": {"nope": {"gte": 1}}}})
+
+
+def test_exists_matches_all_live_docs(spark, tl_setup):
+    d, _ = tl_setup
+    _, dist = _readers(spark, d)
+    n = dist.docs.count()
+    got = _pairs(es_search(dist, {
+        "query": {"exists": {"field": "text"}}, "size": n + 10}))
+    assert len(got) == n
+    assert all(s == 1.0 for _, s in got)
+
+
+def test_composite_termlevel_bool_identity(spark, tl_setup):
+    # term (BM25) + prefix (constant) should-sum: serving tier and
+    # distributed path agree bit-for-bit, and the serving tier issues
+    # zero Spark jobs
+    d, _ = tl_setup
+    local, dist = _readers(spark, d)
+    body = {"query": {"bool": {"should": [
+        {"term": {"text": {"value": "neural", "boost": 1.5}}},
+        {"prefix": {"text": {"value": "netw", "boost": 0.25}}},
+        {"terms": {"text": ["agent", "model"]}},
+    ], "minimum_should_match": 1}}, "size": 15}
+    loc_df = es_search(local, body)
+    sc = spark.sparkContext
+    sc.setJobGroup("termlevel_probe", "probe")
+    try:
+        loc = _pairs(loc_df)
+        jobs = sc.statusTracker().getJobIdsForGroup("termlevel_probe")
+        assert list(jobs) == [], f"serving tier launched jobs: {jobs}"
+    finally:
+        sc.setJobGroup(None, None)
+    assert loc == _pairs(es_search(dist, body))
+    assert len(loc) == 15
