@@ -202,6 +202,14 @@ class ResearchEngine:
 
         return es_msearch(self.reader, bodies, **kwargs)
 
+    def es_count(self, body: dict | None = None) -> int:
+        """ES ``_count`` analog: exact matching-doc count for a query
+        body (match_all when omitted) — no track_total_hits cap; see
+        operators/esdsl.py es_count."""
+        from .operators.esdsl import es_count
+
+        return es_count(self.reader, body or {})
+
     def es_search(self, body: dict, k1: float | None = None,
                   b: float | None = None) -> DataFrame:
         """Execute an Elasticsearch query body verbatim

@@ -722,26 +722,59 @@ def _collect_query_strings(clause: dict) -> list[str]:
     return []
 
 
+def _search_after_parts(body: dict) -> tuple[float, int] | None:
+    """Parse ``search_after: [score, doc_id]`` (the last hit's sort
+    values — the ES deep-pagination cursor). At 100 TB this is the
+    scalable pagination: ``from`` makes every page recompute and skip
+    all prior pages, while search_after is a constant-cost predicate on
+    the (score desc, doc_id asc) sort order."""
+    sa = body.get("search_after")
+    if sa is None:
+        return None
+    if int(body.get("from", 0)):
+        raise ESQueryError(
+            "search_after and from are mutually exclusive (ES rejects "
+            "the combination too)")
+    if not isinstance(sa, (list, tuple)) or len(sa) != 2:
+        raise ESQueryError(
+            "search_after must be [last_score, last_doc_id] — the sort "
+            "values of the previous page's final hit")
+    return float(sa[0]), int(sa[1])
+
+
 def es_search(index, body: dict, k1: float | None = None,
               b: float | None = None) -> DataFrame:
     """Execute an ES query body against an IndexReader or
     MultiFieldReader. Returns (doc_id, score[, _source cols
     [, highlight]]) ordered by (score desc, doc_id asc), paginated by
-    ``from``/``size`` (ES defaults 0/10). Budget-sized bodies run with
-    zero Spark jobs (see module doc)."""
+    ``from``/``size`` (ES defaults 0/10) or by a ``search_after``
+    cursor. Budget-sized bodies run with zero Spark jobs (see module
+    doc)."""
     if "query" not in body:
         raise ESQueryError("body lacks 'query'")
     ctx = _Ctx(index, k1, b)
     k = int(body.get("size", DEFAULT_SIZE))
     frm = int(body.get("from", 0))
+    after = _search_after_parts(body)
     local = _clause_pd(ctx, body["query"])
     if local is not None:
+        if after is not None:
+            s, d = after
+            sc = local["score"].to_numpy(np.float64)
+            di = local["doc_id"].to_numpy(np.int64)
+            local = local[(sc < s) | ((sc == s) & (di > d))]
         ordered = local.sort_values(
             ["score", "doc_id"], ascending=[False, True],
             kind="mergesort")[frm:frm + k]
         topk = _topk_pd_to_df(ctx.spark, ordered[["doc_id", "score"]], k)
     else:
         scored = _clause_df(ctx, body["query"])
+        if after is not None:
+            s, d = after
+            scored = scored.filter(
+                (F.col("score") < F.lit(s))
+                | ((F.col("score") == F.lit(s))
+                   & (F.col("doc_id") > F.lit(d))))
         topk = scored.orderBy(F.desc("score"), F.asc("doc_id"))
         topk = topk.offset(frm).limit(k) if frm else topk.limit(k)
     source = list(body.get("_source") or [])
@@ -919,3 +952,22 @@ def es_msearch(index, bodies: list[dict] | dict[str, dict],
         frames.append(part.select(F.lit(qid).alias("qid"),
                                   "doc_id", "score"))
     return reduce(DataFrame.unionByName, frames)
+
+
+def es_count(index, body: dict, k1: float | None = None,
+             b: float | None = None) -> int:
+    """ES ``_count`` analog: the number of docs matching
+    ``body["query"]`` (match_all when the body omits it), no scoring
+    materialized past the match set. Budget-sized bodies count with
+    zero Spark jobs; otherwise the match-set plan runs one count
+    action (exact — no ES ``track_total_hits`` 10k cap)."""
+    ctx = _Ctx(index, k1, b)
+    query = body.get("query", {"match_all": {}})
+    [(kind, _)] = query.items()
+    if kind == "match_all":
+        reader = next(iter(ctx.readers.values()))
+        return reader.live_only(reader.docs.select("doc_id")).count()
+    local = _clause_pd(ctx, query)
+    if local is not None:
+        return int(len(local))
+    return _clause_df(ctx, query).count()

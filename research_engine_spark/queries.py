@@ -1898,6 +1898,60 @@ def engine_wildcard_documents(spark, sf_dir):
                     F.round("score", 4).alias("score")))
 
 
+@register("engine_search_after_documents", f"""
+WITH tk AS (
+  SELECT doc_id, {_TOK_SQL} AS tk FROM documents
+),
+corpus AS (SELECT count(*) AS n, sum(len(tk)) AS tok FROM tk),
+flat AS (SELECT doc_id, unnest(tk) AS term FROM tk),
+dl AS (SELECT doc_id, len(tk) AS dl FROM tk),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM flat
+  WHERE term IN ('merge', 'stream') GROUP BY term
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM flat
+  WHERE term IN ('merge', 'stream') GROUP BY doc_id, term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (corpus.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                         / (corpus.tok * 1.0 / corpus.n))) ) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), corpus
+  GROUP BY tf.doc_id
+)
+-- page 2 of the unrounded total order: ranks 6..10
+SELECT CAST(doc_id AS BIGINT) AS doc_id, round(score, 4) AS score
+FROM (SELECT doc_id, score FROM scored
+      ORDER BY score DESC, doc_id ASC LIMIT 5 OFFSET 5) t
+""")
+def engine_search_after_documents(spark, sf_dir):
+    """ES ``search_after`` deep pagination through the DSL over the
+    REAL index, driver-HASH-checked: page 1 (size 5) yields a
+    [last_score, last_doc_id] cursor, page 2 resumes strictly after it
+    on the (score desc, doc_id asc) total order — the oracle takes
+    ranks 6..10 of the same unrounded ordering via OFFSET. At scale
+    this is the pagination that works: a cursor predicate instead of
+    ``from``'s recompute-and-skip."""
+    from .operators.esdsl import es_search
+    from .operators.scorer import IndexReader
+
+    reader = IndexReader(spark, _simple_index(spark, sf_dir))
+    q = {"match": {"text": "merge stream"}}
+    page1 = es_search(reader, {"query": q, "size": 5}).collect()
+    last = page1[-1]
+    hits = es_search(reader, {
+        "query": q, "size": 5,
+        "search_after": [float(last.score), int(last.doc_id)]})
+    docs = spark.read.parquet(
+        _SIMPLE_IDX_CACHE[sf_dir] + "/docs").select(
+        "doc_id", F.substring("conv_id", 2, 9).cast("long").alias("src_id"))
+    return (hits.join(docs, "doc_id")
+            .select(F.col("src_id").alias("doc_id"),
+                    F.round("score", 4).alias("score")))
+
+
 _AGG_IDX_CACHE: dict[str, str] = {}
 
 

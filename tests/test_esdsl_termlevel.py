@@ -16,6 +16,7 @@ from research_engine_spark.corpus import synth_transcripts
 from research_engine_spark.operators.esdsl import (
     ESQueryError,
     _wildcard_regex,
+    es_count,
     es_search,
 )
 from research_engine_spark.operators.indexer import build_index
@@ -165,6 +166,59 @@ def test_exists_matches_all_live_docs(spark, tl_setup):
         "query": {"exists": {"field": "text"}}, "size": n + 10}))
     assert len(got) == n
     assert all(s == 1.0 for _, s in got)
+
+
+def test_search_after_pagination_walk(spark, tl_setup):
+    # three size-4 pages chained by the [score, doc_id] cursor must
+    # tile the single size-12 result exactly, on both paths
+    d, _ = tl_setup
+    local, dist = _readers(spark, d)
+    q = {"match": {"text": "neural networks"}}
+    for r in (local, dist):
+        whole = _pairs(es_search(r, {"query": q, "size": 12}))
+        pages, cursor = [], None
+        for _ in range(3):
+            body = {"query": q, "size": 4}
+            if cursor is not None:
+                body["search_after"] = list(cursor)
+            page = es_search(r, body).collect()
+            assert len(page) == 4
+            pages.extend((p.doc_id, float(np.round(p.score, 10)))
+                         for p in page)
+            cursor = (float(page[-1].score), int(page[-1].doc_id))
+        assert pages == whole
+        assert len({doc for doc, _ in pages}) == 12  # no overlap
+
+
+def test_search_after_validation(spark, tl_setup):
+    d, _ = tl_setup
+    _, dist = _readers(spark, d)
+    q = {"match": {"text": "neural"}}
+    with pytest.raises(ESQueryError):
+        es_search(dist, {"query": q, "from": 5,
+                         "search_after": [1.0, 3]})
+    with pytest.raises(ESQueryError):
+        es_search(dist, {"query": q, "search_after": [1.0]})
+
+
+def test_es_count(spark, tl_setup):
+    d, _ = tl_setup
+    local, dist = _readers(spark, d)
+    expected = len(_docs_with_token(
+        dist, lambda t: t.isin("neural", "networks")))
+    body = {"query": {"match": {"text": "neural networks"}}}
+    assert es_count(dist, body) == expected
+    # serving tier: same number, zero Spark jobs
+    es_count(local, body)  # warm the term dictionary
+    sc = spark.sparkContext
+    sc.setJobGroup("count_probe", "probe")
+    try:
+        assert es_count(local, body) == expected
+        jobs = sc.statusTracker().getJobIdsForGroup("count_probe")
+        assert list(jobs) == [], f"budgeted count launched jobs: {jobs}"
+    finally:
+        sc.setJobGroup(None, None)
+    assert es_count(dist, {}) == dist.docs.count()  # match_all default
 
 
 def test_composite_termlevel_bool_identity(spark, tl_setup):
