@@ -227,6 +227,43 @@ def run_once(spark, sf_dir: str, cores: int, warm: bool) -> dict:
     es_search(pos_reader, _es_body(REFERENCE_QUERIES[0])).collect()
     queries_sec["esdsl_dist_q01"] = round(time.monotonic() - t0, 3)
 
+    # --- 2h. ES term-level family + search_after + _count (r4) -------------
+    # term (UNanalyzed, BM25), prefix/wildcard (constant_score — the
+    # serving tier expands against the in-RAM vocabulary), a bool
+    # composing them, a two-page search_after walk, and an exact count —
+    # all on the driver-local tier (zero Spark jobs inside the budgets)
+    from research_engine_spark.operators.esdsl import es_count
+
+    tl_bodies = {
+        "tl_term": {"query": {"term": {"text": "network"}}, "size": 10},
+        "tl_prefix": {"query": {"prefix": {"text": {"value": "neur"}}},
+                      "size": 10},
+        "tl_wildcard": {"query": {"wildcard": {"text":
+                                               {"value": "archit*"}}},
+                        "size": 10},
+        "tl_bool": {"query": {"bool": {
+            "must": [{"term": {"text": "network"}}],
+            "filter": [{"prefix": {"text": {"value": "neur"}}}]}},
+            "size": 10},
+    }
+    es_search(pos_local, tl_bodies["tl_term"]).collect()  # warmup
+    for name, body in tl_bodies.items():
+        t0 = time.monotonic()
+        es_search(pos_local, body).collect()
+        queries_sec[name] = round(time.monotonic() - t0, 4)
+    sa_q = {"match": {"text": "neural networks"}}
+    t0 = time.monotonic()
+    page1 = es_search(pos_local, {"query": sa_q, "size": 10}).collect()
+    es_search(pos_local, {
+        "query": sa_q, "size": 10,
+        "search_after": [float(page1[-1].score),
+                         int(page1[-1].doc_id)]}).collect()
+    queries_sec["tl_search_after_2pages"] = round(
+        time.monotonic() - t0, 4)
+    t0 = time.monotonic()
+    es_count(pos_local, {"query": sa_q})
+    queries_sec["tl_count"] = round(time.monotonic() - t0, 4)
+
     # --- 2e. delete lifecycle on the main index (last reader use) ----------
     # tombstone ~1/16 of docs, search through the tombstones, physically
     # purge via compaction, search again — the ES delete_by_query +
@@ -325,6 +362,7 @@ def main() -> None:
         "phrase_mean_latency_sec": _agg(q_min, "phrase_q"),
         "esdsl_local_mean_latency_sec": _agg(q_min, "esdsl_q"),
         "esdsl_dist_q01_sec": q_min["esdsl_dist_q01"],
+        "termlevel_local_mean_latency_sec": _agg(q_min, "tl_"),
         "index_build_positional_sec": q_min["index_build_positional"],
         "index_build_positional_sec_median": q_med["index_build_positional"],
         "cores": cores,
