@@ -18,7 +18,9 @@ a reference user can paste their ``search_body`` unchanged:
             "minimum_should_match": 1}},
         "size": 10})
 
-Supported clauses: match (optional fuzziness/boost), match_phrase,
+Supported clauses: match (optional fuzziness/boost/operator "and" —
+compiled to the same bool-must-of-term-clauses Lucene BooleanQuery ES
+builds), match_phrase, constant_score (filter + boost),
 multi_match (best_fields | most_fields | phrase, ``field^boost``
 specs, tie_breaker, fuzziness on the non-phrase types — exactly what
 ES supports), bool (should / must / must_not / filter /
@@ -318,14 +320,55 @@ def _combine_fields_pd(frames: list, mtype: str, tie_breaker: float):
                          "score": score.to_numpy(np.float64)})
 
 
+def _match_and_rewrite(ctx: _Ctx, field: str, spec: dict) -> dict | None:
+    """ES ``match`` with ``operator: "and"``: every analyzed term must
+    match; scores still sum. Compiles to a bool must of per-term
+    ``term`` clauses (boost = the term's qtf, times the match boost) —
+    exactly the Lucene BooleanQuery ES builds for this operator — so
+    both evaluation paths reuse the existing machinery unchanged.
+    Returns None for the default ``or`` operator."""
+    op = str(spec.get("operator", "or")).lower()
+    if op == "or":
+        return None
+    if op != "and":
+        raise ESQueryError(f"match operator {op!r} unsupported (or/and)")
+    if _fuzzy_flag(spec):
+        raise ESQueryError(
+            "operator: and with fuzziness is unsupported (expansion "
+            "makes 'all terms' ill-defined; use bool must of fuzzy "
+            "matches per word instead)")
+    from ..functions.analyzer import analyze_query
+
+    reader = ctx.reader(field)
+    boost = float(spec.get("boost", 1.0))
+    qterms = analyze_query(
+        spec["query"], mode=reader.stats.get("analyzer", "english_folded"))
+    return {"bool": {"must": [
+        {"term": {field: {"value": t, "boost": float(q) * boost}}}
+        for t, q in qterms]}} if qterms else {"bool": {"must": [
+            {"term": {field: "\x00never"}}]}}
+
+
 def _clause_pd(ctx: _Ctx, clause: dict):
     if not isinstance(clause, dict) or len(clause) != 1:
         raise ESQueryError(f"clause must have exactly one key: {clause!r}")
     [(kind, body)] = clause.items()
     if kind == "match":
         field, spec = _leaf_spec(body)
+        rewritten = _match_and_rewrite(ctx, field, spec)
+        if rewritten is not None:
+            return _clause_pd(ctx, rewritten)
         out = _match_pd(ctx, ctx.reader(field), spec)
         return _scale_pd(out, float(spec.get("boost", 1.0)))
+    if kind == "constant_score":
+        if not isinstance(body, dict) or "filter" not in body:
+            raise ESQueryError("constant_score needs a 'filter' clause")
+        inner = _clause_pd(ctx, body["filter"])
+        if inner is None:
+            return None
+        out = inner.copy()
+        out["score"] = np.full(len(out), float(body.get("boost", 1.0)))
+        return out
     if kind == "match_phrase":
         field, spec = _leaf_spec(body)
         reader = ctx.reader(field)
@@ -566,8 +609,17 @@ def _clause_df(ctx: _Ctx, clause: dict) -> DataFrame:
     [(kind, body)] = clause.items()
     if kind == "match":
         field, spec = _leaf_spec(body)
+        rewritten = _match_and_rewrite(ctx, field, spec)
+        if rewritten is not None:
+            return _clause_df(ctx, rewritten)
         out = _match_df(ctx, ctx.reader(field), spec)
         return _scale_df(out, float(spec.get("boost", 1.0)))
+    if kind == "constant_score":
+        if not isinstance(body, dict) or "filter" not in body:
+            raise ESQueryError("constant_score needs a 'filter' clause")
+        return _clause_df(ctx, body["filter"]).select(
+            "doc_id",
+            F.lit(float(body.get("boost", 1.0))).alias("score"))
     if kind == "match_phrase":
         field, spec = _leaf_spec(body)
         out = phrase_scores(ctx.reader(field), spec["query"], ctx.k1, ctx.b)
@@ -713,6 +765,8 @@ def _collect_query_strings(clause: dict) -> list[str]:
         return [str(spec["value"])]
     if kind == "multi_match":
         return [str(body["query"])]
+    if kind == "constant_score":
+        return _collect_query_strings(body["filter"])
     if kind == "bool":
         out = []
         for key in ("should", "must", "filter"):

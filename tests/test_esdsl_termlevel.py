@@ -221,6 +221,48 @@ def test_es_count(spark, tl_setup):
     assert es_count(dist, {}) == dist.docs.count()  # match_all default
 
 
+def test_match_operator_and(spark, tl_setup):
+    # operator:"and" keeps the OR-query scores but intersects the
+    # membership: docs containing BOTH analyzed terms
+    d, _ = tl_setup
+    local, dist = _readers(spark, d)
+    both = (_docs_with_token(dist, lambda t: t == F.lit("neural"))
+            & _docs_with_token(dist, lambda t: t == F.lit("networks")))
+    or_body = {"query": {"match": {"text": "neural networks"}},
+               "size": BIG}
+    and_body = {"query": {"match": {"text": {
+        "query": "neural networks", "operator": "and"}}}, "size": BIG}
+    or_scores = dict(_pairs(es_search(dist, or_body)))
+    for r in (local, dist):
+        got = dict(_pairs(es_search(r, and_body)))
+        assert set(got) == both
+        assert got == {doc: s for doc, s in or_scores.items()
+                       if doc in both}
+    with pytest.raises(ESQueryError):
+        es_search(dist, {"query": {"match": {"text": {
+            "query": "neural", "operator": "and",
+            "fuzziness": "AUTO"}}}})
+    # all-stopword/no-token query matches nothing
+    assert _pairs(es_search(dist, {"query": {"match": {"text": {
+        "query": "???", "operator": "and"}}}, "size": 5})) == []
+
+
+def test_constant_score_wrapper(spark, tl_setup):
+    d, _ = tl_setup
+    local, dist = _readers(spark, d)
+    body = {"query": {"constant_score": {
+        "filter": {"match": {"text": "neural networks"}},
+        "boost": 3.5}}, "size": BIG}
+    expected = _docs_with_token(
+        dist, lambda t: t.isin("neural", "networks"))
+    for r in (local, dist):
+        got = _pairs(es_search(r, body))
+        assert {doc for doc, _ in got} == expected
+        assert all(s == 3.5 for _, s in got)
+    with pytest.raises(ESQueryError):
+        es_search(dist, {"query": {"constant_score": {"boost": 2.0}}})
+
+
 def test_composite_termlevel_bool_identity(spark, tl_setup):
     # term (BM25) + prefix (constant) should-sum: serving tier and
     # distributed path agree bit-for-bit, and the serving tier issues
