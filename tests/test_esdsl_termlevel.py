@@ -168,6 +168,22 @@ def test_exists_matches_all_live_docs(spark, tl_setup):
     assert all(s == 1.0 for _, s in got)
 
 
+def test_prefix_plan_pushdown_and_pruning(spark, tl_setup):
+    # the 100 TB posture: the prefix predicate reaches the postings
+    # parquet scan (PushedFilters) and only (term, doc_gaps) are read —
+    # no tfs/dls/positions decode for constant-score membership
+    d, _ = tl_setup
+    _, dist = _readers(spark, d)
+    df = es_search(dist, {
+        "query": {"prefix": {"text": {"value": "neur"}}}, "size": 5})
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = [ln for ln in plan.splitlines()
+            if "FileScan" in ln and "postings" in ln]
+    assert scan, plan
+    assert "StringStartsWith(term,neur)" in scan[0]
+    assert "tfs" not in scan[0].split("ReadSchema")[-1]
+
+
 def test_search_after_pagination_walk(spark, tl_setup):
     # three size-4 pages chained by the [score, doc_id] cursor must
     # tile the single size-12 result exactly, on both paths
