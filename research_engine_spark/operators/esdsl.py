@@ -992,8 +992,14 @@ def es_msearch(index, bodies: list[dict] | dict[str, dict],
             raise ESQueryError(f"body {qid!r} lacks 'query'")
         k = int(body.get("size", DEFAULT_SIZE))
         frm = int(body.get("from", 0))
+        after = _search_after_parts(body)
         local = _clause_pd(ctx, body["query"])
         if local is not None:
+            if after is not None:
+                s, d = after
+                sc = local["score"].to_numpy(np.float64)
+                di = local["doc_id"].to_numpy(np.int64)
+                local = local[(sc < s) | ((sc == s) & (di > d))]
             ordered = local.sort_values(
                 ["score", "doc_id"], ascending=[False, True],
                 kind="mergesort")[frm:frm + k]
@@ -1001,6 +1007,12 @@ def es_msearch(index, bodies: list[dict] | dict[str, dict],
                                   ordered[["doc_id", "score"]], k)
         else:
             scored = _clause_df(ctx, body["query"])
+            if after is not None:
+                s, d = after
+                scored = scored.filter(
+                    (F.col("score") < F.lit(s))
+                    | ((F.col("score") == F.lit(s))
+                       & (F.col("doc_id") > F.lit(d))))
             part = scored.orderBy(F.desc("score"), F.asc("doc_id"))
             part = part.offset(frm).limit(k) if frm else part.limit(k)
         frames.append(part.select(F.lit(qid).alias("qid"),

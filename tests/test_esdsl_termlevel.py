@@ -217,6 +217,29 @@ def test_search_after_validation(spark, tl_setup):
         es_search(dist, {"query": q, "search_after": [1.0]})
 
 
+def test_msearch_search_after(spark, tl_setup):
+    # the cursor works per-body inside a batch: page 2 of q0 rides the
+    # same msearch as an unrelated q1
+    from research_engine_spark.operators.esdsl import es_msearch
+
+    d, _ = tl_setup
+    local, dist = _readers(spark, d)
+    q = {"match": {"text": "neural networks"}}
+    for r in (local, dist):
+        p1 = es_search(r, {"query": q, "size": 4}).collect()
+        out = es_msearch(r, {
+            "page2": {"query": q, "size": 4,
+                      "search_after": [float(p1[-1].score),
+                                       int(p1[-1].doc_id)]},
+            "other": {"query": {"term": {"text": "agent"}}, "size": 3},
+        }).collect()
+        page2 = [(x.doc_id, float(np.round(x.score, 10)))
+                 for x in out if x.qid == "page2"]
+        whole = _pairs(es_search(r, {"query": q, "size": 8}))
+        assert page2 == whole[4:]
+        assert sum(1 for x in out if x.qid == "other") == 3
+
+
 def test_es_count(spark, tl_setup):
     d, _ = tl_setup
     local, dist = _readers(spark, d)
