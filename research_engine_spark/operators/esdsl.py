@@ -30,8 +30,9 @@ the ES term-query semantics), terms / prefix / wildcard
 (constant_score rewrite: every doc containing a matching index term
 scores ``boost``, ES's default multi-term rewrite), range and exists
 (docs-table metadata predicates, constant_score). Body keys: query,
-size (ES default 10), from, _source (docs-column projection),
-highlight.
+size (ES default 10), from, search_after ([last_score, last_doc_id]
+cursor — constant-cost deep pagination), _source (docs-column
+projection), highlight.
 
 Term-level scale posture: the distributed prefix/wildcard paths never
 enumerate the expansion driver-side — the pattern pushes into the
@@ -915,9 +916,11 @@ def es_aggregations(index, body: dict, k1: float | None = None,
                     b: float | None = None) -> DataFrame:
     """ES aggregations over the docs matching ``body["query"]``
     (match_all when omitted): ONE top-level ``terms`` /
-    ``date_histogram`` / metric agg, with optional metric sub-aggs
-    inside the bucket agg — the reference's ES exposes this surface;
-    its code never uses it, but a transcript-analytics user will.
+    ``date_histogram`` / metric agg, with either metric sub-aggs or one
+    NESTED bucket agg (buckets-in-buckets, optionally carrying its own
+    leaf metrics) inside the bucket agg — the reference's ES exposes
+    this surface; its code never uses it, but a transcript-analytics
+    user will.
 
     Spark-first: the match set (doc_ids only, never scores into the
     agg) left-semi-joins the forward docs table and the buckets are one
@@ -944,29 +947,65 @@ def es_aggregations(index, body: dict, k1: float | None = None,
     spec = dict(spec)  # never mutate the caller's body
     sub = spec.pop("aggs", None)
     [(atype, args)] = spec.items()
+    nested = {n: s for n, s in (sub or {}).items()
+              if set(dict(s)) - {"aggs"} & {"terms", "date_histogram"}}
+    if nested:
+        # ONE nested bucket agg (ES buckets-in-buckets, e.g. terms
+        # inside terms/date_histogram), flattened Spark-first: both key
+        # exprs in a single groupBy — one shuffle for the whole tree,
+        # leaf metric sub-aggs ride along. Output rows are the LEAF
+        # buckets as (key, key2, doc_count, <metrics>), ordered by
+        # (key asc, key2 asc) — deterministic flattening instead of
+        # ES's per-level count ordering (documented deviation; counts
+        # are exact, no coordinating-node truncation at either level).
+        if len(nested) != 1 or len(sub) != len(nested):
+            raise ESQueryError(
+                "at most one nested bucket agg (optionally with its own "
+                "metric sub-aggs) is supported inside a bucket agg")
+        if atype not in ("terms", "date_histogram"):
+            raise ESQueryError("only bucket aggs can nest bucket aggs")
+        [(_, inner_spec)] = nested.items()
+        inner_spec = dict(inner_spec)
+        inner_sub = inner_spec.pop("aggs", None)
+        [(in_type, in_args)] = inner_spec.items()
+        keys = [_bucket_key(atype, args, "key"),
+                _bucket_key(in_type, in_args, "key2")]
+        subcols = [_metric_col(n, s) for n, s in (inner_sub or {}).items()]
+        return (docs.groupBy(*keys)
+                .agg(F.count(F.lit(1)).alias("doc_count"), *subcols)
+                .orderBy(F.asc("key"), F.asc("key2")))
     subcols = [_metric_col(n, s) for n, s in (sub or {}).items()]
     if atype == "terms":
-        field = args["field"]
-        out = (docs.groupBy(F.col(field).alias("key"))
+        out = (docs.groupBy(_bucket_key(atype, args, "key"))
                .agg(F.count(F.lit(1)).alias("doc_count"), *subcols)
                .orderBy(F.desc("doc_count"), F.asc("key")))
         if "size" in args:
             out = out.limit(int(args["size"]))
         return out
     if atype == "date_histogram":
-        field = args["field"]
+        return (docs.groupBy(_bucket_key(atype, args, "key"))
+                .agg(F.count(F.lit(1)).alias("doc_count"), *subcols)
+                .orderBy(F.asc("key")))
+    # bare metric agg: one row
+    return docs.agg(_metric_col(name, {atype: args}))
+
+
+def _bucket_key(atype: str, args: dict, alias: str):
+    """The grouping expression of one bucket-agg level."""
+    field = args.get("field")
+    if not field:
+        raise ESQueryError(f"bucket agg lacks 'field': {args!r}")
+    if atype == "terms":
+        return F.col(field).alias(alias)
+    if atype == "date_histogram":
         interval = args.get("calendar_interval",
                             args.get("fixed_interval", "day"))
         units = {"hour": "hour", "day": "day", "week": "week",
                  "month": "month", "year": "year"}
         if interval not in units:
             raise ESQueryError(f"unsupported interval {interval!r}")
-        return (docs.groupBy(F.date_trunc(units[interval],
-                                          F.col(field)).alias("key"))
-                .agg(F.count(F.lit(1)).alias("doc_count"), *subcols)
-                .orderBy(F.asc("key")))
-    # bare metric agg: one row
-    return docs.agg(_metric_col(name, {atype: args}))
+        return F.date_trunc(units[interval], F.col(field)).alias(alias)
+    raise ESQueryError(f"unsupported bucket agg {atype!r}")
 
 
 def es_msearch(index, bodies: list[dict] | dict[str, dict],

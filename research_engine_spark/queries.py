@@ -2004,6 +2004,40 @@ def engine_es_aggs_documents(spark, sf_dir):
                       F.round("avg_turn", 4).alias("avg_turn"))
 
 
+@register("engine_es_nested_aggs_documents", f"""
+WITH tk AS (
+  SELECT doc_id, source, n_chars, {_TOK_SQL} AS tk FROM documents
+),
+matched AS (
+  SELECT doc_id, source, n_chars FROM tk
+  WHERE list_contains(tk, 'table') OR list_contains(tk, 'hash')
+)
+SELECT source AS key, CAST(n_chars % 97 AS INT) AS key2,
+       CAST(count(*) AS BIGINT) AS doc_count
+FROM matched GROUP BY source, n_chars % 97
+ORDER BY key ASC, key2 ASC
+""")
+def engine_es_nested_aggs_documents(spark, sf_dir):
+    """Nested bucket aggregations (buckets-in-buckets) through the DSL
+    over the REAL index, driver-HASH-checked: a terms agg on role with
+    a nested terms agg on turn_idx inside it, over the match set of a
+    match clause — flattened Spark-first as ONE two-key groupBy (one
+    shuffle for the whole tree), leaf buckets ordered (key, key2). The
+    oracle regroups the matching docs from raw text on both keys."""
+    from .operators.esdsl import es_aggregations
+    from .operators.scorer import IndexReader
+
+    engine_es_aggs_documents(spark, sf_dir)  # ensure the agg index
+    reader = IndexReader(spark, _AGG_IDX_CACHE[sf_dir])
+    out = es_aggregations(reader, {
+        "query": {"match": {"text": "table hash"}},
+        "aggs": {"by_source": {
+            "terms": {"field": "role"},
+            "aggs": {"by_turn": {"terms": {"field": "turn_idx"}}}}}})
+    return out.select("key", F.col("key2").cast("int").alias("key2"),
+                      "doc_count")
+
+
 _MF_IDX_CACHE: dict[str, str] = {}
 
 

@@ -302,6 +302,32 @@ def test_constant_score_wrapper(spark, tl_setup):
         es_search(dist, {"query": {"constant_score": {"boost": 2.0}}})
 
 
+def test_nested_bucket_aggregations(spark, tl_setup):
+    # terms(role) with a nested terms(turn_idx mod) — leaf buckets equal
+    # a direct two-key groupBy over the brute-force match set
+    from research_engine_spark.operators.esdsl import es_aggregations
+
+    d, _ = tl_setup
+    _, dist = _readers(spark, d)
+    out = es_aggregations(dist, {
+        "query": {"match": {"text": "neural networks"}},
+        "aggs": {"by_role": {
+            "terms": {"field": "role"},
+            "aggs": {"by_turn": {"terms": {"field": "turn_idx"}},
+                     }}}}).collect()
+    matched = _docs_with_token(dist, lambda t: t.isin("neural",
+                                                      "networks"))
+    exp = (dist.docs.filter(F.col("doc_id").isin(list(matched)))
+           .groupBy("role", "turn_idx").count()
+           .orderBy("role", "turn_idx").collect())
+    assert [(r.key, r.key2, r.doc_count) for r in out] == \
+        [(r.role, r.turn_idx, r["count"]) for r in exp]
+    with pytest.raises(ESQueryError):
+        es_aggregations(dist, {"aggs": {"a": {
+            "avg": {"field": "turn_idx"},
+            "aggs": {"b": {"terms": {"field": "role"}}}}}})
+
+
 def test_composite_termlevel_bool_identity(spark, tl_setup):
     # term (BM25) + prefix (constant) should-sum: serving tier and
     # distributed path agree bit-for-bit, and the serving tier issues
