@@ -201,6 +201,22 @@ def _fuzzy_flag(spec: dict) -> bool:
 # driver-local (pandas) evaluation — None means "over budget, go Spark"
 # ---------------------------------------------------------------------------
 
+def _fold_meta_pd(reader: IndexReader, meta, k1: float, b: float):
+    """Budget gate + numpy score fold over a clause table — the ONE
+    serving-tier decision point shared by match and term leaves (same
+    Σ df budget, same deterministic fold; None = go distributed)."""
+    if meta.empty:
+        return _EMPTY_PD.copy()
+    if int(meta["df"].sum()) > reader.driver_local_max_postings:
+        return None
+    full = _driver_local_topk_pd(
+        reader, meta.assign(qid="q", qtf=meta["qtf"].astype(np.float64)),
+        k=None, k1=k1, b=b)
+    if full is None:
+        return None
+    return full[["doc_id", "score"]]
+
+
 def _match_pd(ctx: _Ctx, reader: IndexReader, spec: dict):
     from ..functions.analyzer import analyze_query
 
@@ -217,16 +233,7 @@ def _match_pd(ctx: _Ctx, reader: IndexReader, spec: dict):
                                 int(spec.get("max_expansions", 50)))
     else:
         meta = _term_meta(reader, qterms, k1, b)
-    if meta.empty:
-        return _EMPTY_PD.copy()
-    if int(meta["df"].sum()) > reader.driver_local_max_postings:
-        return None
-    full = _driver_local_topk_pd(
-        reader, meta.assign(qid="q", qtf=meta["qtf"].astype(np.float64)),
-        k=None, k1=k1, b=b)
-    if full is None:
-        return None
-    return full[["doc_id", "score"]]
+    return _fold_meta_pd(reader, meta, k1, b)
 
 
 _EMPTY_PD = pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
@@ -236,20 +243,12 @@ _EMPTY_PD = pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
 def _term_pd(ctx: _Ctx, reader: IndexReader, spec: dict):
     """ES term query, serving tier: the UNanalyzed value looked up as a
     literal index term, BM25-scored (qtf=1) — same budget gate and
-    numpy fold as _match_pd."""
+    numpy fold as _match_pd (shared via _fold_meta_pd)."""
     k1 = reader.stats["k1"] if ctx.k1 is None else ctx.k1
     b = reader.stats["b"] if ctx.b is None else ctx.b
-    meta = _term_meta(reader, [(str(spec["value"]), 1)], k1, b)
-    if meta.empty:
-        return _EMPTY_PD.copy()
-    if int(meta["df"].sum()) > reader.driver_local_max_postings:
-        return None
-    full = _driver_local_topk_pd(
-        reader, meta.assign(qid="q", qtf=meta["qtf"].astype(np.float64)),
-        k=None, k1=k1, b=b)
-    if full is None:
-        return None
-    return full[["doc_id", "score"]]
+    return _fold_meta_pd(
+        reader, _term_meta(reader, [(str(spec["value"]), 1)], k1, b),
+        k1, b)
 
 
 def _const_docs_pd(reader: IndexReader, terms: list[str], df_sum: int,
@@ -585,6 +584,14 @@ def _multi_match_parts(ctx: _Ctx, body: dict):
     if mtype not in ("best_fields", "most_fields", "phrase"):
         raise ESQueryError(f"multi_match type {mtype!r} unsupported "
                            "(best_fields, most_fields, phrase)")
+    if str(body.get("operator", "or")).lower() != "or" \
+            or body.get("minimum_should_match"):
+        # reject loudly rather than silently return OR-semantics hits:
+        # plain match DOES honor operator (see _match_and_rewrite) —
+        # express per-field AND as a bool of match clauses instead
+        raise ESQueryError(
+            "multi_match operator/minimum_should_match are unsupported; "
+            "use match clauses with operator inside a bool query")
     if mtype == "phrase" and _fuzzy_flag(body):
         raise ESQueryError("ES ignores fuzziness on phrase-type "
                            "multi_match; remove it")
@@ -797,17 +804,14 @@ def _search_after_parts(body: dict) -> tuple[float, int] | None:
     return float(sa[0]), int(sa[1])
 
 
-def es_search(index, body: dict, k1: float | None = None,
-              b: float | None = None) -> DataFrame:
-    """Execute an ES query body against an IndexReader or
-    MultiFieldReader. Returns (doc_id, score[, _source cols
-    [, highlight]]) ordered by (score desc, doc_id asc), paginated by
-    ``from``/``size`` (ES defaults 0/10) or by a ``search_after``
-    cursor. Budget-sized bodies run with zero Spark jobs (see module
-    doc)."""
+def _eval_body(ctx: _Ctx, body: dict, label: str = "body") -> DataFrame:
+    """One query body -> its paginated (doc_id, score) top-k frame.
+    The ONE place the serving-vs-distributed dispatch, search_after
+    cursor predicate, and from/size pagination live — shared by
+    es_search and es_msearch so the two entry points can never return
+    different pages for the same body."""
     if "query" not in body:
-        raise ESQueryError("body lacks 'query'")
-    ctx = _Ctx(index, k1, b)
+        raise ESQueryError(f"{label} lacks 'query'")
     k = int(body.get("size", DEFAULT_SIZE))
     frm = int(body.get("from", 0))
     after = _search_after_parts(body)
@@ -821,17 +825,28 @@ def es_search(index, body: dict, k1: float | None = None,
         ordered = local.sort_values(
             ["score", "doc_id"], ascending=[False, True],
             kind="mergesort")[frm:frm + k]
-        topk = _topk_pd_to_df(ctx.spark, ordered[["doc_id", "score"]], k)
-    else:
-        scored = _clause_df(ctx, body["query"])
-        if after is not None:
-            s, d = after
-            scored = scored.filter(
-                (F.col("score") < F.lit(s))
-                | ((F.col("score") == F.lit(s))
-                   & (F.col("doc_id") > F.lit(d))))
-        topk = scored.orderBy(F.desc("score"), F.asc("doc_id"))
-        topk = topk.offset(frm).limit(k) if frm else topk.limit(k)
+        return _topk_pd_to_df(ctx.spark, ordered[["doc_id", "score"]], k)
+    scored = _clause_df(ctx, body["query"])
+    if after is not None:
+        s, d = after
+        scored = scored.filter(
+            (F.col("score") < F.lit(s))
+            | ((F.col("score") == F.lit(s))
+               & (F.col("doc_id") > F.lit(d))))
+    topk = scored.orderBy(F.desc("score"), F.asc("doc_id"))
+    return topk.offset(frm).limit(k) if frm else topk.limit(k)
+
+
+def es_search(index, body: dict, k1: float | None = None,
+              b: float | None = None) -> DataFrame:
+    """Execute an ES query body against an IndexReader or
+    MultiFieldReader. Returns (doc_id, score[, _source cols
+    [, highlight]]) ordered by (score desc, doc_id asc), paginated by
+    ``from``/``size`` (ES defaults 0/10) or by a ``search_after``
+    cursor. Budget-sized bodies run with zero Spark jobs (see module
+    doc)."""
+    ctx = _Ctx(index, k1, b)
+    topk = _eval_body(ctx, body)
     source = list(body.get("_source") or [])
     hl = body.get("highlight")
     hl_field = None
@@ -1027,33 +1042,7 @@ def es_msearch(index, bodies: list[dict] | dict[str, dict],
     ctx = _Ctx(index, k1, b)
     frames = []
     for qid, body in items:
-        if "query" not in body:
-            raise ESQueryError(f"body {qid!r} lacks 'query'")
-        k = int(body.get("size", DEFAULT_SIZE))
-        frm = int(body.get("from", 0))
-        after = _search_after_parts(body)
-        local = _clause_pd(ctx, body["query"])
-        if local is not None:
-            if after is not None:
-                s, d = after
-                sc = local["score"].to_numpy(np.float64)
-                di = local["doc_id"].to_numpy(np.int64)
-                local = local[(sc < s) | ((sc == s) & (di > d))]
-            ordered = local.sort_values(
-                ["score", "doc_id"], ascending=[False, True],
-                kind="mergesort")[frm:frm + k]
-            part = _topk_pd_to_df(ctx.spark,
-                                  ordered[["doc_id", "score"]], k)
-        else:
-            scored = _clause_df(ctx, body["query"])
-            if after is not None:
-                s, d = after
-                scored = scored.filter(
-                    (F.col("score") < F.lit(s))
-                    | ((F.col("score") == F.lit(s))
-                       & (F.col("doc_id") > F.lit(d))))
-            part = scored.orderBy(F.desc("score"), F.asc("doc_id"))
-            part = part.offset(frm).limit(k) if frm else part.limit(k)
+        part = _eval_body(ctx, body, label=f"body {qid!r}")
         frames.append(part.select(F.lit(qid).alias("qid"),
                                   "doc_id", "score"))
     return reduce(DataFrame.unionByName, frames)

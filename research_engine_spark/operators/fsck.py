@@ -3,15 +3,19 @@
 A 100 TB deployment runs this after compactions, restores, and storage
 migrations. Two tiers:
 
-- **fast** (default): driver-side parquet FOOTER + pointer checks only —
-  no Spark job, cost is O(files' metadata), so it is safe to run after
-  every commit even at 10^12 turns. Verifies: the generation pointer's
-  referenced physical dirs all exist; corpus_stats.json parses and its
-  ``n_docs`` equals the docs table's footer row count; Σ cf over
-  term_stats equals ``total_tokens``; Σ posting_count over the lineage
-  table equals Σ posting_count over the postings block metadata (the
-  "lineage covers every posting exactly once" invariant the build
-  promises).
+- **fast** (default): driver-side, no Spark job. Pointer existence and
+  row counts are pure parquet-FOOTER metadata; the cross-table sums
+  (Σ cf, Σ posting_count) and max(df) are single-column pyarrow reads
+  of the VOCABULARY- and block-count-sized tables — O(vocabulary), not
+  O(corpus), so still cheap after every commit (Heaps' law keeps the
+  term dictionary orders of magnitude below the posting data; the
+  corpus-sized docs/postings payloads are never read). Verifies: the
+  generation pointer's referenced physical dirs all exist;
+  corpus_stats.json parses and its ``n_docs`` equals the docs table's
+  footer row count; Σ cf over term_stats equals ``total_tokens``;
+  Σ posting_count over the lineage table equals Σ posting_count over
+  the postings block metadata (the "lineage covers every posting
+  exactly once" invariant the build promises).
 - **deep** (``deep=True``): adds distributed checks — docs doc_ids are
   distinct; doc_stats doc_ids ⊆ docs; tombstoned ids ⊆ docs; every
   (term, salt) group's blocks are doc-sorted and contiguous
@@ -95,11 +99,14 @@ def verify_index(spark: SparkSession, index_dir: str,
         "ok": cf_sum == int(stats["total_tokens"]),
         "corpus_stats": int(stats["total_tokens"]), "term_stats": cf_sum}
 
-    # 4. lineage covers every posting exactly once
+    # 4. lineage covers every posting exactly once (both sides are
+    # fallible reads: None==None must be a FAILURE, not a pass — an
+    # unreadable pair is exactly the corruption this check exists for)
     lin = _footer_sum(path("lineage"), "posting_count")
     post = _footer_sum(path("postings"), "posting_count")
     checks["lineage_coverage"] = {
-        "ok": lin == post, "lineage": lin, "postings": post}
+        "ok": lin is not None and lin == post,
+        "lineage": lin, "postings": post}
 
     # 5. df sanity: every term's df ≤ n_docs (a violation means postings
     # merged across builds without stats aggregation)

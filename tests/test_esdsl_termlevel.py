@@ -281,6 +281,11 @@ def test_match_operator_and(spark, tl_setup):
         es_search(dist, {"query": {"match": {"text": {
             "query": "neural", "operator": "and",
             "fuzziness": "AUTO"}}}})
+    # multi_match must reject operator rather than silently return OR
+    with pytest.raises(ESQueryError):
+        es_search(dist, {"query": {"multi_match": {
+            "query": "neural networks", "fields": ["text"],
+            "operator": "and"}}})
     # all-stopword/no-token query matches nothing
     assert _pairs(es_search(dist, {"query": {"match": {"text": {
         "query": "???", "operator": "and"}}}, "size": 5})) == []

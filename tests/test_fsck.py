@@ -63,6 +63,23 @@ def test_red_on_corruption(spark, fsck_index, tmp_path):
     assert not res["checks"]["n_docs"]["ok"]
 
 
+def test_red_when_both_sum_sides_unreadable(spark, fsck_index, tmp_path):
+    # lineage AND postings parquet garbage: both footer sums come back
+    # None — that must be a lineage_coverage FAILURE, not None==None
+    d = str(tmp_path / "bothbad")
+    shutil.copytree(fsck_index, d)
+    for tbl in ("lineage", "postings"):
+        root = resolve(d, tbl)
+        for dirpath, _, files in os.walk(root):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    with open(os.path.join(dirpath, fn), "wb") as f:
+                        f.write(b"not parquet")
+    res = verify_index(spark, d)
+    assert not res["ok"]
+    assert not res["checks"]["lineage_coverage"]["ok"]
+
+
 def test_red_on_missing_generation_dir(spark, fsck_index, tmp_path):
     d = str(tmp_path / "missing")
     shutil.copytree(fsck_index, d)
