@@ -672,7 +672,12 @@ def build_index(
                     "total_tokens": total_tokens, "k1": k1, "b": b,
                     "n_buckets": n_buckets, "block_size": BLOCK_SIZE,
                     "positions": bool(with_positions),
-                    "analyzer": analyzer}
+                    "analyzer": analyzer,
+                    # high-water mark for docID assignment: appends base new
+                    # ids here, NOT on n_docs — a purging compaction shrinks
+                    # n_docs while PRESERVING surviving docIDs, so basing on
+                    # n_docs would re-issue live ids (ADVICE r4 medium)
+                    "next_doc_id": n_docs}
     with open(resolve(out_dir, "corpus_stats.json"), "w") as f:
         json.dump(corpus_stats, f)
 
@@ -957,7 +962,12 @@ def append_segment(transcripts: DataFrame, out_dir: str,
     stats_path = resolve(out_dir, "corpus_stats.json")
     with open(stats_path) as f:
         stats = json.load(f)
-    base = int(stats["n_docs"])
+    # base on the docID high-water mark, never n_docs: a purging
+    # compaction decrements n_docs but keeps surviving docIDs, so an
+    # append after a partial purge would otherwise assign colliding ids
+    # (pre-r5 indexes lack the key; for them no purge ever ran under the
+    # old semantics where the bug was live, so n_docs == max id + 1)
+    base = int(stats.get("next_doc_id", stats["n_docs"]))
     # the segment is MATERIALIZED once (eager localCheckpoint: lineage
     # truncated) and reused for the forward write, the count, and the
     # pack — never re-derived from the docs table: re-reading docs and
@@ -992,7 +1002,8 @@ def append_segment(transcripts: DataFrame, out_dir: str,
     # out of scope (streaming appends don't accumulate pinned blocks)
     seg_tokens = _total_tokens_from_term_stats(
         resolve(out_dir, "term_stats"), snapshot_id=snapshot_id)
-    stats["n_docs"] = base + int(n_new)
+    stats["n_docs"] = int(stats["n_docs"]) + int(n_new)
+    stats["next_doc_id"] = base + int(n_new)
     stats["total_tokens"] = int(stats["total_tokens"]) + seg_tokens
     stats["avgdl"] = (stats["total_tokens"] / stats["n_docs"]
                       if stats["n_docs"] else 0.0)
@@ -1324,7 +1335,11 @@ def compact_index(
         new_stats.update(
             n_docs=n_docs_new,
             avgdl=(total_tokens / n_docs_new) if n_docs_new else 0.0,
-            total_tokens=int(total_tokens))
+            total_tokens=int(total_tokens),
+            # docIDs are preserved through the purge, so the assignment
+            # high-water mark must NOT shrink with n_docs — materialize it
+            # from the pre-purge count for legacy stats that lack the key
+            next_doc_id=int(stats.get("next_doc_id", stats["n_docs"])))
         with open(_staged("corpus_stats.json"), "w") as f:
             json.dump(new_stats, f)
 

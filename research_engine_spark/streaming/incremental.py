@@ -115,7 +115,10 @@ def _cleanup_partial_segment(index_dir: str, pending: dict) -> None:
     from ..operators.generations import table_mapping
 
     gen_map = table_mapping(index_dir)
-    base = int(pending["n_docs_before"])
+    # file-removal threshold is the docID high-water mark, not n_docs:
+    # after a purging compaction surviving ids can exceed n_docs, but all
+    # are < next_doc_id, while the interrupted append wrote only >= it
+    base = int(pending.get("next_doc_id_before", pending["n_docs_before"]))
     snap = pending["snapshot_id"]
 
     for tbl in ("docs", "doc_stats"):
@@ -142,7 +145,8 @@ def _cleanup_partial_segment(index_dir: str, pending: dict) -> None:
     stats_path = os.path.join(index_dir, gen_map["corpus_stats.json"])
     with open(stats_path) as f:
         stats = json.load(f)
-    stats["n_docs"] = base
+    stats["n_docs"] = int(pending["n_docs_before"])
+    stats["next_doc_id"] = base
     stats["total_tokens"] = int(pending["total_tokens_before"])
     stats["avgdl"] = (stats["total_tokens"] / stats["n_docs"]
                       if stats["n_docs"] else 0.0)
@@ -190,6 +194,8 @@ def make_foreach_batch(index_dir: str, compact_every: int | None = None):
             "batch_id": int(batch_id),
             "snapshot_id": snapshot_id,
             "n_docs_before": int(stats_before["n_docs"]),
+            "next_doc_id_before": int(stats_before.get(
+                "next_doc_id", stats_before["n_docs"])),
             "total_tokens_before": int(stats_before["total_tokens"]),
         })
         append_segment(batch_df, index_dir, snapshot_id=snapshot_id)

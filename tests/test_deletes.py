@@ -394,3 +394,48 @@ def test_purge_segment_scoped_mask_matches_broadcast(spark, idx, tmp_path):
     pb_ = _rows(phrase_search(fresh, QUERIES[0], k=10),
                 ("conv_id", "turn_idx", "score"))
     assert pa_ == pb_
+
+
+def test_append_after_purge_assigns_fresh_doc_ids(spark, idx):
+    """ADVICE r4 (medium): append_segment must base new docIDs on the
+    high-water mark (next_doc_id), not n_docs — a purging compaction
+    shrinks n_docs while PRESERVING surviving docIDs, so an n_docs base
+    would re-issue live ids and corrupt joins/scores."""
+    import json
+
+    from research_engine_spark.operators.fsck import verify_index
+    from research_engine_spark.operators.generations import resolve
+    from research_engine_spark.operators.indexer import append_segment
+
+    reader = IndexReader(spark, idx)
+    delete_by_query(reader, f"conv_id < '{CUT}'")
+    res = compact_index(spark, idx)
+    assert res["compacted"] and res["n_purged"] > 0
+    with open(resolve(idx, "corpus_stats.json")) as f:
+        st = json.load(f)
+    # partial purge: surviving ids are sparse, high-water mark > n_docs
+    assert st["next_doc_id"] > st["n_docs"]
+
+    tx = synth_transcripts(spark, n_convs=N_CONVS + 5, seed=SEED)
+    extra = tx.filter(F.col("conv_id") >= f"conv_{N_CONVS:08d}")
+    n_extra = extra.count()
+    assert n_extra > 0
+    append_segment(extra, idx)
+
+    appended = IndexReader(spark, idx)
+    docs = appended.docs
+    n = docs.count()
+    assert n == appended.stats["n_docs"]
+    # the collision the old n_docs base would have caused
+    assert docs.select("doc_id").distinct().count() == n
+    # appended ids sit strictly above every pre-append id
+    lo = docs.filter(F.col("conv_id") >= f"conv_{N_CONVS:08d}") \
+             .agg(F.min("doc_id")).first()[0]
+    assert lo == st["next_doc_id"]
+    # deep fsck (incl. doc_ids_distinct) green on the composed index
+    rep = verify_index(spark, idx, deep=True)
+    assert rep["ok"], rep
+    # search over the composed index surfaces appended content
+    hits = _rows(search(appended, QUERIES[0], k=10),
+                 ("conv_id", "turn_idx", "score"))
+    assert len(hits) == 10
