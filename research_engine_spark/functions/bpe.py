@@ -222,6 +222,27 @@ class BPETokenizer:
         return _enc(text)
 
 
+def bpe_lengths(texts, ranks: dict) -> "np.ndarray":
+    """Per-text BPE token counts as int64 (word-level cache — Zipf: a
+    few thousand distinct words cover a batch). The executor-side core
+    of token_count_col, exposed plainly so the index build can compute
+    BPE doc lengths inside its existing tokenize pass
+    (build_index(dl_tokenizer=...): the tiktoken-dl analog of
+    chunk_pdfs_oai.py:34-37, under a corpus-trained vocabulary)."""
+    import numpy as np
+
+    cache: dict[str, int] = {}
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(pd.Series(texts).fillna("")):
+        n = 0
+        for w in _WORD_RE.findall(t.lower()):
+            if w not in cache:
+                cache[w] = len(_encode_word(w, ranks))
+            n += cache[w]
+        out[i] = n
+    return out
+
+
 def train_bpe(df: DataFrame, text_col: str = "text", n_merges: int = 1000,
               max_vocab_words: int = 200_000) -> BPETokenizer:
     """Train a BPE merge list on a corpus DataFrame. One distributed

@@ -59,11 +59,13 @@ final TakeOrderedAndProject. Serving tier: when EVERY leaf of the tree
 fits the reader's driver-local budgets the whole body evaluates in
 pandas with zero Spark jobs (same float64 ops as the distributed
 composition), falling back per-query otherwise — the gate is the same
-Σ df metadata check the plain serving paths use. With three or more
-should clauses the two paths may differ by float ulps (Spark's grouped
-sum is accumulation-order-free only for two addends); the driver's
-4-decimal rounding and the tests absorb this, mirroring the documented
-multifield tie_breaker caveat.
+Σ df metadata check the plain serving paths use. The two paths are
+bit-identical at ANY clause count: the distributed should composition
+pivots per-clause scores into fixed columns (each an exact at-most-one-
+addend conditional sum) and folds them left-to-right in clause order —
+the same order the pandas twin's concat-order groupby fold uses — so no
+accumulation-order-dependent grouped float sum remains (r4 ulp caveat
+retired).
 """
 
 from __future__ import annotations
@@ -725,11 +727,23 @@ def _bool_df(ctx: _Ctx, spec: dict) -> DataFrame:
                  for i, s in enumerate(should)]
         # every clause frame holds at most ONE row per doc_id (full-match
         # score sets are doc-grouped), so count(*) == distinct clause
-        # count — no distinct machinery on the widest shuffle
-        agg = (reduce(DataFrame.unionByName, withc)
+        # count — no distinct machinery on the widest shuffle. Per-clause
+        # conditional sums each have at most one non-null addend, so they
+        # are exact regardless of row arrival order; the clause scores
+        # are then folded left-to-right in clause order below, making the
+        # distributed sum bit-identical to the serving-tier pandas twin
+        # (concat-order groupby fold) at ANY clause count — no grouped
+        # F.sum over the union, whose accumulation order is
+        # partition-dependent for 3+ addends.
+        piv = (reduce(DataFrame.unionByName, withc)
                .groupBy("doc_id")
-               .agg(F.sum("score").alias("_ss"),
+               .agg(*[F.sum(F.when(F.col("_cid") == i, F.col("score")))
+                      .alias(f"_s{i}") for i in range(len(should))],
                     F.count(F.lit(1)).alias("_n")))
+        folded = F.coalesce(F.col("_s0"), F.lit(0.0))
+        for i in range(1, len(should)):
+            folded = folded + F.coalesce(F.col(f"_s{i}"), F.lit(0.0))
+        agg = piv.select("doc_id", folded.alias("_ss"), "_n")
         if base is None:
             base = (agg.filter(F.col("_n") >= max(msm, 1))
                     .select("doc_id", F.col("_ss").alias("score")))
@@ -789,7 +803,18 @@ def _search_after_parts(body: dict) -> tuple[float, int] | None:
     values — the ES deep-pagination cursor). At 100 TB this is the
     scalable pagination: ``from`` makes every page recompute and skip
     all prior pages, while search_after is a constant-cost predicate on
-    the (score desc, doc_id asc) sort order."""
+    the (score desc, doc_id asc) sort order.
+
+    The cursor compares the EXACT float sort value (as ES does): safe
+    because every scoring path is now order-deterministic — term partials
+    fold term-sorted (_sum_deterministic), should/field combinations fold
+    clause-pivoted left-to-right — so a recomputed page reproduces the
+    previous page's boundary score bit-for-bit on either evaluation path
+    (ADVICE r4). Two requirements remain, as in ES: pass the UNROUNDED
+    sort values from the previous page's final hit, and paginate against
+    the same index generation (pin one via IndexReader(generation=N) /
+    snapshot_index when the index mutates between pages).
+    """
     sa = body.get("search_after")
     if sa is None:
         return None
@@ -1042,6 +1067,16 @@ def es_msearch(index, bodies: list[dict] | dict[str, dict],
     ctx = _Ctx(index, k1, b)
     frames = []
     for qid, body in items:
+        # the batched result is ONE uniform (qid, doc_id, score) frame, so
+        # per-body projection/highlighting cannot be honored — reject
+        # loudly instead of silently returning bare rows (ADVICE r4):
+        # callers wanting _source/highlight use es_search per body
+        unsupported = sorted({"_source", "highlight"} & set(body))
+        if unsupported:
+            raise ESQueryError(
+                f"body {qid!r} uses {unsupported} — unsupported in "
+                "es_msearch (its batched result is a uniform "
+                "(qid, doc_id, score) frame); run es_search for that body")
         part = _eval_body(ctx, body, label=f"body {qid!r}")
         frames.append(part.select(F.lit(qid).alias("qid"),
                                   "doc_id", "score"))

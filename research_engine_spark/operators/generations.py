@@ -238,18 +238,92 @@ def _copytree_linked(src: str, dst: str) -> None:
     shutil.copytree(src, dst, copy_function=_link_or_copy)
 
 
+def _copytree_linked_fenced(src: str, dst: str, logical: str,
+                            snapshots, next_doc_id) -> None:
+    """_copytree_linked restricted to committed part-files (see
+    _file_in_fence); directory structure (bucket=N partitions) and
+    non-parquet markers copy through unchanged."""
+    import shutil
+
+    def _link_or_copy(a, b):
+        try:
+            os.link(a, b)
+        except OSError:
+            shutil.copy2(a, b)
+
+    shutil.copytree(
+        src, dst, copy_function=_link_or_copy,
+        ignore=lambda d, names: [
+            n for n in names
+            if n.endswith(".parquet")
+            and not _file_in_fence(os.path.join(d, n), logical,
+                                   snapshots, next_doc_id)])
+
+
+def _file_in_fence(fp: str, logical: str, snapshots, next_doc_id) -> bool:
+    """True when a parquet part-file belongs to the committed-segment
+    fence (its footer column stats identify the segment: an appended
+    file holds exactly one snapshot_id, and only doc_ids >= the
+    pre-append high-water mark). Fails OPEN (keeps the file) on missing
+    or unreadable stats — the fence is an exclusion of known-uncommitted
+    files, never a reason to drop data."""
+    if not fp.endswith(".parquet"):
+        return True
+    col = ("doc_id" if logical in ("docs", "doc_stats")
+           else "snapshot_id")
+    if col == "doc_id" and next_doc_id is None:
+        return True
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(fp).metadata
+        idx = {md.schema.column(i).name: i
+               for i in range(md.num_columns)}.get(col)
+        if idx is None:
+            return True
+        mins = []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return True
+            mins.append(st.min)
+        if not mins:
+            return True
+        if col == "doc_id":
+            return int(min(mins)) < int(next_doc_id)
+        return any(str(m) in snapshots for m in mins)
+    except Exception:
+        return True
+
+
 def snapshot_index(index_dir: str, repo_dir: str, name: str) -> dict:
     """Materialize the CURRENT generation as a self-contained flat
     snapshot under ``repo_dir/name`` (ES ``PUT _snapshot/.../<name>``
     analog). Reads the pointer once, so the snapshot is one consistent
     generation even if a compaction commits mid-copy (its files are
     retained by keep_generations while we link them). The snapshot is
-    itself a valid flat index dir: IndexReader opens it directly."""
+    itself a valid flat index dir: IndexReader opens it directly.
+
+    Append consistency (ADVICE r4 torn snapshot): corpus_stats.json is
+    read FIRST and its committed-segment fence (snapshots list +
+    next_doc_id) filters the copied part-files, so a snapshot taken
+    while an append is mid-flight captures exactly the last committed
+    state — stats and data files agree, fsck stays green. Indexes
+    predating the fence copy whole directories (old behavior: quiesce
+    appends around snapshot_index)."""
     snap = os.path.join(repo_dir, name)
     if os.path.exists(snap):
         raise FileExistsError(f"snapshot {name!r} already exists")
     mapping = table_mapping(index_dir)
     gen = current_gen(index_dir)
+    # pin the committed state before listing any data file: the stats
+    # PARSED here are what the snapshot ships, so fence and stats can
+    # never disagree even if an append commits mid-copy
+    with open(os.path.join(index_dir, mapping["corpus_stats.json"])) as f:
+        pinned_stats = json.load(f)
+    fence_snaps = pinned_stats.get("snapshots")
+    fence_snaps = set(map(str, fence_snaps)) if fence_snaps else None
+    fence_next = pinned_stats.get("next_doc_id")
     os.makedirs(snap + ".tmp")
     copied = []
     for logical, physical in mapping.items():
@@ -257,8 +331,17 @@ def snapshot_index(index_dir: str, repo_dir: str, name: str) -> dict:
         if not os.path.exists(src):
             continue  # e.g. no tombstones in this generation
         dst = os.path.join(snap + ".tmp", logical)
-        if os.path.isdir(src):
-            _copytree_linked(src, dst)
+        if logical == "corpus_stats.json":
+            with open(dst, "w") as f:
+                json.dump(pinned_stats, f)
+        elif os.path.isdir(src):
+            fenced = (fence_snaps is not None and logical in (
+                "postings", "term_stats", "lineage", "docs", "doc_stats"))
+            if fenced:
+                _copytree_linked_fenced(src, dst, logical, fence_snaps,
+                                        fence_next)
+            else:
+                _copytree_linked(src, dst)
         else:
             import shutil
 

@@ -668,7 +668,19 @@ def build_index(
     total_tokens = _total_tokens_from_term_stats(
         resolve(out_dir, "term_stats"))
     avgdl = total_tokens / n_docs if n_docs else 0.0
+    # committed-segment list: readers fence every postings/term_stats/
+    # lineage read to these snapshot_ids (scorer.IndexReader._seg_expr),
+    # so a reader never sees a segment whose stats aren't committed. A
+    # fresh full build has exactly one; a resumed build's buckets may
+    # span several — the footer census (zero Spark jobs) recovers them
+    if mode == "overwrite" and buckets_subset is None:
+        committed = [snapshot_id]
+    else:
+        census = snapshot_census(resolve(out_dir, "postings"))
+        committed = (sorted(census) if census
+                     else sorted({*_prev_snapshots(out_dir), snapshot_id}))
     corpus_stats = {"n_docs": n_docs, "avgdl": avgdl,
+                    "snapshots": committed,
                     "total_tokens": total_tokens, "k1": k1, "b": b,
                     "n_buckets": n_buckets, "block_size": BLOCK_SIZE,
                     "positions": bool(with_positions),
@@ -678,8 +690,7 @@ def build_index(
                     # n_docs while PRESERVING surviving docIDs, so basing on
                     # n_docs would re-issue live ids (ADVICE r4 medium)
                     "next_doc_id": n_docs}
-    with open(resolve(out_dir, "corpus_stats.json"), "w") as f:
-        json.dump(corpus_stats, f)
+    _write_stats_atomic(resolve(out_dir, "corpus_stats.json"), corpus_stats)
 
     # --- snapshot manifest (Iceberg-snapshot analog for resume) ------------
     manifest_path = os.path.join(out_dir, "manifest.json")
@@ -697,6 +708,26 @@ def build_index(
     return {**corpus_stats, "build_wall_sec": wall,
             "timings": timings,
             "turns_per_sec": (n_docs / wall if wall > 0 else float("inf"))}
+
+
+def _write_stats_atomic(path: str, stats: dict) -> None:
+    """One-os.replace corpus_stats.json write: this file is the commit
+    point of the committed-segment fence (readers trust its 'snapshots'
+    list + next_doc_id), so it must never be observable half-written."""
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(stats, f)
+    os.replace(tmp, path)
+
+
+def _prev_snapshots(out_dir: str) -> list:
+    """Committed snapshot_ids recorded by the previous corpus_stats.json
+    (empty for a first build / pre-fence index)."""
+    try:
+        with open(resolve(out_dir, "corpus_stats.json")) as f:
+            return list(json.load(f).get("snapshots", []))
+    except FileNotFoundError:
+        return []
 
 
 def _total_tokens_from_term_stats(ts_path: str,
@@ -942,7 +973,8 @@ def _pack_segment(
 
 def append_segment(transcripts: DataFrame, out_dir: str,
                    n_partitions: int | None = None,
-                   snapshot_id: str | None = None) -> dict:
+                   snapshot_id: str | None = None,
+                   _pre_commit_hook=None) -> dict:
     """Append a new segment of transcript turns to an existing index
     (streaming micro-batch path; Lucene-segment analog).
 
@@ -952,9 +984,21 @@ def append_segment(transcripts: DataFrame, out_dir: str,
     block upper bounds are computed at query time from the aggregated
     term_stats, so existing postings stay valid without rewriting.
 
-    Any live IndexReader on this directory must call ``reader.refresh()``
-    afterwards — readers memoize corpus stats and table file listings at
-    construction (ResearchEngine does this automatically).
+    Commit protocol (VERDICT r4 "mid-append reader window"): data files
+    first (docs parts, then postings/term_stats/lineage parts), then ONE
+    atomic corpus_stats.json replace that both updates the stats and
+    adds this segment's snapshot_id to the committed list. Readers fence
+    every read on that list (+ next_doc_id for the forward tables), so a
+    reader constructed at ANY instant of the append — even between the
+    postings write and the stats write — sees exactly the pre-append
+    index; one constructed after the replace sees the whole segment with
+    matching stats. Symmetric with compaction's generation-pointer
+    guarantee. A reader that should OBSERVE the append still calls
+    ``reader.refresh()`` (memoized stats/file listings; ResearchEngine
+    does this automatically).
+
+    _pre_commit_hook: test seam, called after every data file is written
+    and before the stats commit (the historical torn window).
     """
     spark = transcripts.sparkSession
     if n_partitions is None:
@@ -1002,13 +1046,17 @@ def append_segment(transcripts: DataFrame, out_dir: str,
     # out of scope (streaming appends don't accumulate pinned blocks)
     seg_tokens = _total_tokens_from_term_stats(
         resolve(out_dir, "term_stats"), snapshot_id=snapshot_id)
+    if _pre_commit_hook is not None:
+        _pre_commit_hook()
     stats["n_docs"] = int(stats["n_docs"]) + int(n_new)
     stats["next_doc_id"] = base + int(n_new)
     stats["total_tokens"] = int(stats["total_tokens"]) + seg_tokens
     stats["avgdl"] = (stats["total_tokens"] / stats["n_docs"]
                       if stats["n_docs"] else 0.0)
-    with open(stats_path, "w") as f:
-        json.dump(stats, f)
+    if "snapshots" in stats:
+        stats["snapshots"] = list(dict.fromkeys(
+            [*stats["snapshots"], snapshot_id]))
+    _write_stats_atomic(stats_path, stats)
     return stats
 
 
@@ -1147,8 +1195,9 @@ def compact_index(
     unreferenced ``table@<gen+1>`` dirs, swept by the next compaction
     (discard_uncommitted); a crash after the replace leaves a fully
     committed index plus old dirs for gc. On a non-purging compaction
-    docs / doc_stats / corpus_stats carry over untouched — compaction
-    never changes docIDs, scores, or stats.
+    docs / doc_stats carry over untouched — compaction never changes
+    docIDs, scores, or stats — while corpus_stats.json is re-staged with
+    the new single-snapshot fence list (values unchanged).
 
     Returns {"compacted": bool, "n_snapshots_before", "n_blocks_before",
     "n_blocks_after", "snapshot_id", "wall_sec"}.
@@ -1340,16 +1389,24 @@ def compact_index(
             # high-water mark must NOT shrink with n_docs — materialize it
             # from the pre-purge count for legacy stats that lack the key
             next_doc_id=int(stats.get("next_doc_id", stats["n_docs"])))
-        with open(_staged("corpus_stats.json"), "w") as f:
-            json.dump(new_stats, f)
+    else:
+        new_stats = dict(stats)
+    # the compacted postings/term_stats/lineage carry ONE new
+    # snapshot_id: the staged corpus_stats.json must commit the matching
+    # fence list (readers of the new generation filter on it), so it is
+    # staged on EVERY compaction, purging or not
+    new_stats["snapshots"] = [snapshot_id]
+    with open(_staged("corpus_stats.json"), "w") as f:
+        json.dump(new_stats, f)
 
     # commit point: every staged table is fully written (parquet
     # _SUCCESS); ONE atomic pointer replace publishes the generation
     tables = dict(gen_map)
     for tbl in _COMPACT_TABLES:
         tables[tbl] = physical_name(tbl, new_gen)
+    tables["corpus_stats.json"] = physical_name("corpus_stats.json", new_gen)
     if purge:
-        for tbl in ("docs", "doc_stats", "corpus_stats.json"):
+        for tbl in ("docs", "doc_stats"):
             tables[tbl] = physical_name(tbl, new_gen)
         # the purge consumed the tombstones: the new generation maps them
         # to a (never-created => empty) versioned dir, while the OLD

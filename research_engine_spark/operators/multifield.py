@@ -125,9 +125,13 @@ def search_multifield(
     the query terms (still only matching postings) and the combination is
     a union + max/sum aggregate + distributed top-k. When every field
     fits the driver-local posting budget the whole query instead runs
-    zero-Spark-job (see _search_multifield_driver_local; same float64
-    ops — sum order can differ by ulps under tie_breaker > 0, which the
-    4-decimal driver rounding and tests absorb).
+    zero-Spark-job (see _search_multifield_driver_local) — the two paths
+    are bit-identical at any field count and tie_breaker: the
+    distributed combination pivots per-field scores into fixed columns
+    (each an exact at-most-one-addend conditional sum) and folds the
+    tie_breaker sum left-to-right in field order, the same order the
+    pandas twin's concat-order groupby sum uses (r4 ulp caveat retired,
+    matching the esdsl should-fold fix).
     """
     local = _search_multifield_driver_local(mf, query, tie_breaker, k1, b)
     if local is not None:
@@ -135,17 +139,25 @@ def search_multifield(
 
         return _topk_pd_to_df(mf.spark, local, k)
     parts = []
-    for field, reader in mf.readers.items():
+    for fid, (field, reader) in enumerate(mf.readers.items()):
         boost = float(mf.boosts[field])
         scored = search(reader, query, k=k, k1=k1, b=b, with_text=False,
                         _all_matches=True)
         parts.append(scored.select(
-            "doc_id", (F.col("score") * F.lit(boost)).alias("fscore")))
+            "doc_id", (F.col("score") * F.lit(boost)).alias("fscore"),
+            F.lit(fid).alias("_fid")))
     if not parts:
         return mf.spark.createDataFrame([], "doc_id bigint, score double")
     unioned = reduce(DataFrame.unionByName, parts)
-    combined = unioned.groupBy("doc_id").agg(
-        (F.max("fscore")
-         + F.lit(float(tie_breaker))
-         * (F.sum("fscore") - F.max("fscore"))).alias("score"))
+    piv = unioned.groupBy("doc_id").agg(
+        *[F.sum(F.when(F.col("_fid") == i, F.col("fscore")))
+          .alias(f"_f{i}") for i in range(len(parts))])
+    cols = [F.col(f"_f{i}") for i in range(len(parts))]
+    sm = F.coalesce(cols[0], F.lit(0.0))
+    for c in cols[1:]:
+        sm = sm + F.coalesce(c, F.lit(0.0))
+    mx = F.greatest(*cols) if len(cols) > 1 else cols[0]
+    combined = piv.select(
+        "doc_id",
+        (mx + F.lit(float(tie_breaker)) * (sm - mx)).alias("score"))
     return combined.orderBy(F.desc("score"), F.asc("doc_id")).limit(int(k))

@@ -146,6 +146,22 @@ class IndexReader:
         with open(self._path("corpus_stats.json")) as f:
             self.stats = json.load(f)
         self.n_buckets = int(self.stats["n_buckets"])
+        # committed-segment fence (VERDICT r4 "mid-append reader window" +
+        # ADVICE r4 torn snapshot): corpus_stats.json records the COMMITTED
+        # snapshot_ids, and its atomic os.replace is append_segment's
+        # commit point. Every read — Spark scans below and the driver-side
+        # pyarrow paths — filters postings/term_stats/lineage to committed
+        # snapshot_ids and docs/doc_stats to doc_id < next_doc_id, so a
+        # reader constructed while an append is mid-flight sees exactly
+        # the last committed state (whole segments + matching stats), the
+        # same pinned-consistency guarantee compaction's generation
+        # pointer gives. Filters prune at parquet file/row-group footer
+        # granularity (appended files hold one snapshot_id, docIDs are
+        # range-packed), so the fence reads no extra data. None (legacy
+        # index without the key) disables fencing — old behavior.
+        snaps = self.stats.get("snapshots")
+        self._committed: list | None = (
+            [str(s) for s in snaps] if snaps is not None else None)
         # refresh() re-runs this: release any cache_postings() pins first
         # (a mutated index invalidates the cached blocks)
         for df in getattr(self, "_pinned", []):
@@ -182,8 +198,27 @@ class IndexReader:
 
     def _tbl(self, name: str) -> DataFrame:
         if name not in self._cache:
-            self._cache[name] = self.spark.read.parquet(self._path(name))
+            df = self.spark.read.parquet(self._path(name))
+            if self._committed is not None:
+                if name in ("postings", "term_stats", "lineage"):
+                    df = df.where(
+                        F.col("snapshot_id").isin(self._committed))
+                elif name in ("docs", "doc_stats") and (
+                        self.stats.get("next_doc_id") is not None):
+                    df = df.where(F.col("doc_id")
+                                  < int(self.stats["next_doc_id"]))
+            self._cache[name] = df
         return self._cache[name]
+
+    def _seg_expr(self):
+        """Committed-segment fence as a pyarrow dataset filter (None when
+        the index predates the fence) — the driver-side twin of the
+        Spark-scan filters _tbl applies."""
+        if self._committed is None:
+            return None
+        import pyarrow.dataset as pads
+
+        return pads.field("snapshot_id").isin(self._committed)
 
     def cache_postings(self, include_docs: bool = False,
                        eager: bool = True) -> "IndexReader":
@@ -313,6 +348,10 @@ class IndexReader:
         missing = [t for t in terms if t not in self._term_cache]
         if missing:
             buckets = sorted(set(self.bucket_of(missing).values()))
+            flt = pads.field("term").isin(missing)
+            seg = self._seg_expr()
+            if seg is not None:
+                flt = flt & seg
             frames = []
             for bkt in buckets:
                 p = os.path.join(self._path("term_stats"), f"bucket={bkt}")
@@ -321,7 +360,7 @@ class IndexReader:
                 ds = pads.dataset(p, format="parquet")
                 tbl = ds.to_table(
                     columns=["term", "df", "max_tf", "min_dl"],
-                    filter=pads.field("term").isin(missing),
+                    filter=flt,
                 )
                 frames.append(tbl.to_pandas())
             found: dict[str, tuple] = {}
@@ -357,7 +396,8 @@ class IndexReader:
             self._vocab_pd = None
             return None
         pdf = ds.to_table(
-            columns=["term", "df", "max_tf", "min_dl"]).to_pandas()
+            columns=["term", "df", "max_tf", "min_dl"],
+            filter=self._seg_expr()).to_pandas()
         pdf = (pdf.groupby("term", as_index=False)
                .agg(df=("df", "sum"), max_tf=("max_tf", "max"),
                     min_dl=("min_dl", "min")))
@@ -609,6 +649,10 @@ def _block_meta_arrow(reader: IndexReader,
         buckets = sorted(set(reader.bucket_of(missing).values()))
         cols = ["term", "salt", "block_id", "first_doc_id", "last_doc_id",
                 "sky_tfs", "sky_dls"]
+        flt = pads.field("term").isin(missing)
+        seg = reader._seg_expr()
+        if seg is not None:
+            flt = flt & seg
         frames = []
         for bkt in buckets:
             p = os.path.join(reader._path("postings"), f"bucket={bkt}")
@@ -617,7 +661,7 @@ def _block_meta_arrow(reader: IndexReader,
             ds = pads.dataset(p, format="parquet")
             tbl = ds.to_table(
                 columns=cols,
-                filter=pads.field("term").isin(missing),
+                filter=flt,
             )
             frames.append(tbl.to_pandas())
         allb = (pd.concat(frames, ignore_index=True) if frames
@@ -647,6 +691,9 @@ def _fetch_blocks_arrow(reader: IndexReader,
     expr = functools.reduce(operator.or_, [
         (pads.field("term") == t) & (pads.field("salt") == int(s))
         & (pads.field("block_id") == int(bk)) for t, s, bk in keys])
+    seg = reader._seg_expr()
+    if seg is not None:
+        expr = expr & seg
     frames = []
     for bkt in buckets:
         p = os.path.join(reader._path("postings"), f"bucket={bkt}")
@@ -675,6 +722,24 @@ def _deleted_ids_arrow(reader: IndexReader) -> np.ndarray:
     return np.unique(ids.astype(np.int64))
 
 
+def _is_deleted_arrow(reader: IndexReader, doc_id: int) -> bool:
+    """Membership probe of ONE doc_id against the tombstone table via a
+    pyarrow dataset filter (row groups whose doc_id min/max exclude the
+    id are skipped from their footer stats) — O(matching row groups)
+    driver-side at ANY delete count, unlike _deleted_ids_arrow which
+    materializes the full id set and so sits behind
+    DRIVER_LOCAL_MAX_DELETES (ADVICE r4: explain() was unbounded)."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    from .deletes import TOMBSTONE_DIR
+
+    ds = pads.dataset(reader._path(TOMBSTONE_DIR), format="parquet")
+    t = ds.to_table(columns=["doc_id"],
+                    filter=pc.field("doc_id") == int(doc_id))
+    return t.num_rows > 0
+
+
 def _fetch_term_blocks_arrow(reader: IndexReader,
                              terms: list[str]) -> pd.DataFrame:
     """ALL payload blocks of the given terms, driver-side (bucket-pruned
@@ -683,6 +748,10 @@ def _fetch_term_blocks_arrow(reader: IndexReader,
     import pyarrow.dataset as pads
 
     buckets = sorted(set(reader.bucket_of(terms).values()))
+    flt = pads.field("term").isin(terms)
+    seg = reader._seg_expr()
+    if seg is not None:
+        flt = flt & seg
     frames = []
     for bkt in buckets:
         p = os.path.join(reader._path("postings"), f"bucket={bkt}")
@@ -690,7 +759,7 @@ def _fetch_term_blocks_arrow(reader: IndexReader,
             continue
         ds = pads.dataset(p, format="parquet")
         tbl = ds.to_table(columns=["term", "doc_gaps", "tfs", "dls"],
-                          filter=pads.field("term").isin(terms))
+                          filter=flt)
         frames.append(tbl.to_pandas())
     if not frames:
         return pd.DataFrame(columns=["term", "doc_gaps", "tfs", "dls"])
@@ -1665,6 +1734,10 @@ def _phrase_scores_driver_local(reader: IndexReader, phrase: str,
     import pyarrow.dataset as pads
 
     buckets = sorted(set(reader.bucket_of(uniq).values()))
+    flt = pads.field("term").isin(uniq)
+    seg = reader._seg_expr()
+    if seg is not None:
+        flt = flt & seg
     frames = []
     for bkt in buckets:
         p = os.path.join(reader._path("postings"), f"bucket={bkt}")
@@ -1673,7 +1746,7 @@ def _phrase_scores_driver_local(reader: IndexReader, phrase: str,
         ds = pads.dataset(p, format="parquet")
         frames.append(ds.to_table(
             columns=["term", "doc_gaps", "dls", "poss"],
-            filter=pads.field("term").isin(uniq)).to_pandas())
+            filter=flt).to_pandas())
     rows = (pd.concat(frames, ignore_index=True) if frames
             else pd.DataFrame(columns=["term", "doc_gaps", "dls", "poss"]))
     per_term_docs: dict[str, list] = {t: [] for t in uniq}
@@ -1897,6 +1970,9 @@ def _fetch_doc_blocks_arrow(reader: IndexReader, terms: list[str],
     flt = (pads.field("term").isin(terms)
            & (pads.field("first_doc_id") <= int(doc_id))
            & (pads.field("last_doc_id") >= int(doc_id)))
+    seg = reader._seg_expr()
+    if seg is not None:
+        flt = flt & seg
     frames = []
     for bkt in buckets:
         p = os.path.join(reader._path("postings"), f"bucket={bkt}")
@@ -1936,11 +2012,9 @@ def explain(reader: IndexReader, query: str, doc_id: int,
     doc_id = int(doc_id)
     out: dict = {"doc_id": doc_id, "matched": False, "deleted": False,
                  "score": 0.0, "terms": []}
-    if reader.has_deletes:
-        dead = _deleted_ids_arrow(reader)
-        if np.isin(doc_id, dead):
-            out["deleted"] = True
-            return out
+    if reader.has_deletes and _is_deleted_arrow(reader, doc_id):
+        out["deleted"] = True
+        return out
     qterms = analyze_query(
         query, mode=reader.stats.get("analyzer", "english_folded"))
     if not qterms:

@@ -310,3 +310,23 @@ def test_bool_must_not_only_is_match_all_minus(spark, es_setup):
         assert all(x.score == 0.0 for x in rows)
     with pytest.raises(ESQueryError, match="at least one body"):
         es_msearch(local, [])
+
+
+def test_four_should_clauses_bit_identical_across_paths(spark, es_setup):
+    """r4 ulp caveat retired: the distributed should composition folds
+    per-clause pivot columns in fixed clause order, so serving and
+    distributed agree EXACTLY (no rounding) at 3+ clause counts."""
+    d, _ = es_setup
+    local, dist = _readers(spark, d)
+    body = {"query": {"bool": {"should": [
+        {"match": {"text": "neural"}},
+        {"match": {"text": "networks"}},
+        {"match": {"text": "machine learning"}},
+        {"match_phrase": {"text": {"query": Q, "boost": 2.0}}},
+    ], "minimum_should_match": 1}}, "size": 30}
+    a = es_search(local, body).select("doc_id", "score").toPandas()
+    b = es_search(dist, body).select("doc_id", "score").toPandas()
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    # bitwise float equality, not rounded
+    assert a["score"].to_numpy(np.float64).tobytes() == \
+        b["score"].to_numpy(np.float64).tobytes()

@@ -251,3 +251,87 @@ def test_snapshot_and_restore(spark, purged_setup, tmp_path):
     # duplicate snapshot name refuses
     with pytest.raises(FileExistsError):
         snapshot_index(d, repo, "before-purge")
+
+
+# ---------------------------------------------------------------------------
+# committed-segment fence: mid-append readers and snapshots (VERDICT r4
+# "mid-append reader window" + ADVICE r4 torn snapshot)
+# ---------------------------------------------------------------------------
+
+def test_reader_constructed_mid_append_sees_pre_append_state(
+        spark, tmp_path):
+    """append_segment's commit point is the atomic corpus_stats.json
+    replace; a reader constructed BETWEEN the data-file writes and that
+    commit (the historical torn window, hooked via _pre_commit_hook)
+    must serve exactly the pre-append index on BOTH evaluation paths."""
+    d = str(tmp_path / "fenceidx")
+    tx = synth_transcripts(spark, n_convs=20, seed=93)
+    first = tx.filter(F.col("conv_id") < "conv_00000012")
+    second = tx.filter(F.col("conv_id") >= "conv_00000012")
+    build_index(first, d, n_buckets=2)
+    pre = IndexReader(spark, d)
+    n_before = pre.stats["n_docs"]
+    want_local = _res(IndexReader(spark, d))
+    want_dist = _res(IndexReader(spark, d, driver_local_max_postings=0,
+                                 driver_local_max_vocab=0))
+    assert want_local == want_dist
+
+    seen = {}
+
+    def hook():
+        # the torn instant: postings/term_stats/docs of the new segment
+        # are on disk, corpus_stats.json still shows the old commit
+        mid_local = IndexReader(spark, d)
+        mid_dist = IndexReader(spark, d, driver_local_max_postings=0,
+                               driver_local_max_vocab=0)
+        seen["stats_n"] = mid_local.stats["n_docs"]
+        seen["local"] = _res(mid_local)
+        seen["dist"] = _res(mid_dist)
+        seen["docs_count"] = mid_local.docs.count()
+        seen["doc_stats_count"] = mid_local.doc_stats.count()
+
+    stats = append_segment(second, d, _pre_commit_hook=hook)
+    assert seen["stats_n"] == n_before
+    assert seen["docs_count"] == n_before
+    assert seen["doc_stats_count"] <= n_before  # zero-token docs absent
+    # bit-identical pre-append results on both paths — no torn segment
+    assert seen["local"] == want_local
+    assert seen["dist"] == want_dist
+    # and a post-commit reader sees the whole segment + matching stats
+    post = IndexReader(spark, d)
+    assert post.stats["n_docs"] == stats["n_docs"] > n_before
+    assert post.docs.count() == post.stats["n_docs"]
+    assert post._committed == stats["snapshots"]
+    assert len(post._committed) == 2  # base build + the appended segment
+
+
+def test_snapshot_taken_mid_append_is_consistent(spark, tmp_path):
+    """ADVICE r4 (torn snapshot): snapshot_index pins corpus_stats.json
+    FIRST and fences the copied part-files to its committed segments, so
+    a snapshot taken while an append is mid-flight restores to the exact
+    pre-append state with fsck green."""
+    from research_engine_spark.operators.fsck import verify_index
+    from research_engine_spark.operators.generations import (
+        restore_index, snapshot_index)
+
+    d = str(tmp_path / "snapidx")
+    tx = synth_transcripts(spark, n_convs=20, seed=94)
+    first = tx.filter(F.col("conv_id") < "conv_00000012")
+    second = tx.filter(F.col("conv_id") >= "conv_00000012")
+    build_index(first, d, n_buckets=2)
+    want = _res(IndexReader(spark, d))
+    n_before = IndexReader(spark, d).stats["n_docs"]
+    repo = str(tmp_path / "repo")
+
+    def hook():
+        snapshot_index(d, repo, "mid-append")
+
+    append_segment(second, d, _pre_commit_hook=hook)
+    tgt = str(tmp_path / "restored")
+    restore_index(repo, "mid-append", tgt)
+    rr = IndexReader(spark, tgt)
+    assert rr.stats["n_docs"] == n_before
+    assert rr.docs.count() == n_before
+    assert _res(rr) == want
+    rep = verify_index(spark, tgt, deep=True)
+    assert rep["ok"], rep
