@@ -93,11 +93,21 @@ def verify_index(spark: SparkSession, index_dir: str,
         "ok": n_docs_files == int(stats["n_docs"]),
         "corpus_stats": int(stats["n_docs"]), "docs_files": n_docs_files}
 
-    # 3. Σ cf over term_stats == total_tokens
-    cf_sum = _footer_sum(path("term_stats"), "cf")
-    checks["total_tokens"] = {
-        "ok": cf_sum == int(stats["total_tokens"]),
-        "corpus_stats": int(stats["total_tokens"]), "term_stats": cf_sum}
+    # 3. token-total invariant, per the index's dl source: Σ cf over
+    # term_stats (analyzer dl, the default) or Σ dl over doc_stats
+    # (dl_source="bpe": doc lengths are trained-BPE counts, so Σ cf
+    # counts a different unit)
+    if stats.get("dl_source") == "bpe":
+        tok_sum = _footer_sum(path("doc_stats"), "dl")
+        checks["total_tokens"] = {
+            "ok": tok_sum == int(stats["total_tokens"]),
+            "corpus_stats": int(stats["total_tokens"]),
+            "doc_stats": tok_sum}
+    else:
+        cf_sum = _footer_sum(path("term_stats"), "cf")
+        checks["total_tokens"] = {
+            "ok": cf_sum == int(stats["total_tokens"]),
+            "corpus_stats": int(stats["total_tokens"]), "term_stats": cf_sum}
 
     # 4. lineage covers every posting exactly once (both sides are
     # fallible reads: None==None must be a FAILURE, not a pass — an

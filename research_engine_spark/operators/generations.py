@@ -353,7 +353,7 @@ def snapshot_index(index_dir: str, repo_dir: str, name: str) -> dict:
     # restored index would treat already-applied replayed micro-batches
     # as unseen and double-append them
     for extra in ("manifest.json", "stream_batches.json",
-                  "stream_pending.json"):
+                  "stream_pending.json", "bpe_merges.json"):
         src = os.path.join(index_dir, extra)
         if os.path.exists(src):
             import shutil

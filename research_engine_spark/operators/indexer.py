@@ -235,7 +235,8 @@ def bm25_tf_part(tf, dl, avgdl: float, k1: float, b: float):
 
 
 def _doc_term_arrays(pdf: pd.DataFrame, with_positions: bool,
-                     analyzer: str = "english_folded"):
+                     analyzer: str = "english_folded",
+                     dl_ranks: dict | None = None):
     """One partition's (doc, term) aggregation in term-major order.
 
     Returns (term_codes, uniq_terms, doc_ids, tfs, dls, pos_lists,
@@ -276,15 +277,29 @@ def _doc_term_arrays(pdf: pd.DataFrame, with_positions: bool,
     tcodes = c[order2]
     rdoc = rows_doc[order2]
     rtf = counts[order2].astype(np.int64)
-    rdl = lens[d][order2].astype(np.int64)
+    # doc-length source: analyzed token count (default — tf and dl from
+    # the ONE tokenize pass), or a trained-BPE count of the raw text
+    # (build_index(dl_tokenizer=...): the reference counts tokens with
+    # tiktoken, chunk_pdfs_oai.py:34-37 — this is that semantics under a
+    # corpus-trained vocabulary, computed in the SAME map pass)
+    if dl_ranks is not None:
+        from ..functions.bpe import bpe_lengths
+
+        dls_doc = bpe_lengths(pdf["text"], dl_ranks)
+    else:
+        dls_doc = lens
+    rdl = dls_doc[d][order2].astype(np.int64)
     # flat positions re-grouped to (term, doc) posting order in one
     # vectorized gather — no per-posting np.split/list (r3 regression)
     rpos_flat = (_segment_gather(pos_sorted, bounds[order2], rtf)
                  if pos_sorted is not None else None)
-    # per-doc stats (docs with >= 1 token), doc-sorted
-    docs_mask = lens > 0
+    # per-doc stats, doc-sorted: every doc with >= 1 analyzed token
+    # (it has postings) or, under BPE dl, >= 1 BPE token (so Σ doc_stats
+    # dl is the exact corpus BPE token total even for docs the analyzer
+    # drops, e.g. pure punctuation)
+    docs_mask = (lens > 0) | (dls_doc > 0)
     pd_ids = doc_ids_in[docs_mask]
-    pd_dls = lens[docs_mask]
+    pd_dls = dls_doc[docs_mask]
     o = np.argsort(pd_ids)
     return tcodes, terms, rdoc, rtf, rdl, rpos_flat, pd_ids[o], pd_dls[o]
 
@@ -304,14 +319,15 @@ RUNS_SCHEMA = (
 
 
 def _partition_runs_factory(with_positions: bool,
-                            analyzer: str = "english_folded"):
+                            analyzer: str = "english_folded",
+                            dl_ranks: dict | None = None):
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         parts = [p for p in batches if len(p)]
         if not parts:
             return
         pdf = pd.concat(parts, ignore_index=True)
         del parts
-        res = _doc_term_arrays(pdf, with_positions, analyzer)
+        res = _doc_term_arrays(pdf, with_positions, analyzer, dl_ranks)
         del pdf
         if res is None:
             return
@@ -597,6 +613,7 @@ def build_index(
     mode: str = "overwrite",
     with_positions: bool = False,
     analyzer: str = "english_folded",
+    dl_tokenizer=None,
 ) -> dict:
     """Build the full index table set under ``out_dir``.
 
@@ -606,6 +623,18 @@ def build_index(
     external ANSI-SQL oracle). Recorded in corpus_stats.json; every
     query path reads it from there so index and query analysis always
     agree.
+
+    dl_tokenizer: optional functions.bpe.BPETokenizer — BM25 doc lengths
+    (dl, min_dl, avgdl, total_tokens) then come from the trained-BPE
+    token count of each turn's raw text instead of the analyzed token
+    count: the reference measures document length in tiktoken tokens
+    (database/scripts/chunk_pdfs_oai.py:34-37), and this is that
+    semantics under a corpus-trained vocabulary (functions/bpe.py
+    module doc), computed inside the same single tokenize map pass.
+    tf/df/positions are unchanged (analyzer terms). The merge list is
+    persisted as ``bpe_merges.json`` in the index dir and
+    ``dl_source: "bpe"`` recorded in corpus_stats.json, so appends and
+    upserts reload the identical tokenizer automatically.
 
     buckets_subset/mode allow partial builds + resume (see resume()).
     Returns a stats dict (n_docs, avgdl, n_terms, wall-times).
@@ -649,6 +678,11 @@ def build_index(
     except Exception:
         n_docs = docs_tbl.count()
 
+    dl_ranks = None
+    if dl_tokenizer is not None:
+        dl_tokenizer.save(os.path.join(out_dir, "bpe_merges.json"))
+        dl_ranks = dl_tokenizer._ranks_for_udf()
+
     t_pack = time.monotonic()
     timings.update(_pack_segment(
         docs_tbl, out_dir,
@@ -656,6 +690,7 @@ def build_index(
         n_partitions=n_partitions, snapshot_id=snapshot_id,
         buckets_subset=buckets_subset, mode=mode,
         with_positions=with_positions, analyzer=analyzer,
+        dl_ranks=dl_ranks,
     ))
     timings["pack_total_sec"] = round(time.monotonic() - t_pack, 3)
 
@@ -665,8 +700,14 @@ def build_index(
     # vocab-sized term_stats read costs nothing). Written AFTER the pack:
     # nothing in the pack consumes corpus stats (blocks are param-free by
     # design), so stats derive from the already-written index tables.
-    total_tokens = _total_tokens_from_term_stats(
-        resolve(out_dir, "term_stats"))
+    if dl_tokenizer is not None:
+        # BPE dl: Σ cf counts ANALYZED tokens, but avgdl must normalize
+        # in the same unit the dls are measured in — Σ doc_stats.dl (one
+        # driver-side int32 column read over n_docs rows)
+        total_tokens = _sum_doc_stats_dl(resolve(out_dir, "doc_stats"))
+    else:
+        total_tokens = _total_tokens_from_term_stats(
+            resolve(out_dir, "term_stats"))
     avgdl = total_tokens / n_docs if n_docs else 0.0
     # committed-segment list: readers fence every postings/term_stats/
     # lineage read to these snapshot_ids (scorer.IndexReader._seg_expr),
@@ -685,6 +726,8 @@ def build_index(
                     "n_buckets": n_buckets, "block_size": BLOCK_SIZE,
                     "positions": bool(with_positions),
                     "analyzer": analyzer,
+                    "dl_source": ("bpe" if dl_tokenizer is not None
+                                  else "analyzer"),
                     # high-water mark for docID assignment: appends base new
                     # ids here, NOT on n_docs — a purging compaction shrinks
                     # n_docs while PRESERVING surviving docIDs, so basing on
@@ -728,6 +771,22 @@ def _prev_snapshots(out_dir: str) -> list:
             return list(json.load(f).get("snapshots", []))
     except FileNotFoundError:
         return []
+
+
+def _sum_doc_stats_dl(ds_path: str, min_doc_id: int | None = None) -> int:
+    """Exact int64 Σ dl over doc_stats (optionally only doc_id >=
+    min_doc_id — the just-appended segment; parquet row groups outside
+    the id range are footer-skipped). The BPE-dl twin of
+    _total_tokens_from_term_stats: under dl_source="bpe" the corpus
+    token total is Σ per-doc BPE lengths, not Σ cf."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    ds = pads.dataset(ds_path, format="parquet")
+    flt = (pc.field("doc_id") >= int(min_doc_id)
+           if min_doc_id is not None else None)
+    t = ds.to_table(columns=["dl"], filter=flt)
+    return int(pc.sum(t["dl"]).as_py() or 0)
 
 
 def _total_tokens_from_term_stats(ts_path: str,
@@ -807,6 +866,7 @@ def _pack_segment(
     mode: str = "overwrite",
     with_positions: bool = False,
     analyzer: str = "english_folded",
+    dl_ranks: dict | None = None,
 ) -> dict:
     """Shared SPIMI run-merge pipeline: docs -> partition-local posting
     RUNS (one tokenize pass, map-side binaries) -> term_stats from run
@@ -841,7 +901,7 @@ def _pack_segment(
     old_split = spark.conf.get(split_key, None)
     spark.conf.set(split_key, str(16 * 1024 * 1024))
     runs = docs_tbl.select("doc_id", "text").mapInPandas(
-        _partition_runs_factory(with_positions, analyzer),
+        _partition_runs_factory(with_positions, analyzer, dl_ranks),
         schema=RUNS_SCHEMA,
     ).withColumn(
         # JVM-side murmur bucket (a per-unique-term PYTHON murmur in the
@@ -1035,17 +1095,29 @@ def append_segment(transcripts: DataFrame, out_dir: str,
     n_new = seg.count()
     if snapshot_id is None:
         snapshot_id = f"seg_{base}"
+    dl_ranks = None
+    if stats.get("dl_source") == "bpe":
+        from ..functions.bpe import BPETokenizer
+
+        dl_ranks = BPETokenizer.load(
+            os.path.join(out_dir, "bpe_merges.json"))._ranks_for_udf()
     _pack_segment(
         seg, out_dir, n_buckets=int(stats["n_buckets"]),
         max_group_postings=500_000, n_partitions=n_partitions,
         snapshot_id=snapshot_id, mode="append",
         with_positions=bool(stats.get("positions", False)),
         analyzer=stats.get("analyzer", "english_folded"),
+        dl_ranks=dl_ranks,
     )
     # checkpoint blocks are reclaimed by the ContextCleaner once seg goes
     # out of scope (streaming appends don't accumulate pinned blocks)
-    seg_tokens = _total_tokens_from_term_stats(
-        resolve(out_dir, "term_stats"), snapshot_id=snapshot_id)
+    if dl_ranks is not None:
+        # the appended docs all sit at doc_id >= base (footer-pruned read)
+        seg_tokens = _sum_doc_stats_dl(
+            resolve(out_dir, "doc_stats"), min_doc_id=base)
+    else:
+        seg_tokens = _total_tokens_from_term_stats(
+            resolve(out_dir, "term_stats"), snapshot_id=snapshot_id)
     if _pre_commit_hook is not None:
         _pre_commit_hook()
     stats["n_docs"] = int(stats["n_docs"]) + int(n_new)
@@ -1379,7 +1451,11 @@ def compact_index(
         n_docs_new = int(pads.dataset(
             _staged("docs"), format="parquet").count_rows())
         n_purged = int(stats["n_docs"]) - n_docs_new
-        total_tokens = _total_tokens_from_term_stats(_staged("term_stats"))
+        if stats.get("dl_source") == "bpe":
+            total_tokens = _sum_doc_stats_dl(_staged("doc_stats"))
+        else:
+            total_tokens = _total_tokens_from_term_stats(
+                _staged("term_stats"))
         new_stats = dict(stats)
         new_stats.update(
             n_docs=n_docs_new,

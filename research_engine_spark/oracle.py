@@ -28,8 +28,12 @@ from .functions.editdist import damerau_levenshtein as _edit_distance
 
 class BM25Oracle:
     def __init__(self, transcripts: pd.DataFrame, k1: float = 1.2,
-                 b: float = 0.75) -> None:
-        """transcripts: pandas DF with conv_id, turn_idx, text columns."""
+                 b: float = 0.75, dl_fn=None) -> None:
+        """transcripts: pandas DF with conv_id, turn_idx, text columns.
+
+        dl_fn: optional text -> int doc-length override (the oracle twin
+        of build_index(dl_tokenizer=...), e.g. a trained BPETokenizer's
+        ``lambda t: len(tok.encode(t))``); tf/df stay analyzer-based."""
         self.k1, self.b = k1, b
         df = transcripts.sort_values(["conv_id", "turn_idx"],
                                      kind="mergesort").reset_index(drop=True)
@@ -39,7 +43,11 @@ class BM25Oracle:
         self.text = df["text"].fillna("").to_numpy()
         stemmer = CachedStemmer()
         toks = [analyze(t, stemmer) for t in self.text]
-        self.dl = np.array([len(t) for t in toks], dtype=np.int64)
+        if dl_fn is not None:
+            self.dl = np.array([int(dl_fn(t)) for t in self.text],
+                               dtype=np.int64)
+        else:
+            self.dl = np.array([len(t) for t in toks], dtype=np.int64)
         self.n_docs = len(df)
         # exact int64 token total -> bit-identical avgdl with the engine
         self.avgdl = int(self.dl.sum()) / self.n_docs if self.n_docs else 0.0
