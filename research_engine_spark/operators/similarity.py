@@ -190,34 +190,74 @@ def build_ann_index(
     return meta
 
 
+def _probe_buckets(planes: np.ndarray, q: np.ndarray,
+                   n_probes: int) -> list[int]:
+    """Multiprobe bucket sequence for ONE table (Lv et al. 2007,
+    'Multi-Probe LSH'): the query's own bucket first, then the buckets
+    reached by flipping the sign bits with the SMALLEST projection
+    margins |q·plane_i| — the neighboring buckets a near-duplicate most
+    plausibly hashed into. Ranked by the total flipped margin, so probe
+    j is always the j-th most likely bucket. Enumerates all 2^n_planes
+    flip masks for n_planes <= 16 (trivial: <= 65k float sums); above
+    that, single- and double-bit flips only (n_probes beyond that count
+    is clamped)."""
+    proj = q @ planes.T
+    margins = np.abs(proj)
+    n = planes.shape[0]
+    w = (np.int64(1) << np.arange(n, dtype=np.int64))
+    base = int(((proj >= 0.0) @ w))
+    if n_probes <= 1:
+        return [base]
+    if n <= 16:
+        masks = np.arange(1 << n, dtype=np.int64)
+        bits = ((masks[:, None] >> np.arange(n)) & 1).astype(np.float64)
+        cost = bits @ margins
+        order = np.argsort(cost, kind="stable")[:int(n_probes)]
+        return [int(base ^ int(m)) for m in masks[order]]
+    singles = [(float(margins[i]), 1 << i) for i in range(n)]
+    doubles = [(float(margins[i] + margins[j]), (1 << i) | (1 << j))
+               for i in range(n) for j in range(i + 1, n)]
+    ranked = [(0.0, 0)] + sorted(singles + doubles)
+    return [int(base ^ m) for _, m in ranked[:int(n_probes)]]
+
+
 def ann_candidates(spark: SparkSession, index_dir: str,
-                   qvec: list[float]) -> DataFrame:
-    """Partition-pruned candidate scan: rows sharing the query's bucket in
-    >= 1 table, deduplicated by id (a vector can match in several tables).
-    The (tbl, bucket) disjunction is over PARTITION columns, so Catalyst
-    prunes to n_tables directories out of n_tables * 2^n_planes."""
+                   qvec: list[float], n_probes: int = 1) -> DataFrame:
+    """Partition-pruned candidate scan: rows sharing one of the query's
+    probed buckets in >= 1 table, deduplicated by id (a vector can match
+    in several tables). The (tbl, bucket) disjunction is over PARTITION
+    columns, so Catalyst prunes to n_tables * n_probes directories out
+    of n_tables * 2^n_planes.
+
+    n_probes > 1 = multiprobe LSH (VERDICT r4 #8 stretch): probe the
+    neighboring buckets whose sign bits have the smallest query margins,
+    trading a linear number of extra bucket reads for the recall extra
+    TABLES would buy — without growing the index (each table is a full
+    copy of the vectors; probes are free at build time). The published
+    trade-off curve is BENCH/ann_recall_dim768_multiprobe.json."""
     with open(os.path.join(index_dir, "ann_meta.json")) as f:
         meta = json.load(f)
     q = np.asarray(qvec, dtype=np.float64)
     rng = np.random.default_rng(meta["seed"])
     planes_list = _table_planes(
         rng, meta["n_tables"], meta["n_planes"], meta["dim"])
-    qbuckets = _np_buckets(planes_list, q[None, :])[0]
     cond = None
     for t in range(meta["n_tables"]):
-        c = (F.col("tbl") == t) & (F.col("bucket") == int(qbuckets[t]))
+        probes = _probe_buckets(planes_list[t], q, n_probes)
+        c = (F.col("tbl") == t) & F.col("bucket").isin(probes)
         cond = c if cond is None else (cond | c)
     vecs = spark.read.parquet(os.path.join(index_dir, "vectors"))
     return vecs.filter(cond).dropDuplicates([meta["id_col"]])
 
 
 def ann_index_topk(spark: SparkSession, index_dir: str, qvec: list[float],
-                   k: int = 10) -> DataFrame:
+                   k: int = 10, n_probes: int = 1) -> DataFrame:
     """Approximate top-k over a build_ann_index() directory: pruned bucket
-    read + exact cosine rescore of the candidates only."""
+    read + exact cosine rescore of the candidates only. n_probes > 1
+    probes neighboring buckets too (multiprobe; see ann_candidates)."""
     with open(os.path.join(index_dir, "ann_meta.json")) as f:
         meta = json.load(f)
-    cand = ann_candidates(spark, index_dir, qvec)
+    cand = ann_candidates(spark, index_dir, qvec, n_probes=n_probes)
     return brute_force_topk(cand, qvec, k, meta["id_col"], meta["vec_col"])
 
 

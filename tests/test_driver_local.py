@@ -360,3 +360,118 @@ def test_multifield_driver_local(spark, tmp_path):
         assert list(jobs) == [], f"multifield local launched jobs: {jobs}"
     finally:
         sc.setJobGroup(None, None)
+
+
+# ---------------------------------------------------------------------------
+# block-max-gated serving tier (VERDICT r4 #3): zero-job top-k for queries
+# over the flat Σ df budget whose answer lives in few blocks
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from research_engine_spark.corpus import synth_transcripts  # noqa: E402
+from research_engine_spark.functions.analyzer import analyze_query  # noqa: E402
+from research_engine_spark.operators.indexer import build_index  # noqa: E402
+from research_engine_spark.operators.scorer import _term_meta  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def blockmax_setup(spark, tmp_path_factory):
+    """900 convs, bursty (real-text tf/dl variance, the shape where
+    block maxima separate), with a rare marker term CLUSTERED in the
+    first conversation's docID range — the rare∧common query shape the
+    doc-range-aligned bounds are built for."""
+    d = str(tmp_path_factory.mktemp("bmx") / "idx")
+    tx = synth_transcripts(spark, n_convs=900, seed=7, burstiness=0.3)
+    tx = tx.withColumn(
+        "text",
+        F.when(F.col("conv_id") == "conv_00000000",
+               F.concat(F.col("text"), F.lit(" zzrare marker")))
+        .otherwise(F.col("text")))
+    build_index(tx, d, n_buckets=4)
+    return d
+
+
+def _sum_df(spark, d, q):
+    r = IndexReader(spark, d)
+    meta = _term_meta(r, analyze_query(q), 1.2, 0.75)
+    return int(meta["df"].sum())
+
+
+def _pair(spark, d, q, k, budget):
+    """(serving frame + stats, distributed frame) for one query."""
+    r_local = IndexReader(spark, d, driver_local_max_postings=budget)
+    st: dict = {}
+    loc = _pdf(search(r_local, q, k=k, with_text=False, prune_stats=st))
+    r_dist = IndexReader(spark, d, driver_local_max_postings=0,
+                         driver_local_max_vocab=0)
+    dist = _pdf(search(r_dist, q, k=k, with_text=False, prune=False))
+    return loc, st, dist
+
+
+def test_blockmax_single_term_bit_identical(spark, blockmax_setup):
+    d = blockmax_setup
+    sdf = _sum_df(spark, d, "the")
+    loc, st, dist = _pair(spark, d, "the", 5, budget=sdf - 1)
+    assert st.get("path") == "driver_local_blockmax", st
+    assert st["n_keep"] < st["n_blocks"]
+    assert st["blockmax_kept_postings"] < sdf
+    assert list(loc["doc_id"]) == list(dist["doc_id"])
+    assert np.allclose(loc["score"], dist["score"], rtol=0, atol=0)
+
+
+def test_blockmax_multi_term_phase_b_bit_identical(spark, blockmax_setup):
+    """rare (docID-clustered) ∧ common: the aligned bounds prune the
+    common term's blocks outside the rare term's range; the θ''-filtered
+    candidates rescore EXACTLY (phase B), bit-identical to distributed."""
+    d = blockmax_setup
+    q = "zzrare the"
+    sdf = _sum_df(spark, d, q)
+    loc, st, dist = _pair(spark, d, q, 5, budget=sdf - 1)
+    assert st.get("path") == "driver_local_blockmax", st
+    assert st["n_keep"] < st["n_blocks"]
+    assert st.get("n_candidates", 0) > 0
+    assert list(loc["doc_id"]) == list(dist["doc_id"])
+    assert np.allclose(loc["score"], dist["score"], rtol=0, atol=0)
+
+
+def test_blockmax_zero_spark_jobs(spark, blockmax_setup):
+    d = blockmax_setup
+    sdf = _sum_df(spark, d, "the")
+    r = IndexReader(spark, d, driver_local_max_postings=sdf - 1)
+    search(r, "the", k=5, with_text=False).count()  # warm dictionaries
+    sc = spark.sparkContext
+    sc.setJobGroup("blockmax_probe", "probe")
+    try:
+        st: dict = {}
+        rows = search(r, "the", k=5, with_text=False,
+                      prune_stats=st).collect()
+        assert st.get("path") == "driver_local_blockmax"
+        assert len(rows) == 5
+        jobs = sc.statusTracker().getJobIdsForGroup("blockmax_probe")
+        assert list(jobs) == [], f"blockmax path launched jobs: {jobs}"
+    finally:
+        sc.setJobGroup(None, None)
+
+
+def test_blockmax_respects_tombstones_and_budget(spark, blockmax_setup,
+                                                 tmp_path):
+    import shutil
+
+    from research_engine_spark.operators.deletes import delete_ids
+
+    d0 = blockmax_setup
+    d = str(tmp_path / "idx")
+    shutil.copytree(d0, d)
+    sdf = _sum_df(spark, d, "the")
+    # budget below one block's postings: path must fall back distributed
+    loc, st, dist = _pair(spark, d, "the", 5, budget=100)
+    assert st.get("path") != "driver_local_blockmax"
+    assert list(loc["doc_id"]) == list(dist["doc_id"])
+    # tombstones disable the prune math (Lucene pre-merge posture)
+    delete_ids(d, [0])
+    r = IndexReader(spark, d, driver_local_max_postings=sdf - 1)
+    st2: dict = {}
+    out = _pdf(search(r, "the", k=5, with_text=False, prune_stats=st2))
+    assert st2.get("path") != "driver_local_blockmax"
+    assert 0 not in set(out["doc_id"])

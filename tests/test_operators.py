@@ -325,6 +325,61 @@ def test_ann_index_dim768(spark, tmp_path):
     assert got[0]["vec_id"] == int(np.argsort(-cos[1:])[0]) + 1
 
 
+def test_probe_buckets_margin_order():
+    """Multiprobe sequence (Lv et al. 2007): probe 0 is the query's own
+    bucket; probe 1 flips exactly the minimum-|margin| plane; probes are
+    distinct and ranked by total flipped margin; n_probes=1 reproduces
+    the single-probe bucket."""
+    rng = np.random.default_rng(5)
+    planes = rng.standard_normal((8, 16))
+    q = rng.standard_normal(16)
+    proj = q @ planes.T
+    base = int(((proj >= 0.0) @ (1 << np.arange(8))))
+    probes = SIM._probe_buckets(planes, q, n_probes=5)
+    assert probes[0] == base
+    assert probes == SIM._probe_buckets(planes, q, 5)  # deterministic
+    assert len(set(probes)) == 5
+    assert SIM._probe_buckets(planes, q, 1) == [base]
+    min_bit = int(np.argmin(np.abs(proj)))
+    assert probes[1] == base ^ (1 << min_bit)
+    # ranked: cumulative flipped margins are non-decreasing
+    margins = np.abs(proj)
+    costs = [sum(margins[i] for i in range(8) if (p ^ base) >> i & 1)
+             for p in probes]
+    assert costs == sorted(costs)
+    # wide-hash fallback (n_planes > 16): single/double flips, same head
+    planes32 = rng.standard_normal((18, 16))
+    p32 = SIM._probe_buckets(planes32, q, n_probes=6)
+    assert len(set(p32)) == 6 and p32[0] == int(
+        ((q @ planes32.T >= 0.0) @ (np.int64(1) << np.arange(18))))
+
+
+def test_ann_multiprobe_recall_superset(spark, emb_df, tmp_path):
+    """n_probes > 1 must (a) read a superset of the single-probe
+    candidates while still partition-pruning, and (b) recover planted
+    near-dups that single-probe misses on an undersized index —
+    recall(multiprobe) >= recall(single) over many queries, strictly
+    more candidates."""
+    df, vecs = emb_df
+    d = str(tmp_path / "annmp")
+    SIM.build_ann_index(df, d, n_planes=8, n_tables=2, seed=42)
+    hits1 = hits4 = 0
+    for qi in range(20):
+        q = (vecs[qi] + 0.05 * vecs[(qi + 1) % 100]).tolist()
+        c1 = {r["vec_id"] for r in SIM.ann_candidates(spark, d, q).collect()}
+        c4 = {r["vec_id"] for r in
+              SIM.ann_candidates(spark, d, q, n_probes=4).collect()}
+        assert c1 <= c4
+        hits1 += qi in c1
+        hits4 += qi in c4
+    assert hits4 >= hits1
+    assert hits4 > hits1 or hits1 == 20  # probes buy recall when missing
+    # top-k through the multiprobe path still rescored exactly
+    got = SIM.ann_index_topk(spark, d, vecs[0].tolist(), k=3,
+                             n_probes=4).collect()
+    assert got[0]["vec_id"] == 0
+
+
 def test_near_dup_clusters_transitive(spark):
     """A~B and B~C must land in ONE cluster labeled min(A,B,C); disjoint
     pairs stay separate; chain components converge within the round
