@@ -20,7 +20,9 @@ migrations. Two tiers:
   distinct; doc_stats doc_ids ⊆ docs; tombstoned ids ⊆ docs; every
   (term, salt) group's blocks are doc-sorted and contiguous
   (``countDistinct(block_id) == max(block_id) + 1``, the block layout
-  every query path assumes).
+  every query path assumes); every block's write-time payload XXH64
+  matches a recompute over the compressed payload columns (bit-rot
+  detection; pre-checksum indexes are recorded skipped).
 
 Returns ``{"ok": bool, "checks": {name: {"ok": bool, ...detail}}}`` —
 no exceptions for integrity failures (callers alert on ``ok=False``);
@@ -164,5 +166,20 @@ def verify_index(spark: SparkSession, index_dir: str,
             .filter(F.col("nb") != F.col("mx") + 1).count())
         checks["block_layout"] = {"ok": bad_groups == 0,
                                   "bad_groups": bad_groups}
+
+        # payload checksums: every block's stored write-time XXH64 must
+        # match a recompute over the compressed payload columns —
+        # bit-rot / torn-copy detection for snapshot/restore/migration.
+        # Pre-checksum indexes (no payload_xxh column) are recorded as
+        # skipped, not failed.
+        if "payload_xxh" in post_tbl.columns:
+            bad_blocks = post_tbl.filter(
+                ~F.xxhash64("doc_gaps", "tfs", "dls", "poss")
+                .eqNullSafe(F.col("payload_xxh"))).count()
+            checks["payload_checksums"] = {"ok": bad_blocks == 0,
+                                           "bad_blocks": bad_blocks}
+        else:
+            checks["payload_checksums"] = {
+                "ok": True, "skipped": "pre-checksum index"}
 
     return {"ok": all(c["ok"] for c in checks.values()), "checks": checks}

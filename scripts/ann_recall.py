@@ -44,6 +44,9 @@ def main() -> None:
     ap.add_argument("--dim", type=int, default=768)
     ap.add_argument("--cores", type=int, default=16)
     ap.add_argument("--noise", type=float, default=0.35)
+    ap.add_argument("--tables", type=int, nargs="+", default=[2, 4, 8])
+    ap.add_argument("--planes", type=int, default=8)
+    ap.add_argument("--probes", type=int, nargs="+", default=[1])
     ap.add_argument("--out", default=os.path.join(
         REPO, "BENCH", "ann_recall_dim768.json"))
     args = ap.parse_args()
@@ -85,25 +88,35 @@ def main() -> None:
         "embedding": [r.astype(np.float32).tolist() for r in X],
     }))
 
+    # (n_tables, n_probes) grid: n_probes=1 reproduces the r4 curve;
+    # n_probes>1 is multiprobe LSH (VERDICT r4 #8 stretch) — neighboring
+    # buckets by smallest flip margin, recall bought with bucket READS
+    # instead of extra index COPIES (each table duplicates the vectors).
+    grid = [(t, p) for t in args.tables for p in args.probes]
     curve = []
-    for n_tables in (2, 4, 8):
+    for n_tables in sorted({t for t, _ in grid}):
         d = tempfile.mkdtemp(prefix=f"ann_recall_t{n_tables}_")
-        build_ann_index(emb, d, n_planes=8, n_tables=n_tables, seed=42)
-        hits, cand_frac = 0, []
-        for i in range(args.n_queries):
-            qvec = [float(v) for v in Q[i]]
-            got = {int(r["vec_id"]) for r in
-                   ann_index_topk(spark, d, qvec, k=10).collect()}
-            hits += len(got & exact_top[i])
-            cand_frac.append(
-                ann_candidates(spark, d, qvec).count() / n_total)
-        curve.append({
-            "n_tables": n_tables, "n_planes": 8,
-            "recall_at_10": round(hits / (10 * args.n_queries), 4),
-            "mean_candidate_fraction": round(
-                float(np.mean(cand_frac)), 4),
-        })
-        print(json.dumps(curve[-1]), file=sys.stderr, flush=True)
+        build_ann_index(emb, d, n_planes=args.planes,
+                        n_tables=n_tables, seed=42)
+        for _, n_probes in [g for g in grid if g[0] == n_tables]:
+            hits, cand_frac = 0, []
+            for i in range(args.n_queries):
+                qvec = [float(v) for v in Q[i]]
+                got = {int(r["vec_id"]) for r in
+                       ann_index_topk(spark, d, qvec, k=10,
+                                      n_probes=n_probes).collect()}
+                hits += len(got & exact_top[i])
+                cand_frac.append(
+                    ann_candidates(spark, d, qvec,
+                                   n_probes=n_probes).count() / n_total)
+            curve.append({
+                "n_tables": n_tables, "n_planes": args.planes,
+                "n_probes": n_probes,
+                "recall_at_10": round(hits / (10 * args.n_queries), 4),
+                "mean_candidate_fraction": round(
+                    float(np.mean(cand_frac)), 4),
+            })
+            print(json.dumps(curve[-1]), file=sys.stderr, flush=True)
         shutil.rmtree(d, ignore_errors=True)
 
     payload = {"dim": args.dim, "n_base": args.n_base,

@@ -88,3 +88,52 @@ def test_red_on_missing_generation_dir(spark, fsck_index, tmp_path):
     assert not res["ok"]
     assert resolve(d, "lineage").split(os.sep)[-1] in \
         res["checks"]["generation_pointer"]["missing"]
+
+
+def test_red_on_tampered_payload(spark, fsck_index, tmp_path):
+    """Bit-rot detection (payload checksums): flip one byte inside one
+    block's compressed doc_gaps payload — footer metadata, row counts,
+    and block layout all stay valid, so ONLY the checksum recompute can
+    catch it. Deep fsck must go red on payload_checksums; fast tier
+    (which never reads payloads, by design) stays green."""
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "bitrot")
+    shutil.copytree(fsck_index, d)
+    root = resolve(d, "postings")
+    victim = None
+    for dirpath, _, files in os.walk(root):
+        for fn in sorted(files):
+            if fn.endswith(".parquet"):
+                victim = os.path.join(dirpath, fn)
+                break
+        if victim:
+            break
+    tbl = pq.read_table(victim)
+    assert "payload_xxh" in tbl.column_names
+    gaps = tbl.column("doc_gaps").to_pylist()
+    i = next(j for j, g in enumerate(gaps) if g)
+    flipped = bytes([gaps[i][0] ^ 0x01]) + gaps[i][1:]
+    gaps[i] = flipped
+    import pyarrow as pa
+
+    cols = {c: (pa.array(gaps, type=pa.binary()) if c == "doc_gaps"
+                else tbl.column(c)) for c in tbl.column_names}
+    pq.write_table(pa.table(cols, schema=tbl.schema), victim)
+    # drop Hadoop's local-FS .crc sidecar for the rewritten file: on the
+    # object stores a 100 TB deployment reads from there IS no sidecar —
+    # the engine-level payload checksum is the portable detector this
+    # test exercises
+    crc = os.path.join(os.path.dirname(victim),
+                       f".{os.path.basename(victim)}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    fast = verify_index(spark, d)
+    assert fast["ok"], fast  # fast tier is payload-blind by design
+    res = verify_index(spark, d, deep=True)
+    assert not res["ok"]
+    assert not res["checks"]["payload_checksums"]["ok"]
+    assert res["checks"]["payload_checksums"]["bad_blocks"] >= 1
+    # every other deep invariant still green (the tamper is surgical)
+    assert res["checks"]["block_layout"]["ok"]
