@@ -264,6 +264,42 @@ def run_once(spark, sf_dir: str, cores: int, warm: bool) -> dict:
     es_count(pos_local, {"query": sa_q})
     queries_sec["tl_count"] = round(time.monotonic() - t0, 4)
 
+    # --- 2i. block-max-gated serving (r5) -----------------------------------
+    # single/common-term top-k whose flat Σ df blows the budget but whose
+    # ANSWER lives in few skyline-kept blocks. The main bench corpus is
+    # deliberately homogeneous (burstiness=0, r1-comparable) — there the
+    # skyline CANNOT separate blocks and the path correctly falls back;
+    # block maxima only prune when tf/dl vary, so this section measures
+    # on a bursty side index (burstiness=0.3, the realistic-text shape,
+    # same as the 7M evidence run). Budget forced just below each
+    # query's Σ df so the FLAT gate is shut and only the block-max gate
+    # can serve locally; zero-job + bit-identity are pytest-guarded
+    # (tests/test_driver_local.py).
+    from research_engine_spark.functions.analyzer import analyze_query
+    from research_engine_spark.operators.scorer import _term_meta
+
+    bmx_src = synth_transcripts(spark, n_convs=max(n_convs // 2, 200),
+                                seed=7, burstiness=0.3)
+    bmx_dir = tempfile.mkdtemp(prefix="bench_bmx_")
+    build_index(bmx_src, bmx_dir, n_buckets=8)
+    bmx_terms = ["data", "model", "learning", "neural", "language",
+                 "training"]
+    n_blockmax = 0
+    warm_r = IndexReader(spark, bmx_dir)
+    search(warm_r, "data", k=1, with_text=False).collect()
+    for i, q in enumerate(bmx_terms):
+        meta_q = _term_meta(warm_r, analyze_query(q), 1.2, 0.75)
+        budget = max(1, int(meta_q["df"].sum()) - 1)
+        r_bmx = IndexReader(spark, bmx_dir,
+                            driver_local_max_postings=budget)
+        st = {}
+        t0 = time.monotonic()
+        search(r_bmx, q, k=10, with_text=False,
+               prune_stats=st).collect()
+        queries_sec[f"bmxl_q{i+1:02d}"] = round(time.monotonic() - t0, 4)
+        n_blockmax += st.get("path") == "driver_local_blockmax"
+    shutil.rmtree(bmx_dir, ignore_errors=True)
+
     # --- 2e. delete lifecycle on the main index (last reader use) ----------
     # tombstone ~1/16 of docs, search through the tombstones, physically
     # purge via compaction, search again — the ES delete_by_query +
@@ -295,7 +331,8 @@ def run_once(spark, sf_dir: str, cores: int, warm: bool) -> dict:
     shutil.rmtree(src_dir, ignore_errors=True)
     spark.catalog.clearCache()
     return {"queries": queries_sec, "n_turns": int(n_turns),
-            "prune_stats_q01": pstats, "n_driver_local": int(n_local)}
+            "prune_stats_q01": pstats, "n_driver_local": int(n_local),
+            "n_blockmax_local": int(n_blockmax)}
 
 
 def main() -> None:
@@ -363,6 +400,8 @@ def main() -> None:
         "esdsl_local_mean_latency_sec": _agg(q_min, "esdsl_q"),
         "esdsl_dist_q01_sec": q_min["esdsl_dist_q01"],
         "termlevel_local_mean_latency_sec": _agg(q_min, "tl_"),
+        "blockmax_local_mean_latency_sec": _agg(q_min, "bmxl_q"),
+        "n_blockmax_local_of": [runs[0]["n_blockmax_local"], 6],
         "index_build_positional_sec": q_min["index_build_positional"],
         "index_build_positional_sec_median": q_med["index_build_positional"],
         "cores": cores,

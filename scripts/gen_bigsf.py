@@ -81,17 +81,38 @@ def _tile_table(name: str, key_cols: dict, tile: int,
     return big.num_rows
 
 
+# the driver's documents tables draw from this 31-word engine-flavored
+# vocabulary (profiled from /root/testdata/sf0.1/documents.parquet) —
+# every search term the sweep's documents-family queries use ("spark
+# join shuffle", "merge stream", wildcard/term-filter literals) lives
+# here, so it must sit at the Zipf HEAD of the scaled corpus too
+ENGINE_WORDS = [
+    "spark", "window", "merge", "table", "column", "vector", "stream",
+    "value", "data", "small", "join", "filter", "big", "group", "hash",
+    "customer", "sort", "order", "slow", "line", "part", "fast", "the",
+    "row", "agg", "key", "query", "a", "scan", "batch", "dup",
+]
+
+
 def gen_documents(n_docs: int, seed: int, dup_every: int,
                   near_every: int) -> pa.Table:
     from research_engine_spark.corpus import _build_vocab, _zipf_probs
 
     vocab_size = 30_000
-    vocab = _build_vocab(vocab_size)
-    probs = _zipf_probs(vocab_size)
+    # engine words first (hot ranks -> realistic 10^5-class dfs at 1.2M
+    # docs), then the transcript vocab's fillers/query terms, then the
+    # synthetic tail — the tail keeps 3-gram shingles diverse so the
+    # near-dup pair queries measure the PLANTED structure, not a
+    # tiny-vocab shingle soup
+    base = _build_vocab(vocab_size).tolist()
+    vocab = np.array(
+        ENGINE_WORDS + [w for w in base if w not in set(ENGINE_WORDS)],
+        dtype=object)[:vocab_size]
+    probs = _zipf_probs(len(vocab))
     rng = np.random.default_rng(np.random.SeedSequence([seed, 77]))
     lens = rng.integers(8, 100, size=n_docs)
     total = int(lens.sum())
-    toks = rng.choice(vocab_size, size=total, p=probs)
+    toks = rng.choice(len(vocab), size=total, p=probs)
     offs = np.zeros(n_docs + 1, dtype=np.int64)
     np.cumsum(lens, out=offs[1:])
     vlist = vocab.tolist()
