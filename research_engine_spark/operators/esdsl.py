@@ -20,13 +20,23 @@ a reference user can paste their ``search_body`` unchanged:
 
 Supported clauses: match (optional fuzziness/boost/operator "and" —
 compiled to the same bool-must-of-term-clauses Lucene BooleanQuery ES
-builds), match_phrase, constant_score (filter + boost),
-multi_match (best_fields | most_fields | phrase, ``field^boost``
-specs, tie_breaker, fuzziness on the non-phrase types — exactly what
-ES supports), bool (should / must / must_not / filter /
-minimum_should_match, arbitrarily nested), match_all, and the
-term-level family: term (UNanalyzed exact index term, BM25-scored —
-the ES term-query semantics), terms / prefix / wildcard
+builds), match_phrase, match_phrase_prefix (the LAST analyzed token is
+a term prefix, expanded in term-dictionary order capped at
+max_expansions; combined phrase frequency over all completions, prefix-
+position idf from the max expansion df — the Lucene MultiPhraseQuery
+convention; operators/scorer.py:_phrase_prefix_prologue), constant_score
+(filter + boost), multi_match (best_fields | most_fields | phrase |
+cross_fields, ``field^boost`` specs, tie_breaker, fuzziness on the
+non-phrase types — cross_fields is term-centric: per analyzed term a
+dis_max over the fields, combined by operator/minimum_should_match per
+TERM, with the documented deviation that per-field dfs are not blended),
+dis_max (queries + tie_breaker — Lucene DisjunctionMaxQuery), bool
+(should / must / must_not / filter / minimum_should_match, arbitrarily
+nested), match_all, and the term-level family: term (UNanalyzed exact
+index term, BM25-scored — the ES term-query semantics), fuzzy
+(UNanalyzed value expanded within Lucene AUTO edit distance, each
+expansion a term clause weighted 1 - ed/min lengths — the match
+fuzziness machinery minus analysis), terms / prefix / wildcard
 (constant_score rewrite: every doc containing a matching index term
 scores ``boost``, ES's default multi-term rewrite), range and exists
 (docs-table metadata predicates, constant_score). Body keys: query,
@@ -87,10 +97,13 @@ from .scorer import (
     _deleted_ids_arrow,
     _driver_local_topk_pd,
     _fetch_term_blocks_arrow,
+    _all_match_scores,
     _fuzzy_term_meta,
+    _phrase_prefix_driver_local,
     _phrase_scores_driver_local,
     _term_meta,
     _topk_pd_to_df,
+    phrase_prefix_scores,
     phrase_scores,
     search,
 )
@@ -351,6 +364,52 @@ def _match_and_rewrite(ctx: _Ctx, field: str, spec: dict) -> dict | None:
             {"term": {field: "\x00never"}}]}}
 
 
+def _cross_fields_rewrite(ctx: _Ctx, body: dict) -> dict:
+    """multi_match type ``cross_fields``: term-centric combination — the
+    query is analyzed ONCE (every field of this engine shares one
+    analyzer, ES's single-analyzer-group case) and EACH analyzed term
+    must be findable in ANY field: per term, a dis_max over unanalyzed
+    ``term`` clauses against each field (per-field boosts +
+    tie_breaker), combined across terms by operator/
+    minimum_should_match — the per-TERM-group semantics that
+    field-centric best_fields cannot express. Compiles onto existing
+    hash-checked primitives, so both evaluation paths (and their
+    bit-identity) come for free. Documented deviation from Lucene's
+    BlendedTermQuery: each field scores a term with its OWN df rather
+    than a blended cross-field df."""
+    fields = [_field_boost(fs) for fs in
+              _aslist(body.get("fields")) or [ctx.default_field]]
+    reader = ctx.reader(fields[0][0])
+    from ..functions.analyzer import analyze_query
+
+    qterms = analyze_query(
+        str(body["query"]),
+        mode=reader.stats.get("analyzer", "english_folded"))
+    boost = float(body.get("boost", 1.0))
+    tie = float(body.get("tie_breaker", 0.0))
+    op = str(body.get("operator", "or")).lower()
+    if op not in ("or", "and"):
+        raise ESQueryError(f"multi_match operator {op!r} unsupported")
+    if not qterms:  # empty analysis matches nothing (never-matching term)
+        return {"term": {fields[0][0]: "\x00never"}}
+    clauses = [
+        {"dis_max": {
+            "queries": [{"term": {f: {"value": t, "boost": fb}}}
+                        for f, fb in fields],
+            "tie_breaker": tie,
+            "boost": float(q) * boost,
+        }}
+        for t, q in qterms
+    ]
+    if op == "and":
+        return {"bool": {"must": clauses}}
+    out: dict = {"bool": {"should": clauses}}
+    msm = body.get("minimum_should_match")
+    if msm:
+        out["bool"]["minimum_should_match"] = int(msm)
+    return out
+
+
 def _clause_pd(ctx: _Ctx, clause: dict):
     if not isinstance(clause, dict) or len(clause) != 1:
         raise ESQueryError(f"clause must have exactly one key: {clause!r}")
@@ -377,6 +436,49 @@ def _clause_pd(ctx: _Ctx, clause: dict):
         out = _phrase_scores_driver_local(
             reader, spec["query"], ctx.k1, ctx.b)
         return _scale_pd(out, float(spec.get("boost", 1.0)))
+    if kind == "match_phrase_prefix":
+        field, spec = _leaf_spec(body)
+        reader = ctx.reader(field)
+        if reader.vocab_arrow() is None:
+            return None  # expansion needs a job: go distributed
+        out = _phrase_prefix_driver_local(
+            reader, spec["query"], ctx.k1, ctx.b,
+            int(spec.get("max_expansions", 50)))
+        return _scale_pd(out, float(spec.get("boost", 1.0)))
+    if kind == "fuzzy":
+        # term-level fuzzy: the UNanalyzed value expanded within Lucene
+        # AUTO edit distance, each expansion a weighted term clause
+        # (weight = 1 - ed/min(|q|,|t|)) — the match-with-fuzziness
+        # machinery minus analysis
+        field, spec = _value_spec(body)
+        if _fuzzy_flag({"fuzziness": spec.get("fuzziness", "AUTO")}) \
+                is False:
+            return _clause_pd(ctx, {"term": {field: spec}})
+        reader = ctx.reader(field)
+        if reader.vocab_arrow() is None:
+            return None  # vocabulary over budget: expansion needs a job
+        k1 = reader.stats["k1"] if ctx.k1 is None else ctx.k1
+        b = reader.stats["b"] if ctx.b is None else ctx.b
+        meta = _fuzzy_term_meta(reader, [(str(spec["value"]), 1)], k1, b,
+                                int(spec.get("max_expansions", 50)))
+        out = _fold_meta_pd(reader, meta, k1, b)
+        return _scale_pd(out, float(spec.get("boost", 1.0)))
+    if kind == "dis_max":
+        if not isinstance(body, dict) or not body.get("queries"):
+            raise ESQueryError("dis_max needs a non-empty 'queries' list")
+        frames = []
+        for sub in body["queries"]:
+            part = _clause_pd(ctx, sub)
+            if part is None:
+                return None
+            if not part.empty:
+                frames.append(part)
+        out = _combine_fields_pd(
+            frames, "best_fields", float(body.get("tie_breaker", 0.0)))
+        return _scale_pd(out, float(body.get("boost", 1.0)))
+    if kind == "multi_match" and isinstance(body, dict) \
+            and body.get("type") == "cross_fields":
+        return _clause_pd(ctx, _cross_fields_rewrite(ctx, body))
     if kind == "multi_match":
         mtype, fields, tie = _multi_match_parts(ctx, body)
         frames = []
@@ -634,6 +736,40 @@ def _clause_df(ctx: _Ctx, clause: dict) -> DataFrame:
         field, spec = _leaf_spec(body)
         out = phrase_scores(ctx.reader(field), spec["query"], ctx.k1, ctx.b)
         return _scale_df(out, float(spec.get("boost", 1.0)))
+    if kind == "match_phrase_prefix":
+        field, spec = _leaf_spec(body)
+        out = phrase_prefix_scores(
+            ctx.reader(field), spec["query"], ctx.k1, ctx.b,
+            int(spec.get("max_expansions", 50)))
+        return _scale_df(out, float(spec.get("boost", 1.0)))
+    if kind == "fuzzy":
+        field, spec = _value_spec(body)
+        if _fuzzy_flag({"fuzziness": spec.get("fuzziness", "AUTO")}) \
+                is False:
+            return _clause_df(ctx, {"term": {field: spec}})
+        reader = ctx.reader(field)
+        k1 = reader.stats["k1"] if ctx.k1 is None else ctx.k1
+        b = reader.stats["b"] if ctx.b is None else ctx.b
+        meta = _fuzzy_term_meta(reader, [(str(spec["value"]), 1)], k1, b,
+                                int(spec.get("max_expansions", 50)))
+        if meta.empty:
+            out = ctx.spark.createDataFrame(
+                [], "doc_id bigint, score double")
+        else:
+            out = _all_match_scores(
+                reader, meta.assign(qtf=meta["qtf"].astype(np.float64)),
+                k1, b)
+        return _scale_df(out, float(spec.get("boost", 1.0)))
+    if kind == "dis_max":
+        if not isinstance(body, dict) or not body.get("queries"):
+            raise ESQueryError("dis_max needs a non-empty 'queries' list")
+        parts = [_clause_df(ctx, sub) for sub in body["queries"]]
+        out = _combine_fields_df(ctx, parts, "best_fields",
+                                 float(body.get("tie_breaker", 0.0)))
+        return _scale_df(out, float(body.get("boost", 1.0)))
+    if kind == "multi_match" and isinstance(body, dict) \
+            and body.get("type") == "cross_fields":
+        return _clause_df(ctx, _cross_fields_rewrite(ctx, body))
     if kind == "multi_match":
         mtype, fields, tie = _multi_match_parts(ctx, body)
         parts = []
@@ -779,14 +915,19 @@ def _collect_query_strings(clause: dict) -> list[str]:
     """Every leaf 'query' string in the tree (for highlighting — ES
     highlights the terms the query matched)."""
     [(kind, body)] = clause.items()
-    if kind in ("match", "match_phrase"):
+    if kind in ("match", "match_phrase", "match_phrase_prefix"):
         _, spec = _leaf_spec(body)
         return [str(spec["query"])]
-    if kind == "term":
+    if kind in ("term", "fuzzy"):
         _, spec = _value_spec(body)
         return [str(spec["value"])]
     if kind == "multi_match":
         return [str(body["query"])]
+    if kind == "dis_max":
+        out = []
+        for c in _aslist(body.get("queries")):
+            out.extend(_collect_query_strings(c))
+        return out
     if kind == "constant_score":
         return _collect_query_strings(body["filter"])
     if kind == "bool":

@@ -1315,6 +1315,36 @@ def _sum_deterministic(partials: DataFrame) -> DataFrame:
     )
 
 
+def _all_match_scores(reader: IndexReader, meta: pd.DataFrame,
+                      k1: float, b: float) -> DataFrame:
+    """FULL scored set (doc_id, score) for an explicit clause-meta frame
+    (one row per (term, qtf) weighted clause, as produced by _term_meta /
+    _fuzzy_term_meta): bucket-pruned postings scan, Arrow decode, one
+    deterministic per-doc fold — the ``_all_matches=True`` execution of
+    search(), factored so DSL clauses that assemble their own meta
+    (term-level ``fuzzy``) reuse it verbatim."""
+    spark = reader.spark
+    avgdl = reader.stats["avgdl"]
+    buckets = sorted({int(v) for v in
+                      reader.bucket_of(meta["term"].tolist()).values()})
+    info = spark.createDataFrame(
+        meta[["term", "qtf", "idf", "gub"]],
+        "term string, qtf double, idf double, gub double",
+    )
+    matching = (
+        reader.postings.filter(
+            F.col("bucket").isin(buckets) & F.col("term").isin(
+                meta["term"].tolist())
+        ).join(F.broadcast(info), "term", "inner")
+    )
+    partials = matching.select(
+        "term", "qtf", "idf", "gub", "doc_gaps", "tfs", "dls"
+    ).mapInPandas(_decode_partials_factory(avgdl, k1, b),
+                  schema=PARTIAL_SCHEMA)
+    return reader.live_only(
+        _sum_deterministic(partials).select("doc_id", "score"))
+
+
 def search(
     reader: IndexReader,
     query: str,
@@ -1420,10 +1450,7 @@ def search(
     payload_cols = ["term", "qtf", "idf", "gub", "doc_gaps", "tfs", "dls"]
 
     if _all_matches:
-        partials = matching.select(*payload_cols).mapInPandas(
-            _decode_partials_factory(avgdl, k1, b), schema=PARTIAL_SCHEMA)
-        return reader.live_only(
-            _sum_deterministic(partials).select("doc_id", "score"))
+        return _all_match_scores(reader, meta, k1, b)
 
     def plain_topk() -> DataFrame:
         partials = matching.select(*payload_cols).mapInPandas(
@@ -1917,6 +1944,61 @@ def _phrase_match_np(ordered_terms: list[str],
     return match_docs.astype(np.int64), scores.astype(np.float64)
 
 
+def _positions_local(reader: IndexReader, terms: list[str]):
+    """pyarrow (zero-Spark-job) fetch of the positional postings for
+    `terms`: returns (by_term, dl_docs, dl_vals) where by_term maps each
+    term PRESENT in the index to (doc-per-position int64, global key
+    doc_id * 2^32 + pos int64) and the dl arrays are sorted by doc_id.
+    Absent terms are simply missing keys — presence policy is the
+    caller's (a fixed phrase term must be present; a prefix expansion
+    set only needs one)."""
+    from .indexer import decode_positions_block
+
+    import pyarrow.dataset as pads
+
+    buckets = sorted(set(reader.bucket_of(terms).values()))
+    flt = pads.field("term").isin(terms)
+    seg = reader._seg_expr()
+    if seg is not None:
+        flt = flt & seg
+    frames = []
+    for bkt in buckets:
+        p = os.path.join(reader._path("postings"), f"bucket={bkt}")
+        if not os.path.exists(p):
+            continue
+        ds = pads.dataset(p, format="parquet")
+        frames.append(ds.to_table(
+            columns=["term", "doc_gaps", "dls", "poss"],
+            filter=flt).to_pandas())
+    rows = (pd.concat(frames, ignore_index=True) if frames
+            else pd.DataFrame(columns=["term", "doc_gaps", "dls", "poss"]))
+    per_term_docs: dict[str, list] = {}
+    per_term_keys: dict[str, list] = {}
+    dl_pairs: dict[int, int] = {}
+    for row in rows.itertuples(index=False):
+        doc_ids = delta_decode(vb_decode(bytes(row.doc_gaps)))
+        dls = vb_decode(bytes(row.dls)).astype(np.int64)
+        poss = decode_positions_block(bytes(row.poss), doc_ids.size)
+        lens = np.fromiter((p.size for p in poss), dtype=np.int64,
+                           count=doc_ids.size)
+        docs_rep = np.repeat(doc_ids, lens)
+        pos_flat = (np.concatenate(poss).astype(np.int64) if lens.sum()
+                    else np.empty(0, np.int64))
+        per_term_docs.setdefault(row.term, []).append(docs_rep)
+        per_term_keys.setdefault(row.term, []).append(
+            docs_rep * _PHRASE_SHIFT + pos_flat)
+        dl_pairs.update(zip(doc_ids.tolist(), dls.tolist()))
+    by_term = {t: (np.concatenate(per_term_docs[t]),
+                   np.concatenate(per_term_keys[t]))
+               for t in per_term_keys}
+    dl_docs = np.fromiter(dl_pairs.keys(), dtype=np.int64,
+                          count=len(dl_pairs))
+    dl_vals = np.fromiter(dl_pairs.values(), dtype=np.int64,
+                          count=len(dl_pairs))
+    o = np.argsort(dl_docs)
+    return by_term, dl_docs[o], dl_vals[o]
+
+
 def _phrase_scores_driver_local(reader: IndexReader, phrase: str,
                                 k1: float | None = None,
                                 b: float | None = None
@@ -1926,8 +2008,6 @@ def _phrase_scores_driver_local(reader: IndexReader, phrase: str,
     intersection. Returns the FULL (doc_id, score) match set as pandas,
     or None when over budget / tombstones too large (caller falls back
     to the distributed path)."""
-    from .indexer import decode_positions_block
-
     ordered_terms, uniq, meta, sum_idf, k1, b = _phrase_prologue(
         reader, phrase, k1, b)
     empty = pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
@@ -1945,51 +2025,9 @@ def _phrase_scores_driver_local(reader: IndexReader, phrase: str,
         deleted = _deleted_ids_arrow(reader)
     avgdl = reader.stats["avgdl"]
 
-    import pyarrow.dataset as pads
-
-    buckets = sorted(set(reader.bucket_of(uniq).values()))
-    flt = pads.field("term").isin(uniq)
-    seg = reader._seg_expr()
-    if seg is not None:
-        flt = flt & seg
-    frames = []
-    for bkt in buckets:
-        p = os.path.join(reader._path("postings"), f"bucket={bkt}")
-        if not os.path.exists(p):
-            continue
-        ds = pads.dataset(p, format="parquet")
-        frames.append(ds.to_table(
-            columns=["term", "doc_gaps", "dls", "poss"],
-            filter=flt).to_pandas())
-    rows = (pd.concat(frames, ignore_index=True) if frames
-            else pd.DataFrame(columns=["term", "doc_gaps", "dls", "poss"]))
-    per_term_docs: dict[str, list] = {t: [] for t in uniq}
-    per_term_keys: dict[str, list] = {t: [] for t in uniq}
-    dl_pairs: dict[int, int] = {}
-    for row in rows.itertuples(index=False):
-        doc_ids = delta_decode(vb_decode(bytes(row.doc_gaps)))
-        dls = vb_decode(bytes(row.dls)).astype(np.int64)
-        poss = decode_positions_block(bytes(row.poss), doc_ids.size)
-        lens = np.fromiter((p.size for p in poss), dtype=np.int64,
-                           count=doc_ids.size)
-        docs_rep = np.repeat(doc_ids, lens)
-        pos_flat = (np.concatenate(poss).astype(np.int64) if lens.sum()
-                    else np.empty(0, np.int64))
-        per_term_docs[row.term].append(docs_rep)
-        per_term_keys[row.term].append(docs_rep * _PHRASE_SHIFT + pos_flat)
-        dl_pairs.update(zip(doc_ids.tolist(), dls.tolist()))
-    by_term = {}
-    for t in uniq:
-        if not per_term_keys[t]:
-            return empty
-        by_term[t] = (np.concatenate(per_term_docs[t]),
-                      np.concatenate(per_term_keys[t]))
-    dl_docs = np.fromiter(dl_pairs.keys(), dtype=np.int64,
-                          count=len(dl_pairs))
-    dl_vals = np.fromiter(dl_pairs.values(), dtype=np.int64,
-                          count=len(dl_pairs))
-    o = np.argsort(dl_docs)
-    dl_docs, dl_vals = dl_docs[o], dl_vals[o]
+    by_term, dl_docs, dl_vals = _positions_local(reader, uniq)
+    if any(t not in by_term for t in uniq):
+        return empty
     hit = _phrase_match_np(ordered_terms, by_term, dl_docs, dl_vals,
                            sum_idf, avgdl, k1, b)
     if hit is None:
@@ -2057,6 +2095,198 @@ def phrase_scores(reader: IndexReader, phrase: str,
                                    for x in grp["positions"]])
                    if lens.sum() else np.empty(0, np.int64))
             glob[t] = docs * _SHIFT + pos
+        cand = glob[ordered_terms[0]]
+        for i, t in enumerate(ordered_terms[1:], start=1):
+            if cand.size == 0:
+                return
+            cand = cand[np.isin(cand + np.int64(i), glob[t])]
+        if cand.size == 0:
+            return
+        match_docs, ptfs = np.unique(cand // _SHIFT, return_counts=True)
+        dl_by_doc = pdf.drop_duplicates("doc_id").set_index("doc_id")["dl"]
+        dls = dl_by_doc.loc[match_docs].to_numpy(np.int64)
+        scores = sum_idf * bm25_tf_part(ptfs.astype(np.int64), dls,
+                                        avgdl, k1, b)
+        yield pd.DataFrame({"doc_id": match_docs.astype(np.int64),
+                            "score": scores.astype(np.float64)})
+
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return reader.live_only(rows.repartition(n_part, "doc_id").mapInPandas(
+        match, schema="doc_id bigint, score double"))
+
+
+# pseudo-term for the expanded last position of a match_phrase_prefix —
+# \x00 cannot survive any analyzer, so it never collides with an index term
+_PFX_SENTINEL = "\x00prefix*"
+
+
+def _prefix_expansions(reader: IndexReader, prefix: str,
+                       max_expansions: int) -> list[str]:
+    """Index terms starting with `prefix`: the first `max_expansions` in
+    lexicographic term order (ES collects prefix expansions in term-
+    dictionary order). Zero-job off the in-RAM vocabulary when it is
+    within budget; otherwise ONE small distinct-terms job over the
+    StartsWith-pushed postings scan (same pushdown as the distributed
+    ``prefix`` clause). Both paths produce the same deterministic list,
+    so the serving and distributed phrase-prefix scorers expand
+    identically."""
+    vocab = reader.vocab_arrow()
+    if vocab is not None:
+        m = vocab["term"].str.startswith(prefix).fillna(False).astype(bool)
+        return sorted(vocab["term"][m].tolist())[:int(max_expansions)]
+    rows = (reader.postings.filter(F.col("term").startswith(prefix))
+            .select("term").distinct().orderBy("term")
+            .limit(int(max_expansions)).collect())
+    return [r.term for r in rows]
+
+
+def _phrase_prefix_prologue(reader: IndexReader, phrase: str,
+                            k1: float | None, b: float | None,
+                            max_expansions: int):
+    """match_phrase_prefix prologue: the LAST analyzed token is a term
+    PREFIX whose expansions (capped, term order) may all complete the
+    phrase at the final position. Scoring semantics (documented
+    Lucene-MultiPhraseQuery-shaped): combined phrase frequency
+    ptf(d) = #{p : fixed terms at p..p+m-2 and ANY expansion at p+m-1}
+    (positions are disjoint across expansions — a position holds one
+    token — so this equals the sum of per-expansion ptfs); sum_idf =
+    Σ idf(fixed ordered terms) + idf computed from the MAX df among the
+    expansions (Lucene's convention for a multi-term position);
+    score(d) = sum_idf * ptf/(ptf + k1*(1-b+b*dl/avgdl)).
+    Returns (ordered_terms ending in _PFX_SENTINEL, fetch_terms, meta,
+    sum_idf, expansions, k1, b); ordered_terms == [] means no match
+    anywhere (empty analysis, no expansion, or a fixed term absent)."""
+    if not reader.stats.get("positions"):
+        raise ValueError("index was built without positions "
+                         "(build_index(with_positions=True))")
+    k1 = reader.stats["k1"] if k1 is None else k1
+    b = reader.stats["b"] if b is None else b
+    from ..functions.analyzer import analyze
+
+    toks = analyze(
+        phrase, mode=reader.stats.get("analyzer", "english_folded"))
+    nothing = ([], [], None, 0.0, [], k1, b)
+    if not toks:
+        return nothing
+    fixed, prefix = toks[:-1], toks[-1]
+    expansions = _prefix_expansions(reader, prefix, max_expansions)
+    if not expansions:
+        return nothing
+    uniq_fixed = sorted(set(fixed))
+    fetch = sorted(set(uniq_fixed) | set(expansions))
+    meta = _term_meta(reader, [(t, 1) for t in fetch], k1, b)
+    present = set(meta["term"])
+    if any(t not in present for t in uniq_fixed):
+        return nothing
+    idf_by_term = dict(zip(meta["term"], meta["idf"]))
+    sum_idf = 0.0
+    for t in fixed:  # float64 sum in phrase order, like _phrase_prologue
+        sum_idf += float(idf_by_term[t])
+    max_df = int(meta.loc[meta["term"].isin(expansions), "df"].max())
+    sum_idf += float(bm25_idf(reader.stats["n_docs"],
+                              np.array([max_df]))[0])
+    return (list(fixed) + [_PFX_SENTINEL], fetch, meta, sum_idf,
+            expansions, k1, b)
+
+
+def _phrase_prefix_driver_local(reader: IndexReader, phrase: str,
+                                k1: float | None = None,
+                                b: float | None = None,
+                                max_expansions: int = 50
+                                ) -> pd.DataFrame | None:
+    """Zero-Spark-job twin of phrase_prefix_scores: same Σ df budget
+    (over fixed terms + every expansion) and tombstone gate as the plain
+    phrase serving path; None = go distributed. NOTE: the expansion
+    lookup itself is only job-free when the vocabulary is in RAM
+    (reader.vocab_arrow()); over that budget _prefix_expansions runs one
+    small term-pruned job before this gate is even consulted."""
+    ordered_terms, fetch, meta, sum_idf, expansions, k1, b = \
+        _phrase_prefix_prologue(reader, phrase, k1, b, max_expansions)
+    empty = pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                          "score": pd.Series(dtype=np.float64)})
+    if not ordered_terms:
+        return empty
+    if int(meta["df"].sum()) > reader.driver_local_max_postings:
+        return None
+    deleted: np.ndarray | None = None
+    if reader.has_deletes:
+        if reader.n_deleted_rows > DRIVER_LOCAL_MAX_DELETES:
+            return None
+        deleted = _deleted_ids_arrow(reader)
+    avgdl = reader.stats["avgdl"]
+
+    by_term, dl_docs, dl_vals = _positions_local(reader, fetch)
+    if any(t not in by_term for t in ordered_terms[:-1]):
+        return empty
+    exp_present = [e for e in expansions if e in by_term]
+    if not exp_present:
+        return empty
+    by_term[_PFX_SENTINEL] = (
+        np.concatenate([by_term[e][0] for e in exp_present]),
+        np.concatenate([by_term[e][1] for e in exp_present]))
+    hit = _phrase_match_np(ordered_terms, by_term, dl_docs, dl_vals,
+                           sum_idf, avgdl, k1, b)
+    if hit is None:
+        return empty
+    match_docs, scores = hit
+    if deleted is not None and deleted.size:
+        keep = ~np.isin(match_docs, deleted)
+        match_docs, scores = match_docs[keep], scores[keep]
+    return pd.DataFrame({"doc_id": match_docs, "score": scores})
+
+
+def phrase_prefix_scores(reader: IndexReader, phrase: str,
+                         k1: float | None = None, b: float | None = None,
+                         max_expansions: int = 50) -> DataFrame:
+    """Distributed match_phrase_prefix scoring (the ES
+    match_phrase_prefix clause; semantics in _phrase_prefix_prologue).
+    Same plan shape as phrase_scores: term-pruned positional scan, ONE
+    doc_id repartition, batch-vectorized numpy intersection — the only
+    difference is that the final position matches the UNION of the
+    expansions' position keys. Returns the FULL (doc_id, score) set."""
+    spark = reader.spark
+    ordered_terms, fetch, meta, sum_idf, expansions, k1, b = \
+        _phrase_prefix_prologue(reader, phrase, k1, b, max_expansions)
+    empty = spark.createDataFrame([], "doc_id bigint, score double")
+    if not ordered_terms:
+        return empty
+    avgdl = reader.stats["avgdl"]
+    uniq_fixed = sorted(set(ordered_terms[:-1]))
+    exp_set = set(expansions)
+
+    buckets = sorted({int(v) for v in reader.bucket_of(fetch).values()})
+    rows = (
+        reader.postings.filter(
+            F.col("bucket").isin(buckets) & F.col("term").isin(fetch))
+        .select("term", "doc_gaps", "dls", "poss")
+        .mapInPandas(_decode_positions_factory(), schema=PHRASE_ROW_SCHEMA)
+    )
+    _SHIFT = np.int64(1) << np.int64(32)
+
+    def _keys(grp: pd.DataFrame) -> np.ndarray:
+        lens = grp["positions"].str.len().to_numpy(np.int64)
+        docs = np.repeat(grp["doc_id"].to_numpy(np.int64), lens)
+        pos = (np.concatenate([np.asarray(x, dtype=np.int64)
+                               for x in grp["positions"]])
+               if lens.sum() else np.empty(0, np.int64))
+        return docs * _SHIFT + pos
+
+    def match(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts = [p for p in batches if not p.empty]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        del parts
+        glob: dict[str, np.ndarray] = {}
+        for t in uniq_fixed:
+            grp = pdf[pdf["term"] == t]
+            if grp.empty:
+                return  # a fixed term absent from this partition's docs
+            glob[t] = _keys(grp)
+        egrp = pdf[pdf["term"].isin(exp_set)]
+        if egrp.empty:
+            return  # no expansion completes any phrase here
+        glob[_PFX_SENTINEL] = _keys(egrp)
         cand = glob[ordered_terms[0]]
         for i, t in enumerate(ordered_terms[1:], start=1):
             if cand.size == 0:
