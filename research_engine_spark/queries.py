@@ -1739,6 +1739,121 @@ def engine_es_dsl_documents(spark, sf_dir):
 SQL["engine_es_dsl_documents"] = SQL["engine_bool_should_documents"]
 
 
+@register("engine_phrase_prefix_documents", f"""
+WITH tk AS (
+  SELECT doc_id, {_TOK_SQL} AS tk FROM documents
+),
+corpus AS (SELECT count(*) AS n, sum(len(tk)) AS tok FROM tk),
+flat AS (SELECT doc_id, unnest(tk) AS term FROM tk),
+vocab AS (SELECT term, count(DISTINCT doc_id) AS df FROM flat GROUP BY term),
+-- prefix expansions: first 50 index terms starting with 's', term order
+exp AS (SELECT term, df FROM vocab WHERE term LIKE 's%'
+        ORDER BY term LIMIT 50),
+sumidf AS (
+  -- idf(fixed 'table') + idf from the MAX df among the expansions
+  -- (the Lucene MultiPhraseQuery multi-term-position convention)
+  SELECT ln(1 + (corpus.n - t.df + 0.5) / (t.df + 0.5))
+       + ln(1 + (corpus.n - m.mx + 0.5) / (m.mx + 0.5)) AS s
+  FROM (SELECT df FROM vocab WHERE term = 'table') t,
+       (SELECT max(df) AS mx FROM exp) m, corpus
+),
+occ AS (
+  SELECT t.doc_id, count(*) AS ptf
+  FROM tk t, unnest(generate_series(1, greatest(len(t.tk) - 1, 0))) AS g(i)
+  WHERE t.tk[i] = 'table' AND t.tk[i + 1] IN (SELECT term FROM exp)
+  GROUP BY t.doc_id
+)
+SELECT CAST(o.doc_id AS BIGINT) AS doc_id,
+       round(sumidf.s * o.ptf
+             / (o.ptf + 1.2 * (1 - 0.75 + 0.75 * len(t.tk)
+                               / (corpus.tok * 1.0 / corpus.n))), 4)
+         AS score
+FROM occ o JOIN tk t USING (doc_id), corpus, sumidf
+ORDER BY sumidf.s * o.ptf
+         / (o.ptf + 1.2 * (1 - 0.75 + 0.75 * len(t.tk)
+                           / (corpus.tok * 1.0 / corpus.n))) DESC,
+         o.doc_id ASC
+LIMIT 10
+""")
+def engine_phrase_prefix_documents(spark, sf_dir):
+    """match_phrase_prefix over the REAL positional index,
+    driver-HASH-checked: 'table s' — fixed term 'table', last token 's'
+    expanded to the first 50 index terms in term-dictionary order
+    (operators/scorer.py:phrase_prefix_scores); ptf counts positions
+    where 'table' is followed by ANY expansion, idf of the prefix
+    position comes from the max expansion df. The oracle recomputes all
+    of it (expansion set, max-df idf, combined ptf, BM25 fold) from raw
+    text in SQL."""
+    from .operators.esdsl import es_search
+    from .operators.scorer import IndexReader
+
+    reader = IndexReader(spark, _simple_index(spark, sf_dir))
+    hits = es_search(reader, {
+        "query": {"match_phrase_prefix": {"text": {"query": "table s"}}},
+        "size": 10})
+    docs = spark.read.parquet(
+        _SIMPLE_IDX_CACHE[sf_dir] + "/docs").select(
+        "doc_id", F.substring("conv_id", 2, 9).cast("long").alias("src_id"))
+    return (hits.join(docs, "doc_id")
+            .select(F.col("src_id").alias("doc_id"),
+                    F.round("score", 4).alias("score")))
+
+
+@register("engine_dis_max_documents", f"""
+WITH tk AS (
+  SELECT doc_id, {_TOK_SQL} AS tk FROM documents
+),
+corpus AS (SELECT count(*) AS n, sum(len(tk)) AS tok FROM tk),
+flat AS (SELECT doc_id, unnest(tk) AS term FROM tk),
+dl AS (SELECT doc_id, len(tk) AS dl FROM tk),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM flat
+  WHERE term IN ('table', 'hash') GROUP BY term
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM flat
+  WHERE term IN ('table', 'hash') GROUP BY doc_id, term
+),
+clause AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + (corpus.n - df.df + 0.5) / (df.df + 0.5))
+         * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                    / (corpus.tok * 1.0 / corpus.n))) AS s
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), corpus
+),
+combined AS (
+  -- DisjunctionMaxQuery: max + tie_breaker * (sum of the others)
+  SELECT doc_id, max(s) + 0.3 * (sum(s) - max(s)) AS score
+  FROM clause GROUP BY doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, round(score, 4) AS score
+FROM (SELECT doc_id, score FROM combined
+      ORDER BY score DESC, doc_id ASC LIMIT 10) t
+""")
+def engine_dis_max_documents(spark, sf_dir):
+    """dis_max (Lucene DisjunctionMaxQuery) over the REAL index,
+    driver-HASH-checked: two match clauses ('table', 'hash') combined as
+    max + 0.3 * sum-of-others (operators/esdsl.py dis_max handler); the
+    oracle recomputes per-clause BM25 and the dis_max fold from raw
+    text."""
+    from .operators.esdsl import es_search
+    from .operators.scorer import IndexReader
+
+    reader = IndexReader(spark, _simple_index(spark, sf_dir))
+    hits = es_search(reader, {
+        "query": {"dis_max": {
+            "queries": [{"match": {"text": "table"}},
+                        {"match": {"text": "hash"}}],
+            "tie_breaker": 0.3}},
+        "size": 10})
+    docs = spark.read.parquet(
+        _SIMPLE_IDX_CACHE[sf_dir] + "/docs").select(
+        "doc_id", F.substring("conv_id", 2, 9).cast("long").alias("src_id"))
+    return (hits.join(docs, "doc_id")
+            .select(F.col("src_id").alias("doc_id"),
+                    F.round("score", 4).alias("score")))
+
+
 @register("engine_es_bool_must_documents", f"""
 WITH tk AS (
   SELECT doc_id, {_TOK_SQL} AS tk FROM documents
