@@ -1097,11 +1097,12 @@ def es_aggregations(index, body: dict, k1: float | None = None,
                     b: float | None = None) -> DataFrame:
     """ES aggregations over the docs matching ``body["query"]``
     (match_all when omitted): ONE top-level ``terms`` /
-    ``date_histogram`` / metric agg, with either metric sub-aggs or one
-    NESTED bucket agg (buckets-in-buckets, optionally carrying its own
-    leaf metrics) inside the bucket agg — the reference's ES exposes
-    this surface; its code never uses it, but a transcript-analytics
-    user will.
+    ``date_histogram`` / metric agg, with either metric sub-aggs or a
+    CHAIN of nested bucket aggs at arbitrary depth (buckets-in-buckets,
+    optionally carrying leaf metrics), each terms level honoring its
+    own ``size`` with faithful per-level ES ordering — the reference's
+    ES exposes this surface; its code never uses it, but a
+    transcript-analytics user will.
 
     Spark-first: the match set (doc_ids only, never scores into the
     agg) left-semi-joins the forward docs table and the buckets are one
@@ -1131,30 +1132,84 @@ def es_aggregations(index, body: dict, k1: float | None = None,
     nested = {n: s for n, s in (sub or {}).items()
               if set(dict(s)) - {"aggs"} & {"terms", "date_histogram"}}
     if nested:
-        # ONE nested bucket agg (ES buckets-in-buckets, e.g. terms
-        # inside terms/date_histogram), flattened Spark-first: both key
-        # exprs in a single groupBy — one shuffle for the whole tree,
-        # leaf metric sub-aggs ride along. Output rows are the LEAF
-        # buckets as (key, key2, doc_count, <metrics>), ordered by
-        # (key asc, key2 asc) — deterministic flattening instead of
-        # ES's per-level count ordering (documented deviation; counts
-        # are exact, no coordinating-node truncation at either level).
-        if len(nested) != 1 or len(sub) != len(nested):
-            raise ESQueryError(
-                "at most one nested bucket agg (optionally with its own "
-                "metric sub-aggs) is supported inside a bucket agg")
-        if atype not in ("terms", "date_histogram"):
+        # A CHAIN of nested bucket aggs at arbitrary depth (ES
+        # buckets-in-buckets-in-buckets...), flattened Spark-first:
+        # every level's key expr in ONE groupBy — one shuffle for the
+        # whole tree, leaf metric sub-aggs ride along. Output rows are
+        # the LEAF buckets as (key, key2, ..., doc_count, <metrics>) in
+        # faithful ES traversal order: at each terms level, buckets by
+        # that level's doc_count desc then key asc (date_histogram
+        # levels: key asc), children ordered within their parent.
+        # Per-level ``size`` keeps the top-``size`` buckets per parent
+        # (ES truncation) — counts stay exact (computed before the cut,
+        # no coordinating-node merge error). The per-level windows
+        # partition by the groupBy's own prefix keys and run over the
+        # already-aggregated bucket rows (cardinality = product of key
+        # cardinalities, not the corpus), so the one corpus-sized
+        # shuffle remains the groupBy.
+        chain = [(atype, dict(args))]
+        cur_sub, leaf_metrics = sub, {}
+        while True:
+            bucket = {n: s for n, s in (cur_sub or {}).items()
+                      if set(dict(s)) - {"aggs"} & {"terms",
+                                                    "date_histogram"}}
+            if not bucket:
+                leaf_metrics = dict(cur_sub or {})
+                break
+            if len(bucket) != 1 or len(cur_sub) != len(bucket):
+                raise ESQueryError(
+                    "at most one nested bucket agg (optionally with its "
+                    "own metric sub-aggs) is supported inside a bucket "
+                    "agg")
+            if chain[-1][0] not in ("terms", "date_histogram"):
+                raise ESQueryError("only bucket aggs can nest bucket "
+                                   "aggs")
+            [(_, inner_spec)] = bucket.items()
+            inner_spec = dict(inner_spec)
+            cur_sub = inner_spec.pop("aggs", None)
+            [(in_type, in_args)] = inner_spec.items()
+            chain.append((in_type, dict(in_args)))
+        if chain[-1][0] not in ("terms", "date_histogram"):
             raise ESQueryError("only bucket aggs can nest bucket aggs")
-        [(_, inner_spec)] = nested.items()
-        inner_spec = dict(inner_spec)
-        inner_sub = inner_spec.pop("aggs", None)
-        [(in_type, in_args)] = inner_spec.items()
-        keys = [_bucket_key(atype, args, "key"),
-                _bucket_key(in_type, in_args, "key2")]
-        subcols = [_metric_col(n, s) for n, s in (inner_sub or {}).items()]
-        return (docs.groupBy(*keys)
-                .agg(F.count(F.lit(1)).alias("doc_count"), *subcols)
-                .orderBy(F.asc("key"), F.asc("key2")))
+
+        from pyspark.sql import Window
+
+        aliases = ["key"] + [f"key{i + 1}" for i in range(1, len(chain))]
+        keys = [_bucket_key(t, a, al)
+                for (t, a), al in zip(chain, aliases)]
+        subcols = [_metric_col(n, s) for n, s in leaf_metrics.items()]
+        flat = docs.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("doc_count"), *subcols)
+        order_cols, cnt_cols = [], []
+        for i, (btype, bargs) in enumerate(chain):
+            if i == len(chain) - 1:
+                cnt = F.col("doc_count")
+            else:
+                # level-i bucket count = Σ leaf counts under its key
+                # prefix, window-summed over the small bucket frame
+                cname = f"_cnt{i}"
+                flat = flat.withColumn(cname, F.sum("doc_count").over(
+                    Window.partitionBy(*aliases[:i + 1])))
+                cnt_cols.append(cname)
+                cnt = F.col(cname)
+            if btype == "terms":
+                order_cols += [cnt.desc(), F.asc(aliases[i])]
+            else:
+                order_cols += [F.asc(aliases[i])]
+        for i, (btype, bargs) in enumerate(chain):
+            if btype != "terms" or bargs.get("size") is None:
+                continue
+            # ES per-level truncation: top-size buckets by (count desc,
+            # key asc) WITHIN the parent bucket; dropped parents drop
+            # their whole subtree (their leaf rows carry the parent key)
+            cnt = (F.col("doc_count") if i == len(chain) - 1
+                   else F.col(f"_cnt{i}"))
+            w = Window.partitionBy(*aliases[:i]).orderBy(
+                cnt.desc(), F.asc(aliases[i]))
+            flat = (flat.withColumn("_rk", F.dense_rank().over(w))
+                    .filter(F.col("_rk") <= int(bargs["size"]))
+                    .drop("_rk"))
+        return flat.orderBy(*order_cols).drop(*cnt_cols)
     subcols = [_metric_col(n, s) for n, s in (sub or {}).items()]
     if atype == "terms":
         out = (docs.groupBy(_bucket_key(atype, args, "key"))

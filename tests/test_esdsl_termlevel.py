@@ -323,14 +323,59 @@ def test_nested_bucket_aggregations(spark, tl_setup):
     matched = _docs_with_token(dist, lambda t: t.isin("neural",
                                                       "networks"))
     exp = (dist.docs.filter(F.col("doc_id").isin(list(matched)))
-           .groupBy("role", "turn_idx").count()
-           .orderBy("role", "turn_idx").collect())
-    assert [(r.key, r.key2, r.doc_count) for r in out] == \
-        [(r.role, r.turn_idx, r["count"]) for r in exp]
+           .groupBy("role", "turn_idx").count().collect())
+    assert {(r.key, r.key2, r.doc_count) for r in out} == \
+        {(r.role, r.turn_idx, r["count"]) for r in exp}
+    # faithful ES traversal order: role buckets by their TOTAL count
+    # desc (key asc ties), leaf buckets inside each by count desc
+    role_tot: dict = {}
+    for r in exp:
+        role_tot[r.role] = role_tot.get(r.role, 0) + r["count"]
+    want_order = sorted(
+        ((r.role, r.turn_idx, r["count"]) for r in exp),
+        key=lambda x: (-role_tot[x[0]], x[0], -x[2], x[1]))
+    assert [(r.key, r.key2, r.doc_count) for r in out] == want_order
     with pytest.raises(ESQueryError):
         es_aggregations(dist, {"aggs": {"a": {
             "avg": {"field": "turn_idx"},
             "aggs": {"b": {"terms": {"field": "role"}}}}}})
+
+
+def test_three_level_nested_aggs_with_sizes(spark, tl_setup):
+    # terms(role) > terms(turn_idx bucket, size=3) > terms(conv_id,
+    # size=2): leaf rows equal a pandas recompute of ES semantics —
+    # per-parent top-size buckets by (count desc, key asc), exact
+    # counts, dropped parents dropping their subtree — in faithful
+    # per-level traversal order
+    from research_engine_spark.operators.esdsl import es_aggregations
+
+    d, _ = tl_setup
+    _, dist = _readers(spark, d)
+    out = [(r.key, int(r.key2), r.key3, r.doc_count)
+           for r in es_aggregations(dist, {
+               "aggs": {"l1": {
+                   "terms": {"field": "role"},
+                   "aggs": {"l2": {
+                       "terms": {"field": "turn_idx", "size": 3},
+                       "aggs": {"l3": {
+                           "terms": {"field": "conv_id", "size": 2},
+                       }}}}}}}).collect()]
+
+    pdf = dist.docs.select("role", "turn_idx", "conv_id").toPandas()
+    leaf = (pdf.groupby(["role", "turn_idx", "conv_id"])
+            .size().reset_index(name="n"))
+    rows = []
+    lvl1 = leaf.groupby("role")["n"].sum()
+    for role in sorted(lvl1.index, key=lambda k: (-lvl1[k], k)):
+        sub1 = leaf[leaf["role"] == role]
+        lvl2 = sub1.groupby("turn_idx")["n"].sum()
+        keep2 = sorted(lvl2.index, key=lambda k: (-lvl2[k], k))[:3]
+        for ti in keep2:
+            sub2 = sub1[sub1["turn_idx"] == ti]
+            lvl3 = sub2.set_index("conv_id")["n"]
+            keep3 = sorted(lvl3.index, key=lambda k: (-lvl3[k], k))[:2]
+            rows += [(role, int(ti), cv, int(lvl3[cv])) for cv in keep3]
+    assert out == rows
 
 
 def test_composite_termlevel_bool_identity(spark, tl_setup):
