@@ -2153,6 +2153,61 @@ def engine_es_nested_aggs_documents(spark, sf_dir):
                       "doc_count")
 
 
+@register("engine_nested_sizes_documents", f"""
+WITH tk AS (
+  SELECT doc_id, source, n_chars, {_TOK_SQL} AS tk FROM documents
+),
+matched AS (
+  SELECT doc_id, source, n_chars FROM tk
+  WHERE list_contains(tk, 'table') OR list_contains(tk, 'hash')
+),
+leaf AS (
+  SELECT source AS key, CAST(n_chars % 97 AS INT) AS key2,
+         printf('c%09d', doc_id) AS key3, count(*) AS n
+  FROM matched GROUP BY 1, 2, 3
+),
+l2 AS (SELECT key, key2, sum(n) AS c2 FROM leaf GROUP BY key, key2),
+keep2 AS (
+  SELECT key, key2 FROM (
+    SELECT key, key2, row_number() OVER (
+      PARTITION BY key ORDER BY c2 DESC, key2 ASC) AS rk FROM l2)
+  WHERE rk <= 5
+),
+keep3 AS (
+  SELECT key, key2, key3, n FROM (
+    SELECT leaf.key, leaf.key2, leaf.key3, leaf.n, row_number() OVER (
+      PARTITION BY leaf.key, leaf.key2
+      ORDER BY leaf.n DESC, leaf.key3 ASC) AS rk
+    FROM leaf JOIN keep2 USING (key, key2))
+  WHERE rk <= 2
+)
+SELECT key, key2, key3, CAST(n AS BIGINT) AS doc_count FROM keep3
+""")
+def engine_nested_sizes_documents(spark, sf_dir):
+    """Three-level nested bucket aggregation with per-level ``size``
+    truncation through the DSL over the REAL index,
+    driver-HASH-checked: terms(role) > terms(turn_idx, size=5) >
+    terms(conv_id, size=2) over the match set — ES semantics
+    (top-size buckets per PARENT by count desc then key asc, dropped
+    parents dropping their subtree, counts exact). The oracle
+    recomputes the whole truncation cascade with SQL window ranks."""
+    from .operators.esdsl import es_aggregations
+    from .operators.scorer import IndexReader
+
+    engine_es_aggs_documents(spark, sf_dir)  # ensure the agg index
+    reader = IndexReader(spark, _AGG_IDX_CACHE[sf_dir])
+    out = es_aggregations(reader, {
+        "query": {"match": {"text": "table hash"}},
+        "aggs": {"l1": {
+            "terms": {"field": "role"},
+            "aggs": {"l2": {
+                "terms": {"field": "turn_idx", "size": 5},
+                "aggs": {"l3": {
+                    "terms": {"field": "conv_id", "size": 2}}}}}}}})
+    return out.select("key", F.col("key2").cast("int").alias("key2"),
+                      "key3", "doc_count")
+
+
 _MF_IDX_CACHE: dict[str, str] = {}
 
 
