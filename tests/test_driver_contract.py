@@ -98,12 +98,12 @@ def test_query_matches_oracle(spark, ddb, name):
     assert s_canon == o_canon, f"{name}: values differ\n{s_canon[:3]}\nvs\n{o_canon[:3]}"
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY)
-def test_rows_only_queries_run(spark, name):
-    df = entrymod.queries()[name](spark, SF_DIR)
-    n = df.count()
-    assert n >= 0
-    assert len(df.columns) > 0
+def test_no_rows_only_queries():
+    # every queries() entry carries an oracle_sql() twin — the driver's
+    # weaker rows-only check should never be exercised; if a genuinely
+    # non-SQL-expressible query ever lands here, restore the per-name
+    # run-it smoke test this replaced
+    assert ROWS_ONLY == []
 
 
 def test_entry_smoke(spark):
