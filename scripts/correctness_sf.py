@@ -69,6 +69,10 @@ def main() -> None:
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--only", default=None,
                     help="comma-separated query-name subset")
+    ap.add_argument("--merge", action="store_true",
+                    help="update only --only rows in an existing --out "
+                         "file (recomputing the summary) instead of "
+                         "overwriting it with the subset")
     args = ap.parse_args()
 
     sf = args.sf_dir.rstrip("/").split("sf")[-1]
@@ -83,6 +87,15 @@ def main() -> None:
                       shuffle_partitions=max(args.cores, 16),
                       extra_conf={"spark.ui.showConsoleProgress": "false"})
     con = duckdb.connect()
+    # Big-corpus oracles (the recursive clustering CTE, the shingle
+    # self-join) spill multi-GB temp files; keep DuckDB's spill on the
+    # roomiest scratch available instead of the repo cwd's filesystem,
+    # where it shares the disk with Spark's own local dirs.
+    duck_tmp = os.path.join(
+        "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp",
+        "duckdb_spill")
+    os.makedirs(duck_tmp, exist_ok=True)
+    con.execute(f"SET temp_directory='{duck_tmp}'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"'{args.sf_dir}/{t}.parquet'")
@@ -128,6 +141,12 @@ def main() -> None:
         results[name] = rec
         ok = rec["hash_match"] if rec["err"] is None else rec["err"]
         print(f"  {name}: {ok} ({rec['sec']}s)", file=sys.stderr, flush=True)
+
+    if args.merge and os.path.exists(out_path):
+        with open(out_path) as f:
+            prior = json.load(f)["results"]
+        prior.update(results)
+        results = prior
 
     n_green = sum(1 for r in results.values() if r["hash_match"])
     n_err = sum(1 for r in results.values()
