@@ -550,13 +550,23 @@ def ngram_jaccard_q(spark, sf_dir):
 
 
 @register("near_dup_clusters_documents", f"""
-WITH RECURSIVE {_SHINGLES_CTE},
-cold AS (SELECT shingle FROM shingles GROUP BY shingle HAVING count(*) <= 50),
-fsh AS (SELECT s.doc_id, s.shingle FROM shingles s JOIN cold USING (shingle)),
+WITH RECURSIVE
+toks AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS tk FROM documents
+),
+shingles AS MATERIALIZED (
+  SELECT DISTINCT doc_id,
+         hash(array_to_string(list_slice(tk, i, i + 2), ' ')) AS sh
+  FROM toks, unnest(generate_series(1, greatest(len(tk) - 2, 0))) AS g(i)
+),
+cold AS MATERIALIZED (
+  SELECT sh FROM shingles GROUP BY sh HAVING count(*) <= 50),
+fsh AS MATERIALIZED (
+  SELECT s.doc_id, s.sh FROM shingles s JOIN cold USING (sh)),
 sizes AS (SELECT doc_id, count(*) AS sz FROM fsh GROUP BY doc_id),
-inter AS (
+inter AS MATERIALIZED (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-  FROM fsh a JOIN fsh b ON a.shingle = b.shingle
+  FROM fsh a JOIN fsh b ON a.sh = b.sh
   WHERE a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 ),
@@ -585,7 +595,14 @@ def near_dup_clusters_q(spark, sf_dir):
     propagation = connected components, cluster_id = min doc_id of the
     component. The DuckDB twin computes the same transitive closure with
     a recursive CTE (min over all labels reachable through the symmetric
-    edge set). Same pair emitter + caps as ngram_jaccard_pairs."""
+    edge set). Same pair emitter + caps as ngram_jaccard_pairs, except
+    the oracle joins on hash(shingle) (8-byte key) instead of the raw
+    shingle string: at the 1.2M-doc sweep the string self-join spilled
+    >120 GB of DuckDB temp and died on disk; the hashed twin is
+    semantically identical up to 64-bit collisions (~5e-5 global
+    probability at 5e7 distinct shingles), and the heavy CTEs are
+    forced MATERIALIZED so the WITH RECURSIVE prefix cannot re-evaluate
+    them per reference."""
     d = _t(spark, sf_dir, "documents")
     pairs = DD.ngram_jaccard_pairs(d, threshold=0.2, n=3, max_shingle_df=50)
     return (DD.near_dup_clusters(pairs)
