@@ -144,10 +144,17 @@ def tombstones_df(spark: SparkSession, index_dir: str,
 
 
 def n_tombstone_rows(index_dir: str, path: str | None = None) -> int:
-    """Row count over the tombstone files from parquet footers only
-    (duplicates across files included — an upper bound used to decide
-    whether deletes exist and whether the set is broadcast-sized).
-    ``path`` pins the physical dir to a reader's generation snapshot."""
+    """Row count over the tombstone files from parquet footers only,
+    used to decide whether deletes exist and whether the set is
+    broadcast-sized. Under the single-writer contract this count is
+    EXACT (= the distinct deleted-id count): every tombstone writer
+    (``delete_docs``, ``delete_by_query``, ``upsert_turns``) anti-joins
+    the incoming ids against the existing tombstone set before writing,
+    so no id appears in two files. An out-of-contract concurrent writer
+    could race that check and duplicate ids across files, in which case
+    this footer sum degrades to an upper bound — the safe direction for
+    both uses. ``path`` pins the physical dir to a reader's generation
+    snapshot."""
     import pyarrow.dataset as pads
 
     d = path if path is not None else _tomb_path(index_dir)

@@ -439,3 +439,35 @@ def test_append_after_purge_assigns_fresh_doc_ids(spark, idx):
     hits = _rows(search(appended, QUERIES[0], k=10),
                  ("conv_id", "turn_idx", "score"))
     assert len(hits) == 10
+
+
+def test_tombstone_footer_count_is_exact_distinct(spark, idx):
+    """n_tombstone_rows (parquet-footer sum) == the distinct deleted-id
+    count after an overlapping delete_ids / delete_by_query / upsert
+    sequence: every writer anti-joins existing tombstones, so no id is
+    ever written to two files (the broadcast/purge gates read the exact
+    set size, not an inflated bound)."""
+    reader = IndexReader(spark, idx)
+    n1 = delete_by_query(reader, f"conv_id < '{CUT}'")
+    assert n1 > 0
+    # overlapping re-delete by ids: half already-tombstoned, one fresh
+    dead = deleted_ids_sorted(idx)
+    live = _rows(search(reader, QUERIES[1], k=1, with_text=False))
+    delete_ids(idx, [int(dead[0]), int(dead[-1]), int(live[0][0])])
+    # upsert a turn whose prior version is still live
+    row = (reader.docs.join(
+        spark.createDataFrame([(int(x),) for x in dead], "doc_id bigint"),
+        "doc_id", "left_anti").orderBy("doc_id").first())
+    schema = ("conv_id string, turn_idx int, role string, text string, "
+              "ts timestamp")
+    upsert_turns(spark.createDataFrame(
+        [(row["conv_id"], row["turn_idx"], row["role"], "zzexact probe",
+          row["ts"])], schema), idx)
+    footer = n_tombstone_rows(idx)
+    distinct = len(deleted_ids_sorted(idx))
+    assert footer == distinct
+    # and more than one tombstone file exists, so the invariant is
+    # genuinely cross-file
+    from research_engine_spark.operators.deletes import _tomb_path
+    files = [f for f in os.listdir(_tomb_path(idx)) if f.endswith(".parquet")]
+    assert len(files) >= 3
