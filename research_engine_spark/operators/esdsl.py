@@ -1079,18 +1079,71 @@ def reference_search_body(query: str, fields: dict[str, float] | None = None,
 _METRIC_FNS = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max,
                "value_count": F.count}
 
+# ES percentiles default percents (tdigest agg docs)
+_PCT_DEFAULT = (1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0)
 
-def _metric_col(name: str, spec: dict):
+
+def _pct_alias(name: str, p: float) -> str:
+    return f"{name}_{('%g' % p).replace('.', '_')}"
+
+
+def _metric_cols(name: str, spec: dict) -> list:
+    """Aggregate columns for one ES metric sub-agg. Most metrics yield
+    one column aliased ``name``; ``percentiles`` yields one per percent
+    (``name_50`` …) and ``stats`` its five ES keys (``name_count`` …).
+
+    Approximation policy (the 10^12-row knob): ``cardinality`` and
+    ``percentiles`` are EXACT by default — deterministic and
+    driver-hash-checkable, and a strict superset of ES's guarantee (ES
+    is only exact below ``precision_threshold`` / tdigest resolution).
+    Passing ``"approximate": true`` in the agg args switches to the
+    sketch path Spark already ships JVM-side: ``approx_count_distinct``
+    IS HyperLogLog++ (the exact algorithm ES cardinality uses), with
+    rsd derived from ``precision_threshold`` (default 3000 →
+    rsd ≈ 1.04/√3000 ≈ 0.019); ``percentile_approx`` is the
+    positional-sketch analog of ES's tdigest, accuracy =
+    100 × tdigest ``compression`` (default 100 → 10000, Spark's own
+    default). At terabyte column cardinalities the sketches aggregate
+    in fixed memory per group where exact distinct/percentile would
+    shuffle the full column — same trade ES makes, here opt-in."""
     if len(spec) != 1:
         raise ESQueryError(f"metric agg {name!r} must have one function")
     [(fn, args)] = spec.items()
-    if fn not in _METRIC_FNS:
-        raise ESQueryError(
-            f"unsupported metric {fn!r} (have {sorted(_METRIC_FNS)})")
-    field = args.get("field")
+    field = args.get("field") if isinstance(args, dict) else None
     if not field:
         raise ESQueryError(f"metric agg {name!r} lacks 'field'")
-    return _METRIC_FNS[fn](F.col(field)).alias(name)
+    if fn in _METRIC_FNS:
+        return [_METRIC_FNS[fn](F.col(field)).alias(name)]
+    if fn == "cardinality":
+        if args.get("approximate"):
+            import math
+
+            thr = max(int(args.get("precision_threshold", 3000)), 16)
+            rsd = min(0.05, 1.04 / math.sqrt(thr))
+            return [F.approx_count_distinct(field, rsd).alias(name)]
+        return [F.count_distinct(F.col(field)).alias(name)]
+    if fn == "percentiles":
+        pcts = [float(p) for p in args.get("percents", _PCT_DEFAULT)]
+        if not pcts or not all(0.0 <= p <= 100.0 for p in pcts):
+            raise ESQueryError(f"percentiles {name!r}: bad percents")
+        if args.get("approximate") or "tdigest" in args:
+            acc = int((args.get("tdigest") or {}).get(
+                "compression", 100)) * 100
+            return [F.percentile_approx(field, p / 100.0, acc)
+                    .alias(_pct_alias(name, p)) for p in pcts]
+        return [F.percentile(field, p / 100.0).alias(_pct_alias(name, p))
+                for p in pcts]
+    if fn == "stats":
+        c = F.col(field)
+        return [F.count(c).alias(f"{name}_count"),
+                F.min(c).alias(f"{name}_min"),
+                F.max(c).alias(f"{name}_max"),
+                F.avg(c).alias(f"{name}_avg"),
+                F.sum(c).alias(f"{name}_sum")]
+    raise ESQueryError(
+        f"unsupported metric {fn!r} (have {sorted(_METRIC_FNS)} + "
+        "cardinality, percentiles, stats; top_hits nests only inside a "
+        "single-level bucket agg)")
 
 
 def es_aggregations(index, body: dict, k1: float | None = None,
@@ -1120,9 +1173,11 @@ def es_aggregations(index, body: dict, k1: float | None = None,
     query = body.get("query", {"match_all": {}})
     [(kind, _)] = query.items()
     if kind == "match_all":
+        matched_scores = None
         matched = reader.live_only(reader.docs.select("doc_id"))
     else:
-        matched = _clause_df(ctx, query).select("doc_id")
+        matched_scores = _clause_df(ctx, query).select("doc_id", "score")
+        matched = matched_scores.select("doc_id")
     docs = reader.docs.join(matched, "doc_id", "left_semi")
 
     [(name, spec)] = aggs.items()
@@ -1177,7 +1232,11 @@ def es_aggregations(index, body: dict, k1: float | None = None,
         aliases = ["key"] + [f"key{i + 1}" for i in range(1, len(chain))]
         keys = [_bucket_key(t, a, al)
                 for (t, a), al in zip(chain, aliases)]
-        subcols = [_metric_col(n, s) for n, s in leaf_metrics.items()]
+        if any("top_hits" in dict(s) for s in leaf_metrics.values()):
+            raise ESQueryError("top_hits nests only inside a "
+                               "single-level bucket agg")
+        subcols = [c for n, s in leaf_metrics.items()
+                   for c in _metric_cols(n, s)]
         flat = docs.groupBy(*keys).agg(
             F.count(F.lit(1)).alias("doc_count"), *subcols)
         order_cols, cnt_cols = [], []
@@ -1210,20 +1269,84 @@ def es_aggregations(index, body: dict, k1: float | None = None,
                     .filter(F.col("_rk") <= int(bargs["size"]))
                     .drop("_rk"))
         return flat.orderBy(*order_cols).drop(*cnt_cols)
-    subcols = [_metric_col(n, s) for n, s in (sub or {}).items()]
+    hits_specs = {n: dict(s)["top_hits"] for n, s in (sub or {}).items()
+                  if "top_hits" in dict(s)}
+    metric_sub = {n: s for n, s in (sub or {}).items()
+                  if "top_hits" not in dict(s)}
+    if hits_specs and atype not in ("terms", "date_histogram"):
+        raise ESQueryError("top_hits nests only inside a bucket agg")
+    if len(hits_specs) > 1:
+        raise ESQueryError("at most one top_hits sub-agg per bucket agg")
+    subcols = [c for n, s in metric_sub.items() for c in _metric_cols(n, s)]
     if atype == "terms":
         out = (docs.groupBy(_bucket_key(atype, args, "key"))
                .agg(F.count(F.lit(1)).alias("doc_count"), *subcols)
                .orderBy(F.desc("doc_count"), F.asc("key")))
         if "size" in args:
             out = out.limit(int(args["size"]))
+    elif atype == "date_histogram":
+        out = (docs.groupBy(_bucket_key(atype, args, "key"))
+               .agg(F.count(F.lit(1)).alias("doc_count"), *subcols)
+               .orderBy(F.asc("key")))
+    else:
+        # bare metric agg: one row
+        return docs.agg(*_metric_cols(name, {atype: args}))
+    if not hits_specs:
         return out
-    if atype == "date_histogram":
-        return (docs.groupBy(_bucket_key(atype, args, "key"))
-                .agg(F.count(F.lit(1)).alias("doc_count"), *subcols)
-                .orderBy(F.asc("key")))
-    # bare metric agg: one row
-    return docs.agg(_metric_col(name, {atype: args}))
+    [(_, hspec)] = hits_specs.items()
+    hits = _top_hits_df(docs, _bucket_key(atype, args, "key"), hspec,
+                        scored_match=matched_scores)
+    # flatten ES's buckets-with-hits: one row per (bucket, hit), bucket
+    # columns repeated — buckets keep their order, hits theirs within
+    order = ([F.desc("doc_count"), F.asc("key")] if atype == "terms"
+             else [F.asc("key")])
+    return (out.join(hits, "key").orderBy(*order, F.asc("hit_rank")))
+
+
+def _top_hits_df(docs: DataFrame, key_col, hspec: dict,
+                 scored_match: DataFrame | None) -> DataFrame:
+    """ES ``top_hits``: the top ``size`` documents per bucket, Spark-
+    first as ONE window ``row_number`` over the bucket key — no
+    per-bucket query re-execution (ES fetches hits per shard per
+    bucket; here the whole tree is one shuffle on the key + one window
+    pass). Sort: a list of ``{field: {"order": ...}}`` (default
+    ``_score`` desc — available because the match set carries scores),
+    doc_id asc appended as the deterministic tiebreak. ``_source``
+    picks the doc columns to surface (default none: doc_id only);
+    ``_score`` orders hits but is never a result column — surfacing it
+    would tie the agg output schema to the query type."""
+    from pyspark.sql import Window
+
+    size = int(hspec.get("size", 3))
+    sort = hspec.get("sort") or [{"_score": {"order": "desc"}}]
+    frame = docs
+    if scored_match is not None:
+        frame = docs.join(scored_match.withColumnRenamed(
+            "score", "_score"), "doc_id")
+    cols = []
+    for s in sort:
+        if isinstance(s, str):
+            s = {s: {"order": "asc"}}
+        [(fld, opts)] = s.items()
+        if fld == "_score" and scored_match is None:
+            raise ESQueryError("top_hits sort on _score needs a scoring "
+                               "query (not match_all)")
+        if fld != "_score" and fld not in docs.columns:
+            raise ESQueryError(f"top_hits sort field {fld!r} not in docs")
+        desc = (opts or {}).get("order", "asc") == "desc"
+        cols.append(F.col(fld).desc() if desc else F.col(fld).asc())
+    cols.append(F.asc("doc_id"))
+    src = list(hspec.get("_source") or [])
+    missing = sorted(set(src) - set(docs.columns))
+    if missing:
+        raise ESQueryError(f"top_hits _source not in docs: {missing}")
+    w = Window.partitionBy("key").orderBy(*cols)
+    # rank over the FULL row (sort fields + _score still present), then
+    # narrow to the hit columns
+    return (frame.withColumn("key", key_col)
+            .withColumn("hit_rank", F.row_number().over(w))
+            .filter(F.col("hit_rank") <= size)
+            .select("key", "doc_id", *src, "hit_rank"))
 
 
 def _bucket_key(atype: str, args: dict, alias: str):

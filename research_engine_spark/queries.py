@@ -2225,6 +2225,118 @@ def engine_nested_sizes_documents(spark, sf_dir):
                       "key3", "doc_count")
 
 
+@register("engine_es_metric_aggs_documents", f"""
+WITH tk AS (
+  SELECT doc_id, source, CAST(n_chars % 97 AS INT) AS ti,
+         {_TOK_SQL} AS tk FROM documents
+),
+matched AS (
+  SELECT doc_id, source, ti FROM tk
+  WHERE list_contains(tk, 'table') OR list_contains(tk, 'hash')
+)
+SELECT source AS key, CAST(count(*) AS BIGINT) AS doc_count,
+       CAST(count(DISTINCT ti) AS BIGINT) AS uniq_turns,
+       round(quantile_cont(ti, 0.50), 4) AS pct_50,
+       round(quantile_cont(ti, 0.95), 4) AS pct_95,
+       CAST(count(ti) AS BIGINT) AS ti_count,
+       CAST(min(ti) AS INT) AS ti_min,
+       CAST(max(ti) AS INT) AS ti_max,
+       round(avg(ti), 4) AS ti_avg,
+       CAST(sum(ti) AS BIGINT) AS ti_sum
+FROM matched GROUP BY source
+ORDER BY doc_count DESC, key ASC
+""")
+def engine_es_metric_aggs_documents(spark, sf_dir):
+    """The round-5 metric aggs — ``cardinality`` (exact path),
+    ``percentiles`` (exact path), ``stats`` — as sub-aggs of a terms
+    bucket through the DSL over the REAL index, driver-HASH-checked:
+    the oracle recomputes count(DISTINCT), quantile_cont (the same
+    (n-1)·p linear interpolation Spark's exact ``percentile`` uses),
+    and the five ES stats keys over the regrouped match set. The
+    approximate twins (`approx_count_distinct` = HLL++ exactly as ES
+    cardinality, `percentile_approx` = the tdigest analog) are
+    error-bound-tested in pytest — sketches are not hash-comparable by
+    construction."""
+    from .operators.esdsl import es_aggregations
+    from .operators.scorer import IndexReader
+
+    engine_es_aggs_documents(spark, sf_dir)  # ensure the agg index
+    reader = IndexReader(spark, _AGG_IDX_CACHE[sf_dir])
+    out = es_aggregations(reader, {
+        "query": {"match": {"text": "table hash"}},
+        "aggs": {"by_source": {
+            "terms": {"field": "role"},
+            "aggs": {
+                "uniq_turns": {"cardinality": {"field": "turn_idx"}},
+                "pct": {"percentiles": {"field": "turn_idx",
+                                        "percents": [50, 95]}},
+                "ti": {"stats": {"field": "turn_idx"}},
+            }}}})
+    return out.select(
+        "key", "doc_count", "uniq_turns",
+        F.round("pct_50", 4).alias("pct_50"),
+        F.round("pct_95", 4).alias("pct_95"),
+        "ti_count", "ti_min", "ti_max",
+        F.round("ti_avg", 4).alias("ti_avg"),
+        F.col("ti_sum").cast("long").alias("ti_sum"))
+
+
+@register("engine_es_top_hits_documents", f"""
+WITH tk AS (
+  SELECT doc_id, source, CAST(n_chars % 97 AS INT) AS ti,
+         {_TOK_SQL} AS tk FROM documents
+),
+matched AS (
+  SELECT doc_id, source, ti FROM tk
+  WHERE list_contains(tk, 'table') OR list_contains(tk, 'hash')
+),
+buckets AS (
+  SELECT source AS key, count(*) AS doc_count,
+         row_number() OVER (ORDER BY count(*) DESC, source ASC) AS brk
+  FROM matched GROUP BY source
+),
+hits AS (
+  SELECT m.source AS key, m.doc_id, m.ti,
+         row_number() OVER (PARTITION BY m.source
+                            ORDER BY m.ti DESC, m.doc_id ASC) AS hit_rank
+  FROM matched m
+)
+SELECT b.key, CAST(b.doc_count AS BIGINT) AS doc_count,
+       CAST(h.doc_id AS BIGINT) AS doc_id,
+       CAST(h.ti AS INT) AS turn_idx,
+       CAST(h.hit_rank AS INT) AS hit_rank
+FROM buckets b JOIN hits h ON h.key = b.key
+WHERE b.brk <= 2 AND h.hit_rank <= 3
+ORDER BY b.doc_count DESC, b.key ASC, h.hit_rank ASC
+""")
+def engine_es_top_hits_documents(spark, sf_dir):
+    """``top_hits`` (round 5) through the DSL over the REAL index,
+    driver-HASH-checked: the top-2 role buckets each carry their top-3
+    docs by (turn_idx desc, docID asc) — Spark-first as ONE window
+    row_number over the bucket key (no per-bucket re-query), joined
+    back to the bucket counts. docIDs surface via the conv_id mapping
+    (engine docIDs are assigned in stable (conv_id, turn_idx) order —
+    J1's global-sort identity — so the oracle's documents.doc_id
+    tiebreak is the same order)."""
+    from .operators.esdsl import es_aggregations
+    from .operators.scorer import IndexReader
+
+    engine_es_aggs_documents(spark, sf_dir)  # ensure the agg index
+    reader = IndexReader(spark, _AGG_IDX_CACHE[sf_dir])
+    out = es_aggregations(reader, {
+        "query": {"match": {"text": "table hash"}},
+        "aggs": {"by_source": {
+            "terms": {"field": "role", "size": 2},
+            "aggs": {"top": {"top_hits": {
+                "size": 3,
+                "sort": [{"turn_idx": {"order": "desc"}}],
+                "_source": ["conv_id", "turn_idx"]}}}}}})
+    return out.select(
+        "key", "doc_count",
+        F.substring("conv_id", 2, 9).cast("long").alias("doc_id"),
+        "turn_idx", F.col("hit_rank").cast("int").alias("hit_rank"))
+
+
 _MF_IDX_CACHE: dict[str, str] = {}
 
 

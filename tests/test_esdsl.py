@@ -330,3 +330,125 @@ def test_four_should_clauses_bit_identical_across_paths(spark, es_setup):
     # bitwise float equality, not rounded
     assert a["score"].to_numpy(np.float64).tobytes() == \
         b["score"].to_numpy(np.float64).tobytes()
+
+
+def test_metric_aggs_cardinality_percentiles_stats(spark, es_setup):
+    """Round-5 metric aggs: exact paths verified against direct
+    recomputation over the match set; the approximate twins (HLL++
+    cardinality, percentile_approx) land within their error bounds."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from research_engine_spark.operators.esdsl import es_aggregations
+
+    d, _ = es_setup
+    r = IndexReader(spark, d)
+    body = lambda aggs: {"query": {"match": {"text": "neural"}},
+                         "aggs": {"by_role": {"terms": {"field": "role"},
+                                              "aggs": aggs}}}
+    out = {x.key: x for x in es_aggregations(r, body({
+        "uc": {"cardinality": {"field": "conv_id"}},
+        "pc": {"percentiles": {"field": "turn_idx",
+                               "percents": [50, 99]}},
+        "st": {"stats": {"field": "turn_idx"}},
+    })).collect()}
+    matched = search(r, "neural", k=10**6, with_text=False,
+                     _all_matches=True).select("doc_id")
+    base = r.docs.join(matched, "doc_id", "left_semi").toPandas()
+    for role, grp in base.groupby("role"):
+        got = out[role]
+        ti = grp["turn_idx"].to_numpy(np.float64)
+        assert got.uc == grp["conv_id"].nunique()
+        # Spark exact percentile == numpy linear interpolation
+        assert got.pc_50 == pytest.approx(
+            np.percentile(ti, 50, method="linear"), abs=1e-9)
+        assert got.pc_99 == pytest.approx(
+            np.percentile(ti, 99, method="linear"), abs=1e-9)
+        assert (got.st_count, got.st_min, got.st_max, got.st_sum) == (
+            len(ti), int(ti.min()), int(ti.max()), int(ti.sum()))
+        assert got.st_avg == pytest.approx(ti.mean())
+    # approximate twins: HLL++ within rsd bound, tdigest-analog within
+    # one rank of the exact percentile at this tiny cardinality
+    appr = {x.key: x for x in es_aggregations(r, body({
+        "uc": {"cardinality": {"field": "conv_id", "approximate": True}},
+        "pc": {"percentiles": {"field": "turn_idx", "percents": [50],
+                               "approximate": True}},
+    })).collect()}
+    for role, grp in base.groupby("role"):
+        exact = grp["conv_id"].nunique()
+        assert abs(appr[role].uc - exact) <= max(3, 0.1 * exact)
+        ti = np.sort(grp["turn_idx"].to_numpy(np.float64))
+        assert ti[0] <= appr[role].pc_50 <= ti[-1]
+
+
+def test_top_hits_score_sort_matches_search(spark, es_setup):
+    """top_hits default (_score desc) returns, per bucket, exactly the
+    match-set docs ranked as search() ranks them within that bucket."""
+    from research_engine_spark.operators.esdsl import es_aggregations
+
+    d, _ = es_setup
+    r = IndexReader(spark, d)
+    out = es_aggregations(r, {
+        "query": {"match": {"text": "neural networks"}},
+        "aggs": {"by_role": {"terms": {"field": "role"},
+                 "aggs": {"h": {"top_hits": {"size": 3}}}}}})
+    assert out.columns == ["key", "doc_count", "doc_id", "hit_rank"]
+    got = [(x.key, x.hit_rank, x.doc_id) for x in out.collect()]
+    # oracle: full ranked match list, grouped by role driver-side
+    from pyspark.sql import functions as F
+
+    full = (search(r, "neural networks", k=10**6, with_text=False,
+                   _all_matches=True)
+            .join(r.docs.select("doc_id", "role"), "doc_id")
+            .orderBy(F.desc("score"), F.asc("doc_id")).collect())
+    want, seen = [], {}
+    for row in full:
+        k = seen.get(row.role, 0) + 1
+        seen[row.role] = k
+        if k <= 3:
+            want.append((row.role, k, row.doc_id))
+    assert sorted(got) == sorted(want)
+    # hits ordered within each bucket, ranks dense from 1
+    ranks = {}
+    for x in out.collect():
+        ranks.setdefault(x.key, []).append(x.hit_rank)
+    assert all(v == sorted(v) and v[0] == 1 for v in ranks.values())
+
+
+def test_top_hits_field_sort_and_errors(spark, es_setup):
+    from pyspark.sql import functions as F
+    from research_engine_spark.operators.esdsl import es_aggregations
+
+    d, _ = es_setup
+    r = IndexReader(spark, d)
+    out = es_aggregations(r, {
+        "aggs": {"by_role": {"terms": {"field": "role", "size": 2},
+                 "aggs": {"h": {"top_hits": {
+                     "size": 2, "sort": [{"turn_idx": {"order": "desc"}}],
+                     "_source": ["turn_idx"]}}}}}}).collect()
+    assert len({x.key for x in out}) == 2  # terms size honored
+    per = {}
+    for x in out:
+        per.setdefault(x.key, []).append(x.turn_idx)
+    top2 = (r.docs.groupBy("role").count()
+            .orderBy(F.desc("count"), F.asc("role")).limit(2).collect())
+    for row in top2:
+        want = [x.turn_idx for x in
+                r.docs.filter(F.col("role") == row.role)
+                .orderBy(F.desc("turn_idx"), F.asc("doc_id"))
+                .limit(2).collect()]
+        assert per[row.role] == want
+    with pytest.raises(ESQueryError, match="_score needs a scoring"):
+        es_aggregations(r, {"aggs": {"b": {"terms": {"field": "role"},
+                            "aggs": {"h": {"top_hits": {}}}}}})
+    with pytest.raises(ESQueryError, match="single-level bucket"):
+        es_aggregations(r, {
+            "query": {"match": {"text": "neural"}},
+            "aggs": {"b": {"terms": {"field": "role"},
+                     "aggs": {"c": {"terms": {"field": "turn_idx"},
+                              "aggs": {"h": {"top_hits": {}}}}}}}})
+    with pytest.raises(ESQueryError, match="not in docs"):
+        es_aggregations(r, {
+            "query": {"match": {"text": "neural"}},
+            "aggs": {"b": {"terms": {"field": "role"},
+                     "aggs": {"h": {"top_hits": {
+                         "sort": [{"nope": {"order": "asc"}}]}}}}}})
