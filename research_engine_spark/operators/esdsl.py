@@ -1079,6 +1079,10 @@ def reference_search_body(query: str, fields: dict[str, float] | None = None,
 _METRIC_FNS = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max,
                "value_count": F.count}
 
+# bucket-agg kinds that can nest inside each other (range buckets can
+# overlap, so range stays single-level by construction)
+_BUCKET_TYPES = frozenset({"terms", "date_histogram", "histogram"})
+
 # ES percentiles default percents (tdigest agg docs)
 _PCT_DEFAULT = (1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0)
 
@@ -1185,7 +1189,7 @@ def es_aggregations(index, body: dict, k1: float | None = None,
     sub = spec.pop("aggs", None)
     [(atype, args)] = spec.items()
     nested = {n: s for n, s in (sub or {}).items()
-              if set(dict(s)) - {"aggs"} & {"terms", "date_histogram"}}
+              if set(dict(s)) - {"aggs"} & _BUCKET_TYPES}
     if nested:
         # A CHAIN of nested bucket aggs at arbitrary depth (ES
         # buckets-in-buckets-in-buckets...), flattened Spark-first:
@@ -1206,8 +1210,7 @@ def es_aggregations(index, body: dict, k1: float | None = None,
         cur_sub, leaf_metrics = sub, {}
         while True:
             bucket = {n: s for n, s in (cur_sub or {}).items()
-                      if set(dict(s)) - {"aggs"} & {"terms",
-                                                    "date_histogram"}}
+                      if set(dict(s)) - {"aggs"} & _BUCKET_TYPES}
             if not bucket:
                 leaf_metrics = dict(cur_sub or {})
                 break
@@ -1216,7 +1219,7 @@ def es_aggregations(index, body: dict, k1: float | None = None,
                     "at most one nested bucket agg (optionally with its "
                     "own metric sub-aggs) is supported inside a bucket "
                     "agg")
-            if chain[-1][0] not in ("terms", "date_histogram"):
+            if chain[-1][0] not in _BUCKET_TYPES:
                 raise ESQueryError("only bucket aggs can nest bucket "
                                    "aggs")
             [(_, inner_spec)] = bucket.items()
@@ -1224,7 +1227,7 @@ def es_aggregations(index, body: dict, k1: float | None = None,
             cur_sub = inner_spec.pop("aggs", None)
             [(in_type, in_args)] = inner_spec.items()
             chain.append((in_type, dict(in_args)))
-        if chain[-1][0] not in ("terms", "date_histogram"):
+        if chain[-1][0] not in _BUCKET_TYPES:
             raise ESQueryError("only bucket aggs can nest bucket aggs")
 
         from pyspark.sql import Window
@@ -1273,7 +1276,8 @@ def es_aggregations(index, body: dict, k1: float | None = None,
                   if "top_hits" in dict(s)}
     metric_sub = {n: s for n, s in (sub or {}).items()
                   if "top_hits" not in dict(s)}
-    if hits_specs and atype not in ("terms", "date_histogram"):
+    if hits_specs and atype not in ("terms", "date_histogram",
+                                    "histogram"):
         raise ESQueryError("top_hits nests only inside a bucket agg")
     if len(hits_specs) > 1:
         raise ESQueryError("at most one top_hits sub-agg per bucket agg")
@@ -1284,10 +1288,22 @@ def es_aggregations(index, body: dict, k1: float | None = None,
                .orderBy(F.desc("doc_count"), F.asc("key")))
         if "size" in args:
             out = out.limit(int(args["size"]))
-    elif atype == "date_histogram":
+    elif atype in ("date_histogram", "histogram"):
         out = (docs.groupBy(_bucket_key(atype, args, "key"))
                .agg(F.count(F.lit(1)).alias("doc_count"), *subcols)
                .orderBy(F.asc("key")))
+    elif atype == "range":
+        if hits_specs:
+            raise ESQueryError("top_hits is not supported inside range")
+        return _range_agg(docs, args, metric_sub)
+    elif atype == "significant_terms":
+        if sub:
+            raise ESQueryError("significant_terms takes no sub-aggs")
+        if kind == "match_all":
+            raise ESQueryError(
+                "significant_terms needs a foreground query — under "
+                "match_all the foreground IS the background")
+        return _significant_terms(reader, docs, args)
     else:
         # bare metric agg: one row
         return docs.agg(*_metric_cols(name, {atype: args}))
@@ -1349,6 +1365,110 @@ def _top_hits_df(docs: DataFrame, key_col, hspec: dict,
             .select("key", "doc_id", *src, "hit_rank"))
 
 
+def _range_agg(docs: DataFrame, args: dict, metric_sub: dict) -> DataFrame:
+    """ES ``range`` agg, faithfully: ranges are [from, to), MAY overlap
+    (a doc lands in every matching bucket — why this cannot be one
+    groupBy), empty buckets are returned with doc_count 0, and buckets
+    come back in the order given. One filtered global-agg leg per range
+    unioned — Catalyst shares the scan across legs, and the range count
+    is user-written and small. Key format: "from-to" with "*" for an
+    open edge (numbers via %g)."""
+    field = args.get("field")
+    ranges = args.get("ranges")
+    if not field or not ranges or not isinstance(ranges, list):
+        raise ESQueryError("range needs 'field' and a 'ranges' list")
+    frames = []
+    for i, r in enumerate(ranges):
+        lo, hi = r.get("from"), r.get("to")
+        if lo is None and hi is None:
+            raise ESQueryError(f"range #{i} needs 'from' and/or 'to'")
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col(field) >= F.lit(float(lo)))
+        if hi is not None:
+            cond = cond & (F.col(field) < F.lit(float(hi)))
+        label = ("*" if lo is None else "%g" % float(lo)) + "-" + \
+                ("*" if hi is None else "%g" % float(hi))
+        subcols = [c for n, s in metric_sub.items()
+                   for c in _metric_cols(n, s)]
+        frames.append(
+            docs.filter(cond)
+            .agg(F.count(F.lit(1)).alias("doc_count"), *subcols)
+            .select(F.lit(label).alias("key"), "*",
+                    F.lit(i).alias("_ro")))
+    return reduce(DataFrame.unionByName, frames).orderBy("_ro").drop("_ro")
+
+
+def _significant_terms(reader, docs: DataFrame, args: dict) -> DataFrame:
+    """ES ``significant_terms`` (JLH heuristic — Lucene's JLHScore):
+    terms overrepresented in the foreground match set vs the whole
+    index. The LLM-pipeline use: "what vocabulary characterizes the
+    documents matching X" (per-source contamination probes, topic
+    drift, near-dup cluster labeling).
+
+    Spark-first and scan-free on the background side: background doc
+    frequencies come from the index's own term dictionary
+    (``term_stats``, built once at index time) — ES does exactly this
+    with shard-level docfreq, which also counts deleted-but-unmerged
+    docs until a merge, and so does this (tombstoned docs stay in df
+    until purge). Only the FOREGROUND is tokenized: one Arrow-batch
+    ``mapInPandas`` pass over the matched docs emitting distinct
+    (doc, term) rows + one groupBy(term) — the same shape as the
+    build's stats stage, over the match set only, never a corpus
+    re-scan.
+
+    score = (fg% - bg%) · (fg% / bg%) for fg% > bg% (JLH); buckets
+    filtered to ``min_doc_count`` (ES default 3), top ``size`` (default
+    10) by score desc then term asc. Returns (key, doc_count, bg_count,
+    score)."""
+    field = args.get("field")
+    if field != "text":
+        raise ESQueryError(
+            "significant_terms supports field 'text' (background doc "
+            "frequencies come from the index term dictionary, which "
+            "indexes the text field)")
+    size = int(args.get("size", 10))
+    min_dc = int(args.get("min_doc_count", 3))
+    mode = reader.stats.get("analyzer", "english_folded")
+    fg_total = docs.count()
+    if fg_total == 0:
+        spark = docs.sparkSession
+        return spark.createDataFrame(
+            [], "key string, doc_count bigint, bg_count bigint, "
+                "score double")
+
+    def _fg_terms(it):
+        import numpy as np
+        import pandas as pd
+
+        from ..functions.analyzer import analyze_flat
+
+        for pdf in it:
+            codes, terms, lens = analyze_flat(pdf["text"], mode=mode)
+            if codes.size == 0:
+                continue
+            didx = np.repeat(np.arange(len(pdf), dtype=np.int64), lens)
+            uk = np.unique(didx * np.int64(terms.size) + codes)
+            yield pd.DataFrame(
+                {"term": terms[(uk % np.int64(terms.size))]})
+
+    fg = (docs.select("text").mapInPandas(_fg_terms, "term string")
+          .groupBy("term").agg(F.count(F.lit(1)).alias("doc_count")))
+    bg = (reader.term_stats.groupBy("term")
+          .agg(F.sum("df").cast("long").alias("bg_count")))
+    n_bg = int(reader.stats["n_docs"])
+    fgp = F.col("doc_count") / F.lit(float(fg_total))
+    bgp = F.col("bg_count") / F.lit(float(n_bg))
+    return (fg.join(bg, "term")
+            .withColumn("score", (fgp - bgp) * (fgp / bgp))
+            .filter((F.col("doc_count") >= min_dc) & (F.col("score") > 0))
+            .select(F.col("term").alias("key"),
+                    F.col("doc_count").cast("long").alias("doc_count"),
+                    "bg_count", "score")
+            .orderBy(F.desc("score"), F.asc("key"))
+            .limit(size))
+
+
 def _bucket_key(atype: str, args: dict, alias: str):
     """The grouping expression of one bucket-agg level."""
     field = args.get("field")
@@ -1364,6 +1484,17 @@ def _bucket_key(atype: str, args: dict, alias: str):
         if interval not in units:
             raise ESQueryError(f"unsupported interval {interval!r}")
         return F.date_trunc(units[interval], F.col(field)).alias(alias)
+    if atype == "histogram":
+        if "interval" not in args:
+            raise ESQueryError("histogram needs 'interval'")
+        interval = float(args["interval"])
+        if interval <= 0:
+            raise ESQueryError("histogram interval must be > 0")
+        off = float(args.get("offset", 0.0))
+        # ES bucket key = the bucket's inclusive lower bound
+        return ((F.floor((F.col(field) - F.lit(off)) / F.lit(interval))
+                 * F.lit(interval) + F.lit(off))
+                .cast("double").alias(alias))
     raise ESQueryError(f"unsupported bucket agg {atype!r}")
 
 

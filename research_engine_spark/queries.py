@@ -2337,6 +2337,142 @@ def engine_es_top_hits_documents(spark, sf_dir):
         "turn_idx", F.col("hit_rank").cast("int").alias("hit_rank"))
 
 
+@register("engine_es_histogram_documents", f"""
+WITH tk AS (
+  SELECT doc_id, CAST(n_chars % 97 AS INT) AS ti, {_TOK_SQL} AS tk
+  FROM documents
+),
+matched AS (
+  SELECT doc_id, ti FROM tk
+  WHERE list_contains(tk, 'table') OR list_contains(tk, 'hash')
+)
+SELECT CAST(floor(ti / 10.0) * 10 AS DOUBLE) AS key,
+       CAST(count(*) AS BIGINT) AS doc_count,
+       round(avg(ti), 4) AS avg_ti
+FROM matched GROUP BY 1 ORDER BY key ASC
+""")
+def engine_es_histogram_documents(spark, sf_dir):
+    """Numeric ``histogram`` bucket agg (round 5) through the DSL over
+    the REAL index, driver-HASH-checked: fixed-interval buckets keyed
+    by their inclusive lower bound (ES semantics), an avg metric riding
+    along, ascending keys — one Catalyst groupBy on the bucket
+    expression."""
+    from .operators.esdsl import es_aggregations
+    from .operators.scorer import IndexReader
+
+    engine_es_aggs_documents(spark, sf_dir)  # ensure the agg index
+    reader = IndexReader(spark, _AGG_IDX_CACHE[sf_dir])
+    out = es_aggregations(reader, {
+        "query": {"match": {"text": "table hash"}},
+        "aggs": {"by_ti": {
+            "histogram": {"field": "turn_idx", "interval": 10},
+            "aggs": {"avg_ti": {"avg": {"field": "turn_idx"}}}}}})
+    return out.select("key", "doc_count",
+                      F.round("avg_ti", 4).alias("avg_ti"))
+
+
+@register("engine_es_range_documents", f"""
+WITH tk AS (
+  SELECT doc_id, CAST(n_chars % 97 AS INT) AS ti, {_TOK_SQL} AS tk
+  FROM documents
+),
+matched AS (
+  SELECT doc_id, ti FROM tk
+  WHERE list_contains(tk, 'table') OR list_contains(tk, 'hash')
+)
+SELECT '*-30' AS key, CAST(count(*) AS BIGINT) AS doc_count,
+       round(avg(ti), 4) AS avg_ti FROM matched WHERE ti < 30
+UNION ALL
+SELECT '20-60', CAST(count(*) AS BIGINT), round(avg(ti), 4)
+FROM matched WHERE ti >= 20 AND ti < 60
+UNION ALL
+SELECT '100000-*', CAST(count(*) AS BIGINT), round(avg(ti), 4)
+FROM matched WHERE ti >= 100000
+UNION ALL
+SELECT '60-*', CAST(count(*) AS BIGINT), round(avg(ti), 4)
+FROM matched WHERE ti >= 60
+""")
+def engine_es_range_documents(spark, sf_dir):
+    """``range`` bucket agg (round 5) through the DSL over the REAL
+    index, driver-HASH-checked with ES-faithful corners the oracle
+    mirrors: OVERLAPPING ranges (20-60 overlaps both neighbors — a doc
+    lands in every matching bucket, so this can never be one groupBy),
+    open edges, and an EMPTY bucket returned with doc_count 0 and NULL
+    metric."""
+    from .operators.esdsl import es_aggregations
+    from .operators.scorer import IndexReader
+
+    engine_es_aggs_documents(spark, sf_dir)  # ensure the agg index
+    reader = IndexReader(spark, _AGG_IDX_CACHE[sf_dir])
+    out = es_aggregations(reader, {
+        "query": {"match": {"text": "table hash"}},
+        "aggs": {"rg": {
+            "range": {"field": "turn_idx", "ranges": [
+                {"to": 30}, {"from": 20, "to": 60},
+                {"from": 100000}, {"from": 60}]},
+            "aggs": {"avg_ti": {"avg": {"field": "turn_idx"}}}}}})
+    return out.select("key", "doc_count",
+                      F.round("avg_ti", 4).alias("avg_ti"))
+
+
+@register("engine_es_sig_terms_documents", f"""
+WITH tk AS (
+  SELECT doc_id, {_TOK_SQL} AS tk FROM documents
+),
+fg_docs AS (
+  SELECT doc_id, tk FROM tk
+  WHERE list_contains(tk, 'table') OR list_contains(tk, 'hash')
+),
+fg AS (
+  SELECT term, count(*) AS doc_count FROM (
+    SELECT DISTINCT doc_id, unnest(tk) AS term FROM fg_docs)
+  GROUP BY term
+),
+bg AS (
+  SELECT term, count(*) AS bg_count FROM (
+    SELECT DISTINCT doc_id, unnest(tk) AS term FROM tk)
+  GROUP BY term
+),
+tot AS (
+  SELECT (SELECT count(*) FROM fg_docs) AS n_fg,
+         (SELECT count(*) FROM documents) AS n_bg
+)
+SELECT key, doc_count, bg_count, round(score, 4) AS score FROM (
+  SELECT fg.term AS key,
+         CAST(fg.doc_count AS BIGINT) AS doc_count,
+         CAST(bg.bg_count AS BIGINT) AS bg_count,
+         (fg.doc_count / CAST(n_fg AS DOUBLE)
+          - bg.bg_count / CAST(n_bg AS DOUBLE))
+         * ((fg.doc_count / CAST(n_fg AS DOUBLE))
+            / (bg.bg_count / CAST(n_bg AS DOUBLE))) AS score
+  FROM fg JOIN bg USING (term), tot
+  WHERE fg.doc_count >= 3)
+WHERE score > 0
+ORDER BY score DESC, key ASC LIMIT 10
+""")
+def engine_es_sig_terms_documents(spark, sf_dir):
+    """``significant_terms`` (round 5, JLH heuristic) through the DSL
+    over the REAL index, driver-HASH-checked: the terms
+    overrepresented in the "table hash" match set vs the whole corpus.
+    The engine's background doc frequencies come from the index's own
+    term dictionary (scan-free — the same numbers
+    engine_term_stats_documents hash-validates); only the foreground is
+    tokenized, one Arrow mapInPandas pass + one groupBy(term). The
+    oracle recomputes both sides from raw text and the identical JLH
+    formula."""
+    from .operators.esdsl import es_aggregations
+    from .operators.scorer import IndexReader
+
+    engine_es_aggs_documents(spark, sf_dir)  # ensure the agg index
+    reader = IndexReader(spark, _AGG_IDX_CACHE[sf_dir])
+    out = es_aggregations(reader, {
+        "query": {"match": {"text": "table hash"}},
+        "aggs": {"sig": {"significant_terms": {
+            "field": "text", "size": 10}}}})
+    return out.select("key", "doc_count", "bg_count",
+                      F.round("score", 4).alias("score"))
+
+
 _MF_IDX_CACHE: dict[str, str] = {}
 
 

@@ -452,3 +452,86 @@ def test_top_hits_field_sort_and_errors(spark, es_setup):
             "aggs": {"b": {"terms": {"field": "role"},
                      "aggs": {"h": {"top_hits": {
                          "sort": [{"nope": {"order": "asc"}}]}}}}}})
+
+
+def test_histogram_and_range_aggs(spark, es_setup):
+    """Round-5 bucket aggs: histogram keys are inclusive lower bounds
+    ascending; range honors [from, to), overlap (doc counted in every
+    matching bucket), empty buckets, and given order."""
+    from pyspark.sql import functions as F
+    from research_engine_spark.operators.esdsl import es_aggregations
+
+    d, _ = es_setup
+    r = IndexReader(spark, d)
+    matched = search(r, "neural", k=10**6, with_text=False,
+                     _all_matches=True).select("doc_id")
+    base = (r.docs.join(matched, "doc_id", "left_semi")
+            .select("turn_idx").toPandas()["turn_idx"])
+    out = es_aggregations(r, {
+        "query": {"match": {"text": "neural"}},
+        "aggs": {"h": {"histogram": {"field": "turn_idx",
+                                     "interval": 50}}}}).collect()
+    keys = [x.key for x in out]
+    assert keys == sorted(keys)
+    assert {x.key: x.doc_count for x in out} == \
+        dict(((base // 50) * 50).astype(float).value_counts())
+    rg = es_aggregations(r, {
+        "query": {"match": {"text": "neural"}},
+        "aggs": {"rg": {"range": {"field": "turn_idx", "ranges": [
+            {"to": 100}, {"from": 50, "to": 150},
+            {"from": 10**6}, {"from": 150}]}}}}).collect()
+    assert [x.key for x in rg] == ["*-100", "50-150", "1e+06-*", "150-*"]
+    assert [x.doc_count for x in rg] == [
+        int((base < 100).sum()), int(((base >= 50) & (base < 150)).sum()),
+        0, int((base >= 150).sum())]
+    # overlap: bucket sum exceeds the match count when ranges overlap
+    assert sum(x.doc_count for x in rg[:2]) >= int((base < 150).sum())
+
+
+def test_significant_terms_jlh(spark, es_setup):
+    """significant_terms == a pandas recomputation of JLH over the
+    analyzed match set vs the index term dictionary, and the query's
+    own terms rank at the top (the ES sanity property)."""
+    import pandas as pd
+    from research_engine_spark.functions.analyzer import analyze
+    from research_engine_spark.operators.esdsl import es_aggregations
+
+    d, _ = es_setup
+    r = IndexReader(spark, d)
+    out = es_aggregations(r, {
+        "query": {"match": {"text": "neural networks"}},
+        "aggs": {"sig": {"significant_terms": {"field": "text",
+                                               "size": 15}}}}).collect()
+    assert out and out[0].key in ("neural", "network")
+    # driver-side oracle: tokenize fg + bg with the same analyzer
+    docs = r.docs.select("doc_id", "text").toPandas()
+    docs["terms"] = docs["text"].map(lambda t: set(analyze(t)))
+    matched = {x.doc_id for x in search(
+        r, "neural networks", k=10**6, with_text=False,
+        _all_matches=True).collect()}
+    fg_docs = docs[docs["doc_id"].isin(matched)]
+    n_fg, n_bg = len(fg_docs), len(docs)
+    fg = pd.Series([t for s in fg_docs["terms"] for t in s]).value_counts()
+    bg = pd.Series([t for s in docs["terms"] for t in s]).value_counts()
+    rows = []
+    for term, c in fg.items():
+        if c < 3:
+            continue
+        fgp, bgp = c / n_fg, bg[term] / n_bg
+        s = (fgp - bgp) * (fgp / bgp)
+        if s > 0:
+            rows.append((term, int(c), int(bg[term]), s))
+    rows.sort(key=lambda x: (-x[3], x[0]))
+    want = rows[:15]
+    got = [(x.key, x.doc_count, x.bg_count, x.score) for x in out]
+    assert [(k, dc, bc) for k, dc, bc, _ in got] == \
+        [(k, dc, bc) for k, dc, bc, _ in want]
+    for g, w in zip(got, want):
+        assert g[3] == pytest.approx(w[3], rel=1e-12)
+    with pytest.raises(ESQueryError, match="foreground query"):
+        es_aggregations(r, {"aggs": {"s": {"significant_terms": {
+            "field": "text"}}}})
+    with pytest.raises(ESQueryError, match="field 'text'"):
+        es_aggregations(r, {"query": {"match": {"text": "neural"}},
+                            "aggs": {"s": {"significant_terms": {
+                                "field": "role"}}}})
