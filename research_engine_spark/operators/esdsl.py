@@ -1296,6 +1296,11 @@ def es_aggregations(index, body: dict, k1: float | None = None,
         if hits_specs:
             raise ESQueryError("top_hits is not supported inside range")
         return _range_agg(docs, args, metric_sub)
+    elif atype == "composite":
+        if hits_specs:
+            raise ESQueryError("top_hits is not supported inside "
+                               "composite")
+        return _composite_agg(docs, args, metric_sub)
     elif atype == "significant_terms":
         if sub:
             raise ESQueryError("significant_terms takes no sub-aggs")
@@ -1467,6 +1472,59 @@ def _significant_terms(reader, docs: DataFrame, args: dict) -> DataFrame:
                     "bg_count", "score")
             .orderBy(F.desc("score"), F.asc("key"))
             .limit(size))
+
+
+def _composite_agg(docs: DataFrame, args: dict,
+                   metric_sub: dict) -> DataFrame:
+    """ES ``composite`` agg — the paginated-bucket export surface (the
+    mechanism ES users reach for to pull ALL buckets out of a large
+    index, page by page, because plain terms aggs truncate). Sources
+    (terms / histogram / date_histogram) become ONE multi-key groupBy;
+    buckets order ascending by the source-key tuple (ES composite
+    order), ``after`` resumes strictly after a key tuple
+    (lexicographic), ``size`` pages (ES default 10). Page N+1's
+    ``after`` is page N's last row's key columns — constant cost per
+    page, same posture as search_after. At 10^12 rows the groupBy is
+    the one corpus shuffle and every page re-reads only the
+    already-aggregated bucket frame's plan — callers exporting many
+    pages should cache the bucket frame or use a plain groupBy export;
+    this surface exists for ES-verbatim clients."""
+    sources = args.get("sources")
+    if not sources or not isinstance(sources, list):
+        raise ESQueryError("composite needs a 'sources' list")
+    names, keys = [], []
+    for src in sources:
+        if not isinstance(src, dict) or len(src) != 1:
+            raise ESQueryError("each composite source is one "
+                               "{name: {type: args}} object")
+        [(sname, sspec)] = src.items()
+        if len(sspec) != 1:
+            raise ESQueryError(f"composite source {sname!r} needs one "
+                               "bucket type")
+        [(stype, sargs)] = sspec.items()
+        if stype not in ("terms", "histogram", "date_histogram"):
+            raise ESQueryError(
+                f"unsupported composite source type {stype!r}")
+        names.append(sname)
+        keys.append(_bucket_key(stype, sargs, sname))
+    subcols = [c for n, s in metric_sub.items() for c in _metric_cols(n, s)]
+    out = (docs.groupBy(*keys)
+           .agg(F.count(F.lit(1)).alias("doc_count"), *subcols))
+    after = args.get("after")
+    if after is not None:
+        missing = sorted(set(names) - set(after))
+        if missing:
+            raise ESQueryError(f"'after' lacks source keys: {missing}")
+        # strictly after the tuple, lexicographic:
+        # (k1 > a1) | (k1 == a1 & k2 > a2) | ...
+        cond = F.lit(False)
+        eq = F.lit(True)
+        for n in names:
+            cond = cond | (eq & (F.col(n) > F.lit(after[n])))
+            eq = eq & (F.col(n) == F.lit(after[n]))
+        out = out.filter(cond)
+    return (out.orderBy(*[F.asc(n) for n in names])
+            .limit(int(args.get("size", 10))))
 
 
 def _bucket_key(atype: str, args: dict, alias: str):

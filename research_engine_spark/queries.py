@@ -2473,6 +2473,51 @@ def engine_es_sig_terms_documents(spark, sf_dir):
                       F.round("score", 4).alias("score"))
 
 
+@register("engine_es_composite_documents", f"""
+WITH tk AS (
+  SELECT doc_id, source, CAST(n_chars % 97 AS INT) AS ti,
+         {_TOK_SQL} AS tk FROM documents
+),
+matched AS (
+  SELECT doc_id, source, ti FROM tk
+  WHERE list_contains(tk, 'table') OR list_contains(tk, 'hash')
+),
+buckets AS (
+  SELECT source AS role, CAST(floor(ti / 10.0) * 10 AS DOUBLE) AS tib,
+         CAST(count(*) AS BIGINT) AS doc_count,
+         CAST(max(ti) AS INT) AS max_ti
+  FROM matched GROUP BY 1, 2
+)
+SELECT role, tib, doc_count, max_ti FROM buckets
+WHERE role > 'm' OR (role = 'm' AND tib > 50)
+ORDER BY role ASC, tib ASC LIMIT 15
+""")
+def engine_es_composite_documents(spark, sf_dir):
+    """``composite`` agg (round 5) — ES's paginated bucket-export
+    surface — through the DSL over the REAL index, driver-HASH-checked
+    mid-pagination: two sources (terms × histogram) as ONE two-key
+    groupBy, ascending source-key tuple order, resumed strictly after
+    the ('m', 50) cursor, one 15-bucket page with a max metric riding
+    along. The oracle recomputes the bucket frame, the lexicographic
+    after-filter, and the page cut."""
+    from .operators.esdsl import es_aggregations
+    from .operators.scorer import IndexReader
+
+    engine_es_aggs_documents(spark, sf_dir)  # ensure the agg index
+    reader = IndexReader(spark, _AGG_IDX_CACHE[sf_dir])
+    out = es_aggregations(reader, {
+        "query": {"match": {"text": "table hash"}},
+        "aggs": {"page": {
+            "composite": {"size": 15, "sources": [
+                {"role": {"terms": {"field": "role"}}},
+                {"tib": {"histogram": {"field": "turn_idx",
+                                       "interval": 10}}}],
+                "after": {"role": "m", "tib": 50}},
+            "aggs": {"max_ti": {"max": {"field": "turn_idx"}}}}}})
+    return out.select("role", "tib", "doc_count",
+                      F.col("max_ti").cast("int").alias("max_ti"))
+
+
 _MF_IDX_CACHE: dict[str, str] = {}
 
 

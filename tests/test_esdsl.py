@@ -535,3 +535,48 @@ def test_significant_terms_jlh(spark, es_setup):
         es_aggregations(r, {"query": {"match": {"text": "neural"}},
                             "aggs": {"s": {"significant_terms": {
                                 "field": "role"}}}})
+
+
+def test_composite_agg_pages_tile_exactly(spark, es_setup):
+    """composite pages (ascending key tuples, strictly-after cursor)
+    concatenate to exactly the full bucket frame — the search_after
+    property applied to bucket export."""
+    from research_engine_spark.operators.esdsl import es_aggregations
+
+    d, _ = es_setup
+    r = IndexReader(spark, d)
+    body = lambda after: {
+        "query": {"match": {"text": "neural"}},
+        "aggs": {"c": {"composite": {
+            "size": 3, "sources": [
+                {"role": {"terms": {"field": "role"}}},
+                {"ti": {"histogram": {"field": "turn_idx",
+                                      "interval": 100}}}],
+            **({"after": after} if after else {})},
+            "aggs": {"m": {"max": {"field": "turn_idx"}}}}}}
+    big = es_aggregations(r, {
+        "query": {"match": {"text": "neural"}},
+        "aggs": {"c": {"composite": {"size": 10**6, "sources": [
+            {"role": {"terms": {"field": "role"}}},
+            {"ti": {"histogram": {"field": "turn_idx",
+                                  "interval": 100}}}]},
+            "aggs": {"m": {"max": {"field": "turn_idx"}}}}}}).collect()
+    pages, cur = [], None
+    for _ in range(1000):
+        rows = es_aggregations(r, body(cur)).collect()
+        if not rows:
+            break
+        assert len(rows) <= 3
+        pages += rows
+        cur = {"role": rows[-1].role, "ti": rows[-1].ti}
+    tup = lambda rs: [(x.role, x.ti, x.doc_count, x.m) for x in rs]
+    assert tup(pages) == tup(big)
+    keys = [(x.role, x.ti) for x in big]
+    assert keys == sorted(keys)  # ascending tuple order
+    with pytest.raises(ESQueryError, match="lacks source keys"):
+        es_aggregations(r, body({"role": "user"}))
+    with pytest.raises(ESQueryError, match="composite source type"):
+        es_aggregations(r, {"query": {"match": {"text": "neural"}},
+                            "aggs": {"c": {"composite": {"sources": [
+                                {"x": {"range": {"field": "turn_idx"}}}]
+                            }}}})
