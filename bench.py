@@ -300,6 +300,37 @@ def run_once(spark, sf_dir: str, cores: int, warm: bool) -> dict:
         n_blockmax += st.get("path") == "driver_local_blockmax"
     shutil.rmtree(bmx_dir, ignore_errors=True)
 
+    # --- 2j. aggregation surface (r5, distributed, non-headline) -----------
+    # one scoring-query match set feeding each agg family: nested terms
+    # buckets with metric sub-aggs (incl. exact cardinality/percentiles),
+    # a composite bucket-export page, top_hits, and significant_terms
+    # (background df from the term dictionary, foreground = one Arrow
+    # tokenize pass over the match set)
+    from research_engine_spark.operators.esdsl import es_aggregations
+
+    agg_q = {"match": {"text": "neural networks"}}
+    agg_bodies = {
+        "agg_terms_metrics": {"query": agg_q, "aggs": {"b": {
+            "terms": {"field": "role"},
+            "aggs": {"u": {"cardinality": {"field": "conv_id"}},
+                     "p": {"percentiles": {"field": "turn_idx",
+                                           "percents": [50, 95]}}}}}},
+        "agg_composite_page": {"query": agg_q, "aggs": {"c": {
+            "composite": {"size": 100, "sources": [
+                {"role": {"terms": {"field": "role"}}},
+                {"ti": {"histogram": {"field": "turn_idx",
+                                      "interval": 50}}}]}}}},
+        "agg_top_hits": {"query": agg_q, "aggs": {"b": {
+            "terms": {"field": "role"},
+            "aggs": {"h": {"top_hits": {"size": 3}}}}}},
+        "agg_significant_terms": {"query": agg_q, "aggs": {"s": {
+            "significant_terms": {"field": "text", "size": 10}}}},
+    }
+    for name, body in agg_bodies.items():
+        t0 = time.monotonic()
+        es_aggregations(reader, body).collect()
+        queries_sec[name] = round(time.monotonic() - t0, 3)
+
     # --- 2e. delete lifecycle on the main index (last reader use) ----------
     # tombstone ~1/16 of docs, search through the tombstones, physically
     # purge via compaction, search again — the ES delete_by_query +
