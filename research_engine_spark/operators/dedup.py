@@ -364,3 +364,64 @@ def drop_near_dups(df: DataFrame, clusters: DataFrame,
             .filter(F.col("cluster_id").isNull()
                     | (F.col(id_col) == F.col("cluster_id")))
             .drop("cluster_id"))
+
+
+def contamination_overlap(
+    corpus: DataFrame,
+    probe: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    digest: str = "xxhash64",
+    max_broadcast_shingles: int = 5_000_000,
+) -> DataFrame:
+    """Benchmark-contamination screening: for every PROBE document (an
+    eval/benchmark item), the fraction of its distinct n-word shingles
+    that appear anywhere in the CORPUS — the standard n-gram-overlap
+    decontamination check an LLM training pipeline runs before
+    training (probe docs above a threshold are contaminated: the
+    benchmark leaks into the training set).
+
+    Built for the asymmetry of the real workload (corpus 10^12 turns,
+    probe 10^3-10^5 items): the probe's distinct shingle set is counted
+    first and, when it fits ``max_broadcast_shingles``, BROADCAST — the
+    corpus is then ONE streaming scan with a map-side semi-join (no
+    corpus-sized shuffle anywhere; the only shuffled rows are the
+    matched shingles, bounded by the probe set size). Above the gate it
+    degrades to a shuffled semi-join, still |probe-shingle|-bounded on
+    the output. Never a pairwise/self join — this is deliberately NOT
+    ngram_jaccard_pairs: per-pair attribution costs a quadratic join,
+    while the contamination decision only needs "seen anywhere".
+
+    digest: "xxhash64" (default — 8-byte join keys at scale) or "raw"
+    (join on the shingle string — the oracle-checkable twin; semantics
+    identical up to 64-bit collisions).
+
+    Returns (id_col, n_shingles, n_matched, overlap_frac) for EVERY
+    probe doc — zero-shingle docs (shorter than n words) report
+    (0, 0, 0.0) rather than disappearing.
+    """
+    key = ((lambda c: F.xxhash64(c)) if digest == "xxhash64"
+           else (lambda c: c))
+    p_sh = (word_shingles(probe, text_col, n, id_col)
+            .select(F.col(id_col), key(F.col("shingle")).alias("sh")))
+    probe_set = p_sh.select("sh").distinct()
+    small = probe_set.count() <= int(max_broadcast_shingles)
+    c_sh = (word_shingles(corpus, text_col, n, id_col)
+            .select(key(F.col("shingle")).alias("sh")))
+    hit = (c_sh.join(F.broadcast(probe_set) if small else probe_set,
+                     "sh", "left_semi")
+           .distinct())
+    per = (p_sh.join(hit.withColumn("_hit", F.lit(1)), "sh", "left")
+           .groupBy(id_col)
+           .agg(F.count(F.lit(1)).alias("n_shingles"),
+                F.count("_hit").alias("n_matched")))
+    return (probe.select(id_col).join(per, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+                    F.coalesce("n_matched", F.lit(0)).alias("n_matched"))
+            .withColumn(
+                "overlap_frac",
+                F.when(F.col("n_shingles") > 0,
+                       F.col("n_matched") / F.col("n_shingles"))
+                .otherwise(F.lit(0.0))))

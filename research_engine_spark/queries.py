@@ -611,6 +611,54 @@ def near_dup_clusters_q(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+@register("contamination_documents", f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS tk FROM documents
+),
+shingles AS MATERIALIZED (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(tk, i, i + 4), ' ') AS sh
+  FROM toks, unnest(generate_series(1, greatest(len(tk) - 4, 0))) AS g(i)
+),
+probe_sh AS (SELECT doc_id, sh FROM shingles WHERE doc_id % 41 = 7),
+corpus_sh AS MATERIALIZED (
+  SELECT DISTINCT sh FROM shingles WHERE doc_id % 41 <> 7),
+per AS (
+  SELECT p.doc_id, count(*) AS n_shingles, count(c.sh) AS n_matched
+  FROM probe_sh p LEFT JOIN corpus_sh c USING (sh)
+  GROUP BY p.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(per.n_shingles, 0) AS BIGINT) AS n_shingles,
+       CAST(coalesce(per.n_matched, 0) AS BIGINT) AS n_matched,
+       round(CASE WHEN coalesce(per.n_shingles, 0) > 0
+                  THEN per.n_matched * 1.0 / per.n_shingles
+                  ELSE 0.0 END, 4) AS overlap_frac
+FROM (SELECT doc_id FROM documents WHERE doc_id % 41 = 7) d
+LEFT JOIN per USING (doc_id)
+ORDER BY doc_id
+""")
+def contamination_q(spark, sf_dir):
+    """Benchmark-contamination screening: treat every 41st document as
+    a benchmark item (the probe) and the rest as the training corpus;
+    report the fraction of each probe doc's distinct 5-gram shingles
+    found anywhere in the corpus. Scale shape: the probe shingle set is
+    broadcast and the corpus is ONE streaming scan with a map-side
+    semi-join — never a pairwise join (contamination needs "seen
+    anywhere", not per-pair attribution). digest="raw" here so the
+    DuckDB twin joins the same string keys; the default xxhash64 path
+    is identity-tested in pytest."""
+    from .operators.dedup import contamination_overlap
+
+    d = _t(spark, sf_dir, "documents")
+    probe = d.filter(F.col("doc_id") % 41 == 7)
+    corpus = d.filter(F.col("doc_id") % 41 != 7)
+    out = contamination_overlap(corpus, probe, n=5, digest="raw")
+    return (out.select("doc_id", "n_shingles", "n_matched",
+                       F.round("overlap_frac", 4).alias("overlap_frac"))
+            .orderBy("doc_id"))
+
+
 @register("embedding_cosine_topk", """
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
 SELECT vec_id,

@@ -415,3 +415,39 @@ def test_drop_near_dups_keeps_canonical_and_unclustered(spark):
                   for r in DD.drop_near_dups(docs, clusters).collect())
     # {1,2,4} collapse to canonical 1; 0/3/5 unclustered survive
     assert kept == [0, 1, 3, 5]
+
+
+def test_contamination_overlap_planted(spark):
+    """contamination_overlap: exact-copy probe = 1.0, half-overlap in
+    between, clean probe = 0.0, sub-n probe = (0, 0, 0.0); xxhash64 and
+    raw digests agree; the broadcast path and the shuffled fallback
+    (max_broadcast_shingles=0) return identical frames."""
+    from research_engine_spark.operators.dedup import contamination_overlap
+
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa")
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "totally different corpus content about spark "
+                        "partitions shuffles and broadcast joins")],
+        "doc_id bigint, text string")
+    probe = spark.createDataFrame(
+        [(10, base),                                  # exact copy
+         (11, base.split(" juliet")[0] + " zz yy xx ww vv uu tt ss"),
+         (12, "none of these probe words ever appear inside the training "
+              "set rows"),
+         (13, "too short")],
+        "doc_id bigint, text string")
+
+    def rows(**kw):
+        out = contamination_overlap(corpus, probe, n=5, **kw)
+        return [(x.doc_id, x.n_shingles, x.n_matched,
+                 round(x.overlap_frac, 6))
+                for x in out.orderBy("doc_id").collect()]
+
+    got = rows()
+    assert got[0] == (10, 12, 12, 1.0)
+    assert got[1][1] > got[1][2] > 0          # partial overlap
+    assert got[2][2] == 0 and got[2][3] == 0.0
+    assert got[3] == (13, 0, 0, 0.0)
+    assert rows(digest="raw") == got
+    assert rows(max_broadcast_shingles=0) == got  # shuffled fallback
