@@ -1366,6 +1366,47 @@ def deterministic_sample(spark, sf_dir):
     ).select("doc_id", "source")
 
 
+@register("stratified_sample_documents", """
+SELECT doc_id, lang FROM documents
+WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+      CASE lang WHEN 'en' THEN '20000000' WHEN 'zh' THEN '80000000'
+                WHEN 'es' THEN 'g' ELSE '0ccccccd' END
+ORDER BY doc_id
+""")
+def stratified_sample_q(spark, sf_dir):
+    """Deterministic per-stratum downsampling (the data-mixing step:
+    'en to 12.5%, zh to 50%, es whole, everything else 5%') — an
+    md5-coin threshold per language, a pure map-side filter with zero
+    shuffles that the DuckDB twin reproduces byte-for-byte (the
+    reference's random.sample can't be oracle-checked at all)."""
+    from .operators.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    out = stratified_sample(
+        d, "lang",
+        {"en": 0.125, "zh": 0.5, "es": 1.0}, default=0.05)
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
+@register("cap_per_stratum_documents", """
+SELECT doc_id, source, n_chars FROM (
+  SELECT doc_id, source, n_chars, row_number() OVER (
+    PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rk
+  FROM documents)
+WHERE rk <= 5 ORDER BY doc_id
+""")
+def cap_per_stratum_q(spark, sf_dir):
+    """Domain capping (the other data-mixing primitive: 'keep the best
+    N per source'): at most 5 docs per source by n_chars descending,
+    docID tiebreak — one window row_number per stratum, mirrored by the
+    SQL twin."""
+    from .operators.sampling import cap_per_stratum
+
+    d = _t(spark, sf_dir, "documents")
+    out = cap_per_stratum(d, "source", 5, order_col="n_chars")
+    return out.select("doc_id", "source", "n_chars").orderBy("doc_id")
+
+
 @register("clean_text_documents", """
 SELECT doc_id,
        trim(regexp_replace(

@@ -451,3 +451,48 @@ def test_contamination_overlap_planted(spark):
     assert got[3] == (13, 0, 0, 0.0)
     assert rows(digest="raw") == got
     assert rows(max_broadcast_shingles=0) == got  # shuffled fallback
+
+
+def test_stratified_sample_and_cap(spark):
+    """sampling.py: per-stratum rates land near their fractions, the
+    kept set is identical across repartitions (determinism), salts
+    decorrelate draws, fraction 1.0 keeps everything, and capping keeps
+    exactly the best-n per stratum with deterministic ties."""
+    from pyspark.sql import functions as F
+    from research_engine_spark.operators.sampling import (
+        cap_per_stratum,
+        stratified_sample,
+    )
+
+    df = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 4).cast("string").alias("grp"),
+        (F.col("id") * 37 % 1000).alias("score"))
+    fr = {"0": 0.1, "1": 0.5, "2": 1.0}
+    out = stratified_sample(df, "grp", fr, default=0.0)
+    got = {r.grp: r.cnt for r in
+           out.groupBy("grp").agg(F.count("*").alias("cnt")).collect()}
+    assert got.get("2") == 1000 and "3" not in got  # 1.0 keeps all, default drops
+    for g, f in (("0", 0.1), ("1", 0.5)):
+        assert abs(got[g] - 1000 * f) < 4 * (1000 * f * (1 - f)) ** 0.5
+    ids = sorted(r.doc_id for r in out.collect())
+    again = sorted(r.doc_id for r in stratified_sample(
+        df.repartition(13), "grp", fr, default=0.0).collect())
+    assert ids == again  # deterministic under repartition
+    salted = {r.doc_id for r in stratified_sample(
+        df, "grp", fr, default=0.0, salt="v2").collect()}
+    assert salted != set(ids)  # a salt is a fresh draw
+    capped = cap_per_stratum(df, "grp", 7, order_col="score").collect()
+    per = {}
+    for r in capped:
+        per.setdefault(r.grp, []).append(r.score)
+    assert set(map(len, per.values())) == {7}
+    pdf = df.toPandas()
+    for g, scores in per.items():
+        want = sorted(pdf[pdf.grp == g]["score"], reverse=True)[:7]
+        assert sorted(scores, reverse=True) == want
+    # hash-order capping: exactly n per stratum, stable across runs
+    c1 = {r.doc_id for r in cap_per_stratum(df, "grp", 3).collect()}
+    c2 = {r.doc_id for r in cap_per_stratum(
+        df.repartition(7), "grp", 3).collect()}
+    assert c1 == c2 and len(c1) == 12
