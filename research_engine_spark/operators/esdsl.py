@@ -1301,6 +1301,31 @@ def es_aggregations(index, body: dict, k1: float | None = None,
             raise ESQueryError("top_hits is not supported inside "
                                "composite")
         return _composite_agg(docs, args, metric_sub)
+    elif atype == "filters":
+        # ES filters agg: NAMED query-clause buckets over the outer
+        # match set. Each filter is a full DSL clause evaluated in
+        # filter context (score discarded), its bucket = |outer match ∩
+        # filter match|. Buckets may overlap (a doc can satisfy many
+        # filters) and empty buckets return 0 — like range, one leg per
+        # named filter (user-written, small), each an intersection of
+        # doc_id sets + one global agg; legs union in name order.
+        if hits_specs:
+            raise ESQueryError("top_hits is not supported inside "
+                               "filters")
+        named = args.get("filters")
+        if not named or not isinstance(named, dict):
+            raise ESQueryError("filters needs a {name: clause} dict")
+        frames = []
+        for i, (fname, clause) in enumerate(sorted(named.items())):
+            fdocs = docs.join(
+                _clause_df(ctx, clause).select("doc_id"),
+                "doc_id", "left_semi")
+            subcols = [c for n, s in metric_sub.items()
+                       for c in _metric_cols(n, s)]
+            frames.append(
+                fdocs.agg(F.count(F.lit(1)).alias("doc_count"), *subcols)
+                .select(F.lit(fname).alias("key"), "*"))
+        return reduce(DataFrame.unionByName, frames)
     elif atype == "significant_terms":
         if sub:
             raise ESQueryError("significant_terms takes no sub-aggs")

@@ -2562,6 +2562,46 @@ def engine_es_sig_terms_documents(spark, sf_dir):
                       F.round("score", 4).alias("score"))
 
 
+@register("engine_es_filters_documents", f"""
+WITH tk AS (
+  SELECT doc_id, CAST(n_chars % 97 AS INT) AS ti, {_TOK_SQL} AS tk
+  FROM documents
+),
+matched AS (
+  SELECT doc_id, ti, tk FROM tk
+  WHERE list_contains(tk, 'table') OR list_contains(tk, 'hash')
+)
+SELECT 'has_spark' AS key, CAST(count(*) AS BIGINT) AS doc_count,
+       round(avg(ti), 4) AS avg_ti
+FROM matched WHERE list_contains(tk, 'spark')
+UNION ALL
+SELECT 'high_turn', CAST(count(*) AS BIGINT), round(avg(ti), 4)
+FROM matched WHERE ti >= 90
+UNION ALL
+SELECT 'none', CAST(count(*) AS BIGINT), round(avg(ti), 4)
+FROM matched WHERE list_contains(tk, 'zzzneverterm')
+""")
+def engine_es_filters_documents(spark, sf_dir):
+    """``filters`` agg (round 5): named query-clause buckets over the
+    outer match set — each filter a full DSL clause in filter context
+    (a match, a range), buckets may overlap, empty buckets return 0.
+    Driver-HASH-checked against a per-filter SQL recompute."""
+    from .operators.esdsl import es_aggregations
+    from .operators.scorer import IndexReader
+
+    engine_es_aggs_documents(spark, sf_dir)  # ensure the agg index
+    reader = IndexReader(spark, _AGG_IDX_CACHE[sf_dir])
+    out = es_aggregations(reader, {
+        "query": {"match": {"text": "table hash"}},
+        "aggs": {"f": {"filters": {"filters": {
+            "has_spark": {"match": {"text": "spark"}},
+            "high_turn": {"range": {"turn_idx": {"gte": 90}}},
+            "none": {"match": {"text": "zzzneverterm"}}}},
+            "aggs": {"avg_ti": {"avg": {"field": "turn_idx"}}}}}})
+    return out.select("key", "doc_count",
+                      F.round("avg_ti", 4).alias("avg_ti"))
+
+
 @register("engine_es_composite_documents", f"""
 WITH tk AS (
   SELECT doc_id, source, CAST(n_chars % 97 AS INT) AS ti,

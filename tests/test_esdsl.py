@@ -580,3 +580,37 @@ def test_composite_agg_pages_tile_exactly(spark, es_setup):
                             "aggs": {"c": {"composite": {"sources": [
                                 {"x": {"range": {"field": "turn_idx"}}}]
                             }}}})
+
+
+def test_filters_agg_named_buckets(spark, es_setup):
+    """filters agg: named clause buckets over the outer match set,
+    overlap allowed, empty buckets return doc_count 0 with NULL
+    metrics, name-ordered output."""
+    from pyspark.sql import functions as F
+    from research_engine_spark.operators.esdsl import es_aggregations
+
+    d, _ = es_setup
+    r = IndexReader(spark, d)
+    out = es_aggregations(r, {
+        "query": {"match": {"text": "neural"}},
+        "aggs": {"f": {"filters": {"filters": {
+            "w_network": {"match": {"text": "network"}},
+            "users": {"range": {"turn_idx": {"gte": 100}}},
+            "empty": {"match": {"text": "qqqabsent"}}}},
+            "aggs": {"m": {"max": {"field": "turn_idx"}}}}}}).collect()
+    got = {x.key: (x.doc_count, x.m) for x in out}
+    assert [x.key for x in out] == sorted(got)  # name order
+    matched = search(r, "neural", k=10**6, with_text=False,
+                     _all_matches=True).select("doc_id")
+    base = r.docs.join(matched, "doc_id", "left_semi")
+    net = search(r, "network", k=10**6, with_text=False,
+                 _all_matches=True).select("doc_id")
+    inter = base.join(net, "doc_id", "left_semi")
+    assert got["w_network"] == (
+        inter.count(),
+        inter.agg(F.max("turn_idx")).collect()[0][0])
+    assert got["users"][0] == base.filter(
+        F.col("turn_idx") >= 100).count()
+    assert got["empty"] == (0, None)
+    with pytest.raises(ESQueryError, match="name: clause"):
+        es_aggregations(r, {"aggs": {"f": {"filters": {}}}})
