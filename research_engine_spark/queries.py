@@ -18,6 +18,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .functions import gopher as GP
 from .functions import textstats as TS
 from .operators import dedup as DD
 from .operators.fusion import rrf_fuse, with_rank
@@ -429,6 +430,126 @@ def lang_id_heuristic(spark, sf_dir):
     return d.select(
         "doc_id",
         F.when(ratio >= 0.05, "en").otherwise("und").alias("lang_guess"),
+    )
+
+
+@register("gopher_repetition_documents", f"""
+WITH tk AS (SELECT doc_id, {_TOK_SQL} AS tk FROM documents),
+base AS (
+  SELECT doc_id, tk,
+         list_sum(list_transform(tk, t -> length(t))) + len(tk) - 1 AS cb
+  FROM tk WHERE len(tk) > 0
+),
+g2 AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] AS ng
+       FROM base, unnest(generate_series(1, greatest(len(tk)-1, 0))) AS s(i)),
+c2 AS (SELECT doc_id, ng, count(*) AS cnt FROM g2 GROUP BY doc_id, ng),
+t2 AS (SELECT doc_id, cnt * length(ng) AS cov FROM
+       (SELECT doc_id, cnt, ng,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY cnt DESC, ng DESC) AS rn
+        FROM c2) WHERE rn = 1),
+g3 AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS ng
+       FROM base, unnest(generate_series(1, greatest(len(tk)-2, 0))) AS s(i)),
+c3 AS (SELECT doc_id, ng, count(*) AS cnt FROM g3 GROUP BY doc_id, ng),
+t3 AS (SELECT doc_id, cnt * length(ng) AS cov FROM
+       (SELECT doc_id, cnt, ng,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY cnt DESC, ng DESC) AS rn
+        FROM c3) WHERE rn = 1),
+g5 AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' '
+                      || tk[i+3] || ' ' || tk[i+4] AS ng
+       FROM base, unnest(generate_series(1, greatest(len(tk)-4, 0))) AS s(i)),
+c5 AS (SELECT doc_id, ng, count(*) AS cnt FROM g5 GROUP BY doc_id, ng),
+d5 AS (SELECT doc_id, sum(cnt * length(ng)) AS tot,
+              sum(CASE WHEN cnt > 1 THEN cnt * length(ng) ELSE 0 END) AS dup
+       FROM c5 GROUP BY doc_id)
+SELECT b.doc_id,
+       round(coalesce(t2.cov * 1.0 / b.cb, 0), 4) AS top2_frac,
+       round(coalesce(t3.cov * 1.0 / b.cb, 0), 4) AS top3_frac,
+       round(coalesce(d5.dup * 1.0 / d5.tot, 0), 4) AS dup5_frac
+FROM base b LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+LEFT JOIN d5 USING (doc_id)
+ORDER BY coalesce(t2.cov * 1.0 / b.cb, 0) DESC, b.doc_id ASC
+LIMIT 20
+""")
+def gopher_repetition_documents(spark, sf_dir):
+    """Gopher-style n-gram repetition screening (Rae et al. 2021 A1.1,
+    functions/gopher.py): per-doc top-2/3-gram covered-character
+    fraction + duplicated-5-gram character fraction, top 20 most
+    2-gram-repetitive docs. One tagged n-gram explode + two groupBys
+    for ALL n's — the 100 TB shape (counts stay distributed; no per-doc
+    driver loop). The oracle recomputes every n-gram count, the
+    tie-broken top gram, and both fractions from raw text."""
+    d = _t(spark, sf_dir, "documents")
+    m = GP.repetition_metrics(d, top_ns=(2, 3), dup_ns=(5,))
+    return (
+        m.orderBy(F.desc("top2_frac"), F.asc("doc_id")).limit(20)
+        .select(
+            "doc_id",
+            F.round("top2_frac", 4).alias("top2_frac"),
+            F.round("top3_frac", 4).alias("top3_frac"),
+            F.round("dup5_frac", 4).alias("dup5_frac"),
+        )
+    )
+
+
+@register("gopher_quality_documents", f"""
+WITH tk AS (SELECT doc_id, {_TOK_SQL} AS tk FROM documents),
+f AS (
+  SELECT doc_id, len(tk) AS wc,
+         CASE WHEN len(tk) > 0 THEN
+           list_sum(list_transform(tk, t -> length(t))) * 1.0 / len(tk)
+         ELSE 0 END AS mwl,
+         CASE WHEN len(tk) > 0 THEN
+           len(list_filter(tk, t -> regexp_matches(t, '[a-z]')))
+             * 1.0 / len(tk)
+         ELSE 0 END AS alpha,
+         len(list_filter(['the','be','to','of','and','that','have','with'],
+                         w -> list_contains(tk, w))) AS nreq
+  FROM tk
+),
+flags AS (
+  SELECT (wc BETWEEN 50 AND 100000) AS ok_wc,
+         (wc > 0 AND mwl BETWEEN 3 AND 10) AS ok_mwl,
+         (wc > 0 AND alpha >= 0.8) AS ok_alpha,
+         (nreq >= 2) AS ok_req
+  FROM f
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN ok_wc AND ok_mwl AND ok_alpha AND ok_req
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       CAST(sum(CASE WHEN NOT ok_wc THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_fail_word_count,
+       CAST(sum(CASE WHEN NOT ok_mwl THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_fail_mean_word_len,
+       CAST(sum(CASE WHEN NOT ok_alpha THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_fail_alpha,
+       CAST(sum(CASE WHEN NOT ok_req THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_fail_required
+FROM flags
+""")
+def gopher_quality_documents(spark, sf_dir):
+    """Gopher document-level quality rules (Rae et al. 2021 A1.1,
+    functions/gopher.py doc_quality_flags): corpus-level pass/fail
+    census over word count, mean word length, alphabetic-word ratio,
+    and required-word presence — pure column expressions, one
+    map-side-combinable aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    flags = GP.doc_quality_flags(F.col("text"))
+    fd = d.select(*[v.alias(k) for k, v in flags.items()])
+    allok = (F.col("ok_word_count") & F.col("ok_mean_word_len")
+             & F.col("ok_alpha_ratio") & F.col("ok_required_words"))
+
+    def _fails(c):
+        return F.sum(F.when(~F.col(c), 1).otherwise(0))
+
+    return fd.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(allok, 1).otherwise(0)).alias("n_pass"),
+        _fails("ok_word_count").alias("n_fail_word_count"),
+        _fails("ok_mean_word_len").alias("n_fail_mean_word_len"),
+        _fails("ok_alpha_ratio").alias("n_fail_alpha"),
+        _fails("ok_required_words").alias("n_fail_required"),
     )
 
 
