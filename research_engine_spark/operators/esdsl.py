@@ -39,7 +39,13 @@ expansion a term clause weighted 1 - ed/min lengths — the match
 fuzziness machinery minus analysis), terms / prefix / wildcard
 (constant_score rewrite: every doc containing a matching index term
 scores ``boost``, ES's default multi-term rewrite), range and exists
-(docs-table metadata predicates, constant_score). Body keys: query,
+(docs-table metadata predicates, constant_score), ids (explicit live
+doc-id set, constant_score), and more_like_this (driver-side
+characteristic-term selection from like-text or like-_id inputs —
+like-tf * idf ranked, tf/df-windowed, top max_query_terms — compiled
+to a bool should of term clauses with "30%" minimum_should_match and
+a must_not ids exclusion of the inputs; see _mlt_rewrite). Body keys:
+query,
 size (ES default 10), from, search_after ([last_score, last_doc_id]
 cursor — constant-cost deep pagination), _source (docs-column
 projection), highlight.
@@ -96,6 +102,7 @@ from .scorer import (
     _decode_partials_factory,
     _deleted_ids_arrow,
     _driver_local_topk_pd,
+    _is_deleted_arrow,
     _fetch_term_blocks_arrow,
     _all_match_scores,
     _fuzzy_term_meta,
@@ -210,6 +217,138 @@ def _fuzzy_flag(spec: dict) -> bool:
     raise ESQueryError(
         f"fuzziness={fz!r} unsupported (AUTO is the Lucene ladder the "
         "engine implements; fixed distances are not)")
+
+
+def _msm_count(raw, n_clauses: int) -> int:
+    """minimum_should_match as a clause count: int, numeric string, or
+    the ES percentage form "30%" (floor of pct * n, Lucene's rule)."""
+    if isinstance(raw, str) and raw.strip().endswith("%"):
+        pct = float(raw.strip()[:-1])
+        return int(pct * n_clauses / 100.0)
+    return int(raw)
+
+
+def _doc_text_arrow(reader: IndexReader, doc_id: int) -> str:
+    """ONE document's text, driver-side (pyarrow row-group probe of the
+    fenced docs table — zero Spark jobs; the more_like_this like-by-_id
+    fetch). Raises on a missing or deleted id."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    doc_id = int(doc_id)
+    if reader.has_deletes and _is_deleted_arrow(reader, doc_id):
+        raise ESQueryError(f"more_like_this like _id {doc_id} is deleted")
+    ds = pads.dataset(reader._path("docs"), format="parquet")
+    if "text" not in ds.schema.names:
+        raise ESQueryError(
+            "more_like_this by _id needs a 'text' docs column; index has "
+            f"{sorted(ds.schema.names)}")
+    flt = pc.field("doc_id") == doc_id
+    nxt = reader.stats.get("next_doc_id")
+    if reader._committed is not None and nxt is not None:
+        flt = flt & (pc.field("doc_id") < int(nxt))
+    t = ds.to_table(columns=["text"], filter=flt)
+    if t.num_rows == 0:
+        raise ESQueryError(f"more_like_this like _id {doc_id} not found")
+    return str(t["text"][0].as_py())
+
+
+def _ids_present_arrow(reader: IndexReader, values: list[int]) -> np.ndarray:
+    """The subset of ``values`` that exist as live docs, sorted —
+    driver-side pyarrow probe, O(matching row groups) per the footer
+    range stats (values is a user-provided list, never corpus-sized)."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    ds = pads.dataset(reader._path("docs"), format="parquet")
+    flt = pc.field("doc_id").isin([int(v) for v in values])
+    nxt = reader.stats.get("next_doc_id")
+    if reader._committed is not None and nxt is not None:
+        flt = flt & (pc.field("doc_id") < int(nxt))
+    ids = np.unique(ds.to_table(columns=["doc_id"], filter=flt)["doc_id"]
+                    .to_numpy(zero_copy_only=False).astype(np.int64))
+    if reader.has_deletes and ids.size:
+        ids = np.array([i for i in ids.tolist()
+                        if not _is_deleted_arrow(reader, int(i))],
+                       dtype=np.int64)
+    return ids
+
+
+def _mlt_rewrite(ctx: _Ctx, body: dict) -> dict:
+    """ES ``more_like_this``: select the most characteristic terms of the
+    like-text(s) and compile a bool should of unboosted term clauses
+    (Lucene MoreLikeThis with boost=false, its default).
+
+    Term selection (all driver-side, dictionary-cache metadata only —
+    no job, no corpus read): analyze every like input (strings and/or
+    {"_id": N} refs, the latter fetched by a one-row pyarrow probe),
+    keep terms with like-tf >= min_term_freq (ES default 2) and index
+    df in [min_doc_freq (default 5), max_doc_freq], rank by
+    like-tf * idf (the engine's BM25 idf) and keep the top
+    max_query_terms (default 25). Ties break by term asc — documented
+    determinism where Lucene's priority queue leaves order unspecified.
+    minimum_should_match defaults to ES's "30%". like-by-_id inputs are
+    excluded from the result via a must_not ids clause unless
+    include: true. Compiles onto hash-checked primitives, so both
+    evaluation paths (and their bit-identity) come for free."""
+    import math
+
+    if not isinstance(body, dict) or "like" not in body:
+        raise ESQueryError("more_like_this needs 'like'")
+    fields = [_field_boost(fs)[0]
+              for fs in _aslist(body.get("fields"))] or [ctx.default_field]
+    if len(fields) > 1:
+        raise ESQueryError(
+            "more_like_this over multiple fields is unsupported "
+            "(one analyzed field per query)")
+    field = fields[0]
+    reader = ctx.reader(field)
+    from ..functions.analyzer import analyze_query
+
+    texts: list[str] = []
+    exclude_ids: list[int] = []
+    for lk in _aslist(body["like"]):
+        if isinstance(lk, str):
+            texts.append(lk)
+        elif isinstance(lk, dict) and "_id" in lk:
+            did = int(lk["_id"])
+            texts.append(_doc_text_arrow(reader, did))
+            exclude_ids.append(did)
+        else:
+            raise ESQueryError(
+                f"more_like_this like entry unsupported: {lk!r} "
+                "(text string or {'_id': N})")
+    mode = reader.stats.get("analyzer", "english_folded")
+    tf: dict[str, int] = {}
+    for text in texts:
+        for term, qtf in analyze_query(text, mode=mode):
+            tf[term] = tf.get(term, 0) + int(qtf)
+    min_tf = int(body.get("min_term_freq", 2))
+    cand = sorted(t for t, c in tf.items() if c >= min_tf)
+    stats = reader.term_stats_arrow(cand) if cand else pd.DataFrame(
+        columns=["term", "df"])
+    min_df = int(body.get("min_doc_freq", 5))
+    max_df = body.get("max_doc_freq")
+    n_docs = int(reader.stats["n_docs"])
+    scored: list[tuple[float, str]] = []
+    for r in stats.itertuples(index=False):
+        df = int(r.df)
+        if df < min_df or (max_df is not None and df > int(max_df)):
+            continue
+        idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        scored.append((-(tf[r.term] * idf), r.term))
+    scored.sort()
+    sel = [t for _, t in scored[: int(body.get("max_query_terms", 25))]]
+    if not sel:
+        return {"term": {field: "\x00never"}}
+    out: dict = {"bool": {"should": [
+        {"term": {field: {"value": t}}} for t in sel]}}
+    msm = _msm_count(body.get("minimum_should_match", "30%"), len(sel))
+    if msm > 0:
+        out["bool"]["minimum_should_match"] = msm
+    if exclude_ids and not bool(body.get("include", False)):
+        out["bool"]["must_not"] = [{"ids": {"values": exclude_ids}}]
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -511,6 +650,19 @@ def _clause_pd(ctx: _Ctx, clause: dict):
         return _expand_pattern_pd(ctx, kind, body)
     if kind in ("range", "exists"):
         return None  # docs-table metadata scan: always distributed
+    if kind == "ids":
+        values = (body or {}).get("values")
+        if not values:
+            raise ESQueryError("ids clause needs a non-empty 'values'")
+        reader = next(iter(ctx.readers.values()))
+        present = _ids_present_arrow(reader, values)
+        return pd.DataFrame({
+            "doc_id": present,
+            "score": np.full(present.size,
+                             float((body or {}).get("boost", 1.0)))})
+    if kind == "more_like_this":
+        out = _clause_pd(ctx, _mlt_rewrite(ctx, body))
+        return _scale_pd(out, float(body.get("boost", 1.0)))
     if kind == "bool":
         return _bool_pd(ctx, body)
     if kind == "match_all":
@@ -819,6 +971,20 @@ def _clause_df(ctx: _Ctx, clause: dict) -> DataFrame:
                 f"{sorted(reader.docs.columns)}")
         return _docs_pred_df(ctx, F.col(field).isNotNull(),
                              float(body.get("boost", 1.0)))
+    if kind == "ids":
+        values = (body or {}).get("values")
+        if not values:
+            raise ESQueryError("ids clause needs a non-empty 'values'")
+        reader = next(iter(ctx.readers.values()))
+        docs = reader.live_only(
+            reader.docs.select("doc_id")
+            .where(F.col("doc_id").isin([int(v) for v in values])))
+        return docs.select(
+            "doc_id",
+            F.lit(float((body or {}).get("boost", 1.0))).alias("score"))
+    if kind == "more_like_this":
+        out = _clause_df(ctx, _mlt_rewrite(ctx, body))
+        return _scale_df(out, float(body.get("boost", 1.0)))
     if kind == "bool":
         return _bool_df(ctx, body)
     if kind == "match_all":

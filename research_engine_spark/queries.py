@@ -2081,6 +2081,146 @@ def engine_dis_max_documents(spark, sf_dir):
                     F.round("score", 4).alias("score")))
 
 
+@register("engine_mlt_documents", f"""
+WITH tk AS (
+  SELECT doc_id, {_TOK_SQL} AS tk FROM documents
+),
+corpus AS (SELECT count(*) AS n, sum(len(tk)) AS tok FROM tk),
+flat AS (SELECT doc_id, unnest(tk) AS term FROM tk),
+dl AS (SELECT doc_id, len(tk) AS dl FROM tk),
+likeq AS (
+  SELECT unnest(list_filter(string_split_regex(lower(
+    'table hash join table scan merge sort'), '[^a-z0-9]+'),
+    t -> t <> '')) AS term
+),
+liketf AS (SELECT term, count(*) AS ltf FROM likeq GROUP BY term
+           HAVING count(*) >= 1),
+dfq AS (SELECT f.term, count(DISTINCT f.doc_id) AS df
+        FROM flat f JOIN liketf l ON f.term = l.term GROUP BY f.term),
+sel AS (
+  SELECT t.term, t.df,
+         l.ltf * ln(1 + (corpus.n - t.df + 0.5) / (t.df + 0.5)) AS ms
+  FROM dfq t JOIN liketf l USING (term), corpus
+  WHERE t.df >= 2
+  ORDER BY ms DESC, t.term ASC
+  LIMIT 5
+),
+msm AS (SELECT CAST(floor(0.30 * count(*)) AS INT) AS m FROM sel),
+tf AS (SELECT f.doc_id, f.term, count(*) AS tf
+       FROM flat f JOIN sel s ON f.term = s.term
+       GROUP BY f.doc_id, f.term),
+clause AS (
+  SELECT tf.doc_id,
+         ln(1 + (corpus.n - s.df + 0.5) / (s.df + 0.5))
+         * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                    / (corpus.tok * 1.0 / corpus.n))) AS s
+  FROM tf JOIN sel s USING (term) JOIN dl USING (doc_id), corpus
+),
+scored AS (
+  SELECT doc_id, sum(s) AS score, count(*) AS nmatched
+  FROM clause GROUP BY doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, round(score, 4) AS score
+FROM (SELECT doc_id, score FROM scored, msm WHERE nmatched >= msm.m
+      ORDER BY score DESC, doc_id ASC LIMIT 10) t
+""")
+def engine_mlt_documents(spark, sf_dir):
+    """more_like_this by like-TEXT over the REAL index,
+    driver-HASH-checked (operators/esdsl.py _mlt_rewrite): the like
+    string is analyzed, terms kept at like-tf >= 1 and df >= 2, ranked
+    by like-tf * idf (term-asc ties) and truncated to 5, then executed
+    as a bool should of term clauses with "30%" minimum_should_match
+    (floor -> 1 of 5). The oracle recomputes the ENTIRE pipeline — term
+    selection from the literal like string, the df window, the tf*idf
+    ranking, the msm floor, and the BM25 should-sum — from raw text."""
+    from .operators.esdsl import es_search
+    from .operators.scorer import IndexReader
+
+    reader = IndexReader(spark, _simple_index(spark, sf_dir))
+    hits = es_search(reader, {
+        "query": {"more_like_this": {
+            "fields": ["text"],
+            "like": "table hash join table scan merge sort",
+            "min_term_freq": 1, "min_doc_freq": 2,
+            "max_query_terms": 5}},
+        "size": 10})
+    docs = spark.read.parquet(
+        _SIMPLE_IDX_CACHE[sf_dir] + "/docs").select(
+        "doc_id", F.substring("conv_id", 2, 9).cast("long").alias("src_id"))
+    return (hits.join(docs, "doc_id")
+            .select(F.col("src_id").alias("doc_id"),
+                    F.round("score", 4).alias("score")))
+
+
+@register("engine_mlt_like_id_documents", f"""
+WITH tk AS (
+  SELECT doc_id, {_TOK_SQL} AS tk FROM documents
+),
+corpus AS (SELECT count(*) AS n, sum(len(tk)) AS tok FROM tk),
+flat AS (SELECT doc_id, unnest(tk) AS term FROM tk),
+dl AS (SELECT doc_id, len(tk) AS dl FROM tk),
+likeq AS (SELECT unnest(tk) AS term FROM tk WHERE doc_id = 42),
+liketf AS (SELECT term, count(*) AS ltf FROM likeq GROUP BY term
+           HAVING count(*) >= 2),
+dfq AS (SELECT f.term, count(DISTINCT f.doc_id) AS df
+        FROM flat f JOIN liketf l ON f.term = l.term GROUP BY f.term),
+sel AS (
+  SELECT t.term, t.df,
+         l.ltf * ln(1 + (corpus.n - t.df + 0.5) / (t.df + 0.5)) AS ms
+  FROM dfq t JOIN liketf l USING (term), corpus
+  WHERE t.df >= 5
+  ORDER BY ms DESC, t.term ASC
+  LIMIT 25
+),
+msm AS (SELECT CAST(floor(0.30 * count(*)) AS INT) AS m FROM sel),
+tf AS (SELECT f.doc_id, f.term, count(*) AS tf
+       FROM flat f JOIN sel s ON f.term = s.term
+       GROUP BY f.doc_id, f.term),
+clause AS (
+  SELECT tf.doc_id,
+         ln(1 + (corpus.n - s.df + 0.5) / (s.df + 0.5))
+         * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                    / (corpus.tok * 1.0 / corpus.n))) AS s
+  FROM tf JOIN sel s USING (term) JOIN dl USING (doc_id), corpus
+),
+scored AS (
+  SELECT doc_id, sum(s) AS score, count(*) AS nmatched
+  FROM clause GROUP BY doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, round(score, 4) AS score
+FROM (SELECT doc_id, score FROM scored, msm
+      WHERE nmatched >= msm.m AND doc_id <> 42
+      ORDER BY score DESC, doc_id ASC LIMIT 10) t
+""")
+def engine_mlt_like_id_documents(spark, sf_dir):
+    """more_like_this by like-_ID with the ES DEFAULT parameters
+    (min_term_freq 2, min_doc_freq 5, max_query_terms 25,
+    include: false), driver-HASH-checked: the like document's text is
+    fetched by the zero-job pyarrow probe (_doc_text_arrow), terms
+    selected as in engine_mlt_documents, and the input doc excluded via
+    the compiled must_not ids clause. The oracle recomputes everything
+    from raw text, sourcing the like terms from the SAME document row
+    (the engine's positional doc_ids are identity-mapped to the source
+    ids by the sorted build — the substring join below re-derives, not
+    assumes, that mapping for the output rows; the WHERE doc_id = 42
+    like-source leans on it the same way every lifecycle row does)."""
+    from .operators.esdsl import es_search
+    from .operators.scorer import IndexReader
+
+    reader = IndexReader(spark, _simple_index(spark, sf_dir))
+    hits = es_search(reader, {
+        "query": {"more_like_this": {
+            "fields": ["text"],
+            "like": [{"_id": 42}]}},
+        "size": 10})
+    docs = spark.read.parquet(
+        _SIMPLE_IDX_CACHE[sf_dir] + "/docs").select(
+        "doc_id", F.substring("conv_id", 2, 9).cast("long").alias("src_id"))
+    return (hits.join(docs, "doc_id")
+            .select(F.col("src_id").alias("doc_id"),
+                    F.round("score", 4).alias("score")))
+
+
 @register("engine_es_bool_must_documents", f"""
 WITH tk AS (
   SELECT doc_id, {_TOK_SQL} AS tk FROM documents
