@@ -40,12 +40,19 @@ fuzziness machinery minus analysis), terms / prefix / wildcard
 (constant_score rewrite: every doc containing a matching index term
 scores ``boost``, ES's default multi-term rewrite), range and exists
 (docs-table metadata predicates, constant_score), ids (explicit live
-doc-id set, constant_score), and more_like_this (driver-side
+doc-id set, constant_score), more_like_this (driver-side
 characteristic-term selection from like-text or like-_id inputs —
 like-tf * idf ranked, tf/df-windowed, top max_query_terms — compiled
 to a bool should of term clauses with "30%" minimum_should_match and
-a must_not ids exclusion of the inputs; see _mlt_rewrite). Body keys:
-query,
+a must_not ids exclusion of the inputs; see _mlt_rewrite), boosting
+(positive scores, demoted by negative_boost where the negative clause
+also matches), and function_score (field_value_factor with
+none/log1p/sqrt/square modifiers, or {filter, weight} functions
+combined per score_mode multiply|sum|max|min|avg, applied per
+boost_mode multiply|sum|replace with an optional max_boost cap —
+always distributed: a rescoring scan over docs columns / filter sets).
+Body keys: collapse ({field} — best hit per forward-table group,
+distributed window), query,
 size (ES default 10), from, search_after ([last_score, last_doc_id]
 cursor — constant-cost deep pagination), _source (docs-column
 projection), highlight.
@@ -349,6 +356,63 @@ def _mlt_rewrite(ctx: _Ctx, body: dict) -> dict:
     if exclude_ids and not bool(body.get("include", False)):
         out["bool"]["must_not"] = [{"ids": {"values": exclude_ids}}]
     return out
+
+
+_FS_BOOST_MODES = ("multiply", "sum", "replace")
+_FS_SCORE_MODES = ("multiply", "sum", "max", "min", "avg")
+_FVF_MODIFIERS = ("none", "log1p", "sqrt", "square")
+
+
+def _function_score_parts(ctx: _Ctx, body: dict):
+    """Validate a function_score body and return
+    (query, fvf|None, functions, boost_mode, score_mode, max_boost).
+    Supported: ONE of field_value_factor (field/factor/modifier
+    none|log1p|sqrt|square/missing) or a functions list of
+    {filter?, weight} entries; boost_mode multiply|sum|replace;
+    score_mode multiply|sum|max|min|avg; max_boost cap. Always
+    evaluated distributed (the function value is a docs-column /
+    filter-set scan — a rescoring pass, not a postings read)."""
+    if not isinstance(body, dict) or "query" not in body:
+        raise ESQueryError("function_score needs 'query'")
+    fvf = body.get("field_value_factor")
+    funcs = list(body.get("functions") or [])
+    if fvf and funcs:
+        raise ESQueryError(
+            "function_score supports field_value_factor OR functions, "
+            "not both")
+    if not fvf and not funcs and "weight" not in body:
+        raise ESQueryError(
+            "function_score needs field_value_factor, functions, or "
+            "weight")
+    if "weight" in body and not fvf and not funcs:
+        funcs = [{"weight": body["weight"]}]
+    boost_mode = str(body.get("boost_mode", "multiply"))
+    if boost_mode not in _FS_BOOST_MODES:
+        raise ESQueryError(
+            f"boost_mode {boost_mode!r} unsupported {_FS_BOOST_MODES}")
+    score_mode = str(body.get("score_mode", "multiply"))
+    if score_mode not in _FS_SCORE_MODES:
+        raise ESQueryError(
+            f"score_mode {score_mode!r} unsupported {_FS_SCORE_MODES}")
+    if fvf:
+        if not isinstance(fvf, dict) or "field" not in fvf:
+            raise ESQueryError("field_value_factor needs 'field'")
+        modifier = str(fvf.get("modifier", "none"))
+        if modifier not in _FVF_MODIFIERS:
+            raise ESQueryError(
+                f"field_value_factor modifier {modifier!r} unsupported "
+                f"{_FVF_MODIFIERS}")
+    for fn in funcs:
+        if not isinstance(fn, dict) or "weight" not in fn:
+            raise ESQueryError(
+                "each function needs 'weight' (script_score and decay "
+                "functions are unsupported)")
+        bad = set(fn) - {"weight", "filter"}
+        if bad:
+            raise ESQueryError(f"unsupported function keys: {sorted(bad)}")
+    max_boost = body.get("max_boost")
+    return (body["query"], fvf or None, funcs, boost_mode, score_mode,
+            None if max_boost is None else float(max_boost))
 
 
 # ---------------------------------------------------------------------------
@@ -663,6 +727,27 @@ def _clause_pd(ctx: _Ctx, clause: dict):
     if kind == "more_like_this":
         out = _clause_pd(ctx, _mlt_rewrite(ctx, body))
         return _scale_pd(out, float(body.get("boost", 1.0)))
+    if kind == "boosting":
+        if not isinstance(body, dict) or "positive" not in body \
+                or "negative" not in body:
+            raise ESQueryError("boosting needs 'positive' and 'negative'")
+        nb = float(body.get("negative_boost", 0.5))
+        pos = _clause_pd(ctx, body["positive"])
+        if pos is None:
+            return None
+        neg = _clause_pd(ctx, body["negative"])
+        if neg is None:
+            return None
+        if pos.empty or neg.empty:
+            return pos
+        sc = pos["score"].to_numpy(np.float64)
+        mask = pos["doc_id"].isin(set(neg["doc_id"].tolist())).to_numpy()
+        out = pos.copy()
+        out["score"] = np.where(mask, sc * nb, sc)
+        return out
+    if kind == "function_score":
+        _function_score_parts(ctx, body)  # validate eagerly, then go
+        return None                       # distributed (docs-column scan)
     if kind == "bool":
         return _bool_pd(ctx, body)
     if kind == "match_all":
@@ -985,6 +1070,22 @@ def _clause_df(ctx: _Ctx, clause: dict) -> DataFrame:
     if kind == "more_like_this":
         out = _clause_df(ctx, _mlt_rewrite(ctx, body))
         return _scale_df(out, float(body.get("boost", 1.0)))
+    if kind == "boosting":
+        if not isinstance(body, dict) or "positive" not in body \
+                or "negative" not in body:
+            raise ESQueryError("boosting needs 'positive' and 'negative'")
+        nb = float(body.get("negative_boost", 0.5))
+        pos = _clause_df(ctx, body["positive"])
+        neg = (_clause_df(ctx, body["negative"])
+               .select("doc_id").distinct()
+               .withColumn("_neg", F.lit(1)))
+        return (pos.join(neg, "doc_id", "left")
+                .select("doc_id",
+                        F.when(F.col("_neg").isNotNull(),
+                               F.col("score") * F.lit(nb))
+                        .otherwise(F.col("score")).alias("score")))
+    if kind == "function_score":
+        return _function_score_df(ctx, body)
     if kind == "bool":
         return _bool_df(ctx, body)
     if kind == "match_all":
@@ -994,6 +1095,79 @@ def _clause_df(ctx: _Ctx, clause: dict) -> DataFrame:
             else 1.0
         return docs.select("doc_id", F.lit(boost).alias("score"))
     raise ESQueryError(f"unsupported clause type {kind!r}")
+
+
+def _function_score_df(ctx: _Ctx, body: dict) -> DataFrame:
+    """function_score, distributed: base scores from the inner query,
+    function value per doc (a docs-column expression or weight-per-
+    matched-filter-set), combined per score_mode/boost_mode. One left
+    join per filtered function + one docs join for field_value_factor —
+    the match frame is never corpus-sized, and the docs join prunes to
+    (doc_id, field)."""
+    query, fvf, funcs, boost_mode, score_mode, max_boost = \
+        _function_score_parts(ctx, body)
+    base = _clause_df(ctx, query)
+    reader = next(iter(ctx.readers.values()))
+    if fvf:
+        field = str(fvf["field"])
+        if field not in reader.docs.columns:
+            raise ESQueryError(
+                f"field_value_factor field {field!r} not in docs table "
+                f"{sorted(reader.docs.columns)}")
+        missing = fvf.get("missing")
+        raw = F.col(field).cast("double")
+        if missing is not None:
+            raw = F.coalesce(raw, F.lit(float(missing)))
+        v = raw * F.lit(float(fvf.get("factor", 1.0)))
+        modifier = str(fvf.get("modifier", "none"))
+        if modifier == "log1p":
+            v = F.log1p(v)
+        elif modifier == "sqrt":
+            v = F.sqrt(v)
+        elif modifier == "square":
+            v = v * v
+        joined = base.join(reader.docs.select("doc_id", field),
+                           "doc_id", "left")
+        fval = v
+    else:
+        joined = base
+        vals = []
+        for i, fn in enumerate(funcs):
+            w = float(fn["weight"])
+            if "filter" in fn:
+                m = (_clause_df(ctx, fn["filter"])
+                     .select("doc_id").distinct()
+                     .withColumn(f"_fv{i}", F.lit(w)))
+                joined = joined.join(m, "doc_id", "left")
+                vals.append(F.col(f"_fv{i}"))
+            else:
+                vals.append(F.lit(w))
+        matched = F.filter(F.array(*vals), lambda x: x.isNotNull())
+        n = F.size(matched)
+        agg = F.aggregate(matched, F.lit(1.0), lambda a, x: a * x) \
+            if score_mode == "multiply" else \
+            F.aggregate(matched, F.lit(0.0), lambda a, x: a + x)
+        if score_mode in ("multiply", "sum"):
+            fval = F.when(n > 0, agg).otherwise(F.lit(1.0))
+        elif score_mode == "max":
+            fval = F.coalesce(F.array_max(matched), F.lit(1.0))
+        elif score_mode == "min":
+            fval = F.coalesce(F.array_min(matched), F.lit(1.0))
+        else:  # avg
+            fval = F.when(
+                n > 0,
+                F.aggregate(matched, F.lit(0.0), lambda a, x: a + x) / n
+            ).otherwise(F.lit(1.0))
+    if max_boost is not None:
+        fval = F.least(fval, F.lit(max_boost))
+    if boost_mode == "multiply":
+        score = F.col("score") * fval
+    elif boost_mode == "sum":
+        score = F.col("score") + fval
+    else:  # replace
+        score = fval
+    out = joined.select("doc_id", score.cast("double").alias("score"))
+    return _scale_df(out, float(body.get("boost", 1.0)))
 
 
 def _aslist(x):
@@ -1147,6 +1321,36 @@ def _eval_body(ctx: _Ctx, body: dict, label: str = "body") -> DataFrame:
     k = int(body.get("size", DEFAULT_SIZE))
     frm = int(body.get("from", 0))
     after = _search_after_parts(body)
+    collapse = body.get("collapse")
+    if collapse is not None:
+        # field collapsing (ES `collapse`): best hit per docs-field
+        # group. Always distributed — the group key is a forward-table
+        # column of the whole match set, which the serving tier's
+        # postings budgets don't cover. One docs join pruned to
+        # (doc_id, field) + one window shuffle on the field.
+        if not isinstance(collapse, dict) or "field" not in collapse:
+            raise ESQueryError("collapse needs 'field'")
+        if after is not None:
+            raise ESQueryError(
+                "collapse with search_after is unsupported (ES rejects "
+                "the combination too)")
+        field = str(collapse["field"])
+        reader = next(iter(ctx.readers.values()))
+        if field not in reader.docs.columns:
+            raise ESQueryError(
+                f"collapse field {field!r} not in docs table "
+                f"{sorted(reader.docs.columns)}")
+        from pyspark.sql import Window
+
+        scored = _clause_df(ctx, body["query"])
+        joined = scored.join(reader.docs.select("doc_id", field),
+                             "doc_id", "left")
+        w = Window.partitionBy(field).orderBy(
+            F.desc("score"), F.asc("doc_id"))
+        best = (joined.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1).select("doc_id", "score"))
+        topk = best.orderBy(F.desc("score"), F.asc("doc_id"))
+        return topk.offset(frm).limit(k) if frm else topk.limit(k)
     local = _clause_pd(ctx, body["query"])
     if local is not None:
         if after is not None:

@@ -626,6 +626,7 @@ def build_index(
     with_positions: bool = False,
     analyzer: str = "english_folded",
     dl_tokenizer=None,
+    stored_fields: list[str] | None = None,
 ) -> dict:
     """Build the full index table set under ``out_dir``.
 
@@ -647,6 +648,15 @@ def build_index(
     persisted as ``bpe_merges.json`` in the index dir and
     ``dl_source: "bpe"`` recorded in corpus_stats.json, so appends and
     upserts reload the identical tokenizer automatically.
+
+    stored_fields: extra input columns to carry into the forward docs
+    table beyond the core transcript schema (the Lucene stored-fields
+    analog) — they become available to ``_source`` projection, the ES
+    ``exists``/``range`` clauses, ``collapse``, and
+    ``function_score.field_value_factor``. Recorded in
+    corpus_stats.json; append_segment re-projects every appended batch
+    to the same set (a missing column fails loudly — parquet schema
+    drift is never silent).
 
     buckets_subset/mode allow partial builds + resume (see resume()).
     Returns a stats dict (n_docs, avgdl, n_terms, wall-times).
@@ -672,9 +682,11 @@ def build_index(
     # --- forward docs table (no tokenize in this pass) ----------------------
     docs = with_doc_ids(transcripts)
     docs_path = resolve(out_dir, "docs")
+    stored = list(stored_fields or [])
     if mode == "overwrite" or not os.path.exists(docs_path):
         (
-            docs.select("doc_id", "conv_id", "turn_idx", "role", "text", "ts")
+            docs.select("doc_id", "conv_id", "turn_idx", "role", "text",
+                        "ts", *stored)
             .write.mode("overwrite")
             .parquet(docs_path)
         )
@@ -740,6 +752,7 @@ def build_index(
                     "analyzer": analyzer,
                     "dl_source": ("bpe" if dl_tokenizer is not None
                                   else "analyzer"),
+                    "stored_fields": stored,
                     # high-water mark for docID assignment: appends base new
                     # ids here, NOT on n_docs — a purging compaction shrinks
                     # n_docs while PRESERVING surviving docIDs, so basing on
@@ -1098,7 +1111,8 @@ def append_segment(transcripts: DataFrame, out_dir: str,
     seg = (
         with_doc_ids(transcripts)
         .withColumn("doc_id", F.col("doc_id") + F.lit(base))
-        .select("doc_id", "conv_id", "turn_idx", "role", "text", "ts")
+        .select("doc_id", "conv_id", "turn_idx", "role", "text", "ts",
+                *stats.get("stored_fields", []))
         .localCheckpoint(eager=True)
     )
     seg.write.mode("append").parquet(resolve(out_dir, "docs"))

@@ -1693,10 +1693,12 @@ def _simple_index(spark, sf_dir) -> str:
             F.lit("user").alias("role"),
             F.col("text"),
             F.lit(None).cast("timestamp").alias("ts"),
+            F.col("lang"), F.col("source"), F.col("n_chars"),
         )
         idx = tempfile.mkdtemp(prefix="engine_sql_idx_")
         build_index(tx, idx, n_buckets=8, analyzer="simple",
-                    with_positions=True)
+                    with_positions=True,
+                    stored_fields=["lang", "source", "n_chars"])
         _SIMPLE_IDX_CACHE[sf_dir] = idx
     return _SIMPLE_IDX_CACHE[sf_dir]
 
@@ -2212,6 +2214,155 @@ def engine_mlt_like_id_documents(spark, sf_dir):
         "query": {"more_like_this": {
             "fields": ["text"],
             "like": [{"_id": 42}]}},
+        "size": 10})
+    docs = spark.read.parquet(
+        _SIMPLE_IDX_CACHE[sf_dir] + "/docs").select(
+        "doc_id", F.substring("conv_id", 2, 9).cast("long").alias("src_id"))
+    return (hits.join(docs, "doc_id")
+            .select(F.col("src_id").alias("doc_id"),
+                    F.round("score", 4).alias("score")))
+
+
+@register("engine_boosting_documents", f"""
+WITH tk AS (
+  SELECT doc_id, {_TOK_SQL} AS tk FROM documents
+),
+corpus AS (SELECT count(*) AS n, sum(len(tk)) AS tok FROM tk),
+flat AS (SELECT doc_id, unnest(tk) AS term FROM tk),
+dl AS (SELECT doc_id, len(tk) AS dl FROM tk),
+df AS (SELECT count(DISTINCT doc_id) AS df FROM flat WHERE term = 'table'),
+tf AS (SELECT doc_id, count(*) AS tf FROM flat WHERE term = 'table'
+       GROUP BY doc_id),
+neg AS (SELECT DISTINCT doc_id FROM flat WHERE term = 'hash'),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1 + (corpus.n - df.df + 0.5) / (df.df + 0.5))
+         * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                    / (corpus.tok * 1.0 / corpus.n)))
+         * CASE WHEN tf.doc_id IN (SELECT doc_id FROM neg)
+                THEN 0.5 ELSE 1.0 END AS score
+  FROM tf JOIN dl USING (doc_id), df, corpus
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, round(score, 4) AS score
+FROM (SELECT doc_id, score FROM scored
+      ORDER BY score DESC, doc_id ASC LIMIT 10) t
+""")
+def engine_boosting_documents(spark, sf_dir):
+    """ES ``boosting`` query over the REAL index, driver-HASH-checked:
+    positive match 'table' scored normally, demoted by negative_boost
+    0.5 where the negative match 'hash' also matches
+    (operators/esdsl.py boosting handler — Lucene BoostingQuery). The
+    oracle recomputes the BM25 positive scores and the demotion mask
+    from raw text."""
+    from .operators.esdsl import es_search
+    from .operators.scorer import IndexReader
+
+    reader = IndexReader(spark, _simple_index(spark, sf_dir))
+    hits = es_search(reader, {
+        "query": {"boosting": {
+            "positive": {"match": {"text": "table"}},
+            "negative": {"match": {"text": "hash"}},
+            "negative_boost": 0.5}},
+        "size": 10})
+    docs = spark.read.parquet(
+        _SIMPLE_IDX_CACHE[sf_dir] + "/docs").select(
+        "doc_id", F.substring("conv_id", 2, 9).cast("long").alias("src_id"))
+    return (hits.join(docs, "doc_id")
+            .select(F.col("src_id").alias("doc_id"),
+                    F.round("score", 4).alias("score")))
+
+
+@register("engine_function_score_documents", f"""
+WITH tk AS (
+  SELECT doc_id, {_TOK_SQL} AS tk FROM documents
+),
+corpus AS (SELECT count(*) AS n, sum(len(tk)) AS tok FROM tk),
+flat AS (SELECT doc_id, unnest(tk) AS term FROM tk),
+dl AS (SELECT doc_id, len(tk) AS dl FROM tk),
+df AS (SELECT count(DISTINCT doc_id) AS df FROM flat WHERE term = 'table'),
+tf AS (SELECT doc_id, count(*) AS tf FROM flat WHERE term = 'table'
+       GROUP BY doc_id),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1 + (corpus.n - df.df + 0.5) / (df.df + 0.5))
+         * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                    / (corpus.tok * 1.0 / corpus.n)))
+         * ln(1 + 0.001 * d.n_chars) AS score
+  FROM tf JOIN dl USING (doc_id) JOIN documents d USING (doc_id),
+       df, corpus
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, round(score, 4) AS score
+FROM (SELECT doc_id, score FROM scored
+      ORDER BY score DESC, doc_id ASC LIMIT 10) t
+""")
+def engine_function_score_documents(spark, sf_dir):
+    """ES ``function_score`` with field_value_factor over a STORED
+    FIELD, driver-HASH-checked: match 'table' rescored by
+    log1p(0.001 * n_chars) where n_chars rides the forward docs table
+    via build_index(stored_fields=...) (the Lucene stored-fields
+    analog, new this round). The oracle recomputes BM25 and the
+    modifier from the raw documents table."""
+    from .operators.esdsl import es_search
+    from .operators.scorer import IndexReader
+
+    reader = IndexReader(spark, _simple_index(spark, sf_dir))
+    hits = es_search(reader, {
+        "query": {"function_score": {
+            "query": {"match": {"text": "table"}},
+            "field_value_factor": {"field": "n_chars", "factor": 0.001,
+                                   "modifier": "log1p"},
+            "boost_mode": "multiply"}},
+        "size": 10})
+    docs = spark.read.parquet(
+        _SIMPLE_IDX_CACHE[sf_dir] + "/docs").select(
+        "doc_id", F.substring("conv_id", 2, 9).cast("long").alias("src_id"))
+    return (hits.join(docs, "doc_id")
+            .select(F.col("src_id").alias("doc_id"),
+                    F.round("score", 4).alias("score")))
+
+
+@register("engine_collapse_documents", f"""
+WITH tk AS (
+  SELECT doc_id, {_TOK_SQL} AS tk FROM documents
+),
+corpus AS (SELECT count(*) AS n, sum(len(tk)) AS tok FROM tk),
+flat AS (SELECT doc_id, unnest(tk) AS term FROM tk),
+dl AS (SELECT doc_id, len(tk) AS dl FROM tk),
+df AS (SELECT count(DISTINCT doc_id) AS df FROM flat WHERE term = 'table'),
+tf AS (SELECT doc_id, count(*) AS tf FROM flat WHERE term = 'table'
+       GROUP BY doc_id),
+scored AS (
+  SELECT tf.doc_id, d.source,
+         ln(1 + (corpus.n - df.df + 0.5) / (df.df + 0.5))
+         * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                    / (corpus.tok * 1.0 / corpus.n))) AS score
+  FROM tf JOIN dl USING (doc_id) JOIN documents d USING (doc_id),
+       df, corpus
+),
+best AS (
+  SELECT doc_id, score FROM (
+    SELECT doc_id, score,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY score DESC, doc_id ASC) AS rn
+    FROM scored) WHERE rn = 1
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, round(score, 4) AS score
+FROM (SELECT doc_id, score FROM best
+      ORDER BY score DESC, doc_id ASC LIMIT 10) t
+""")
+def engine_collapse_documents(spark, sf_dir):
+    """ES field collapsing over a STORED FIELD, driver-HASH-checked:
+    match 'table' collapsed to the best hit per ``source`` group
+    (operators/esdsl.py _eval_body collapse — one docs join + one
+    window shuffle). The oracle recomputes BM25, the per-source
+    row_number, and the final top-k from raw text."""
+    from .operators.esdsl import es_search
+    from .operators.scorer import IndexReader
+
+    reader = IndexReader(spark, _simple_index(spark, sf_dir))
+    hits = es_search(reader, {
+        "query": {"match": {"text": "table"}},
+        "collapse": {"field": "source"},
         "size": 10})
     docs = spark.read.parquet(
         _SIMPLE_IDX_CACHE[sf_dir] + "/docs").select(
