@@ -47,15 +47,18 @@ to a bool should of term clauses with "30%" minimum_should_match and
 a must_not ids exclusion of the inputs; see _mlt_rewrite), boosting
 (positive scores, demoted by negative_boost where the negative clause
 also matches), and function_score (field_value_factor with
-none/log1p/sqrt/square modifiers, or {filter, weight} functions
-combined per score_mode multiply|sum|max|min|avg, applied per
-boost_mode multiply|sum|replace with an optional max_boost cap —
-always distributed: a rescoring scan over docs columns / filter sets).
+none/log1p/sqrt/square modifiers, {filter, weight} functions, and the
+gauss/exp/linear decay functions over numeric docs columns — combined
+per score_mode multiply|sum|max|min|avg, applied per boost_mode
+multiply|sum|replace with an optional max_boost cap — always
+distributed: a rescoring scan over docs columns / filter sets).
 Body keys: collapse ({field} — best hit per forward-table group,
-distributed window), query,
+distributed window), sort (docs-table fields / _score / _doc, asc or
+desc, missing-last, doc_id tiebreak — always distributed, one pruned
+docs join + TakeOrderedAndProject), query,
 size (ES default 10), from, search_after ([last_score, last_doc_id]
-cursor — constant-cost deep pagination), _source (docs-column
-projection), highlight.
+cursor — constant-cost deep pagination; default relevance sort only),
+_source (docs-column projection), highlight.
 
 Term-level scale posture: the distributed prefix/wildcard paths never
 enumerate the expansion driver-side — the pattern pushes into the
@@ -361,6 +364,35 @@ def _mlt_rewrite(ctx: _Ctx, body: dict) -> dict:
 _FS_BOOST_MODES = ("multiply", "sum", "replace")
 _FS_SCORE_MODES = ("multiply", "sum", "max", "min", "avg")
 _FVF_MODIFIERS = ("none", "log1p", "sqrt", "square")
+_DECAY_KINDS = {"gauss", "exp", "linear"}
+
+
+def _decay_expr(kind: str, field: str, params: dict):
+    """ES decay-function value for one doc as a Catalyst expression
+    (numeric fields). d = max(0, |v - origin| - offset); then
+    gauss  = exp(-d² / 2σ²),          σ² = -scale² / (2 ln decay)
+    exp    = exp(λ d),                 λ  = ln(decay) / scale
+    linear = max(0, (s - d) / s),      s  = scale / (1 - decay)
+    A doc missing the field gets 1.0 (ES's documented behavior)."""
+    import math
+
+    origin = float(params["origin"])
+    scale = float(params["scale"])
+    offset = float(params.get("offset", 0.0))
+    decay = float(params.get("decay", 0.5))
+    d = F.greatest(
+        F.abs(F.col(field).cast("double") - F.lit(origin))
+        - F.lit(offset), F.lit(0.0))
+    if kind == "gauss":
+        sigma2 = -(scale * scale) / (2.0 * math.log(decay))
+        val = F.exp(-(d * d) / F.lit(2.0 * sigma2))
+    elif kind == "exp":
+        lam = math.log(decay) / scale
+        val = F.exp(F.lit(lam) * d)
+    else:  # linear
+        s = scale / (1.0 - decay)
+        val = F.greatest((F.lit(s) - d) / F.lit(s), F.lit(0.0))
+    return F.coalesce(val, F.lit(1.0))
 
 
 def _function_score_parts(ctx: _Ctx, body: dict):
@@ -380,12 +412,18 @@ def _function_score_parts(ctx: _Ctx, body: dict):
         raise ESQueryError(
             "function_score supports field_value_factor OR functions, "
             "not both")
-    if not fvf and not funcs and "weight" not in body:
+    top_decays = _DECAY_KINDS & set(body)
+    if not fvf and not funcs and "weight" not in body and not top_decays:
         raise ESQueryError(
-            "function_score needs field_value_factor, functions, or "
-            "weight")
-    if "weight" in body and not fvf and not funcs:
-        funcs = [{"weight": body["weight"]}]
+            "function_score needs field_value_factor, functions, "
+            "weight, or a decay (gauss/exp/linear)")
+    if not fvf and not funcs and (top_decays or "weight" in body):
+        # ES single-function shorthand: the function keys live directly
+        # in the function_score body
+        fn = {dk: body[dk] for dk in top_decays}
+        if "weight" in body:
+            fn["weight"] = body["weight"]
+        funcs = [fn]
     boost_mode = str(body.get("boost_mode", "multiply"))
     if boost_mode not in _FS_BOOST_MODES:
         raise ESQueryError(
@@ -403,13 +441,36 @@ def _function_score_parts(ctx: _Ctx, body: dict):
                 f"field_value_factor modifier {modifier!r} unsupported "
                 f"{_FVF_MODIFIERS}")
     for fn in funcs:
-        if not isinstance(fn, dict) or "weight" not in fn:
+        if not isinstance(fn, dict) or not ({"weight"} | _DECAY_KINDS) & set(fn):
             raise ESQueryError(
-                "each function needs 'weight' (script_score and decay "
-                "functions are unsupported)")
-        bad = set(fn) - {"weight", "filter"}
+                "each function needs 'weight' or a decay "
+                "(gauss/exp/linear); script_score is unsupported")
+        bad = set(fn) - ({"weight", "filter"} | _DECAY_KINDS)
         if bad:
             raise ESQueryError(f"unsupported function keys: {sorted(bad)}")
+        decays = _DECAY_KINDS & set(fn)
+        if len(decays) > 1:
+            raise ESQueryError(
+                f"one decay kind per function, got {sorted(decays)}")
+        for dk in decays:
+            spec = fn[dk]
+            if not isinstance(spec, dict) or len(spec) != 1:
+                raise ESQueryError(
+                    f"{dk} needs exactly one {{field: params}} entry")
+            params = next(iter(spec.values()))
+            if not isinstance(params, dict) or "origin" not in params \
+                    or "scale" not in params:
+                raise ESQueryError(
+                    f"{dk} params need 'origin' and 'scale' (numeric)")
+            badp = set(params) - {"origin", "scale", "offset", "decay"}
+            if badp:
+                raise ESQueryError(
+                    f"unsupported {dk} params: {sorted(badp)}")
+            if float(params["scale"]) <= 0:
+                raise ESQueryError(f"{dk} scale must be > 0")
+            dec = float(params.get("decay", 0.5))
+            if not 0.0 < dec < 1.0:
+                raise ESQueryError(f"{dk} decay must be in (0, 1)")
     max_boost = body.get("max_boost")
     return (body["query"], fvf or None, funcs, boost_mode, score_mode,
             None if max_boost is None else float(max_boost))
@@ -1131,17 +1192,31 @@ def _function_score_df(ctx: _Ctx, body: dict) -> DataFrame:
         fval = v
     else:
         joined = base
+        decay_fields = sorted({
+            next(iter(fn[dk])) for fn in funcs
+            for dk in (_DECAY_KINDS & set(fn))})
+        if decay_fields:
+            missing = sorted(set(decay_fields)
+                             - set(reader.docs.columns))
+            if missing:
+                raise ESQueryError(
+                    f"decay fields not in docs table: {missing}")
+            joined = joined.join(
+                reader.docs.select("doc_id", *decay_fields),
+                "doc_id", "left")
         vals = []
         for i, fn in enumerate(funcs):
-            w = float(fn["weight"])
+            val = F.lit(float(fn.get("weight", 1.0)))
+            for dk in _DECAY_KINDS & set(fn):
+                field, params = next(iter(fn[dk].items()))
+                val = val * _decay_expr(dk, str(field), params)
             if "filter" in fn:
                 m = (_clause_df(ctx, fn["filter"])
                      .select("doc_id").distinct()
-                     .withColumn(f"_fv{i}", F.lit(w)))
+                     .withColumn(f"_m{i}", F.lit(1)))
                 joined = joined.join(m, "doc_id", "left")
-                vals.append(F.col(f"_fv{i}"))
-            else:
-                vals.append(F.lit(w))
+                val = F.when(F.col(f"_m{i}").isNotNull(), val)
+            vals.append(val)
         matched = F.filter(F.array(*vals), lambda x: x.isNotNull())
         n = F.size(matched)
         agg = F.aggregate(matched, F.lit(1.0), lambda a, x: a * x) \
@@ -1310,6 +1385,60 @@ def _search_after_parts(body: dict) -> tuple[float, int] | None:
     return float(sa[0]), int(sa[1])
 
 
+def _sort_parts(body: dict):
+    """Parse the top-level ``sort`` body key. Returns None when absent
+    (default relevance order) else a list of (key, ascending) where key
+    is a docs-table column or the specials ``_score`` / ``_doc``.
+    Accepts ES's three spellings: "field", {"field": "asc"}, and
+    {"field": {"order": "desc"}}. A final (doc_id asc) tiebreak is
+    always appended by the consumers, so field sorts are total."""
+    sort = body.get("sort")
+    if sort is None:
+        return None
+    if isinstance(sort, (str, dict)):
+        sort = [sort]
+    if not isinstance(sort, list) or not sort:
+        raise ESQueryError("sort must be a non-empty list")
+    out = []
+    for item in sort:
+        if isinstance(item, str):
+            key, order = item, None
+        elif isinstance(item, dict) and len(item) == 1:
+            key, spec = next(iter(item.items()))
+            if isinstance(spec, str):
+                order = spec
+            elif isinstance(spec, dict):
+                order = spec.get("order")
+                bad = set(spec) - {"order"}
+                if bad:
+                    raise ESQueryError(
+                        f"unsupported sort options for {key!r}: "
+                        f"{sorted(bad)} (only 'order')")
+            else:
+                raise ESQueryError(f"bad sort spec for {key!r}")
+        else:
+            raise ESQueryError(f"bad sort entry {item!r}")
+        if order is None:  # ES default: _score desc, everything else asc
+            order = "desc" if key == "_score" else "asc"
+        if order not in ("asc", "desc"):
+            raise ESQueryError(f"sort order {order!r} must be asc|desc")
+        out.append((str(key), order == "asc"))
+    return out
+
+
+def _sort_order_cols(sort) -> list:
+    """Catalyst sort expressions for a parsed sort spec (+ the doc_id
+    tiebreak). Missing field values sort last, ES's default."""
+    order = []
+    for key, asc in sort:
+        col = (F.col("score") if key == "_score"
+               else F.col("doc_id") if key == "_doc" else F.col(key))
+        order.append(col.asc_nulls_last() if asc
+                     else col.desc_nulls_last())
+    order.append(F.asc("doc_id"))
+    return order
+
+
 def _eval_body(ctx: _Ctx, body: dict, label: str = "body") -> DataFrame:
     """One query body -> its paginated (doc_id, score) top-k frame.
     The ONE place the serving-vs-distributed dispatch, search_after
@@ -1321,6 +1450,32 @@ def _eval_body(ctx: _Ctx, body: dict, label: str = "body") -> DataFrame:
     k = int(body.get("size", DEFAULT_SIZE))
     frm = int(body.get("from", 0))
     after = _search_after_parts(body)
+    sort = _sort_parts(body)
+    if sort is not None:
+        # field sorting (ES top-level `sort`): order hits by docs-table
+        # columns / _score / _doc instead of pure relevance. Always
+        # distributed — sort keys are forward-table columns of the
+        # whole match set. One docs join pruned to (doc_id, fields) +
+        # TakeOrderedAndProject; missing values sort last (ES default).
+        if after is not None:
+            raise ESQueryError(
+                "search_after with a custom sort is unsupported — the "
+                "cursor here is the default [last_score, last_doc_id]")
+        if body.get("collapse") is not None:
+            raise ESQueryError("collapse with sort is unsupported")
+        fields = [f for f, _ in sort if f not in ("_score", "_doc")]
+        reader = next(iter(ctx.readers.values()))
+        missing = sorted(set(fields) - set(reader.docs.columns))
+        if missing:
+            raise ESQueryError(
+                f"sort fields not in docs table: {missing}")
+        scored = _clause_df(ctx, body["query"])
+        if fields:
+            scored = scored.join(reader.docs.select("doc_id", *fields),
+                                 "doc_id", "left")
+        topk = (scored.orderBy(*_sort_order_cols(sort))
+                .select("doc_id", "score"))
+        return topk.offset(frm).limit(k) if frm else topk.limit(k)
     collapse = body.get("collapse")
     if collapse is not None:
         # field collapsing (ES `collapse`): best hit per docs-field
@@ -1399,9 +1554,15 @@ def es_search(index, body: dict, k1: float | None = None,
     missing = sorted(set(source) - set(docs.columns))
     if missing:
         raise ESQueryError(f"_source fields not in docs table: {missing}")
-    out = (docs.select("doc_id", *source)
+    # a custom field sort must survive the _source re-join: carry its
+    # (hidden) sort fields through and re-apply the same order
+    sort = _sort_parts(body)
+    hidden = [] if sort is None else [
+        f for f, _ in sort
+        if f not in ("_score", "_doc") and f not in source]
+    out = (docs.select("doc_id", *source, *hidden)
            .join(F.broadcast(topk), "doc_id")
-           .select("doc_id", "score", *source))
+           .select("doc_id", "score", *source, *hidden))
     if hl_field:
         from .retrieval_extras import with_highlights
 
@@ -1411,6 +1572,8 @@ def es_search(index, body: dict, k1: float | None = None,
             text_col=hl_field,
             width=int(opts.get("fragment_size", 120)) // 2,
             max_fragments=int(opts.get("number_of_fragments", 1)))
+    if sort is not None:
+        return out.orderBy(*_sort_order_cols(sort)).drop(*hidden)
     return out.orderBy(F.desc("score"), F.asc("doc_id"))
 
 

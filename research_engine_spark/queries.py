@@ -2372,6 +2372,101 @@ def engine_collapse_documents(spark, sf_dir):
                     F.round("score", 4).alias("score")))
 
 
+@register("engine_sort_documents", f"""
+WITH tk AS (
+  SELECT doc_id, {_TOK_SQL} AS tk FROM documents
+),
+corpus AS (SELECT count(*) AS n, sum(len(tk)) AS tok FROM tk),
+flat AS (SELECT doc_id, unnest(tk) AS term FROM tk),
+dl AS (SELECT doc_id, len(tk) AS dl FROM tk),
+df AS (SELECT count(DISTINCT doc_id) AS df FROM flat WHERE term = 'table'),
+tf AS (SELECT doc_id, count(*) AS tf FROM flat WHERE term = 'table'
+       GROUP BY doc_id),
+scored AS (
+  SELECT tf.doc_id, d.n_chars,
+         ln(1 + (corpus.n - df.df + 0.5) / (df.df + 0.5))
+         * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                    / (corpus.tok * 1.0 / corpus.n))) AS score
+  FROM tf JOIN dl USING (doc_id) JOIN documents d USING (doc_id),
+       df, corpus
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, round(score, 4) AS score
+FROM (SELECT doc_id, score FROM scored
+      ORDER BY n_chars DESC, doc_id ASC LIMIT 10) t
+""")
+def engine_sort_documents(spark, sf_dir):
+    """ES top-level ``sort`` over a STORED FIELD, driver-HASH-checked:
+    match 'table' ordered by n_chars desc (doc_id tiebreak) instead of
+    relevance — the hits still carry their BM25 scores
+    (operators/esdsl.py _eval_body sort: one pruned docs join +
+    TakeOrderedAndProject). The oracle recomputes the scores and the
+    field ordering from the raw documents table."""
+    from .operators.esdsl import es_search
+    from .operators.scorer import IndexReader
+
+    reader = IndexReader(spark, _simple_index(spark, sf_dir))
+    hits = es_search(reader, {
+        "query": {"match": {"text": "table"}},
+        "sort": [{"n_chars": {"order": "desc"}}],
+        "size": 10})
+    docs = spark.read.parquet(
+        _SIMPLE_IDX_CACHE[sf_dir] + "/docs").select(
+        "doc_id", F.substring("conv_id", 2, 9).cast("long").alias("src_id"))
+    return (hits.join(docs, "doc_id")
+            .select(F.col("src_id").alias("doc_id"),
+                    F.round("score", 4).alias("score")))
+
+
+@register("engine_decay_documents", f"""
+WITH tk AS (
+  SELECT doc_id, {_TOK_SQL} AS tk FROM documents
+),
+corpus AS (SELECT count(*) AS n, sum(len(tk)) AS tok FROM tk),
+flat AS (SELECT doc_id, unnest(tk) AS term FROM tk),
+dl AS (SELECT doc_id, len(tk) AS dl FROM tk),
+df AS (SELECT count(DISTINCT doc_id) AS df FROM flat WHERE term = 'table'),
+tf AS (SELECT doc_id, count(*) AS tf FROM flat WHERE term = 'table'
+       GROUP BY doc_id),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1 + (corpus.n - df.df + 0.5) / (df.df + 0.5))
+         * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                    / (corpus.tok * 1.0 / corpus.n)))
+         * exp(-pow(greatest(abs(d.n_chars - 200.0) - 50.0, 0.0), 2)
+               / (2 * (-(150.0 * 150.0) / (2 * ln(0.5))))) AS score
+  FROM tf JOIN dl USING (doc_id) JOIN documents d USING (doc_id),
+       df, corpus
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, round(score, 4) AS score
+FROM (SELECT doc_id, score FROM scored
+      ORDER BY score DESC, doc_id ASC LIMIT 10) t
+""")
+def engine_decay_documents(spark, sf_dir):
+    """ES ``function_score`` gauss DECAY over a STORED FIELD,
+    driver-HASH-checked: match 'table' rescored by
+    exp(-max(0,|n_chars-200|-50)^2 / 2sigma^2) with sigma^2 =
+    -scale^2/(2 ln decay), scale 150, decay 0.5 — the standard
+    recency/proximity scoring shape (operators/esdsl.py _decay_expr).
+    The oracle recomputes BM25 and the decay formula from the raw
+    documents table."""
+    from .operators.esdsl import es_search
+    from .operators.scorer import IndexReader
+
+    reader = IndexReader(spark, _simple_index(spark, sf_dir))
+    hits = es_search(reader, {
+        "query": {"function_score": {
+            "query": {"match": {"text": "table"}},
+            "gauss": {"n_chars": {"origin": 200.0, "scale": 150.0,
+                                  "offset": 50.0}}}},
+        "size": 10})
+    docs = spark.read.parquet(
+        _SIMPLE_IDX_CACHE[sf_dir] + "/docs").select(
+        "doc_id", F.substring("conv_id", 2, 9).cast("long").alias("src_id"))
+    return (hits.join(docs, "doc_id")
+            .select(F.col("src_id").alias("doc_id"),
+                    F.round("score", 4).alias("score")))
+
+
 @register("engine_es_bool_must_documents", f"""
 WITH tk AS (
   SELECT doc_id, {_TOK_SQL} AS tk FROM documents

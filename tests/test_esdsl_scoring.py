@@ -311,3 +311,190 @@ def test_append_missing_stored_field_fails_loudly(spark, stored_setup,
     bare = synth_transcripts(spark, n_convs=2, seed=36)  # no n_chars
     with pytest.raises(Exception, match="n_chars"):
         append_segment(bare, d)
+
+
+# ---------------------------------------------------------------------------
+# top-level sort
+# ---------------------------------------------------------------------------
+
+def test_sort_by_stored_field_desc(spark, stored_setup):
+    local, dist = _readers(spark, stored_setup)
+    pos = _all_hits(dist, {"match": {"text": Q}})
+    nchars = (spark.read.parquet(stored_setup + "/docs")
+              .select("doc_id", "n_chars").toPandas()
+              .set_index("doc_id")["n_chars"])
+    exp = pos.copy()
+    exp["n_chars"] = nchars.reindex(exp["doc_id"]).to_numpy()
+    exp = exp.sort_values(["n_chars", "doc_id"],
+                          ascending=[False, True]).head(10)
+    want = list(zip(exp["doc_id"].tolist(),
+                    np.round(exp["score"].to_numpy(np.float64), 10)))
+    body = {"query": {"match": {"text": Q}},
+            "sort": [{"n_chars": {"order": "desc"}}], "size": 10}
+    for r in (local, dist):  # sort is always distributed
+        assert _pairs(es_search(r, body)) == want
+
+
+def test_sort_spellings_and_score_secondary(spark, stored_setup):
+    _, dist = _readers(spark, stored_setup)
+    pos = _all_hits(dist, {"match": {"text": Q}})
+    grp = (spark.read.parquet(stored_setup + "/docs")
+           .select("doc_id", "grp").toPandas()
+           .set_index("doc_id")["grp"])
+    exp = pos.copy()
+    exp["grp"] = grp.reindex(exp["doc_id"]).to_numpy()
+    exp = exp.sort_values(["grp", "score", "doc_id"],
+                          ascending=[True, False, True]).head(8)
+    want = list(zip(exp["doc_id"].tolist(),
+                    np.round(exp["score"].to_numpy(np.float64), 10)))
+    # three equivalent spellings of [grp asc, _score desc]
+    for sort in (["grp", "_score"],
+                 [{"grp": "asc"}, {"_score": {"order": "desc"}}],
+                 [{"grp": {"order": "asc"}}, "_score"]):
+        got = _pairs(es_search(dist, {"query": {"match": {"text": Q}},
+                                      "sort": sort, "size": 8}))
+        assert got == want, sort
+
+
+def test_sort_survives_source_projection(spark, stored_setup):
+    _, dist = _readers(spark, stored_setup)
+    body = {"query": {"match": {"text": Q}},
+            "sort": [{"n_chars": "desc"}], "size": 6}
+    plain = _pairs(es_search(dist, body))
+    with_src = es_search(dist, dict(body, _source=["role"]))
+    assert "role" in with_src.columns
+    assert "n_chars" not in with_src.columns  # hidden sort key dropped
+    assert _pairs(with_src) == plain
+
+
+def test_sort_from_pagination_tiles(spark, stored_setup):
+    _, dist = _readers(spark, stored_setup)
+    body = {"query": {"match": {"text": Q}},
+            "sort": [{"n_chars": "asc"}]}
+    full = _pairs(es_search(dist, dict(body, size=6)))
+    page2 = _pairs(es_search(dist, dict(body, size=3), ))
+    assert page2 == full[:3]
+    page2b = _pairs(es_search(dist, {**body, "size": 3, "from": 3}))
+    assert page2b == full[3:6]
+
+
+def test_sort_errors(spark, stored_setup):
+    local, _ = _readers(spark, stored_setup)
+    q = {"match": {"text": Q}}
+    with pytest.raises(ESQueryError, match="not in docs table"):
+        es_search(local, {"query": q, "sort": ["nope"]})
+    with pytest.raises(ESQueryError, match="asc|desc"):
+        es_search(local, {"query": q, "sort": [{"grp": "up"}]})
+    with pytest.raises(ESQueryError, match="non-empty"):
+        es_search(local, {"query": q, "sort": []})
+    with pytest.raises(ESQueryError, match="search_after"):
+        es_search(local, {"query": q, "sort": [{"grp": "asc"}],
+                          "search_after": [1.0, 5]})
+    with pytest.raises(ESQueryError, match="collapse with sort"):
+        es_search(local, {"query": q, "sort": [{"grp": "asc"}],
+                          "collapse": {"field": "grp"}})
+    with pytest.raises(ESQueryError, match="only 'order'"):
+        es_search(local, {"query": q,
+                          "sort": [{"grp": {"order": "asc",
+                                            "mode": "min"}}]})
+
+
+# ---------------------------------------------------------------------------
+# function_score decay
+# ---------------------------------------------------------------------------
+
+def _decay_np(kind, v, origin, scale, offset=0.0, decay=0.5):
+    import math
+    d = np.maximum(np.abs(v - origin) - offset, 0.0)
+    if kind == "gauss":
+        sigma2 = -(scale * scale) / (2.0 * math.log(decay))
+        out = np.exp(-(d * d) / (2.0 * sigma2))
+    elif kind == "exp":
+        out = np.exp((math.log(decay) / scale) * d)
+    else:
+        s = scale / (1.0 - decay)
+        out = np.maximum((s - d) / s, 0.0)
+    return np.where(np.isnan(v), 1.0, out)
+
+
+@pytest.mark.parametrize("kind", ["gauss", "exp", "linear"])
+def test_decay_functions_match_formula(spark, stored_setup, kind):
+    _, dist = _readers(spark, stored_setup)
+    pos = _all_hits(dist, {"match": {"text": Q}})
+    vals = (spark.read.parquet(stored_setup + "/docs")
+            .select("doc_id", "n_chars").toPandas()
+            .set_index("doc_id")["n_chars"]
+            .reindex(pos["doc_id"]).to_numpy(np.float64))
+    exp = pos.copy()
+    exp["score"] = (exp["score"].to_numpy(np.float64)
+                    * _decay_np(kind, vals, 40.0, 25.0,
+                                offset=5.0, decay=0.4))
+    body = {"query": {"function_score": {
+        "query": {"match": {"text": Q}},
+        kind: {"n_chars": {"origin": 40.0, "scale": 25.0,
+                           "offset": 5.0, "decay": 0.4}}}}, "size": 10}
+    got = _pairs(es_search(dist, body), ndigits=8)
+    want = [(d, round(float(s), 8)) for d, s in
+            zip(*(lambda p: (p["doc_id"].tolist(),
+                             p["score"].tolist()))(
+                exp.sort_values(["score", "doc_id"],
+                                ascending=[False, True]).head(10)))]
+    assert got == want
+
+
+def test_decay_with_filter_and_weight(spark, stored_setup):
+    _, dist = _readers(spark, stored_setup)
+    pos = _all_hits(dist, {"match": {"text": Q}})
+    in_a = pos["doc_id"].isin(
+        set(_all_hits(dist, {"match": {"text": "model"}})["doc_id"]))
+    vals = (spark.read.parquet(stored_setup + "/docs")
+            .select("doc_id", "n_chars").toPandas()
+            .set_index("doc_id")["n_chars"]
+            .reindex(pos["doc_id"]).to_numpy(np.float64))
+    fn_val = 2.0 * _decay_np("gauss", vals, 40.0, 25.0)
+    fval = np.where(in_a, fn_val, 1.0)  # unmatched filter -> neutral
+    exp = pos.copy()
+    exp["score"] = exp["score"].to_numpy(np.float64) * fval
+    body = {"query": {"function_score": {
+        "query": {"match": {"text": Q}},
+        "functions": [{"filter": {"match": {"text": "model"}},
+                       "weight": 2.0,
+                       "gauss": {"n_chars": {"origin": 40.0,
+                                             "scale": 25.0}}}]}},
+        "size": 10}
+    got = _pairs(es_search(dist, body), ndigits=8)
+    want = [(d, round(float(s), 8)) for d, s in
+            zip(exp.sort_values(["score", "doc_id"],
+                                ascending=[False, True])
+                .head(10)["doc_id"].tolist(),
+                exp.sort_values(["score", "doc_id"],
+                                ascending=[False, True])
+                .head(10)["score"].tolist())]
+    assert got == want
+
+
+def test_decay_errors(spark, stored_setup):
+    local, _ = _readers(spark, stored_setup)
+
+    def fs(body):
+        es_search(local, {"query": {"function_score": body}})
+
+    with pytest.raises(ESQueryError, match="origin"):
+        fs({"query": {"match": {"text": Q}},
+            "gauss": {"n_chars": {"scale": 10.0}}})
+    with pytest.raises(ESQueryError, match="scale must be > 0"):
+        fs({"query": {"match": {"text": Q}},
+            "gauss": {"n_chars": {"origin": 0.0, "scale": 0.0}}})
+    with pytest.raises(ESQueryError, match="decay must be in"):
+        fs({"query": {"match": {"text": Q}},
+            "exp": {"n_chars": {"origin": 0.0, "scale": 1.0,
+                                "decay": 1.0}}})
+    with pytest.raises(ESQueryError, match="one decay kind"):
+        fs({"query": {"match": {"text": Q}},
+            "functions": [{"gauss": {"n_chars": {"origin": 0, "scale": 1}},
+                           "exp": {"n_chars": {"origin": 0, "scale": 1}}}]})
+    with pytest.raises(ESQueryError, match="decay fields not in docs"):
+        fs({"query": {"match": {"text": Q}},
+            "linear": {"nope": {"origin": 0.0, "scale": 1.0}}})
+    with pytest.raises(ESQueryError, match="exactly one"):
+        fs({"query": {"match": {"text": Q}}, "gauss": {}})
