@@ -331,6 +331,32 @@ def run_once(spark, sf_dir: str, cores: int, warm: bool) -> dict:
         es_aggregations(reader, body).collect()
         queries_sec[name] = round(time.monotonic() - t0, 3)
 
+    # --- 2k. scoring-composition surface (r5, distributed, non-headline) ---
+    # the rescoring family over forward-table columns: boosting
+    # demotion, gauss recency decay, field collapse, and a field sort —
+    # each one docs join + TakeOrderedAndProject / one window on top of
+    # the same match machinery the headline sections time
+    from research_engine_spark.operators.esdsl import es_search
+
+    comp_bodies = {
+        "scoring_boosting": {"query": {"boosting": {
+            "positive": {"match": {"text": "neural networks"}},
+            "negative": {"match": {"text": "model"}},
+            "negative_boost": 0.3}}, "size": 10},
+        "scoring_decay_gauss": {"query": {"function_score": {
+            "query": {"match": {"text": "neural networks"}},
+            "gauss": {"turn_idx": {"origin": 0, "scale": 100}}}},
+            "size": 10},
+        "scoring_collapse": {"query": {"match": {"text": "neural networks"}},
+                             "collapse": {"field": "conv_id"}, "size": 10},
+        "scoring_sort_field": {"query": {"match": {"text": "neural networks"}},
+                               "sort": [{"turn_idx": "desc"}], "size": 10},
+    }
+    for name, body in comp_bodies.items():
+        t0 = time.monotonic()
+        es_search(reader, body).collect()
+        queries_sec[name] = round(time.monotonic() - t0, 3)
+
     # --- 2e. delete lifecycle on the main index (last reader use) ----------
     # tombstone ~1/16 of docs, search through the tombstones, physically
     # purge via compaction, search again — the ES delete_by_query +
