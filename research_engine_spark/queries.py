@@ -553,6 +553,117 @@ def gopher_quality_documents(spark, sf_dir):
     )
 
 
+@register("pii_scrub_documents", r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.0.1 call 415-555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || CASE WHEN doc_id % 5 = 0 THEN ' ssn 219-09-'
+                   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+              || CASE WHEN doc_id % 7 = 0
+                 THEN ' card 4242-4242-4242-4242' ELSE '' END AS t
+  FROM documents WHERE doc_id % 13 = 0
+),
+m AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(t,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        '[PII-email]', 'g'),
+        '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b|\b\d{16}\b',
+        '[PII-card]', 'g'),
+        '\b\d{3}-\d{2}-\d{4}\b', '[PII-ssn]', 'g'),
+        '\(\d{3}\)[-. ]?\d{3}[-. ]\d{4}\b|\b\d{3}[-.]\d{3}[-.]\d{4}\b',
+        '[PII-phone]', 'g'),
+        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[PII-ipv4]', 'g'
+    ) AS text
+  FROM aug
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+       CAST((length(text) - length(replace(text, '[PII-', ''))) / 5
+            AS BIGINT) AS n_masked
+FROM m
+""")
+def pii_scrub_documents(spark, sf_dir):
+    """PII scrubbing (functions/pii.py mask_pii), driver-HASH-checked
+    on the full masked STRINGS: deterministic identifiers (email,
+    ipv4, phone, conditional ssn/card) are planted into every 13th
+    document's text identically on both sides, then masked by the
+    SAME RE2-compatible regex chain — the hash covers the patterns
+    themselves, not just the plumbing. n_masked counts planted + any
+    organic matches via the '[PII-' marker."""
+    from .functions.pii import mask_pii
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 13 == 0)
+    did = F.col("doc_id").cast("string")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact user"), did,
+            F.lit("@example.com ip 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0.1 call 415-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.concat(F.lit(" ssn 219-09-"),
+                            F.lpad((F.col("doc_id") % 10000)
+                                   .cast("string"), 4, "0")))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.lit(" card 4242-4242-4242-4242"))
+            .otherwise(F.lit("")),
+        ).alias("t"))
+    masked = mask_pii(F.col("t"))
+    return aug.select(
+        "doc_id", masked.alias("text"),
+        ((F.length(masked)
+          - F.length(F.regexp_replace(masked, r"\[PII-", "")))
+         / F.lit(5)).cast("long").alias("n_masked"))
+
+
+@register("lm_quality_documents", f"""
+WITH tk AS (SELECT doc_id, {_TOK_SQL} AS tk FROM documents),
+flat AS (SELECT doc_id, unnest(tk) AS term FROM tk),
+counts AS (SELECT term, count(*) AS cnt FROM flat GROUP BY term),
+tot AS (SELECT sum(cnt) AS total, count(*) AS vocab FROM counts),
+model AS (SELECT term,
+                 ln((cnt + 1) * 1.0 / (tot.total + tot.vocab)) AS lp
+          FROM counts, tot),
+scored AS (
+  SELECT f.doc_id, count(*) AS n_tokens, avg(m.lp) AS mean_lp
+  FROM flat f JOIN model m USING (term)
+  WHERE f.doc_id % 97 = 0
+  GROUP BY f.doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(mean_lp, 4) AS mean_logprob,
+       round(exp(-mean_lp), 4) AS ppl
+FROM scored
+""")
+def lm_quality_documents(spark, sf_dir):
+    """CCNet-style unigram LM quality scores
+    (functions/lmfilter.py), driver-HASH-checked: the add-one model
+    trains on the WHOLE documents corpus (one term groupBy), then
+    every 97th document gets (n_tokens, mean token log-prob,
+    perplexity). DuckDB recomputes the model and the scores exactly
+    from the same parquet — the in-corpus case has no OOV terms, so
+    the join is inner on both sides."""
+    from .functions.lmfilter import score_documents, unigram_model
+
+    d = _t(spark, sf_dir, "documents")
+    model = unigram_model(d)
+    sample = d.filter(F.col("doc_id") % 97 == 0)
+    out = score_documents(sample, model)
+    return out.filter(F.col("n_tokens") > 0).select(
+        "doc_id", "n_tokens",
+        F.round("mean_logprob", 4).alias("mean_logprob"),
+        F.round("ppl", 4).alias("ppl"))
+
+
 @register("bpe_word_counts_documents", """
 WITH words AS (
   SELECT unnest(list_filter(
