@@ -55,7 +55,10 @@ distributed: a rescoring scan over docs columns / filter sets).
 Body keys: collapse ({field} — best hit per forward-table group,
 distributed window), sort (docs-table fields / _score / _doc, asc or
 desc, missing-last, doc_id tiebreak — always distributed, one pruned
-docs join + TakeOrderedAndProject), query,
+docs join + TakeOrderedAndProject), rescore (top-window_size
+re-scoring by a second query, query_weight/rescore_query_weight/
+score_mode total|multiply|avg|max|min, chainable with non-increasing
+windows; zero-job on the serving tier when every clause fits), query,
 size (ES default 10), from, search_after ([last_score, last_doc_id]
 cursor — constant-cost deep pagination; default relevance sort only),
 _source (docs-column projection), highlight.
@@ -1439,6 +1442,76 @@ def _sort_order_cols(sort) -> list:
     return order
 
 
+_RESCORE_MODES = ("total", "multiply", "avg", "max", "min")
+
+
+def _rescore_parts(body: dict):
+    """Parse the top-level ``rescore`` body key (dict or list —
+    chained rescores apply sequentially, each over the previous
+    ordering). Returns None when absent, else a list of
+    (window_size, rescore_query, query_weight, rescore_query_weight,
+    score_mode)."""
+    rs = body.get("rescore")
+    if rs is None:
+        return None
+    entries = rs if isinstance(rs, list) else [rs]
+    if not entries:
+        raise ESQueryError("rescore must be non-empty")
+    out = []
+    for e in entries:
+        if not isinstance(e, dict) or "query" not in e:
+            raise ESQueryError("each rescore entry needs 'query'")
+        bad = set(e) - {"query", "window_size"}
+        if bad:
+            raise ESQueryError(f"unsupported rescore keys: {sorted(bad)}")
+        q = e["query"]
+        if not isinstance(q, dict) or "rescore_query" not in q:
+            raise ESQueryError("rescore.query needs 'rescore_query'")
+        badq = set(q) - {"rescore_query", "query_weight",
+                         "rescore_query_weight", "score_mode"}
+        if badq:
+            raise ESQueryError(
+                f"unsupported rescore.query keys: {sorted(badq)}")
+        mode = str(q.get("score_mode", "total"))
+        if mode not in _RESCORE_MODES:
+            raise ESQueryError(
+                f"rescore score_mode {mode!r} unsupported {_RESCORE_MODES}")
+        w = int(e.get("window_size", 10))
+        if w <= 0:
+            raise ESQueryError("rescore window_size must be > 0")
+        out.append((w, q["rescore_query"],
+                    float(q.get("query_weight", 1.0)),
+                    float(q.get("rescore_query_weight", 1.0)), mode))
+    ws = [w for w, *_ in out]
+    if any(b > a for a, b in zip(ws, ws[1:])):
+        # a GROWING later window would pull unrescored tail docs back
+        # into contention — the distributed path keeps only the window
+        # between stages, so reject rather than silently diverge (ES
+        # itself recommends non-increasing windows for chained rescore)
+        raise ESQueryError(
+            f"chained rescore windows must be non-increasing, got {ws}")
+    return out
+
+
+def _rescore_combine_np(base, resc, qw: float, rqw: float, mode: str):
+    """Vectorized ES rescore combine: ``resc`` is NaN where the
+    rescore query did not match — those docs keep query_weight*base
+    (ES semantics)."""
+    b = qw * base
+    r = rqw * resc
+    if mode == "total":
+        comb = b + r
+    elif mode == "multiply":
+        comb = b * r
+    elif mode == "avg":
+        comb = (b + r) / 2.0
+    elif mode == "max":
+        comb = np.maximum(b, r)
+    else:
+        comb = np.minimum(b, r)
+    return np.where(np.isnan(r), b, comb)
+
+
 def _eval_body(ctx: _Ctx, body: dict, label: str = "body") -> DataFrame:
     """One query body -> its paginated (doc_id, score) top-k frame.
     The ONE place the serving-vs-distributed dispatch, search_after
@@ -1450,6 +1523,77 @@ def _eval_body(ctx: _Ctx, body: dict, label: str = "body") -> DataFrame:
     k = int(body.get("size", DEFAULT_SIZE))
     frm = int(body.get("from", 0))
     after = _search_after_parts(body)
+    rescores = _rescore_parts(body)
+    if rescores is not None:
+        # top-k window rescoring (ES `rescore`): the classic
+        # cheap-match-then-expensive-requery pattern. Each stage takes
+        # the top window_size hits of the current ordering, combines
+        # their scores with the rescore query's per score_mode
+        # (non-matching window docs keep query_weight*base — ES
+        # semantics), and re-sorts the window. Pagination must fit
+        # inside every window (ES recommends window >= size; hits
+        # beyond the window would need the unrescored tail order —
+        # rejected loudly rather than silently wrong).
+        if after is not None or _sort_parts(body) is not None \
+                or body.get("collapse") is not None:
+            raise ESQueryError(
+                "rescore composes only with the default relevance "
+                "sort (no search_after/sort/collapse — ES rejects "
+                "these too)")
+        min_w = min(w for w, *_ in rescores)
+        if frm + k > min_w:
+            raise ESQueryError(
+                f"from+size ({frm + k}) exceeds the smallest rescore "
+                f"window ({min_w}) — raise window_size")
+        # serving tier: every clause frame fits the budgets
+        frames_pd = [_clause_pd(ctx, body["query"])] + \
+            [_clause_pd(ctx, rq) for _, rq, _, _, _ in rescores]
+        if all(f is not None for f in frames_pd):
+            cur = frames_pd[0].sort_values(
+                ["score", "doc_id"], ascending=[False, True],
+                kind="mergesort")
+            for (w, _, qw, rqw, mode), rf in zip(rescores, frames_pd[1:]):
+                win = cur.iloc[:w].copy()
+                rest = cur.iloc[w:]
+                rmap = rf.set_index("doc_id")["score"]
+                rvals = rmap.reindex(win["doc_id"]).to_numpy(np.float64)
+                win["score"] = _rescore_combine_np(
+                    win["score"].to_numpy(np.float64), rvals,
+                    qw, rqw, mode)
+                win = win.sort_values(
+                    ["score", "doc_id"], ascending=[False, True],
+                    kind="mergesort")
+                cur = pd.concat([win, rest], ignore_index=True)
+            page = cur.iloc[frm:frm + k]
+            return _topk_pd_to_df(ctx.spark, page[["doc_id", "score"]], k)
+        # distributed: window = TakeOrderedAndProject; the rescore
+        # clause frame is its own match set (never corpus-sized),
+        # joined to the <= window_size-row window
+        cur = _clause_df(ctx, body["query"])
+        for i, (w, rq, qw, rqw, mode) in enumerate(rescores):
+            win = (cur.orderBy(F.desc("score"), F.asc("doc_id"))
+                   .limit(w))
+            rf = (_clause_df(ctx, rq)
+                  .withColumnRenamed("score", "_rscore"))
+            joined = win.join(rf, "doc_id", "left")
+            b = F.lit(qw) * F.col("score")
+            r = F.lit(rqw) * F.col("_rscore")
+            if mode == "total":
+                comb = b + r
+            elif mode == "multiply":
+                comb = b * r
+            elif mode == "avg":
+                comb = (b + r) / F.lit(2.0)
+            elif mode == "max":
+                comb = F.greatest(b, r)
+            else:
+                comb = F.least(b, r)
+            cur = joined.select(
+                "doc_id",
+                F.when(F.col("_rscore").isNull(), b)
+                .otherwise(comb).alias("score"))
+        topk = cur.orderBy(F.desc("score"), F.asc("doc_id"))
+        return topk.offset(frm).limit(k) if frm else topk.limit(k)
     sort = _sort_parts(body)
     if sort is not None:
         # field sorting (ES top-level `sort`): order hits by docs-table

@@ -2578,6 +2578,79 @@ def engine_decay_documents(spark, sf_dir):
                     F.round("score", 4).alias("score")))
 
 
+@register("engine_rescore_documents", f"""
+WITH tk AS (
+  SELECT doc_id, {_TOK_SQL} AS tk FROM documents
+),
+corpus AS (SELECT count(*) AS n, sum(len(tk)) AS tok FROM tk),
+flat AS (SELECT doc_id, unnest(tk) AS term FROM tk),
+dl AS (SELECT doc_id, len(tk) AS dl FROM tk),
+df AS (SELECT count(DISTINCT doc_id) AS df FROM flat WHERE term = 'table'),
+tf AS (SELECT doc_id, count(*) AS tf FROM flat WHERE term = 'table'
+       GROUP BY doc_id),
+base AS (
+  SELECT tf.doc_id,
+         ln(1 + (corpus.n - df.df + 0.5) / (df.df + 0.5))
+         * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                    / (corpus.tok * 1.0 / corpus.n))) AS score
+  FROM tf JOIN dl USING (doc_id), df, corpus
+),
+win AS (SELECT doc_id, score FROM base
+        ORDER BY score DESC, doc_id ASC LIMIT 50),
+occ AS (
+  SELECT t.doc_id, count(*) AS ptf
+  FROM tk t, unnest(generate_series(1, greatest(len(t.tk) - 1, 0))) AS g(i)
+  WHERE t.tk[i] = 'table' AND t.tk[i + 1] = 'hash'
+  GROUP BY t.doc_id
+),
+idfs AS (
+  SELECT sum(ln(1 + (corpus.n - d.df + 0.5) / (d.df + 0.5))) AS s
+  FROM (SELECT term, count(DISTINCT doc_id) AS df FROM flat
+        WHERE term IN ('table', 'hash') GROUP BY term) d, corpus
+),
+ph AS (
+  SELECT o.doc_id,
+         idfs.s * o.ptf
+         / (o.ptf + 1.2 * (1 - 0.75 + 0.75 * d.dl
+                           / (corpus.tok * 1.0 / corpus.n))) AS score
+  FROM occ o JOIN dl d USING (doc_id), corpus, idfs
+),
+comb AS (
+  SELECT w.doc_id,
+         CASE WHEN p.score IS NULL THEN w.score
+              ELSE w.score + 2.0 * p.score END AS score
+  FROM win w LEFT JOIN ph p USING (doc_id)
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, round(score, 4) AS score
+FROM (SELECT doc_id, score FROM comb
+      ORDER BY score DESC, doc_id ASC LIMIT 10) t
+""")
+def engine_rescore_documents(spark, sf_dir):
+    """ES ``rescore`` over the REAL index, driver-HASH-checked: cheap
+    match 'table', then the top-50 window rescored by the positional
+    phrase query 'table hash' at weight 2 (score_mode total, the
+    cheap-match-then-expensive-phrase pattern rescore exists for;
+    operators/esdsl.py _eval_body rescore). The oracle recomputes the
+    base BM25, the window cut, the phrase scores from raw positions,
+    and the combine."""
+    from .operators.esdsl import es_search
+    from .operators.scorer import IndexReader
+
+    reader = IndexReader(spark, _simple_index(spark, sf_dir))
+    hits = es_search(reader, {
+        "query": {"match": {"text": "table"}},
+        "rescore": {"window_size": 50, "query": {
+            "rescore_query": {"match_phrase": {"text": "table hash"}},
+            "rescore_query_weight": 2.0}},
+        "size": 10})
+    docs = spark.read.parquet(
+        _SIMPLE_IDX_CACHE[sf_dir] + "/docs").select(
+        "doc_id", F.substring("conv_id", 2, 9).cast("long").alias("src_id"))
+    return (hits.join(docs, "doc_id")
+            .select(F.col("src_id").alias("doc_id"),
+                    F.round("score", 4).alias("score")))
+
+
 @register("engine_es_bool_must_documents", f"""
 WITH tk AS (
   SELECT doc_id, {_TOK_SQL} AS tk FROM documents

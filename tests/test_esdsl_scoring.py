@@ -400,6 +400,92 @@ def test_sort_errors(spark, stored_setup):
 
 
 # ---------------------------------------------------------------------------
+# rescore
+# ---------------------------------------------------------------------------
+
+def _rescore_frame(base, resc, w, qw, rqw, mode):
+    """One manual rescore stage, full UNROUNDED frame out."""
+    cur = base.sort_values(["score", "doc_id"],
+                           ascending=[False, True], kind="mergesort")
+    win = cur.iloc[:w].copy()
+    rest = cur.iloc[w:]
+    rmap = resc.set_index("doc_id")["score"]
+    r = rqw * rmap.reindex(win["doc_id"]).to_numpy(np.float64)
+    b = qw * win["score"].to_numpy(np.float64)
+    comb = {"total": b + r, "multiply": b * r, "avg": (b + r) / 2,
+            "max": np.maximum(b, r), "min": np.minimum(b, r)}[mode]
+    win["score"] = np.where(np.isnan(r), b, comb)
+    win = win.sort_values(["score", "doc_id"],
+                          ascending=[False, True], kind="mergesort")
+    return pd.concat([win, rest], ignore_index=True)
+
+
+def _manual_rescore(base, resc, w, qw, rqw, mode, k):
+    out = _rescore_frame(base, resc, w, qw, rqw, mode).iloc[:k]
+    return list(zip(out["doc_id"].tolist(),
+                    np.round(out["score"].to_numpy(np.float64), 10)))
+
+
+@pytest.mark.parametrize("mode", ["total", "multiply", "max"])
+def test_rescore_modes_match_manual(spark, stored_setup, mode):
+    local, dist = _readers(spark, stored_setup)
+    base = _all_hits(dist, {"match": {"text": Q}})
+    resc = _all_hits(dist, {"match": {"text": "model"}})
+    want = _manual_rescore(base, resc, 30, 0.7, 1.5, mode, 10)
+    body = {"query": {"match": {"text": Q}},
+            "rescore": {"window_size": 30, "query": {
+                "rescore_query": {"match": {"text": "model"}},
+                "query_weight": 0.7, "rescore_query_weight": 1.5,
+                "score_mode": mode}},
+            "size": 10}
+    for r in (local, dist):  # serving and distributed bit-identical
+        assert _pairs(es_search(r, body)) == want, mode
+
+
+def test_rescore_chained_non_increasing(spark, stored_setup):
+    local, dist = _readers(spark, stored_setup)
+    base = _all_hits(dist, {"match": {"text": Q}})
+    r1 = _all_hits(dist, {"match": {"text": "model"}})
+    r2 = _all_hits(dist, {"match": {"text": "data"}})
+    cur = _rescore_frame(base, r1, 20, 1.0, 2.0, "total")
+    want = _manual_rescore(cur, r2, 10, 1.0, 3.0, "total", 5)
+    body = {"query": {"match": {"text": Q}},
+            "rescore": [
+                {"window_size": 20, "query": {
+                    "rescore_query": {"match": {"text": "model"}},
+                    "rescore_query_weight": 2.0}},
+                {"window_size": 10, "query": {
+                    "rescore_query": {"match": {"text": "data"}},
+                    "rescore_query_weight": 3.0}}],
+            "size": 5}
+    for r in (local, dist):
+        assert _pairs(es_search(r, body)) == want
+
+
+def test_rescore_errors(spark, stored_setup):
+    local, _ = _readers(spark, stored_setup)
+    q = {"match": {"text": Q}}
+    rq = {"query": {"rescore_query": q}}
+    with pytest.raises(ESQueryError, match="rescore_query"):
+        es_search(local, {"query": q, "rescore": {"query": {}}})
+    with pytest.raises(ESQueryError, match="score_mode"):
+        es_search(local, {"query": q, "rescore": {"query": {
+            "rescore_query": q, "score_mode": "sum"}}})
+    with pytest.raises(ESQueryError, match="non-increasing"):
+        es_search(local, {"query": q, "rescore": [
+            {"window_size": 5, "query": {"rescore_query": q}},
+            {"window_size": 50, "query": {"rescore_query": q}}]})
+    with pytest.raises(ESQueryError, match="exceeds the smallest"):
+        es_search(local, {"query": q, "size": 20,
+                          "rescore": {"window_size": 5, "query": {
+                              "rescore_query": q}}})
+    with pytest.raises(ESQueryError, match="default relevance"):
+        es_search(local, {"query": q, "sort": [{"grp": "asc"}],
+                          "rescore": {"window_size": 50, "query": {
+                              "rescore_query": q}}})
+
+
+# ---------------------------------------------------------------------------
 # function_score decay
 # ---------------------------------------------------------------------------
 
