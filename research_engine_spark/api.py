@@ -210,6 +210,15 @@ class ResearchEngine:
 
         return es_count(self.reader, body or {})
 
+    def es_suggest(self, body: dict) -> DataFrame:
+        """ES term suggester ("did you mean"): spelling-correction
+        candidates from the index term dictionary, zero Spark jobs
+        when the vocabulary fits the reader budget; see
+        operators/esdsl.py es_suggest."""
+        from .operators.esdsl import es_suggest
+
+        return es_suggest(self.reader, body)
+
     def es_search(self, body: dict, k1: float | None = None,
                   b: float | None = None) -> DataFrame:
         """Execute an Elasticsearch query body verbatim

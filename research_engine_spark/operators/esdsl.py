@@ -2293,6 +2293,185 @@ def es_msearch(index, bodies: list[dict] | dict[str, dict],
     return reduce(DataFrame.unionByName, frames)
 
 
+_SUGGEST_OPTS = {"field", "size", "max_edits", "prefix_length",
+                 "min_word_length", "suggest_mode", "sort",
+                 "min_doc_freq"}
+
+
+def es_suggest(index, body: dict) -> DataFrame:
+    """ES term suggester ("did you mean"): for each analyzed token of
+    a suggest text, spelling-correction candidates from the index term
+    dictionary within ``max_edits`` Damerau-Levenshtein edits.
+
+    Body shape (ES's, the optional top-level "suggest" wrapper
+    accepted)::
+
+        {"my-sugg": {"text": "nueral netwrks",
+                     "term": {"field": "text", "size": 5,
+                              "max_edits": 2, "prefix_length": 1,
+                              "min_word_length": 4,
+                              "suggest_mode": "missing",
+                              "sort": "score", "min_doc_freq": 0}}}
+
+    Semantics (Lucene DirectSpellChecker, which backs ES's term
+    suggester): candidates must share the first ``prefix_length``
+    chars with the token; tokens shorter than ``min_word_length``
+    get no suggestions; ``suggest_mode`` missing = only tokens ABSENT
+    from the index, popular = only candidates with df > the token's
+    df, always = every token; the token itself is never a candidate.
+    score = 1 - ed / min(|token|, |candidate|) — the same published
+    FuzzyTermsEnum similarity the fuzzy query path uses. ``sort``
+    score -> (score desc, freq desc, term asc); frequency ->
+    (freq desc, score desc, term asc); ``size`` per token.
+
+    Two-tier like the fuzzy query: when the term dictionary fits the
+    reader's vocab budget the whole expansion is DRIVER-LOCAL (zero
+    Spark jobs, the Lucene terms-dict-in-RAM shape); otherwise one
+    JVM-only job does the length-band + thresholded F.levenshtein
+    prefilter and the exact Damerau DP runs driver-side over the
+    collected survivors — both tiers bit-identical by construction
+    (same two stages, test-guarded).
+
+    Returns a DataFrame (suggest, token, candidate, score, freq)
+    in suggester-name, token, rank order.
+    """
+    from ..functions.analyzer import analyze_query
+    from ..functions.editdist import damerau_levenshtein
+
+    suggesters = body.get("suggest", body)
+    if not isinstance(suggesters, dict) or not suggesters:
+        raise ESQueryError("es_suggest needs at least one suggester")
+    ctx = _Ctx(index, None, None)
+    reader = next(iter(ctx.readers.values()))
+    mode_an = reader.stats.get("analyzer", "english_folded")
+
+    # ---- parse + analyze every suggester's text -------------------------
+    wanted = []  # (name, token, size, max_edits, prefix_len, mode, sort,
+    #              min_df)
+    for name, spec in suggesters.items():
+        if not isinstance(spec, dict) or "text" not in spec \
+                or "term" not in spec:
+            raise ESQueryError(
+                f"suggester {name!r} needs 'text' and 'term' (only the "
+                "term suggester is supported; phrase/completion are not)")
+        term = dict(spec["term"])
+        bad = set(term) - _SUGGEST_OPTS
+        if bad:
+            raise ESQueryError(
+                f"unsupported term-suggester options: {sorted(bad)}")
+        field = term.get("field", "text")
+        if field != "text":
+            raise ESQueryError(
+                f"term suggester field {field!r} unsupported — this "
+                "index analyzes 'text'")
+        max_edits = int(term.get("max_edits", 2))
+        if max_edits not in (1, 2):
+            raise ESQueryError("max_edits must be 1 or 2 (ES limit)")
+        smode = str(term.get("suggest_mode", "missing"))
+        if smode not in ("missing", "popular", "always"):
+            raise ESQueryError(
+                f"suggest_mode {smode!r} must be missing|popular|always")
+        sort = str(term.get("sort", "score"))
+        if sort not in ("score", "frequency"):
+            raise ESQueryError("sort must be score|frequency")
+        size = int(term.get("size", 5))
+        plen = int(term.get("prefix_length", 1))
+        minlen = int(term.get("min_word_length", 4))
+        mindf = int(term.get("min_doc_freq", 0))
+        for token, _ in analyze_query(str(spec["text"]), mode=mode_an):
+            if len(token) >= minlen:
+                wanted.append((name, token, size, max_edits, plen,
+                               smode, sort, mindf))
+    spark = ctx.spark
+    out_schema = ("suggest string, token string, candidate string, "
+                  "score double, freq long")
+    if not wanted:
+        return spark.createDataFrame([], out_schema)
+
+    # df of each distinct token (for suggest_mode missing/popular)
+    tokens = sorted({t for _, t, *_ in wanted})
+    tok_stats = reader.term_stats_arrow(tokens)
+    tok_df = dict(zip(tok_stats["term"], tok_stats["df"])) \
+        if not tok_stats.empty else {}
+
+    # ---- candidate generation: driver-local tier, JVM-scan fallback -----
+    vocab = reader.vocab_arrow()
+    need = sorted({(t, e) for _, t, _, e, *_ in wanted})
+    cand_by_token: dict[tuple, pd.DataFrame] = {}
+    if vocab is not None:
+        from ..functions.editdist import levenshtein_many
+
+        tlen_np = reader._vocab_tlen
+        for token, maxed in need:
+            band = ((tlen_np >= len(token) - maxed)
+                    & (tlen_np <= len(token) + maxed))
+            sub = vocab.loc[band]
+            if sub.empty:
+                cand_by_token[(token, maxed)] = sub
+                continue
+            lev = levenshtein_many(sub["term"].tolist(), token)
+            cand_by_token[(token, maxed)] = sub.loc[lev <= 2 * maxed]
+    else:
+        qdf = spark.createDataFrame(
+            [(t, e, len(t)) for t, e in need],
+            "qterm string, maxed int, qlen int")
+        tlen = F.length("term")
+        lev_pre = F.levenshtein("term", "qterm", 4)
+        cand = (
+            reader.term_stats.join(
+                F.broadcast(qdf),
+                (tlen >= F.col("qlen") - F.col("maxed"))
+                & (tlen <= F.col("qlen") + F.col("maxed")))
+            .filter((lev_pre >= 0) & (lev_pre <= F.col("maxed") * 2))
+            .groupBy("qterm", "maxed", "term")
+            .agg(F.sum("df").alias("df"))
+        ).toPandas()
+        for token, maxed in need:
+            cand_by_token[(token, maxed)] = cand[
+                (cand["qterm"] == token) & (cand["maxed"] == maxed)]
+
+    # ---- per-token ranking (pure pandas over metadata-scale frames) -----
+    rows = []
+    for name, token, size, maxed, plen, smode, sort, mindf in wanted:
+        if smode == "missing" and tok_df.get(token, 0) > 0:
+            continue
+        sub = cand_by_token[(token, maxed)]
+        if sub.empty:
+            continue
+        sub = sub[sub["term"] != token]
+        if plen > 0:
+            sub = sub[sub["term"].str.startswith(token[:plen])]
+        if sub.empty:
+            continue
+        eds = np.fromiter(
+            (damerau_levenshtein(t, token) for t in sub["term"]),
+            dtype=np.int64, count=len(sub))
+        keep = eds <= maxed
+        sub, eds = sub.loc[keep], eds[keep]
+        if mindf > 0:
+            m = sub["df"].to_numpy() >= mindf
+            sub, eds = sub.loc[m], eds[m]
+        if smode == "popular":
+            m = sub["df"].to_numpy() > tok_df.get(token, 0)
+            sub, eds = sub.loc[m], eds[m]
+        if sub.empty:
+            continue
+        tlens = sub["term"].str.len().to_numpy(np.int64)
+        score = 1.0 - eds / np.minimum(len(token), tlens)
+        page = pd.DataFrame({
+            "candidate": sub["term"].to_numpy(),
+            "score": score, "freq": sub["df"].to_numpy(np.int64)})
+        by = (["score", "freq", "candidate"] if sort == "score"
+              else ["freq", "score", "candidate"])
+        page = page.sort_values(
+            by, ascending=[False, False, True],
+            kind="mergesort").head(size)
+        for r in page.itertuples(index=False):
+            rows.append((name, token, r.candidate,
+                         float(r.score), int(r.freq)))
+    return spark.createDataFrame(rows, out_schema)
+
+
 def es_count(index, body: dict, k1: float | None = None,
              b: float | None = None) -> int:
     """ES ``_count`` analog: the number of docs matching

@@ -2651,6 +2651,57 @@ def engine_rescore_documents(spark, sf_dir):
                     F.round("score", 4).alias("score")))
 
 
+@register("engine_suggest_documents", f"""
+WITH tk AS (SELECT doc_id, {_TOK_SQL} AS tk FROM documents),
+vocab AS (SELECT term, count(DISTINCT doc_id) AS df
+          FROM (SELECT doc_id, unnest(tk) AS term FROM tk) GROUP BY term),
+toks(token) AS (VALUES ('tabel'), ('qeury'), ('streem'), ('windoe')),
+cand AS (
+  SELECT t.token, v.term, v.df,
+         damerau_levenshtein(v.term, t.token) AS ed
+  FROM toks t, vocab v
+  WHERE length(v.term) BETWEEN length(t.token) - 2
+                           AND length(t.token) + 2
+    AND v.term <> t.token
+    AND substr(v.term, 1, 1) = substr(t.token, 1, 1)
+),
+ranked AS (
+  SELECT token, term AS candidate,
+         1 - ed * 1.0 / least(length(token), length(term)) AS score,
+         df,
+         row_number() OVER (
+           PARTITION BY token
+           ORDER BY 1 - ed * 1.0 / least(length(token), length(term))
+                    DESC, df DESC, term ASC) AS rn
+  FROM cand
+  WHERE ed <= 2
+    AND token NOT IN (SELECT term FROM vocab)
+)
+SELECT token, candidate, round(score, 4) AS score,
+       CAST(df AS BIGINT) AS freq
+FROM ranked WHERE rn <= 3
+""")
+def engine_suggest_documents(spark, sf_dir):
+    """ES term suggester over the REAL index term dictionary,
+    driver-HASH-checked: four misspellings of corpus words
+    (tabel/qeury/streem/windoe), suggest_mode missing, Damerau max 2
+    edits, prefix 1, top 3 by (similarity desc, df desc, term asc) —
+    operators/esdsl.py es_suggest. The oracle recomputes the
+    vocabulary, the Damerau distances (DuckDB damerau_levenshtein ==
+    the engine's transposition-aware DP), and the ranking from raw
+    text."""
+    from .operators.esdsl import es_suggest
+    from .operators.scorer import IndexReader
+
+    reader = IndexReader(spark, _simple_index(spark, sf_dir))
+    out = es_suggest(reader, {"fix": {
+        "text": "tabel qeury streem windoe",
+        "term": {"size": 3, "max_edits": 2, "prefix_length": 1,
+                 "suggest_mode": "missing"}}})
+    return out.select("token", "candidate",
+                      F.round("score", 4).alias("score"), "freq")
+
+
 @register("engine_es_bool_must_documents", f"""
 WITH tk AS (
   SELECT doc_id, {_TOK_SQL} AS tk FROM documents
