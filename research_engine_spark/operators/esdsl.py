@@ -1672,6 +1672,24 @@ def _eval_body(ctx: _Ctx, body: dict, label: str = "body") -> DataFrame:
     return topk.offset(frm).limit(k) if frm else topk.limit(k)
 
 
+def _expand_body_qs(body: dict, label: str = "body") -> dict:
+    """Rewrite query_string / simple_query_string nodes (anywhere in
+    the query tree) into the JSON DSL before dispatch, so the text
+    syntaxes inherit the serving/distributed duality and the exact
+    scored primitives of every other clause. Parse errors surface as
+    ESQueryError."""
+    query = body.get("query")
+    if query is None:
+        return body
+    from .querystring import _QSError, expand_query_strings
+
+    try:
+        expanded = expand_query_strings(query)
+    except _QSError as e:
+        raise ESQueryError(f"{label}: {e}") from None
+    return body if expanded == query else {**body, "query": expanded}
+
+
 def es_search(index, body: dict, k1: float | None = None,
               b: float | None = None) -> DataFrame:
     """Execute an ES query body against an IndexReader or
@@ -1680,6 +1698,7 @@ def es_search(index, body: dict, k1: float | None = None,
     ``from``/``size`` (ES defaults 0/10) or by a ``search_after``
     cursor. Budget-sized bodies run with zero Spark jobs (see module
     doc)."""
+    body = _expand_body_qs(body)
     ctx = _Ctx(index, k1, b)
     topk = _eval_body(ctx, body)
     source = list(body.get("_source") or [])
@@ -1846,6 +1865,7 @@ def es_aggregations(index, body: dict, k1: float | None = None,
     are exact. Returns a DataFrame (terms: key, doc_count, <sub-aggs>,
     ordered by doc_count desc then key; date_histogram: key ascending;
     bare metric: one row)."""
+    body = _expand_body_qs(body)
     aggs = body.get("aggs") or body.get("aggregations")
     if not aggs or len(aggs) != 1:
         raise ESQueryError("need exactly one top-level agg in 'aggs'")
@@ -2287,7 +2307,8 @@ def es_msearch(index, bodies: list[dict] | dict[str, dict],
                 f"body {qid!r} uses {unsupported} — unsupported in "
                 "es_msearch (its batched result is a uniform "
                 "(qid, doc_id, score) frame); run es_search for that body")
-        part = _eval_body(ctx, body, label=f"body {qid!r}")
+        part = _eval_body(ctx, _expand_body_qs(body, f"body {qid!r}"),
+                          label=f"body {qid!r}")
         frames.append(part.select(F.lit(qid).alias("qid"),
                                   "doc_id", "score"))
     return reduce(DataFrame.unionByName, frames)
@@ -2479,6 +2500,7 @@ def es_count(index, body: dict, k1: float | None = None,
     materialized past the match set. Budget-sized bodies count with
     zero Spark jobs; otherwise the match-set plan runs one count
     action (exact — no ES ``track_total_hits`` 10k cap)."""
+    body = _expand_body_qs(body)
     ctx = _Ctx(index, k1, b)
     query = body.get("query", {"match_all": {}})
     [(kind, _)] = query.items()

@@ -2079,6 +2079,87 @@ def engine_es_dsl_documents(spark, sf_dir):
 SQL["engine_es_dsl_documents"] = SQL["engine_bool_should_documents"]
 
 
+@register("engine_query_string_documents")
+def engine_query_string_documents(spark, sf_dir):
+    """The Lucene ``query_string`` text syntax
+    (operators/querystring.py) over the REAL index, driver-HASH-
+    checked: ``(table hash) OR "table hash"^2`` parses to a nested
+    bool that is score-identical to the engine_bool_should_documents
+    body (the inner OR group sums the same term BM25 addends the flat
+    match clause sums), so the parser is checked end-to-end against
+    DuckDB's recomputation from raw text via the SAME SQL oracle."""
+    from .operators.esdsl import es_search
+    from .operators.scorer import IndexReader
+
+    reader = IndexReader(spark, _simple_index(spark, sf_dir))
+    hits = es_search(reader, {
+        "query": {"query_string": {
+            "query": '(table hash) OR "table hash"^2'}},
+        "size": 10})
+    docs = spark.read.parquet(
+        _SIMPLE_IDX_CACHE[sf_dir] + "/docs").select(
+        "doc_id", F.substring("conv_id", 2, 9).cast("long").alias("src_id"))
+    return (hits.join(docs, "doc_id")
+            .select(F.col("src_id").alias("doc_id"),
+                    F.round("score", 4).alias("score")))
+
+
+SQL["engine_query_string_documents"] = SQL["engine_bool_should_documents"]
+
+
+@register("engine_simple_query_string_documents", f"""
+WITH tk AS (
+  SELECT doc_id, {_TOK_SQL} AS tk FROM documents
+),
+corpus AS (SELECT count(*) AS n, sum(len(tk)) AS tok FROM tk),
+flat AS (SELECT doc_id, unnest(tk) AS term FROM tk),
+dl AS (SELECT doc_id, len(tk) AS dl FROM tk),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM flat
+  WHERE term IN ('table', 'hash') GROUP BY term
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM flat
+  WHERE term IN ('table', 'hash') GROUP BY doc_id, term
+),
+hasneg AS (SELECT DISTINCT doc_id FROM flat WHERE term = 'merge'),
+tscore AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (corpus.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                         / (corpus.tok * 1.0 / corpus.n))) ) AS ts,
+         count(DISTINCT tf.term) AS nt
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), corpus
+  GROUP BY tf.doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, round(ts, 4) AS score
+FROM tscore
+WHERE nt = 2 AND doc_id NOT IN (SELECT doc_id FROM hasneg)
+ORDER BY ts DESC, doc_id ASC LIMIT 10
+""")
+def engine_simple_query_string_documents(spark, sf_dir):
+    """The ``simple_query_string`` syntax over the REAL index,
+    driver-HASH-checked: ``table + hash + -merge`` (AND of two terms,
+    negating a third — the Kibana-bar operator set) compiles to
+    bool/must + must_not, and the oracle recomputes from raw text:
+    docs containing BOTH terms and not the negated one, scored by the
+    sum of the two term BM25 scores."""
+    from .operators.esdsl import es_search
+    from .operators.scorer import IndexReader
+
+    reader = IndexReader(spark, _simple_index(spark, sf_dir))
+    hits = es_search(reader, {
+        "query": {"simple_query_string": {
+            "query": "table + hash + -merge"}},
+        "size": 10})
+    docs = spark.read.parquet(
+        _SIMPLE_IDX_CACHE[sf_dir] + "/docs").select(
+        "doc_id", F.substring("conv_id", 2, 9).cast("long").alias("src_id"))
+    return (hits.join(docs, "doc_id")
+            .select(F.col("src_id").alias("doc_id"),
+                    F.round("score", 4).alias("score")))
+
+
 @register("engine_phrase_prefix_documents", f"""
 WITH tk AS (
   SELECT doc_id, {_TOK_SQL} AS tk FROM documents
