@@ -40,7 +40,10 @@ fuzziness machinery minus analysis), terms / prefix / wildcard
 (constant_score rewrite: every doc containing a matching index term
 scores ``boost``, ES's default multi-term rewrite), range and exists
 (docs-table metadata predicates, constant_score), ids (explicit live
-doc-id set, constant_score), more_like_this (driver-side
+doc-id set, constant_score), query_string / simple_query_string (the
+two Lucene text syntaxes, parsed by operators/querystring.py and
+expanded into this DSL before dispatch — anywhere in the tree, so a
+bool can nest a query_string clause), more_like_this (driver-side
 characteristic-term selection from like-text or like-_id inputs —
 like-tf * idf ranked, tf/df-windowed, top max_query_terms — compiled
 to a bool should of term clauses with "30%" minimum_should_match and
@@ -1779,6 +1782,15 @@ _METRIC_FNS = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max,
 # overlap, so range stays single-level by construction)
 _BUCKET_TYPES = frozenset({"terms", "date_histogram", "histogram"})
 
+# pipeline aggs: parent kinds nest INSIDE a bucket agg and emit one
+# value (or a reorder/filter) per bucket; sibling kinds sit NEXT TO the
+# bucket agg at the top level and reduce its buckets to scalars
+_PARENT_PIPE = frozenset({"derivative", "cumulative_sum", "bucket_script",
+                          "bucket_selector", "bucket_sort"})
+_SIBLING_PIPE = {"avg_bucket": F.avg, "sum_bucket": F.sum,
+                 "min_bucket": F.min, "max_bucket": F.max,
+                 "stats_bucket": None}
+
 # ES percentiles default percents (tdigest agg docs)
 _PCT_DEFAULT = (1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0)
 
@@ -1857,6 +1869,21 @@ def es_aggregations(index, body: dict, k1: float | None = None,
     ES exposes this surface; its code never uses it, but a
     transcript-analytics user will.
 
+    Pipeline aggregations (single-level bucket aggs): PARENT pipelines
+    nest inside the bucket agg — ``derivative`` / ``cumulative_sum``
+    (ordered histogram parents only, like ES), ``bucket_script`` /
+    ``bucket_selector`` (scripts are ast-compiled arithmetic over
+    ``params.<var>``, no string eval), ``bucket_sort`` (re-order +
+    from/size truncation) — applied in declaration order as window/
+    filter ops over the post-groupBy bucket frame (cardinality = the
+    bucket count, never the corpus). SIBLING pipelines (``avg_bucket``
+    ``sum_bucket`` ``min_bucket`` ``max_bucket`` ``stats_bucket``) sit
+    next to the bucket agg in ``aggs`` with ``buckets_path``
+    ``"<bucket>>metric"`` and attach as constant columns on every
+    bucket row (ES returns them as top-level scalars; a DataFrame
+    carries them alongside), resolved against the FINAL frame — after
+    parent pipelines, selector, and sort truncation.
+
     Spark-first: the match set (doc_ids only, never scores into the
     agg) left-semi-joins the forward docs table and the buckets are one
     ``groupBy`` — aggregation over matching docs is exactly the shape
@@ -1867,8 +1894,16 @@ def es_aggregations(index, body: dict, k1: float | None = None,
     bare metric: one row)."""
     body = _expand_body_qs(body)
     aggs = body.get("aggs") or body.get("aggregations")
-    if not aggs or len(aggs) != 1:
+    if not aggs:
         raise ESQueryError("need exactly one top-level agg in 'aggs'")
+    siblings = {n: s for n, s in aggs.items()
+                if isinstance(s, dict) and len(s) == 1
+                and next(iter(s)) in _SIBLING_PIPE}
+    aggs = {n: s for n, s in aggs.items() if n not in siblings}
+    if len(aggs) != 1:
+        raise ESQueryError(
+            "need exactly one top-level agg in 'aggs' (plus optional "
+            "sibling pipeline aggs)")
     ctx = _Ctx(index, k1, b)
     reader = next(iter(ctx.readers.values()))
     query = body.get("query", {"match_all": {}})
@@ -1885,8 +1920,14 @@ def es_aggregations(index, body: dict, k1: float | None = None,
     spec = dict(spec)  # never mutate the caller's body
     sub = spec.pop("aggs", None)
     [(atype, args)] = spec.items()
+    pipes = {n: s for n, s in (sub or {}).items()
+             if isinstance(s, dict) and len(s) == 1
+             and next(iter(s)) in _PARENT_PIPE}
     nested = {n: s for n, s in (sub or {}).items()
               if set(dict(s)) - {"aggs"} & _BUCKET_TYPES}
+    if nested and (pipes or siblings):
+        raise ESQueryError(
+            "pipeline aggs compose with single-level bucket aggs only")
     if nested:
         # A CHAIN of nested bucket aggs at arbitrary depth (ES
         # buckets-in-buckets-in-buckets...), flattened Spark-first:
@@ -1972,7 +2013,13 @@ def es_aggregations(index, body: dict, k1: float | None = None,
     hits_specs = {n: dict(s)["top_hits"] for n, s in (sub or {}).items()
                   if "top_hits" in dict(s)}
     metric_sub = {n: s for n, s in (sub or {}).items()
-                  if "top_hits" not in dict(s)}
+                  if "top_hits" not in dict(s) and n not in pipes}
+    if (pipes or siblings) and atype not in _BUCKET_TYPES:
+        raise ESQueryError(
+            "pipeline aggs need a terms / histogram / date_histogram "
+            "bucket agg")
+    if (pipes or siblings) and hits_specs:
+        raise ESQueryError("pipeline aggs do not compose with top_hits")
     if hits_specs and atype not in ("terms", "date_histogram",
                                     "histogram"):
         raise ESQueryError("top_hits nests only inside a bucket agg")
@@ -2034,6 +2081,23 @@ def es_aggregations(index, body: dict, k1: float | None = None,
     else:
         # bare metric agg: one row
         return docs.agg(*_metric_cols(name, {atype: args}))
+    if pipes or siblings:
+        known = set(metric_sub)
+        sort_cols = None
+        if pipes:
+            out, sort_cols = _apply_parent_pipes(out, pipes, atype,
+                                                 known)
+            known |= {n for n, s in pipes.items()
+                      if next(iter(dict(s))) not in ("bucket_sort",
+                                                     "bucket_selector")}
+        if siblings:
+            out = _apply_sibling_pipes(out, siblings, name, known)
+        # re-assert the bucket ordering: the sibling crossJoin (and
+        # selector filters) give no order guarantee on their own
+        if sort_cols is None:
+            sort_cols = ([F.desc("doc_count"), F.asc("key")]
+                         if atype == "terms" else [F.asc("key")])
+        return out.orderBy(*sort_cols)
     if not hits_specs:
         return out
     [(_, hspec)] = hits_specs.items()
@@ -2044,6 +2108,203 @@ def es_aggregations(index, body: dict, k1: float | None = None,
     order = ([F.desc("doc_count"), F.asc("key")] if atype == "terms"
              else [F.asc("key")])
     return (out.join(hits, "key").orderBy(*order, F.asc("hit_rank")))
+
+
+def _pipe_src(path, known: set[str], label: str) -> str:
+    """Resolve a parent-pipeline ``buckets_path`` to a bucket-frame
+    column: ``_count`` -> doc_count, a metric/pipeline sub-agg name ->
+    its column."""
+    if not isinstance(path, str):
+        raise ESQueryError(f"{label}: buckets_path must be a string")
+    if path == "_count":
+        return "doc_count"
+    if path in known:
+        return path
+    raise ESQueryError(
+        f"{label}: buckets_path {path!r} names no sibling metric "
+        f"(known: {sorted(known)} and '_count')")
+
+
+def _script_col(script: str, cols: dict[str, str], label: str):
+    """Compile an ES pipeline script to a Spark Column. Scope: the
+    arithmetic / comparison / boolean subset shared by painless and
+    Python over ``params.<var>`` references (``&&``/``||`` accepted as
+    spellings of and/or) — enough for every bucket_script /
+    bucket_selector in the ES docs, with no string eval anywhere."""
+    import ast
+
+    src = script.replace("&&", " and ").replace("||", " or ")
+    try:
+        tree = ast.parse(src, mode="eval")
+    except SyntaxError as e:
+        raise ESQueryError(f"{label}: cannot parse script "
+                           f"{script!r}: {e}") from None
+
+    def ev(node):
+        if isinstance(node, ast.Expression):
+            return ev(node.body)
+        if isinstance(node, ast.BinOp):
+            lhs, rhs = ev(node.left), ev(node.right)
+            if isinstance(node.op, ast.Add):
+                return lhs + rhs
+            if isinstance(node.op, ast.Sub):
+                return lhs - rhs
+            if isinstance(node.op, ast.Mult):
+                return lhs * rhs
+            if isinstance(node.op, ast.Div):
+                return lhs / rhs
+        if isinstance(node, ast.UnaryOp) and isinstance(node.op,
+                                                        ast.USub):
+            return -ev(node.operand)
+        if isinstance(node, ast.UnaryOp) and isinstance(node.op,
+                                                        ast.Not):
+            return ~ev(node.operand)
+        if isinstance(node, ast.Constant) and isinstance(
+                node.value, (int, float)) and not isinstance(
+                node.value, bool):
+            return F.lit(float(node.value))
+        if isinstance(node, ast.Attribute) and isinstance(
+                node.value, ast.Name) and node.value.id == "params":
+            if node.attr not in cols:
+                raise ESQueryError(
+                    f"{label}: script var params.{node.attr} not in "
+                    f"buckets_path {sorted(cols)}")
+            return F.col(cols[node.attr]).cast("double")
+        if isinstance(node, ast.Compare) and len(node.ops) == 1:
+            lhs, rhs = ev(node.left), ev(node.comparators[0])
+            op = node.ops[0]
+            if isinstance(op, ast.Gt):
+                return lhs > rhs
+            if isinstance(op, ast.GtE):
+                return lhs >= rhs
+            if isinstance(op, ast.Lt):
+                return lhs < rhs
+            if isinstance(op, ast.LtE):
+                return lhs <= rhs
+            if isinstance(op, ast.Eq):
+                return lhs == rhs
+            if isinstance(op, ast.NotEq):
+                return lhs != rhs
+        if isinstance(node, ast.BoolOp):
+            parts = [ev(v) for v in node.values]
+            if isinstance(node.op, ast.And):
+                return reduce(lambda a_, b_: a_ & b_, parts)
+            return reduce(lambda a_, b_: a_ | b_, parts)
+        raise ESQueryError(
+            f"{label}: unsupported script construct "
+            f"{ast.dump(node)[:60]} in {script!r}")
+
+    return ev(tree)
+
+
+def _apply_parent_pipes(out: DataFrame, pipes: dict, atype: str,
+                        metric_names: set[str]):
+    """Parent pipeline aggs over the (small, post-groupBy) bucket
+    frame, applied in declaration order so bucket_script columns are
+    visible to a later bucket_selector. derivative / cumulative_sum
+    require an ORDERED parent (histogram kinds), like ES; their window
+    runs unpartitioned over the bucket frame — cardinality is the
+    bucket count, not the corpus, the same posture as the nested-chain
+    windows. bucket_sort re-orders and from/size-truncates at the end
+    (it never changes bucket values, only which rows survive)."""
+    from pyspark.sql import Window
+
+    known = set(metric_names)
+    final_sort = None  # bucket_sort's ordering, else the default
+    w = Window.orderBy(F.asc("key"))
+    for name, spec in pipes.items():
+        [(ptype, args)] = dict(spec).items()
+        if ptype in ("derivative", "cumulative_sum"):
+            if atype not in ("date_histogram", "histogram"):
+                raise ESQueryError(
+                    f"{ptype} needs an ordered histogram parent (ES "
+                    "rejects it under terms too)")
+            src = F.col(_pipe_src(args.get("buckets_path"), known,
+                                  name)).cast("double")
+            if ptype == "derivative":
+                out = out.withColumn(name, src - F.lag(src).over(w))
+            else:
+                out = out.withColumn(name, F.sum(src).over(
+                    w.rowsBetween(Window.unboundedPreceding, 0)))
+            known.add(name)
+        elif ptype == "bucket_script":
+            paths = args.get("buckets_path")
+            if not isinstance(paths, dict) or not paths:
+                raise ESQueryError(f"{name}: bucket_script needs a "
+                                   "{var: path} buckets_path dict")
+            cols = {v: _pipe_src(p, known, name)
+                    for v, p in paths.items()}
+            out = out.withColumn(
+                name, _script_col(str(args.get("script", "")), cols,
+                                  name).cast("double"))
+            known.add(name)
+        elif ptype == "bucket_selector":
+            paths = args.get("buckets_path")
+            if not isinstance(paths, dict) or not paths:
+                raise ESQueryError(f"{name}: bucket_selector needs a "
+                                   "{var: path} buckets_path dict")
+            cols = {v: _pipe_src(p, known, name)
+                    for v, p in paths.items()}
+            out = out.filter(_script_col(str(args.get("script", "")),
+                                         cols, name))
+        elif ptype == "bucket_sort":
+            sort_cols = []
+            for s in args.get("sort") or []:
+                if isinstance(s, str):
+                    s = {s: {"order": "asc"}}
+                [(fld, so)] = s.items()
+                fld = "doc_count" if fld == "_count" else fld
+                order = (so or {}).get("order", "asc") \
+                    if isinstance(so, dict) else str(so)
+                sort_cols.append(F.desc(fld) if order == "desc"
+                                 else F.asc(fld))
+            if sort_cols:
+                final_sort = sort_cols + [F.asc("key")]
+                out = out.orderBy(*final_sort)
+            frm = int(args.get("from", 0))
+            if frm:
+                out = out.offset(frm)
+            if args.get("size") is not None:
+                out = out.limit(int(args["size"]))
+        else:
+            raise ESQueryError(f"unknown pipeline agg {ptype!r}")
+    return out, final_sort
+
+
+def _apply_sibling_pipes(out: DataFrame, siblings: dict,
+                         primary_name: str,
+                         metric_names: set[str]) -> DataFrame:
+    """Sibling pipeline aggs (avg/sum/min/max/stats_bucket): ES returns
+    them as top-level scalars next to the bucket agg; a DataFrame
+    carries them as constant columns on every bucket row (one tiny
+    agg over the final bucket frame, broadcast back — no extra pass
+    over data). buckets_path is ``<bucket-agg-name>>metric`` or
+    ``<bucket-agg-name>>_count``, resolved against the FINAL frame
+    (after parent pipelines, selector, and sort truncation)."""
+    exprs = []
+    for name, spec in siblings.items():
+        [(ptype, args)] = dict(spec).items()
+        path = args.get("buckets_path")
+        if not isinstance(path, str) or ">" not in path:
+            raise ESQueryError(
+                f"{name}: sibling buckets_path must be "
+                f"'{primary_name}>metric'")
+        head, metric = path.split(">", 1)
+        if head != primary_name:
+            raise ESQueryError(
+                f"{name}: buckets_path head {head!r} != bucket agg "
+                f"{primary_name!r}")
+        src = F.col(_pipe_src(metric, metric_names, name)) \
+            .cast("double")
+        if ptype == "stats_bucket":
+            exprs += [F.count(src).alias(f"{name}_count"),
+                      F.min(src).alias(f"{name}_min"),
+                      F.max(src).alias(f"{name}_max"),
+                      F.avg(src).alias(f"{name}_avg"),
+                      F.sum(src).alias(f"{name}_sum")]
+        else:
+            exprs.append(_SIBLING_PIPE[ptype](src).alias(name))
+    return out.crossJoin(F.broadcast(out.agg(*exprs)))
 
 
 def _top_hits_df(docs: DataFrame, key_col, hspec: dict,
@@ -2259,8 +2520,8 @@ def _bucket_key(atype: str, args: dict, alias: str):
     if atype == "date_histogram":
         interval = args.get("calendar_interval",
                             args.get("fixed_interval", "day"))
-        units = {"hour": "hour", "day": "day", "week": "week",
-                 "month": "month", "year": "year"}
+        units = {"minute": "minute", "hour": "hour", "day": "day",
+                 "week": "week", "month": "month", "year": "year"}
         if interval not in units:
             raise ESQueryError(f"unsupported interval {interval!r}")
         return F.date_trunc(units[interval], F.col(field)).alias(alias)

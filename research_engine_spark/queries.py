@@ -3470,6 +3470,118 @@ def engine_es_composite_documents(spark, sf_dir):
                       F.col("max_ti").cast("int").alias("max_ti"))
 
 
+@register("engine_es_pipeline_histo_documents", f"""
+WITH tk AS (
+  SELECT doc_id, n_chars, {_TOK_SQL} AS tk FROM documents
+),
+matched AS (
+  SELECT doc_id, CAST(n_chars % 97 AS INT) AS ti FROM tk
+  WHERE list_contains(tk, 'table') OR list_contains(tk, 'hash')
+),
+b AS (
+  SELECT CAST(floor(ti / 10.0) * 10 AS DOUBLE) AS key,
+         CAST(count(*) AS BIGINT) AS doc_count
+  FROM matched GROUP BY 1
+)
+SELECT key, doc_count,
+       round(CAST(doc_count AS DOUBLE)
+             - lag(CAST(doc_count AS DOUBLE)) OVER (ORDER BY key), 4)
+         AS deriv,
+       round(sum(CAST(doc_count AS DOUBLE))
+             OVER (ORDER BY key ROWS UNBOUNDED PRECEDING), 4) AS cum
+FROM b ORDER BY key ASC
+""")
+def engine_es_pipeline_histo_documents(spark, sf_dir):
+    """Parent pipeline aggs (round 5) through the DSL over the REAL
+    index, driver-HASH-checked: a numeric histogram with ``derivative``
+    and ``cumulative_sum`` of ``_count`` riding on it — the ES
+    reduce-phase pipeline model expressed as window functions over the
+    (tiny, post-groupBy) bucket frame; the derivative of the first
+    bucket is NULL on both sides. The oracle recomputes buckets and
+    both windows from raw text."""
+    from .operators.esdsl import es_aggregations
+    from .operators.scorer import IndexReader
+
+    engine_es_aggs_documents(spark, sf_dir)  # ensure the agg index
+    reader = IndexReader(spark, _AGG_IDX_CACHE[sf_dir])
+    out = es_aggregations(reader, {
+        "query": {"match": {"text": "table hash"}},
+        "aggs": {"by_ti": {
+            "histogram": {"field": "turn_idx", "interval": 10},
+            "aggs": {
+                "deriv": {"derivative": {"buckets_path": "_count"}},
+                "cum": {"cumulative_sum": {"buckets_path": "_count"}},
+            }}}})
+    return out.select("key", "doc_count",
+                      F.round("deriv", 4).alias("deriv"),
+                      F.round("cum", 4).alias("cum"))
+
+
+@register("engine_es_bucket_script_documents", f"""
+WITH tk AS (
+  SELECT doc_id, source, n_chars, {_TOK_SQL} AS tk FROM documents
+),
+matched AS (
+  SELECT doc_id, source, CAST(n_chars % 97 AS INT) AS ti FROM tk
+  WHERE list_contains(tk, 'table') OR list_contains(tk, 'hash')
+),
+b AS (
+  SELECT source AS key, CAST(count(*) AS BIGINT) AS doc_count,
+         CAST(sum(ti) AS BIGINT) AS tsum
+  FROM matched GROUP BY source
+),
+sel AS (
+  SELECT *, CAST(tsum AS DOUBLE) / doc_count AS per_doc
+  FROM b WHERE doc_count >= 5
+),
+fin AS (
+  SELECT * FROM sel ORDER BY per_doc DESC, key ASC LIMIT 3
+)
+SELECT key, doc_count, tsum, round(per_doc, 4) AS per_doc,
+       round(sum(CAST(tsum AS DOUBLE)) OVER (), 4) AS total_t,
+       round(max(per_doc) OVER (), 4) AS max_per_doc
+FROM fin ORDER BY per_doc DESC, key ASC
+""")
+def engine_es_bucket_script_documents(spark, sf_dir):
+    """The full pipeline-agg composition (round 5) through the DSL over
+    the REAL index, driver-HASH-checked: terms buckets with a sum
+    metric, a ``bucket_script`` derived value (ast-compiled arithmetic,
+    no string eval), a ``bucket_selector`` filter, a ``bucket_sort``
+    truncation, and two SIBLING pipelines (``sum_bucket`` over the
+    metric, ``max_bucket`` over the script output) attached as constant
+    columns — resolved against the FINAL frame, after selector and
+    sort, which the oracle mirrors with plain SQL windows."""
+    from .operators.esdsl import es_aggregations
+    from .operators.scorer import IndexReader
+
+    engine_es_aggs_documents(spark, sf_dir)  # ensure the agg index
+    reader = IndexReader(spark, _AGG_IDX_CACHE[sf_dir])
+    out = es_aggregations(reader, {
+        "query": {"match": {"text": "table hash"}},
+        "aggs": {
+            "by_role": {"terms": {"field": "role"}, "aggs": {
+                "tsum": {"sum": {"field": "turn_idx"}},
+                "per_doc": {"bucket_script": {
+                    "buckets_path": {"c": "tsum", "n": "_count"},
+                    "script": "params.c / params.n"}},
+                "keep": {"bucket_selector": {
+                    "buckets_path": {"n": "_count"},
+                    "script": "params.n >= 5"}},
+                "srt": {"bucket_sort": {
+                    "sort": [{"per_doc": {"order": "desc"}}],
+                    "size": 3}},
+            }},
+            "total_t": {"sum_bucket": {"buckets_path": "by_role>tsum"}},
+            "max_per_doc": {"max_bucket": {
+                "buckets_path": "by_role>per_doc"}},
+        }})
+    return out.select("key", "doc_count",
+                      F.col("tsum").cast("long").alias("tsum"),
+                      F.round("per_doc", 4).alias("per_doc"),
+                      F.round("total_t", 4).alias("total_t"),
+                      F.round("max_per_doc", 4).alias("max_per_doc"))
+
+
 _MF_IDX_CACHE: dict[str, str] = {}
 
 
