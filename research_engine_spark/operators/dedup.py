@@ -425,3 +425,73 @@ def contamination_overlap(
                 F.when(F.col("n_shingles") > 0,
                        F.col("n_matched") / F.col("n_shingles"))
                 .otherwise(F.lit(0.0))))
+
+
+def duplicate_spans(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", k: int = 13,
+                    min_count: int = 2) -> DataFrame:
+    """Exact duplicate-SPAN detection (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better"
+    exact-substring family, Spark-shaped): a token ``k``-gram occurring
+    ``min_count``+ times anywhere in the corpus (other docs OR
+    self-repetition) is a duplicated span; per doc, overlapping
+    duplicated spans are merged by interval union and the covered-token
+    fraction reported — the filter knob is ``dup_frac``.
+
+    Where the paper builds a corpus-wide suffix array (quadratic-ish
+    memory pressure, single machine), the Spark shape is two shuffles
+    at ANY corpus size: (1) groupBy(gram-hash) with map-side partial
+    counts to find duplicated grams, semi-joined back to occurrences
+    (AQE handles boilerplate-gram skew); (2) one window per doc over
+    its dup-gram START OFFSETS — the classic gaps-and-islands interval
+    union, O(doc grams) rows per partition key, never corpus-sized.
+    Grams are xxhash64 digests of the joined tokens (64-bit collisions
+    merely over-count a span; the oracle twin uses raw gram strings).
+
+    Returns one row per input doc: (doc_id, n_tokens, dup_grams,
+    covered_tokens, dup_frac) — docs shorter than ``k`` tokens report
+    zeros, like every other stats operator in this module."""
+    from pyspark.sql import Window
+
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                    lambda t: t != "")
+    base = (df.select(F.col(id_col).alias("doc_id"), toks.alias("_tk"))
+            .withColumn("n_tokens", F.size("_tk")))
+    grams = (base.filter(F.col("n_tokens") >= k)
+             .select("doc_id", F.posexplode(F.expr(
+                 f"transform(sequence(1, size(_tk) - {k} + 1), "
+                 f"i -> xxhash64(concat_ws(' ', slice(_tk, i, {k}))))"
+             )).alias("start", "gram")))
+    dup_grams = (grams.groupBy("gram")
+                 .agg(F.count(F.lit(1)).alias("_c"))
+                 .filter(F.col("_c") >= min_count)
+                 .select("gram"))
+    dup = grams.join(dup_grams, "gram", "left_semi")
+    w_prev = (Window.partitionBy("doc_id").orderBy("start")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    w_run = (Window.partitionBy("doc_id").orderBy("start")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    isl = (dup
+           .withColumn("_prev_end", F.max(F.col("start") + k).over(w_prev))
+           .withColumn("_new", (F.col("_prev_end").isNull()
+                                | (F.col("start") >= F.col("_prev_end")))
+                       .cast("int"))
+           .withColumn("_iid", F.sum("_new").over(w_run)))
+    per_doc = (isl.groupBy("doc_id", "_iid")
+               .agg((F.max("start") + F.lit(k) - F.min("start"))
+                    .alias("_cov"),
+                    F.count(F.lit(1)).alias("_ng"))
+               .groupBy("doc_id")
+               .agg(F.sum("_ng").alias("dup_grams"),
+                    F.sum("_cov").alias("covered_tokens")))
+    return (base.select("doc_id", "n_tokens")
+            .join(per_doc, "doc_id", "left")
+            .select("doc_id", "n_tokens",
+                    F.coalesce("dup_grams", F.lit(0)).alias("dup_grams"),
+                    F.coalesce("covered_tokens",
+                               F.lit(0)).alias("covered_tokens"))
+            .withColumn(
+                "dup_frac",
+                F.when(F.col("n_tokens") > 0,
+                       F.col("covered_tokens") / F.col("n_tokens"))
+                .otherwise(F.lit(0.0))))

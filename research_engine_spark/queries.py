@@ -754,6 +754,70 @@ def minhash_signatures_q(spark, sf_dir):
                       "minhash")
 
 
+@register("span_dedup_documents", f"""
+WITH tk AS (
+  SELECT doc_id, {_TOK_SQL} AS tk FROM documents
+),
+base AS (SELECT doc_id, tk, CAST(len(tk) AS INT) AS n_tokens FROM tk),
+occ AS (
+  SELECT doc_id, i AS start, array_to_string(tk[i:i+12], ' ') AS gram
+  FROM base, unnest(generate_series(1, len(tk) - 13 + 1)) AS g(i)
+  WHERE len(tk) >= 13
+),
+cnt AS (SELECT gram FROM occ GROUP BY gram HAVING count(*) >= 2),
+dup AS (SELECT o.doc_id, o.start FROM occ o JOIN cnt USING (gram)),
+m AS (
+  SELECT doc_id, start,
+         CASE WHEN start >= coalesce(max(start + 13) OVER (
+                PARTITION BY doc_id ORDER BY start
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS newisl
+  FROM dup
+),
+isl AS (
+  SELECT doc_id, start,
+         sum(newisl) OVER (PARTITION BY doc_id ORDER BY start) AS iid
+  FROM m
+),
+covisl AS (
+  SELECT doc_id, iid, max(start) + 13 - min(start) AS cov,
+         count(*) AS ng
+  FROM isl GROUP BY doc_id, iid
+),
+perdoc AS (
+  SELECT doc_id, CAST(sum(ng) AS BIGINT) AS dup_grams,
+         CAST(sum(cov) AS BIGINT) AS covered_tokens
+  FROM covisl GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tokens,
+       coalesce(p.dup_grams, 0) AS dup_grams,
+       coalesce(p.covered_tokens, 0) AS covered_tokens,
+       CASE WHEN b.n_tokens > 0
+            THEN round(coalesce(p.covered_tokens, 0) * 1.0
+                       / b.n_tokens, 6)
+            ELSE 0.0 END AS dup_frac
+FROM base b LEFT JOIN perdoc p USING (doc_id)
+ORDER BY doc_id
+""")
+def span_dedup_documents(spark, sf_dir):
+    """Exact duplicate-SPAN coverage (Lee et al. 2022 exact-substring
+    dedup, Spark-shaped — operators/dedup.py duplicate_spans): token
+    13-grams occurring 2+ times corpus-wide are duplicated spans,
+    merged per doc by gaps-and-islands interval union; reports per-doc
+    covered-token fraction. The oracle recomputes grams (raw strings
+    where Spark uses xxhash64 digests — identical up to 64-bit
+    collisions), the duplicate set, and the SAME window-based interval
+    union in SQL. Finds the planted near-dup structure: ~45 docs carry
+    nonzero coverage at sf0.01."""
+    d = _t(spark, sf_dir, "documents")
+    out = DD.duplicate_spans(d, k=13, min_count=2)
+    return out.select("doc_id", "n_tokens",
+                      F.col("dup_grams").cast("long").alias("dup_grams"),
+                      F.col("covered_tokens").cast("long")
+                      .alias("covered_tokens"),
+                      F.round("dup_frac", 6).alias("dup_frac"))
+
+
 @register("ngram_jaccard_pairs", f"""
 WITH {_SHINGLES_CTE},
 cold AS (SELECT shingle FROM shingles GROUP BY shingle HAVING count(*) <= 50),

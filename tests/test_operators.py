@@ -496,3 +496,36 @@ def test_stratified_sample_and_cap(spark):
     c2 = {r.doc_id for r in cap_per_stratum(
         df.repartition(7), "grp", 3).collect()}
     assert c1 == c2 and len(c1) == 12
+
+
+def test_duplicate_spans_planted(spark, docs_df):
+    out = {r["doc_id"]: r for r in
+           DD.duplicate_spans(docs_df, k=4, min_count=2).collect()}
+    assert len(out) == len(DOCS)  # every doc reported, incl. short/empty
+    # docs 0/1/4 are identical after analysis: every 4-gram duplicated,
+    # one island covering the whole 9-token doc
+    for d in (0, 1, 4):
+        r = out[d]
+        assert (r.n_tokens, r.dup_grams, r.covered_tokens) == (9, 6, 9)
+        assert r.dup_frac == 1.0
+    # doc 2 shares the 8-token prefix: grams at starts 0..4 duplicated,
+    # the final gram (...lazy cat) is unique -> covered 0..8 of 9
+    r = out[2]
+    assert (r.n_tokens, r.dup_grams, r.covered_tokens) == (9, 5, 8)
+    assert abs(r.dup_frac - 8 / 9) < 1e-12
+    # unique docs, short doc, empty doc: zero coverage
+    for d in (3, 5, 6, 7):
+        assert (out[d].dup_grams, out[d].covered_tokens,
+                out[d].dup_frac) == (0, 0, 0.0)
+
+
+def test_duplicate_spans_self_repetition(spark):
+    df = spark.createDataFrame(
+        [(0, "a b c d x a b c d"), (1, "e f g h i j")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           DD.duplicate_spans(df, k=4, min_count=2).collect()}
+    # "a b c d" occurs twice IN THE SAME doc -> both occurrences are
+    # duplicated spans, two disjoint islands [0,4) and [5,9)
+    assert (out[0].dup_grams, out[0].covered_tokens) == (2, 8)
+    assert (out[1].dup_grams, out[1].covered_tokens) == (0, 0)
