@@ -224,6 +224,30 @@ def _wildcard_regex(pattern: str) -> str:
         for ch in pattern)
 
 
+def _regexp_pattern(value: str) -> str:
+    """ES ``regexp`` pattern -> the anchored form both engines run.
+    Lucene regexps are implicitly anchored (no ^/$) and, under the
+    default flags, add operators Java/Python lack: ``~`` (complement),
+    ``&`` (intersection), ``<>`` (numeric interval), ``@``
+    (any-string), ``#`` (empty language). The engine executes the
+    Java∩Python common subset — literals, classes, ., ?, +, *, |,
+    (), {m,n} — identically on the distributed (JVM ``rlike``) and
+    serving (``re.fullmatch``) tiers, and rejects patterns using the
+    Lucene-only operators loudly instead of diverging."""
+    import re as _re
+
+    if _re.search(r"(?<!\\)[~&<>@#^$]", value):
+        raise ESQueryError(
+            f"regexp {value!r}: Lucene-only operators (~ & <> @ #) and "
+            "anchors (^ $) are unsupported — patterns are implicitly "
+            "anchored; use the Java/Python-common subset")
+    try:
+        _re.compile(value)
+    except _re.error as e:
+        raise ESQueryError(f"regexp {value!r}: {e}") from None
+    return f"^(?:{value})$"
+
+
 def _fuzzy_flag(spec: dict) -> bool:
     fz = spec.get("fuzziness", 0)
     if fz in (0, "0", None):
@@ -573,6 +597,8 @@ def _expand_pattern_pd(ctx: _Ctx, kind: str, body: dict):
     value = str(spec["value"])
     if kind == "prefix":
         mask = vocab["term"].str.startswith(value)
+    elif kind == "regexp":
+        mask = vocab["term"].str.match(_regexp_pattern(value))
     else:
         mask = vocab["term"].str.fullmatch(_wildcard_regex(value))
     matched = vocab[mask.fillna(False).astype(bool)]
@@ -777,7 +803,7 @@ def _clause_pd(ctx: _Ctx, clause: dict):
             return _EMPTY_PD.copy()
         return _const_docs_pd(reader, ts["term"].tolist(),
                               int(ts["df"].sum()), boost)
-    if kind in ("prefix", "wildcard"):
+    if kind in ("prefix", "wildcard", "regexp"):
         return _expand_pattern_pd(ctx, kind, body)
     if kind in ("range", "exists"):
         return None  # docs-table metadata scan: always distributed
@@ -1107,6 +1133,11 @@ def _clause_df(ctx: _Ctx, clause: dict) -> DataFrame:
     if kind == "wildcard":
         field, spec = _value_spec(body)
         rx = "^" + _wildcard_regex(str(spec["value"])) + "$"
+        return _const_docs_df(ctx.reader(field), F.col("term").rlike(rx),
+                              float(spec.get("boost", 1.0)))
+    if kind == "regexp":
+        field, spec = _value_spec(body)
+        rx = _regexp_pattern(str(spec["value"]))
         return _const_docs_df(ctx.reader(field), F.col("term").rlike(rx),
                               float(spec.get("boost", 1.0)))
     if kind == "range":

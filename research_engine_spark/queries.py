@@ -754,6 +754,73 @@ def minhash_signatures_q(spark, sf_dir):
                       "minhash")
 
 
+_SHARD_SQL = " + ".join(
+    f"(instr('0123456789abcdef', substring("
+    f"md5(concat('0:', CAST(doc_id AS VARCHAR))), {i + 1}, 1)) - 1) "
+    f"* {16 ** (3 - i)}"
+    for i in range(4))
+
+
+@register("shard_assignment_documents", f"""
+WITH s AS (
+  SELECT CAST(({_SHARD_SQL}) % 8 AS INT) AS shard FROM documents
+)
+SELECT shard, CAST(count(*) AS BIGINT) AS n_docs
+FROM s GROUP BY shard ORDER BY shard
+""")
+def shard_assignment_documents(spark, sf_dir):
+    """Deterministic training-data sharding (operators/export.py
+    assign_shards): shard = 4-hex-digit md5 value mod n, a pure column
+    expression independent of partitioning/cluster size/row order —
+    the oracle runs the IDENTICAL substring+instr formula. Returns
+    per-shard counts (balance is statistical: md5 uniform)."""
+    from .operators.export import assign_shards
+
+    d = _t(spark, sf_dir, "documents")
+    return (assign_shards(d, n_shards=8, seed=0)
+            .groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("shard"))
+
+
+@register("pack_sequences_documents", f"""
+WITH tk AS (
+  SELECT doc_id, CAST(len({_TOK_SQL}) AS INT) AS n_tokens FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(CAST(n_tokens AS BIGINT)) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+           AND 1 PRECEDING), 0) AS start_token
+  FROM tk
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tokens,
+       CAST(start_token AS BIGINT) AS start_token,
+       CAST(floor(start_token / 256) AS BIGINT) AS first_seq,
+       CAST(floor((start_token + greatest(n_tokens, 1) - 1) / 256)
+            AS BIGINT) AS last_seq,
+       CAST(CASE WHEN n_tokens > 0
+            THEN floor((start_token + n_tokens - 1) / 256)
+                 - floor(start_token / 256) + 1
+            ELSE 0 END AS BIGINT) AS n_seqs
+FROM c ORDER BY doc_id
+""")
+def pack_sequences_documents(spark, sf_dir):
+    """Sequence-packing geometry (operators/export.py pack_sequences,
+    GPT concat-then-chunk): docs concatenated in doc_id order, cut into
+    256-token training sequences; per doc the stream offset and the
+    first/last sequence index it lands in. Spark side computes the
+    global offset with the docids.py two-pass cumsum (range partition +
+    partition-local window + broadcast bases — no single-partition
+    global window); the oracle is one SQL running-sum window."""
+    from .operators.export import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_sequences(d, seq_len=256).select(
+        "doc_id", "n_tokens", "start_token",
+        "first_seq", "last_seq", "n_seqs")
+
+
 @register("span_dedup_documents", f"""
 WITH tk AS (
   SELECT doc_id, {_TOK_SQL} AS tk FROM documents
@@ -2997,6 +3064,39 @@ def engine_wildcard_documents(spark, sf_dir):
             {"wildcard": {"text": {"value": "s?a*"}}},
             {"terms": {"text": ["table", "window"], "boost": 2.0}},
         ], "minimum_should_match": 1}},
+        "size": 25})
+    docs = spark.read.parquet(
+        _SIMPLE_IDX_CACHE[sf_dir] + "/docs").select(
+        "doc_id", F.substring("conv_id", 2, 9).cast("long").alias("src_id"))
+    return (hits.join(docs, "doc_id")
+            .select(F.col("src_id").alias("doc_id"),
+                    F.round("score", 4).alias("score")))
+
+
+@register("engine_regexp_documents", f"""
+WITH flat AS (
+  SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM flat
+      WHERE regexp_full_match(term, 's[ct].*n'))
+SELECT CAST(doc_id AS BIGINT) AS doc_id, 1.5 AS score
+FROM m ORDER BY doc_id ASC LIMIT 25
+""")
+def engine_regexp_documents(spark, sf_dir):
+    """ES ``regexp`` query through the DSL over the REAL index,
+    driver-HASH-checked: an implicitly-anchored pattern in the
+    Java/Python-common subset ('s[ct].*n' — scan/section/...), every
+    matching doc scoring the clause boost (constant_score rewrite).
+    Distributed path pushes the anchored pattern into the term-SORTED
+    postings scan as a Catalyst RLike predicate; the oracle recomputes
+    membership from raw text with DuckDB's regexp_full_match."""
+    from .operators.esdsl import es_search
+    from .operators.scorer import IndexReader
+
+    reader = IndexReader(spark, _simple_index(spark, sf_dir))
+    hits = es_search(reader, {
+        "query": {"regexp": {"text": {"value": "s[ct].*n",
+                                      "boost": 1.5}}},
         "size": 25})
     docs = spark.read.parquet(
         _SIMPLE_IDX_CACHE[sf_dir] + "/docs").select(

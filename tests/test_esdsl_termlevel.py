@@ -400,3 +400,36 @@ def test_composite_termlevel_bool_identity(spark, tl_setup):
         sc.setJobGroup(None, None)
     assert loc == _pairs(es_search(dist, body))
     assert len(loc) == 15
+
+
+def test_regexp_membership_both_paths(spark, tl_setup):
+    d, _ = tl_setup
+    local, dist = _readers(spark, d)
+    body = {"query": {"regexp": {"text": {"value": "ne.*al",
+                                          "boost": 2.0}}}, "size": BIG}
+    expected = _docs_with_token(dist, lambda t: t.rlike("^(?:ne.*al)$"))
+    for r in (local, dist):
+        got = _pairs(es_search(r, body))
+        assert {doc for doc, _ in got} == expected
+        assert all(s == 2.0 for _, s in got)  # constant_score rewrite
+    # a regexp equivalent to a wildcard returns the identical frame
+    wc = {"query": {"wildcard": {"text": {"value": "neur*"}}},
+          "size": BIG}
+    rx = {"query": {"regexp": {"text": {"value": "neur.*"}}},
+          "size": BIG}
+    for r in (local, dist):
+        assert _pairs(es_search(r, rx)) == _pairs(es_search(r, wc))
+
+
+def test_regexp_rejects_lucene_only_and_bad_patterns(spark, tl_setup):
+    d, _ = tl_setup
+    local, _dist = _readers(spark, d)
+    for bad in ("a~b", "a&b", "<1-5>", "a@", "^anchored$", "a["):
+        with pytest.raises(ESQueryError):
+            es_search(local, {"query": {"regexp": {
+                "text": {"value": bad}}}})
+    # escaped forms of the Lucene-only chars are plain literals: no
+    # match in this corpus, but no error either
+    out = es_search(local, {"query": {"regexp": {
+        "text": {"value": r"a\~b"}}}, "size": 5})
+    assert out.count() == 0
