@@ -219,6 +219,14 @@ class ResearchEngine:
 
         return es_suggest(self.reader, body)
 
+    def es_phrase_suggest(self, body: dict) -> DataFrame:
+        """ES phrase suggester: whole-phrase corrections ranked by a
+        bigram Stupid Backoff LM whose counts come from the positional
+        index; see operators/esdsl.py es_phrase_suggest."""
+        from .operators.esdsl import es_phrase_suggest
+
+        return es_phrase_suggest(self.reader, body)
+
     def es_search(self, body: dict, k1: float | None = None,
                   b: float | None = None) -> DataFrame:
         """Execute an Elasticsearch query body verbatim

@@ -2611,6 +2611,52 @@ _SUGGEST_OPTS = {"field", "size", "max_edits", "prefix_length",
                  "min_doc_freq"}
 
 
+def _spell_candidates(reader: IndexReader,
+                      need: list[tuple]) -> dict[tuple, pd.DataFrame]:
+    """Spelling-candidate generation shared by the term and phrase
+    suggesters: for each (token, max_edits) pair, the index terms
+    within the length band whose Levenshtein lower bound passes —
+    driver-local against the in-RAM vocabulary when it fits the
+    budget, else ONE JVM length-band + thresholded ``F.levenshtein``
+    prefilter scan. Exact Damerau filtering is the caller's (both
+    tiers return the same superset by construction)."""
+    cand_by_token: dict[tuple, pd.DataFrame] = {}
+    vocab = reader.vocab_arrow()
+    if vocab is not None:
+        from ..functions.editdist import levenshtein_many
+
+        tlen_np = reader._vocab_tlen
+        for token, maxed in need:
+            band = ((tlen_np >= len(token) - maxed)
+                    & (tlen_np <= len(token) + maxed))
+            sub = vocab.loc[band]
+            if sub.empty:
+                cand_by_token[(token, maxed)] = sub
+                continue
+            lev = levenshtein_many(sub["term"].tolist(), token)
+            cand_by_token[(token, maxed)] = sub.loc[lev <= 2 * maxed]
+    else:
+        spark = reader.spark
+        qdf = spark.createDataFrame(
+            [(t, e, len(t)) for t, e in need],
+            "qterm string, maxed int, qlen int")
+        tlen = F.length("term")
+        lev_pre = F.levenshtein("term", "qterm", 4)
+        cand = (
+            reader.term_stats.join(
+                F.broadcast(qdf),
+                (tlen >= F.col("qlen") - F.col("maxed"))
+                & (tlen <= F.col("qlen") + F.col("maxed")))
+            .filter((lev_pre >= 0) & (lev_pre <= F.col("maxed") * 2))
+            .groupBy("qterm", "maxed", "term")
+            .agg(F.sum("df").alias("df"))
+        ).toPandas()
+        for token, maxed in need:
+            cand_by_token[(token, maxed)] = cand[
+                (cand["qterm"] == token) & (cand["maxed"] == maxed)]
+    return cand_by_token
+
+
 def es_suggest(index, body: dict) -> DataFrame:
     """ES term suggester ("did you mean"): for each analyzed token of
     a suggest text, spelling-correction candidates from the index term
@@ -2708,40 +2754,8 @@ def es_suggest(index, body: dict) -> DataFrame:
         if not tok_stats.empty else {}
 
     # ---- candidate generation: driver-local tier, JVM-scan fallback -----
-    vocab = reader.vocab_arrow()
     need = sorted({(t, e) for _, t, _, e, *_ in wanted})
-    cand_by_token: dict[tuple, pd.DataFrame] = {}
-    if vocab is not None:
-        from ..functions.editdist import levenshtein_many
-
-        tlen_np = reader._vocab_tlen
-        for token, maxed in need:
-            band = ((tlen_np >= len(token) - maxed)
-                    & (tlen_np <= len(token) + maxed))
-            sub = vocab.loc[band]
-            if sub.empty:
-                cand_by_token[(token, maxed)] = sub
-                continue
-            lev = levenshtein_many(sub["term"].tolist(), token)
-            cand_by_token[(token, maxed)] = sub.loc[lev <= 2 * maxed]
-    else:
-        qdf = spark.createDataFrame(
-            [(t, e, len(t)) for t, e in need],
-            "qterm string, maxed int, qlen int")
-        tlen = F.length("term")
-        lev_pre = F.levenshtein("term", "qterm", 4)
-        cand = (
-            reader.term_stats.join(
-                F.broadcast(qdf),
-                (tlen >= F.col("qlen") - F.col("maxed"))
-                & (tlen <= F.col("qlen") + F.col("maxed")))
-            .filter((lev_pre >= 0) & (lev_pre <= F.col("maxed") * 2))
-            .groupBy("qterm", "maxed", "term")
-            .agg(F.sum("df").alias("df"))
-        ).toPandas()
-        for token, maxed in need:
-            cand_by_token[(token, maxed)] = cand[
-                (cand["qterm"] == token) & (cand["maxed"] == maxed)]
+    cand_by_token = _spell_candidates(reader, need)
 
     # ---- per-token ranking (pure pandas over metadata-scale frames) -----
     rows = []
@@ -2783,6 +2797,293 @@ def es_suggest(index, body: dict) -> DataFrame:
             rows.append((name, token, r.candidate,
                          float(r.score), int(r.freq)))
     return spark.createDataFrame(rows, out_schema)
+
+
+def _bigram_counts(reader: IndexReader,
+                   pairs: list[tuple[str, str]]) -> dict[tuple, int]:
+    """Corpus counts of adjacent token bigrams, from the POSITIONAL
+    index (no corpus re-scan): occurrences of ``a`` at position p and
+    ``b`` at p+1 in the same doc. Driver-local (zero Spark jobs) when
+    the involved terms' Σ df fits the reader budget — the same gate the
+    phrase query uses — else ONE job over the bucket-pruned positional
+    postings with a key-join (doc·2³²+pos arithmetic identical to the
+    local tier)."""
+    from .scorer import _PHRASE_SHIFT, _positions_local
+
+    out = {tuple(p): 0 for p in pairs}
+    terms = sorted({t for p in pairs for t in p})
+    ts = reader.term_stats_arrow(terms)
+    present = set(ts["term"])
+    need = [p for p in out if p[0] in present and p[1] in present]
+    if not need:
+        return out
+    small = int(ts["df"].sum()) <= reader.driver_local_max_postings \
+        and (not reader.has_deletes
+             or reader.n_deleted_rows <= DRIVER_LOCAL_MAX_DELETES)
+    if small:
+        by_term, _, _ = _positions_local(
+            reader, sorted({t for p in need for t in p}))
+        deleted = (_deleted_ids_arrow(reader)
+                   if reader.has_deletes else None)
+        for a, b in need:
+            if a not in by_term or b not in by_term:
+                continue
+            docs_a, keys_a = by_term[a]
+            docs_b, keys_b = by_term[b]
+            if deleted is not None and deleted.size:
+                keys_a = keys_a[~np.isin(docs_a, deleted)]
+                keys_b = keys_b[~np.isin(docs_b, deleted)]
+            out[(a, b)] = int(np.intersect1d(keys_a + 1, keys_b).size)
+        return out
+    from .indexer import decode_positions_block
+
+    spark = reader.spark
+    uniq = sorted({t for p in need for t in p})
+    buckets = sorted(set(reader.bucket_of(uniq).values()))
+    posts = (reader.postings
+             .filter(F.col("bucket").isin(buckets)
+                     & F.col("term").isin(uniq))
+             .select("term", "doc_gaps", "poss"))
+
+    def _flatten(it):
+        for pdf in it:
+            for r in pdf.itertuples(index=False):
+                doc_ids = delta_decode(vb_decode(bytes(r.doc_gaps)))
+                poss = decode_positions_block(bytes(r.poss),
+                                              doc_ids.size)
+                lens = np.fromiter((p.size for p in poss),
+                                   dtype=np.int64, count=doc_ids.size)
+                if not lens.sum():
+                    continue
+                docs_rep = np.repeat(doc_ids, lens).astype(np.int64)
+                keys = (docs_rep * _PHRASE_SHIFT
+                        + np.concatenate(poss).astype(np.int64))
+                yield pd.DataFrame({"term": r.term, "key": keys})
+
+    flat = posts.mapInPandas(_flatten, "term string, key long")
+    if reader.has_deletes:
+        flat = reader.live_only(flat.withColumn(
+            "doc_id", F.expr(f"key div {_PHRASE_SHIFT}"))).drop("doc_id")
+    pairs_df = spark.createDataFrame(list(need), "a string, b string")
+    cnt = (flat.alias("x")
+           .join(F.broadcast(pairs_df), F.col("x.term") == F.col("a"))
+           .select("a", "b", (F.col("key") + 1).alias("k"))
+           .join(flat.alias("y"),
+                 (F.col("y.term") == F.col("b"))
+                 & (F.col("y.key") == F.col("k")))
+           .groupBy("a", "b")
+           .agg(F.count(F.lit(1)).alias("c"))).collect()
+    for r in cnt:
+        out[(r.a, r.b)] = int(r.c)
+    return out
+
+
+_PHRASE_SUGG_OPTS = {"field", "size", "max_errors", "confidence",
+                     "gram_size", "smoothing", "direct_generator"}
+
+
+def es_phrase_suggest(index, body: dict) -> DataFrame:
+    """ES PHRASE suggester: whole-phrase "did you mean" corrections
+    ranked by a word-bigram Stupid Backoff language model over the
+    corpus (the ES default smoothing), with spelling candidates from
+    the same machinery as the term suggester.
+
+    Body shape::
+
+        {"my-sugg": {"text": "nueral netwrk improve",
+                     "phrase": {"field": "text", "size": 3,
+                                "max_errors": 1, "confidence": 1.0,
+                                "smoothing": {"stupid_backoff":
+                                              {"discount": 0.4}},
+                                "direct_generator": [{
+                                    "suggest_mode": "missing",
+                                    "max_edits": 2, "prefix_length": 1,
+                                    "min_word_length": 4, "size": 5}]}}}
+
+    Semantics: per analyzed token, up to generator-``size`` spelling
+    candidates (term-suggester ranking: similarity desc, df desc, term
+    asc; ``suggest_mode`` missing = only tokens absent from the index
+    get alternatives); candidate phrases differ from the input in at
+    most ``max_errors`` slots; each is scored
+    ``ln P(w1) + Σ ln SB(wi|wi-1)`` with
+    ``P(w) = (cf(w)+1)/(N+V)`` (Laplace-floored unigram — never zero,
+    exactly mirrorable in SQL) and
+    ``SB(wi|wi-1) = c(wi-1 wi)/cf(wi-1)`` when the bigram exists, else
+    ``discount · P(wi)``. Bigram counts come from the POSITIONAL index
+    via _bigram_counts (zero-job inside the phrase budget), never a
+    corpus re-scan. Only candidates scoring above
+    ``ln(confidence) + score(input)`` return (ES's confidence gate);
+    the unchanged input never returns. gram_size is fixed at 2 and
+    laplace/linear-interpolation smoothing is rejected loudly.
+
+    Returns (suggest, phrase, score, n_changes) — top ``size`` per
+    suggester by (score desc, phrase asc)."""
+    from itertools import combinations, product
+
+    from ..functions.analyzer import analyze
+    from ..functions.editdist import damerau_levenshtein
+
+    suggesters = body.get("suggest", body)
+    if not isinstance(suggesters, dict) or not suggesters:
+        raise ESQueryError("es_phrase_suggest needs >= 1 suggester")
+    ctx = _Ctx(index, None, None)
+    reader = next(iter(ctx.readers.values()))
+    spark = ctx.spark
+    mode_an = reader.stats.get("analyzer", "english_folded")
+    n_total = int(reader.stats["total_tokens"])
+    vocab = reader.vocab_arrow()
+    if vocab is not None:
+        v_size = int(len(vocab))
+    else:
+        v_size = int(reader.term_stats.select("term")
+                     .distinct().count())
+
+    out_schema = ("suggest string, phrase string, score double, "
+                  "n_changes int")
+    rows_out: list[tuple] = []
+    for name, spec in suggesters.items():
+        if not isinstance(spec, dict) or "text" not in spec \
+                or "phrase" not in spec:
+            raise ESQueryError(
+                f"suggester {name!r} needs 'text' and 'phrase'")
+        ph = dict(spec["phrase"])
+        bad = set(ph) - _PHRASE_SUGG_OPTS
+        if bad:
+            raise ESQueryError(
+                f"unsupported phrase-suggester options: {sorted(bad)}")
+        if ph.get("field", "text") != "text":
+            raise ESQueryError("phrase suggester field must be 'text'")
+        if int(ph.get("gram_size", 2)) != 2:
+            raise ESQueryError("gram_size is fixed at 2 (bigram LM)")
+        smoothing = ph.get("smoothing",
+                           {"stupid_backoff": {"discount": 0.4}})
+        if set(smoothing) != {"stupid_backoff"}:
+            raise ESQueryError(
+                "only stupid_backoff smoothing is supported")
+        discount = float(smoothing["stupid_backoff"]
+                         .get("discount", 0.4))
+        size = int(ph.get("size", 3))
+        max_errors = int(ph.get("max_errors", 1))
+        confidence = float(ph.get("confidence", 1.0))
+        gens = ph.get("direct_generator") or [{}]
+        if len(gens) != 1:
+            raise ESQueryError("exactly one direct_generator supported")
+        gen = dict(gens[0])
+        g_mode = str(gen.get("suggest_mode", "missing"))
+        g_edits = int(gen.get("max_edits", 2))
+        g_plen = int(gen.get("prefix_length", 1))
+        g_minlen = int(gen.get("min_word_length", 4))
+        g_size = int(gen.get("size", 5))
+
+        # ORDER-preserving analysis: the LM scores adjacent bigrams, so
+        # (unlike the bag-of-terms queries) token order is semantic
+        tokens = analyze(str(spec["text"]), mode=mode_an)
+        if not tokens:
+            continue
+        stats0 = reader.term_stats_arrow(tokens)
+        cf0 = dict(zip(stats0["term"], stats0["cf"])) \
+            if not stats0.empty else {}
+        df0 = dict(zip(stats0["term"], stats0["df"])) \
+            if not stats0.empty else {}
+
+        # per-slot alternatives (term-suggester ranking)
+        need = sorted({(t, g_edits) for t in tokens
+                       if len(t) >= g_minlen
+                       and not (g_mode == "missing"
+                                and df0.get(t, 0) > 0)})
+        cands = _spell_candidates(reader, need)
+        alts: list[list[str]] = []
+        for t in tokens:
+            if (t, g_edits) not in cands:
+                alts.append([])
+                continue
+            sub = cands[(t, g_edits)]
+            sub = sub[sub["term"] != t]
+            if g_plen > 0:
+                sub = sub[sub["term"].str.startswith(t[:g_plen])]
+            if sub.empty:
+                alts.append([])
+                continue
+            eds = np.fromiter(
+                (damerau_levenshtein(c, t) for c in sub["term"]),
+                dtype=np.int64, count=len(sub))
+            keep = eds <= g_edits
+            sub, eds = sub.loc[keep], eds[keep]
+            if sub.empty:
+                alts.append([])
+                continue
+            tlens = sub["term"].str.len().to_numpy(np.int64)
+            score = 1.0 - eds / np.minimum(len(t), tlens)
+            page = (pd.DataFrame({"candidate": sub["term"].to_numpy(),
+                                  "s": score,
+                                  "df": sub["df"].to_numpy(np.int64)})
+                    .sort_values(["s", "df", "candidate"],
+                                 ascending=[False, False, True],
+                                 kind="mergesort").head(g_size))
+            alts.append(page["candidate"].tolist())
+
+        # enumerate phrases differing in <= max_errors slots
+        slots_with = [i for i, a in enumerate(alts) if a]
+        phrases: list[tuple[list[str], int]] = []
+        for r in range(1, min(max_errors, len(slots_with)) + 1):
+            for pick in combinations(slots_with, r):
+                for combo in product(*(alts[i] for i in pick)):
+                    cand = list(tokens)
+                    for slot, term in zip(pick, combo):
+                        cand[slot] = term
+                    phrases.append((cand, r))
+        if not phrases:
+            continue
+
+        # LM stats: unigram cf for every involved term, bigram counts
+        # for every adjacent pair (input + candidates)
+        all_terms = sorted({t for p, _ in phrases for t in p}
+                           | set(tokens))
+        st = reader.term_stats_arrow(all_terms)
+        cf = dict(zip(st["term"], st["cf"])) if not st.empty else {}
+        all_pairs = sorted({(p[i], p[i + 1])
+                            for p, _ in phrases + [(tokens, 0)]
+                            for i in range(len(p) - 1)})
+        bi = _bigram_counts(reader, all_pairs)
+
+        def _lm(seq: list[str]) -> float:
+            import math
+
+            def uni(w):
+                return (cf.get(w, 0) + 1.0) / (n_total + v_size)
+
+            s = math.log(uni(seq[0]))
+            for i in range(1, len(seq)):
+                c_bi = bi.get((seq[i - 1], seq[i]), 0)
+                c_prev = cf.get(seq[i - 1], 0)
+                if c_bi > 0 and c_prev > 0:
+                    s += math.log(c_bi / c_prev)
+                else:
+                    s += math.log(discount * uni(seq[i]))
+            return s
+
+        import math
+
+        base_score = _lm(tokens)
+        thresh = (math.log(confidence) + base_score
+                  if confidence > 0 else -math.inf)
+        scored = []
+        for cand, r in phrases:
+            if cand == tokens:
+                continue
+            sc = _lm(cand)
+            if sc > thresh:
+                scored.append((" ".join(cand), sc, r))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        seen: set[str] = set()
+        for phrase_text, sc, r in scored:
+            if phrase_text in seen:
+                continue
+            seen.add(phrase_text)
+            rows_out.append((name, phrase_text, float(sc), int(r)))
+            if len(seen) >= size:
+                break
+    return spark.createDataFrame(rows_out, out_schema)
 
 
 def es_count(index, body: dict, k1: float | None = None,

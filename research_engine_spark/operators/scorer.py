@@ -359,7 +359,7 @@ class IndexReader:
                     continue
                 ds = pads.dataset(p, format="parquet")
                 tbl = ds.to_table(
-                    columns=["term", "df", "max_tf", "min_dl"],
+                    columns=["term", "df", "cf", "max_tf", "min_dl"],
                     filter=flt,
                 )
                 frames.append(tbl.to_pandas())
@@ -367,15 +367,18 @@ class IndexReader:
             if frames:
                 allts = pd.concat(frames, ignore_index=True)
                 agg = (allts.groupby("term", as_index=False)
-                       .agg(df=("df", "sum"), max_tf=("max_tf", "max"),
+                       .agg(df=("df", "sum"), cf=("cf", "sum"),
+                            max_tf=("max_tf", "max"),
                             min_dl=("min_dl", "min")))
                 for r in agg.itertuples(index=False):
-                    found[r.term] = (int(r.df), int(r.max_tf), int(r.min_dl))
+                    found[r.term] = (int(r.df), int(r.cf), int(r.max_tf),
+                                     int(r.min_dl))
             for t in missing:
                 self._term_cache[t] = found.get(t)
         rows = [(t, *self._term_cache[t]) for t in terms
                 if self._term_cache[t] is not None]
-        return pd.DataFrame(rows, columns=["term", "df", "max_tf", "min_dl"])
+        return pd.DataFrame(
+            rows, columns=["term", "df", "cf", "max_tf", "min_dl"])
 
     def vocab_arrow(self) -> pd.DataFrame | None:
         """The FULL term dictionary as pandas (term, df, max_tf, min_dl,
@@ -396,11 +399,11 @@ class IndexReader:
             self._vocab_pd = None
             return None
         pdf = ds.to_table(
-            columns=["term", "df", "max_tf", "min_dl"],
+            columns=["term", "df", "cf", "max_tf", "min_dl"],
             filter=self._seg_expr()).to_pandas()
         pdf = (pdf.groupby("term", as_index=False)
-               .agg(df=("df", "sum"), max_tf=("max_tf", "max"),
-                    min_dl=("min_dl", "min")))
+               .agg(df=("df", "sum"), cf=("cf", "sum"),
+                    max_tf=("max_tf", "max"), min_dl=("min_dl", "min")))
         self._vocab_pd = pdf
         self._vocab_tlen = pdf["term"].str.len().to_numpy(np.int64)
         return pdf

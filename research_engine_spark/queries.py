@@ -2914,6 +2914,75 @@ def engine_suggest_documents(spark, sf_dir):
                       F.round("score", 4).alias("score"), "freq")
 
 
+@register("engine_phrase_suggest_documents", f"""
+WITH tk AS (SELECT doc_id, {_TOK_SQL} AS tk FROM documents),
+flat AS (SELECT doc_id, unnest(tk) AS term FROM tk),
+vocab AS (SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf
+          FROM flat GROUP BY term),
+corpus AS (SELECT (SELECT count(*) FROM flat) AS n,
+                  (SELECT count(*) FROM vocab) AS v),
+cand AS (
+  SELECT v.term, v.df, v.cf,
+         damerau_levenshtein(v.term, 'tabel') AS ed
+  FROM vocab v
+  WHERE length(v.term) BETWEEN 3 AND 7
+    AND v.term <> 'tabel'
+    AND substr(v.term, 1, 1) = 't'
+    AND damerau_levenshtein(v.term, 'tabel') <= 2
+),
+top5 AS (
+  SELECT term, cf
+  FROM (SELECT term, cf, df,
+               1 - ed * 1.0 / least(5, length(term)) AS s
+        FROM cand)
+  ORDER BY s DESC, df DESC, term ASC LIMIT 5
+),
+big AS (
+  SELECT t.tk[i] AS a, count(*) AS c
+  FROM tk t,
+       unnest(generate_series(1, greatest(len(t.tk) - 1, 0))) AS g(i)
+  WHERE t.tk[i + 1] = 'hash' AND t.tk[i] IN (SELECT term FROM top5)
+  GROUP BY t.tk[i]
+),
+hcf AS (SELECT cf FROM vocab WHERE term = 'hash'),
+scored AS (
+  SELECT t.term || ' hash' AS phrase,
+         ln((t.cf + 1.0) / (corpus.n + corpus.v))
+         + CASE WHEN coalesce(b.c, 0) > 0
+                THEN ln(b.c * 1.0 / t.cf)
+                ELSE ln(0.4 * (hcf.cf + 1.0) / (corpus.n + corpus.v))
+           END AS score
+  FROM top5 t LEFT JOIN big b ON b.a = t.term, corpus, hcf
+),
+base AS (
+  SELECT ln(1.0 / (corpus.n + corpus.v))
+         + ln(0.4 * (hcf.cf + 1.0) / (corpus.n + corpus.v)) AS s
+  FROM corpus, hcf
+)
+SELECT phrase, round(score, 4) AS score, CAST(1 AS INT) AS n_changes
+FROM scored, base WHERE scored.score > base.s
+ORDER BY score DESC, phrase ASC LIMIT 3
+""")
+def engine_phrase_suggest_documents(spark, sf_dir):
+    """ES PHRASE suggester over the REAL index, driver-HASH-checked:
+    'tabel hash' — slot-1 spelling candidates from the term-suggester
+    machinery (damerau <= 2, prefix 't', top 5 by similarity/df/term),
+    whole phrases scored by the bigram Stupid Backoff LM whose bigram
+    counts come from the POSITIONAL index, gated by ES's confidence
+    threshold vs the input phrase. The oracle recomputes the
+    vocabulary, damerau candidates, bigram counts (adjacent-token scan
+    from raw text), the Laplace-floored SB formula, and the gate."""
+    from .operators.esdsl import es_phrase_suggest
+    from .operators.scorer import IndexReader
+
+    reader = IndexReader(spark, _simple_index(spark, sf_dir))
+    out = es_phrase_suggest(reader, {"s": {
+        "text": "tabel hash",
+        "phrase": {"size": 3, "max_errors": 1, "confidence": 1.0}}})
+    return out.select("phrase", F.round("score", 4).alias("score"),
+                      "n_changes")
+
+
 @register("engine_es_bool_must_documents", f"""
 WITH tk AS (
   SELECT doc_id, {_TOK_SQL} AS tk FROM documents

@@ -141,3 +141,119 @@ def test_suggest_errors(spark, sugg_setup):
     with pytest.raises(ESQueryError, match="field"):
         es_suggest(local, {"s": {"text": "grap",
                                  "term": {"field": "title"}}})
+
+
+# ---------------------------------------------------------------------------
+# phrase suggester
+# ---------------------------------------------------------------------------
+
+PS_TEXTS = [
+    "grape banana split",
+    "grape banana bread",
+    "grape banana",
+    "orange banana juice",
+    "grappa banana",
+    "grape orange",
+    "banana band",
+]
+
+
+@pytest.fixture(scope="module")
+def psugg_setup(spark):
+    rows = [(f"c{i}", 0, "user", t, None) for i, t in enumerate(PS_TEXTS)]
+    tx = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "ts timestamp")
+    d = tempfile.mkdtemp(prefix="psugg_idx_")
+    build_index(tx, d, n_buckets=2, analyzer="simple",
+                with_positions=True)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _py_lm(phrase: list[str], discount: float = 0.4) -> float:
+    """Pure-python recompute of the suggester's SB LM over PS_TEXTS."""
+    import math
+
+    toks = [t.split() for t in PS_TEXTS]
+    flat = [w for ts in toks for w in ts]
+    cf: dict[str, int] = {}
+    for w in flat:
+        cf[w] = cf.get(w, 0) + 1
+    bi: dict[tuple, int] = {}
+    for ts in toks:
+        for a, b in zip(ts, ts[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    n, v = len(flat), len(cf)
+
+    def uni(w):
+        return (cf.get(w, 0) + 1.0) / (n + v)
+
+    s = math.log(uni(phrase[0]))
+    for a, b in zip(phrase, phrase[1:]):
+        if bi.get((a, b), 0) > 0 and cf.get(a, 0) > 0:
+            s += math.log(bi[(a, b)] / cf[a])
+        else:
+            s += math.log(discount * uni(b))
+    return s
+
+
+def test_phrase_suggest_ranking_and_tiers(spark, psugg_setup):
+    from research_engine_spark.operators.esdsl import es_phrase_suggest
+
+    body = {"s": {"text": "grap banana",
+                  "phrase": {"size": 3, "max_errors": 1}}}
+    local, dist = _readers(spark, psugg_setup)
+    got_l = [(r.phrase, round(r.score, 10), r.n_changes)
+             for r in es_phrase_suggest(local, body).collect()]
+    got_d = [(r.phrase, round(r.score, 10), r.n_changes)
+             for r in es_phrase_suggest(dist, body).collect()]
+    assert got_l == got_d  # serving == distributed, bit-identical
+    # candidates for 'grap': grape (ed1), grappa (ed2) — both phrases
+    # beat the absent-token input; grape banana ranks first (bigram
+    # count 3, cf 4)
+    want = sorted(
+        [("grape banana", _py_lm(["grape", "banana"]), 1),
+         ("grappa banana", _py_lm(["grappa", "banana"]), 1)],
+        key=lambda x: -x[1])
+    assert [(p, round(s, 10), c) for p, s, c in want] == got_l
+
+
+def test_phrase_suggest_confidence_gate(spark, psugg_setup):
+    from research_engine_spark.operators.esdsl import es_phrase_suggest
+
+    local, _ = _readers(spark, psugg_setup)
+    # 'grape banana' is a REAL phrase: with suggest_mode always the
+    # input's own score is the bar — only higher-scoring variants
+    # return, and the unchanged input never does
+    body = {"s": {"text": "grape banana",
+                  "phrase": {"size": 5, "max_errors": 2,
+                             "direct_generator": [
+                                 {"suggest_mode": "always"}]}}}
+    out = [r.phrase for r in es_phrase_suggest(local, body).collect()]
+    assert "grape banana" not in out
+    base = _py_lm(["grape", "banana"])
+    for p in out:
+        assert _py_lm(p.split()) > base
+    # an impossible confidence bar empties the result
+    body["s"]["phrase"]["confidence"] = 1e9
+    assert es_phrase_suggest(local, body).count() == 0
+
+
+def test_phrase_suggest_errors(spark, psugg_setup):
+    from research_engine_spark.operators.esdsl import es_phrase_suggest
+
+    local, _ = _readers(spark, psugg_setup)
+    with pytest.raises(ESQueryError, match="gram_size"):
+        es_phrase_suggest(local, {"s": {
+            "text": "x", "phrase": {"gram_size": 3}}})
+    with pytest.raises(ESQueryError, match="stupid_backoff"):
+        es_phrase_suggest(local, {"s": {
+            "text": "x", "phrase": {"smoothing": {"laplace":
+                                                  {"alpha": 0.5}}}}})
+    with pytest.raises(ESQueryError, match="direct_generator"):
+        es_phrase_suggest(local, {"s": {
+            "text": "x", "phrase": {"direct_generator": [{}, {}]}}})
+    with pytest.raises(ESQueryError, match="'text' and 'phrase'"):
+        es_phrase_suggest(local, {"s": {"text": "x",
+                                        "term": {"field": "text"}}})
