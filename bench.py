@@ -357,6 +357,35 @@ def run_once(spark, sf_dir: str, cores: int, warm: bool) -> dict:
         es_search(reader, body).collect()
         queries_sec[name] = round(time.monotonic() - t0, 3)
 
+    # --- 2l. round-5 wave-2..5 surfaces (non-headline) ----------------------
+    # the text-syntax front-end (parse + execute), a pipeline-agg chain
+    # (one groupBy + windows over the bucket frame), and the phrase
+    # suggester (candidate generation + positional bigram counts + LM)
+    from research_engine_spark.operators.esdsl import (
+        es_aggregations as _es_aggs,
+        es_phrase_suggest,
+    )
+
+    t0 = time.monotonic()
+    es_search(pos_reader, {"query": {"query_string": {
+        "query": '(neural networks) OR "neural networks"^2 -loss'}},
+        "size": 10}).collect()
+    queries_sec["qs_query_string"] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    _es_aggs(reader, {
+        "query": {"match": {"text": "neural networks"}},
+        "aggs": {"by_ti": {
+            "histogram": {"field": "turn_idx", "interval": 10},
+            "aggs": {"d": {"derivative": {"buckets_path": "_count"}},
+                     "cs": {"cumulative_sum":
+                            {"buckets_path": "_count"}}}}}}).collect()
+    queries_sec["agg_pipeline_histo"] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    es_phrase_suggest(pos_local, {"s": {
+        "text": "nueral netwrks",
+        "phrase": {"size": 3, "max_errors": 2}}}).collect()
+    queries_sec["phrase_suggest"] = round(time.monotonic() - t0, 3)
+
     # --- 2e. delete lifecycle on the main index (last reader use) ----------
     # tombstone ~1/16 of docs, search through the tombstones, physically
     # purge via compaction, search again — the ES delete_by_query +
@@ -378,7 +407,9 @@ def run_once(spark, sf_dir: str, cores: int, warm: bool) -> dict:
     # --- 3. operator suite sample at the sf dir ----------------------------
     for name in ["q01_pricing_summary", "q03_top_orders", "term_frequencies",
                  "exact_dedup_documents", "rrf_user_fusion",
-                 "embedding_cosine_topk", "bm25_documents"]:
+                 "embedding_cosine_topk", "bm25_documents",
+                 "span_dedup_documents", "pack_sequences_documents",
+                 "shard_assignment_documents"]:
         t0 = time.monotonic()
         Q[name](spark, sf_dir).collect()
         queries_sec[name] = round(time.monotonic() - t0, 3)

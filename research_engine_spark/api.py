@@ -95,6 +95,65 @@ class ResearchEngine:
 
         return verify_index(self.spark, self.index_dir, deep=deep)
 
+    def analyze(self, text: str) -> list[dict]:
+        """ES ``_analyze`` endpoint analog: run the INDEX'S OWN analyzer
+        chain over a probe string and return the terms with their
+        source offsets — the debugging endpoint every analyzer question
+        starts with. Zero Spark jobs (the analyzer is a driver-side
+        function; the index only contributes which mode it was built
+        with). Returns [{"token", "position", "start_offset",
+        "end_offset"}] in input order."""
+        import re as _re
+
+        from .functions.analyzer import SIMPLE_TOKEN_RE, TOKEN_RE, stem
+
+        mode = self.reader.stats.get("analyzer", "english_folded")
+        rx = SIMPLE_TOKEN_RE if mode == "simple" else TOKEN_RE
+        out = []
+        for pos, m in enumerate(_re.finditer(rx, text.lower())):
+            raw = m.group(0)
+            out.append({
+                "token": raw if mode == "simple" else stem(raw),
+                "position": pos,
+                "start_offset": m.start(),
+                "end_offset": m.end(),
+            })
+        return out
+
+    def index_stats(self) -> dict:
+        """ES ``_cat/indices`` / ``_stats`` analog: one dict of the
+        index's vital signs — doc/token/term counts, analyzer, deletes,
+        generation, segment count, on-disk bytes — from footer/pointer
+        metadata only (zero Spark jobs at any corpus size, the same
+        tier fsck's fast path reads)."""
+        import os as _os
+
+        import pyarrow.dataset as pads
+
+        r = self.reader
+        stats = dict(r.stats)
+        term_ds = pads.dataset(
+            _os.path.join(self.index_dir, "term_stats"),
+            format="parquet", partitioning="hive")
+        disk = 0
+        for root, _dirs, files in _os.walk(self.index_dir):
+            disk += sum(_os.path.getsize(_os.path.join(root, f))
+                        for f in files)
+        return {
+            "n_docs": int(stats["n_docs"]),
+            "total_tokens": int(stats["total_tokens"]),
+            "avgdl": float(stats["avgdl"]),
+            "n_terms_rows": int(term_ds.count_rows()),  # per-segment rows
+            "analyzer": stats.get("analyzer", "english_folded"),
+            "positions": bool(stats.get("positions", False)),
+            "n_segments": len(stats.get("snapshots", [])),
+            "n_deleted": int(r.n_deleted_rows),
+            "k1": float(stats.get("k1", 1.2)),
+            "b": float(stats.get("b", 0.75)),
+            "stored_fields": list(stats.get("stored_fields", [])),
+            "disk_bytes": int(disk),
+        }
+
     def gc(self, keep: int = 1) -> list[str]:
         """Reclaim physical dirs of generations outside the retention
         window (Iceberg expireSnapshots analog). keep=1 keeps only the

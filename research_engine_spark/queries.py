@@ -827,7 +827,11 @@ WITH tk AS (
 ),
 base AS (SELECT doc_id, tk, CAST(len(tk) AS INT) AS n_tokens FROM tk),
 occ AS (
-  SELECT doc_id, i AS start, array_to_string(tk[i:i+12], ' ') AS gram
+  -- gram key = hash of the joined tokens: the raw-string groupBy
+  -- spills DuckDB temp at 1.2M docs (same lesson as the near-dup
+  -- oracle); the 8-byte key is semantically identical up to 64-bit
+  -- collisions
+  SELECT doc_id, i AS start, hash(array_to_string(tk[i:i+12], ' ')) AS gram
   FROM base, unnest(generate_series(1, len(tk) - 13 + 1)) AS g(i)
   WHERE len(tk) >= 13
 ),
@@ -871,11 +875,12 @@ def span_dedup_documents(spark, sf_dir):
     dedup, Spark-shaped — operators/dedup.py duplicate_spans): token
     13-grams occurring 2+ times corpus-wide are duplicated spans,
     merged per doc by gaps-and-islands interval union; reports per-doc
-    covered-token fraction. The oracle recomputes grams (raw strings
-    where Spark uses xxhash64 digests — identical up to 64-bit
-    collisions), the duplicate set, and the SAME window-based interval
-    union in SQL. Finds the planted near-dup structure: ~45 docs carry
-    nonzero coverage at sf0.01."""
+    covered-token fraction. The oracle recomputes grams (DuckDB
+    hash() of the joined tokens where Spark uses xxhash64 — both
+    identical to raw-string semantics up to 64-bit collisions; raw
+    strings spill DuckDB temp at 1.2M docs), the duplicate set, and
+    the SAME window-based interval union in SQL. Finds the planted
+    near-dup structure: ~45 docs carry nonzero coverage at sf0.01."""
     d = _t(spark, sf_dir, "documents")
     out = DD.duplicate_spans(d, k=13, min_count=2)
     return out.select("doc_id", "n_tokens",

@@ -63,3 +63,28 @@ def test_api_fuzzy_search(spark, index_dir, oracle):
     got = eng.search("neurel netwerks", top_k=5, fuzzy=True).toPandas()
     want = oracle.fuzzy_search("neurel netwerks", k=5)
     assert list(got["doc_id"]) == list(want["doc_id"])
+
+
+def test_analyze_endpoint(engine):
+    from research_engine_spark.functions.analyzer import analyze
+
+    text = "The Neural Networks are RUNNING fast!"
+    out = engine.analyze(text)
+    # token list == the index's own analyzer, in input order
+    assert [t["token"] for t in out] == analyze(
+        text, mode=engine.reader.stats.get("analyzer", "english_folded"))
+    assert [t["position"] for t in out] == list(range(len(out)))
+    # offsets point back into the source string
+    for t in out:
+        raw = text[t["start_offset"]:t["end_offset"]].lower()
+        assert raw.startswith(t["token"][:2])
+
+
+def test_index_stats(engine):
+    st = engine.index_stats()
+    assert st["n_docs"] == engine.reader.stats["n_docs"]
+    assert st["total_tokens"] > 0 and st["disk_bytes"] > 0
+    assert st["positions"] is True
+    assert st["n_deleted"] == 0
+    assert st["n_segments"] >= 1 and st["n_terms_rows"] > 0
+    assert (st["k1"], st["b"]) == (1.2, 0.75)
