@@ -2101,6 +2101,29 @@ def es_aggregations(index, body: dict, k1: float | None = None,
                 fdocs.agg(F.count(F.lit(1)).alias("doc_count"), *subcols)
                 .select(F.lit(fname).alias("key"), "*"))
         return reduce(DataFrame.unionByName, frames)
+    elif atype == "filter":
+        # ES filter agg (singular): ONE unnamed sub-filter bucket over
+        # the outer match set — the anonymous sibling of `filters`
+        if not isinstance(args, dict) or len(args) != 1:
+            raise ESQueryError("filter agg takes exactly one clause")
+        fdocs = docs.join(_clause_df(ctx, args).select("doc_id"),
+                          "doc_id", "left_semi")
+        return fdocs.agg(F.count(F.lit(1)).alias("doc_count"), *subcols)
+    elif atype == "missing":
+        # ES missing agg: docs of the match set whose field is null
+        field = (args or {}).get("field")
+        if not field:
+            raise ESQueryError("missing agg needs 'field'")
+        if field not in docs.columns:
+            raise ESQueryError(
+                f"missing field {field!r} not in docs table "
+                f"{sorted(docs.columns)}")
+        return (docs.filter(F.col(field).isNull())
+                .agg(F.count(F.lit(1)).alias("doc_count"), *subcols))
+    elif atype == "global":
+        # ES global agg: ignore the query — the whole live corpus
+        gdocs = reader.live_only(reader.docs)
+        return gdocs.agg(F.count(F.lit(1)).alias("doc_count"), *subcols)
     elif atype == "significant_terms":
         if sub:
             raise ESQueryError("significant_terms takes no sub-aggs")

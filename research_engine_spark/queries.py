@@ -3663,6 +3663,54 @@ def engine_es_filters_documents(spark, sf_dir):
                       F.round("avg_ti", 4).alias("avg_ti"))
 
 
+@register("engine_es_misc_aggs_documents", f"""
+WITH tk AS (
+  SELECT doc_id, CAST(n_chars % 97 AS INT) AS ti, {_TOK_SQL} AS tk
+  FROM documents
+),
+matched AS (
+  SELECT doc_id, ti, tk FROM tk
+  WHERE list_contains(tk, 'table') OR list_contains(tk, 'hash')
+)
+SELECT 'filter' AS key, CAST(count(*) AS BIGINT) AS doc_count,
+       round(avg(ti), 4) AS avg_ti
+FROM matched WHERE list_contains(tk, 'table')
+UNION ALL
+SELECT 'global', CAST(count(*) AS BIGINT), round(avg(ti), 4) FROM tk
+UNION ALL
+SELECT 'missing', CAST(count(*) AS BIGINT), round(avg(ti), 4)
+FROM matched
+""")
+def engine_es_misc_aggs_documents(spark, sf_dir):
+    """The single-bucket agg trio (round 5) through the DSL over the
+    REAL index, driver-HASH-checked: ``filter`` (one unnamed sub-filter
+    bucket — a term clause intersecting the match set), ``global``
+    (ignores the query: the whole live corpus), and ``missing`` (docs
+    whose field is null — ts is null for every doc in this index
+    build, so the bucket equals the match set), each carrying an avg
+    metric the oracle recomputes from raw text."""
+    from .operators.esdsl import es_aggregations
+    from .operators.scorer import IndexReader
+
+    engine_es_aggs_documents(spark, sf_dir)  # ensure the agg index
+    reader = IndexReader(spark, _AGG_IDX_CACHE[sf_dir])
+    q = {"match": {"text": "table hash"}}
+    sub = {"avg_ti": {"avg": {"field": "turn_idx"}}}
+    parts = []
+    for label, agg in [
+        ("filter", {"filter": {"term": {"text": "table"}},
+                    "aggs": sub}),
+        ("global", {"global": {}, "aggs": sub}),
+        ("missing", {"missing": {"field": "ts"}, "aggs": sub}),
+    ]:
+        out = es_aggregations(reader, {"query": q, "aggs": {"g": agg}})
+        parts.append(out.select(F.lit(label).alias("key"), "doc_count",
+                                F.round("avg_ti", 4).alias("avg_ti")))
+    from functools import reduce as _reduce
+
+    return _reduce(DataFrame.unionByName, parts)
+
+
 @register("engine_es_composite_documents", f"""
 WITH tk AS (
   SELECT doc_id, source, CAST(n_chars % 97 AS INT) AS ti,

@@ -614,3 +614,32 @@ def test_filters_agg_named_buckets(spark, es_setup):
     assert got["empty"] == (0, None)
     with pytest.raises(ESQueryError, match="name: clause"):
         es_aggregations(r, {"aggs": {"f": {"filters": {}}}})
+
+
+def test_filter_missing_global_aggs(spark, es_setup):
+    from research_engine_spark.operators.esdsl import es_aggregations
+
+    d, _ = es_setup
+    r = IndexReader(spark, d)
+    q = {"match": {"text": "neural"}}
+    matched = {x.doc_id for x in
+               search(r, "neural", k=10**6, with_text=False,
+                      _all_matches=True).select("doc_id").collect()}
+    # filter: match set ∩ clause
+    row = es_aggregations(r, {"query": q, "aggs": {"g": {
+        "filter": {"match": {"text": "networks"}}}}}).collect()[0]
+    nets = {x.doc_id for x in
+            search(r, "networks", k=10**6, with_text=False,
+                   _all_matches=True).select("doc_id").collect()}
+    assert row.doc_count == len(matched & nets) > 0
+    # global: ignores the query entirely
+    row = es_aggregations(r, {"query": q, "aggs": {"g": {
+        "global": {}}}}).collect()[0]
+    assert row.doc_count == r.docs.count()
+    # missing: ts is never null in this corpus -> 0; unknown field loud
+    row = es_aggregations(r, {"query": q, "aggs": {"g": {
+        "missing": {"field": "ts"}}}}).collect()[0]
+    assert row.doc_count == 0
+    with pytest.raises(ESQueryError, match="not in docs table"):
+        es_aggregations(r, {"aggs": {"g": {
+            "missing": {"field": "nope"}}}})
