@@ -805,8 +805,8 @@ def _clause_pd(ctx: _Ctx, clause: dict):
                               int(ts["df"].sum()), boost)
     if kind in ("prefix", "wildcard", "regexp"):
         return _expand_pattern_pd(ctx, kind, body)
-    if kind in ("range", "exists"):
-        return None  # docs-table metadata scan: always distributed
+    if kind in ("range", "exists", "terms_set"):
+        return None  # docs-table metadata read: always distributed
     if kind == "ids":
         values = (body or {}).get("values")
         if not values:
@@ -970,6 +970,45 @@ def _const_docs_df(reader: IndexReader, term_pred,
            .distinct())
     return reader.live_only(ids).select(
         "doc_id", F.lit(float(boost)).alias("score"))
+
+
+def _terms_set_df(ctx: _Ctx, body) -> DataFrame:
+    """ES ``terms_set``: a bool-should of BM25-scored term clauses
+    whose minimum_should_match comes PER DOC from a stored field
+    (``minimum_should_match_field``; scripts rejected loudly). One leg
+    per distinct term (each a single-posting scan), one groupBy over
+    matching docs for (Σ score, match count), one pruned docs join for
+    the gate. Always distributed — the per-doc gate reads the forward
+    table, which the serving tier does not hold in RAM. Docs matching
+    zero terms never return (ES BooleanQuery semantics, even when the
+    field says 0)."""
+    if not isinstance(body, dict) or len(body) != 1:
+        raise ESQueryError(f"terms_set needs exactly one field: {body!r}")
+    [(field, spec)] = body.items()
+    if not isinstance(spec, dict) or not spec.get("terms"):
+        raise ESQueryError("terms_set needs a non-empty 'terms' list")
+    if spec.get("minimum_should_match_script") is not None:
+        raise ESQueryError("minimum_should_match_script is unsupported "
+                           "(use minimum_should_match_field)")
+    msm_field = spec.get("minimum_should_match_field")
+    if not msm_field:
+        raise ESQueryError("terms_set needs minimum_should_match_field")
+    terms = list(dict.fromkeys(str(t) for t in spec["terms"]))
+    reader = ctx.reader(field)
+    if msm_field not in reader.docs.columns:
+        raise ESQueryError(
+            f"minimum_should_match_field {msm_field!r} not in docs "
+            f"table {sorted(reader.docs.columns)}")
+    legs = [_term_df(ctx, reader, t) for t in terms]
+    agg = (reduce(DataFrame.unionByName, legs)
+           .groupBy("doc_id")
+           .agg(F.sum("score").alias("score"),
+                F.count(F.lit(1)).alias("_n")))
+    gate = reader.docs.select("doc_id", F.col(msm_field).alias("_req"))
+    out = (agg.join(gate, "doc_id")
+           .filter(F.col("_n") >= F.col("_req"))
+           .select("doc_id", "score"))
+    return _scale_df(out, float(spec.get("boost", 1.0)))
 
 
 def _docs_pred_df(ctx: _Ctx, cond, boost: float) -> DataFrame:
@@ -1140,6 +1179,8 @@ def _clause_df(ctx: _Ctx, clause: dict) -> DataFrame:
         rx = _regexp_pattern(str(spec["value"]))
         return _const_docs_df(ctx.reader(field), F.col("term").rlike(rx),
                               float(spec.get("boost", 1.0)))
+    if kind == "terms_set":
+        return _terms_set_df(ctx, body)
     if kind == "range":
         cond, boost = _range_cond(ctx, body)
         return _docs_pred_df(ctx, cond, boost)

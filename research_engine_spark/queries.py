@@ -3663,6 +3663,64 @@ def engine_es_filters_documents(spark, sf_dir):
                       F.round("avg_ti", 4).alias("avg_ti"))
 
 
+@register("engine_terms_set_documents", f"""
+WITH tk AS (
+  SELECT doc_id, CAST(n_chars % 97 AS INT) AS req, {_TOK_SQL} AS tk
+  FROM documents
+),
+corpus AS (SELECT count(*) AS n, sum(len(tk)) AS tok FROM tk),
+flat AS (SELECT doc_id, unnest(tk) AS term FROM tk),
+dl AS (SELECT doc_id, len(tk) AS dl FROM tk),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM flat
+  WHERE term IN ('table', 'hash', 'merge', 'scan', 'query')
+  GROUP BY term
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM flat
+  WHERE term IN ('table', 'hash', 'merge', 'scan', 'query')
+  GROUP BY doc_id, term
+),
+tscore AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (corpus.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                         / (corpus.tok * 1.0 / corpus.n))) ) AS ts,
+         count(DISTINCT tf.term) AS nt
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), corpus
+  GROUP BY tf.doc_id
+)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id, round(t.ts, 4) AS score
+FROM tscore t JOIN tk USING (doc_id)
+WHERE t.nt >= tk.req
+ORDER BY t.ts DESC, t.doc_id ASC LIMIT 20
+""")
+def engine_terms_set_documents(spark, sf_dir):
+    """ES ``terms_set`` query over the REAL index, driver-HASH-checked:
+    five term clauses whose minimum_should_match comes PER DOC from a
+    stored field (turn_idx = n_chars %% 97 in the agg index build) —
+    only docs matching at least their own required count return, scored
+    as the sum of the matching terms' BM25 term-query scores. The
+    oracle recomputes scores, per-doc match counts, and the per-doc
+    gate from raw text."""
+    from .operators.esdsl import es_search
+    from .operators.scorer import IndexReader
+
+    engine_es_aggs_documents(spark, sf_dir)  # ensure the agg index
+    reader = IndexReader(spark, _AGG_IDX_CACHE[sf_dir])
+    hits = es_search(reader, {
+        "query": {"terms_set": {"text": {
+            "terms": ["table", "hash", "merge", "scan", "query"],
+            "minimum_should_match_field": "turn_idx"}}},
+        "size": 20})
+    docs = spark.read.parquet(
+        _AGG_IDX_CACHE[sf_dir] + "/docs").select(
+        "doc_id", F.substring("conv_id", 2, 9).cast("long").alias("src_id"))
+    return (hits.join(docs, "doc_id")
+            .select(F.col("src_id").alias("doc_id"),
+                    F.round("score", 4).alias("score")))
+
+
 @register("engine_es_misc_aggs_documents", f"""
 WITH tk AS (
   SELECT doc_id, CAST(n_chars % 97 AS INT) AS ti, {_TOK_SQL} AS tk

@@ -433,3 +433,42 @@ def test_regexp_rejects_lucene_only_and_bad_patterns(spark, tl_setup):
     out = es_search(local, {"query": {"regexp": {
         "text": {"value": r"a\~b"}}}, "size": 5})
     assert out.count() == 0
+
+
+def test_terms_set_per_doc_gate(spark, tl_setup):
+    d, _ = tl_setup
+    local, dist = _readers(spark, d)
+    # turn_idx is the per-doc required count; brute-force the gate
+    terms = ["neural", "networks", "training", "model", "data"]
+    body = {"query": {"terms_set": {"text": {
+        "terms": terms, "minimum_should_match_field": "turn_idx"}}},
+        "size": BIG}
+    toks = (dist.docs
+            .select("doc_id", "turn_idx", F.split(
+                F.lower("text"), "[^a-z0-9]+").alias("tk")))
+    import pyspark.sql.functions as SF
+    hits = {r.doc_id: r.nt for r in
+            toks.select("doc_id", "turn_idx", SF.explode("tk").alias("t"))
+            .filter(SF.col("t").isin(terms))
+            .groupBy("doc_id", "turn_idx")
+            .agg(SF.countDistinct("t").alias("nt")).collect()
+            if r.nt >= r.turn_idx}
+    for r in (local, dist):  # serving tier falls back: same result
+        got = {doc for doc, _ in _pairs(es_search(r, body))}
+        assert got == set(hits)
+    assert hits  # non-degenerate
+
+
+def test_terms_set_errors(spark, tl_setup):
+    d, _ = tl_setup
+    local, _dist = _readers(spark, d)
+    with pytest.raises(ESQueryError, match="minimum_should_match_field"):
+        es_search(local, {"query": {"terms_set": {"text": {
+            "terms": ["a"]}}}})
+    with pytest.raises(ESQueryError, match="script"):
+        es_search(local, {"query": {"terms_set": {"text": {
+            "terms": ["a"],
+            "minimum_should_match_script": {"source": "x"}}}}})
+    with pytest.raises(ESQueryError, match="not in docs"):
+        es_search(local, {"query": {"terms_set": {"text": {
+            "terms": ["a"], "minimum_should_match_field": "nope"}}}})
