@@ -729,6 +729,8 @@ def _clause_pd(ctx: _Ctx, clause: dict):
     if kind == "match_phrase":
         field, spec = _leaf_spec(body)
         reader = ctx.reader(field)
+        if int(spec.get("slop", 0)) > 0:
+            return _sloppy_phrase_pd(ctx, reader, spec)
         out = _phrase_scores_driver_local(
             reader, spec["query"], ctx.k1, ctx.b)
         return _scale_pd(out, float(spec.get("boost", 1.0)))
@@ -972,6 +974,140 @@ def _const_docs_df(reader: IndexReader, term_pred,
         "doc_id", F.lit(float(boost)).alias("score"))
 
 
+def _sloppy_phrase_pd(ctx: _Ctx, reader: IndexReader, spec: dict):
+    """match_phrase with slop, serving tier: numpy position-pair
+    weighting over the driver-local positional fetch, or None when
+    over budget."""
+    from .scorer import (
+        _PHRASE_SHIFT,
+        _phrase_prologue,
+        _positions_local,
+    )
+
+    slop = int(spec.get("slop", 0))
+    ordered_terms, uniq, meta, sum_idf, k1, b = _phrase_prologue(
+        reader, spec["query"], ctx.k1, ctx.b)
+    _check_sloppy_terms(ordered_terms)
+    if len(meta) < len(uniq):
+        return _EMPTY_PD.copy()
+    if int(meta["df"].sum()) > reader.driver_local_max_postings:
+        return None
+    if reader.has_deletes and \
+            reader.n_deleted_rows > DRIVER_LOCAL_MAX_DELETES:
+        return None
+    by_term, dl_docs, dl_vals = _positions_local(reader, uniq)
+    if any(t not in by_term for t in uniq):
+        return _EMPTY_PD.copy()
+    t_a, t_b = ordered_terms
+    _, keys_a = by_term[t_a]
+    _, keys_b = by_term[t_b]
+    acc: dict[int, float] = {}
+    for d in range(1, slop + 2):
+        inter = np.intersect1d(keys_a + d, keys_b)
+        if not inter.size:
+            continue
+        docs = inter // _PHRASE_SHIFT
+        u, c = np.unique(docs, return_counts=True)
+        for doc, n in zip(u.tolist(), c.tolist()):
+            acc[doc] = acc.get(doc, 0.0) + n / d
+    if not acc:
+        return _EMPTY_PD.copy()
+    match_docs = np.fromiter(acc.keys(), dtype=np.int64, count=len(acc))
+    wtf = np.fromiter(acc.values(), dtype=np.float64, count=len(acc))
+    dls = dl_vals[np.searchsorted(dl_docs, match_docs)].astype(
+        np.float64)
+    avgdl = float(reader.stats["avgdl"])
+    scores = sum_idf * wtf / (wtf + k1 * (1 - b + b * dls / avgdl))
+    if reader.has_deletes:
+        deleted = _deleted_ids_arrow(reader)
+        if deleted.size:
+            keep = ~np.isin(match_docs, deleted)
+            match_docs, scores = match_docs[keep], scores[keep]
+    out = pd.DataFrame({"doc_id": match_docs, "score": scores})
+    return _scale_pd(out, float(spec.get("boost", 1.0)))
+
+
+def _check_sloppy_terms(ordered_terms: list[str]):
+    if len(ordered_terms) != 2:
+        raise ESQueryError(
+            "slop is supported for TWO-term phrases (the all-pairs "
+            f"1/(1+gap) weighting); got {len(ordered_terms)} terms")
+
+
+def _sloppy_phrase_df(ctx: _Ctx, reader: IndexReader,
+                      spec: dict) -> DataFrame:
+    """match_phrase with slop, distributed: decode positions of the two
+    terms from the bucket-pruned positional postings, then ONE
+    equi-join per displacement d in [1, slop+1] on the shifted global
+    key (doc·2³²+pos) — hash joins, never a range join — unioned with
+    weight 1/d and summed per doc. Weight 1/(1+gap) is Lucene's sloppy
+    weight; enumeration counts ALL in-order pairs within the slop (a
+    documented deviation from Lucene's greedy single-use matching —
+    identical whenever term occurrences don't compete for partners)."""
+    from .indexer import decode_positions_block
+    from .scorer import _PHRASE_SHIFT, _phrase_prologue
+
+    slop = int(spec.get("slop", 0))
+    ordered_terms, uniq, meta, sum_idf, k1, b = _phrase_prologue(
+        reader, spec["query"], ctx.k1, ctx.b)
+    _check_sloppy_terms(ordered_terms)
+    spark = ctx.spark
+    empty = spark.createDataFrame([], "doc_id bigint, score double")
+    if len(meta) < len(uniq):
+        return empty
+    buckets = sorted(set(reader.bucket_of(uniq).values()))
+    posts = (reader.postings
+             .filter(F.col("bucket").isin(buckets)
+                     & F.col("term").isin(uniq))
+             .select("term", "doc_gaps", "dls", "poss"))
+
+    def _flatten(it):
+        for pdf in it:
+            for r in pdf.itertuples(index=False):
+                doc_ids = delta_decode(vb_decode(bytes(r.doc_gaps)))
+                dls = vb_decode(bytes(r.dls)).astype(np.int64)
+                poss = decode_positions_block(bytes(r.poss),
+                                              doc_ids.size)
+                lens = np.fromiter((p.size for p in poss),
+                                   dtype=np.int64, count=doc_ids.size)
+                if not lens.sum():
+                    continue
+                docs_rep = np.repeat(doc_ids, lens).astype(np.int64)
+                dls_rep = np.repeat(dls, lens)
+                keys = (docs_rep * _PHRASE_SHIFT
+                        + np.concatenate(poss).astype(np.int64))
+                yield pd.DataFrame({"term": r.term, "key": keys,
+                                    "dl": dls_rep})
+
+    flat = posts.mapInPandas(_flatten,
+                             "term string, key long, dl long")
+    t_a, t_b = ordered_terms
+    fa = flat.filter(F.col("term") == t_a)
+    fb = flat.filter(F.col("term") == t_b).select(
+        F.col("key").alias("k"), "dl")
+    legs = [
+        fa.select((F.col("key") + d).alias("k"),
+                  F.lit(1.0 / d).alias("w"))
+        .join(fb, "k")
+        for d in range(1, slop + 2)
+    ]
+    pairs = reduce(DataFrame.unionByName, legs)
+    avgdl = float(reader.stats["avgdl"])
+    per_doc = (pairs
+               .withColumn("doc_id",
+                           F.expr(f"k div {_PHRASE_SHIFT}"))
+               .groupBy("doc_id")
+               .agg(F.sum("w").alias("wtf"), F.min("dl").alias("dl")))
+    scored = per_doc.select(
+        "doc_id",
+        (F.lit(float(sum_idf)) * F.col("wtf")
+         / (F.col("wtf") + F.lit(k1) * (1 - b + b * F.col("dl")
+                                        / F.lit(avgdl))))
+        .alias("score"))
+    return _scale_df(reader.live_only(scored),
+                     float(spec.get("boost", 1.0)))
+
+
 def _terms_set_df(ctx: _Ctx, body) -> DataFrame:
     """ES ``terms_set``: a bool-should of BM25-scored term clauses
     whose minimum_should_match comes PER DOC from a stored field
@@ -1103,6 +1239,8 @@ def _clause_df(ctx: _Ctx, clause: dict) -> DataFrame:
             F.lit(float(body.get("boost", 1.0))).alias("score"))
     if kind == "match_phrase":
         field, spec = _leaf_spec(body)
+        if int(spec.get("slop", 0)) > 0:
+            return _sloppy_phrase_df(ctx, ctx.reader(field), spec)
         out = phrase_scores(ctx.reader(field), spec["query"], ctx.k1, ctx.b)
         return _scale_df(out, float(spec.get("boost", 1.0)))
     if kind == "match_phrase_prefix":

@@ -266,3 +266,63 @@ def test_cross_fields_minimum_should_match(spark, cf_setup):
     # per-TERM groups: doc 0 has alpha+beta, doc 1 alpha+epsilon,
     # doc 2 beta+epsilon; doc 3 has only epsilon
     assert [d for d, _ in got] == [0, 1, 2]
+
+
+def test_sloppy_phrase_planted_weights(spark):
+    """match_phrase slop: planted positions, hand-computed sloppy tf
+    (all in-order pairs, weight 1/(1+gap)), serving == distributed."""
+    import math
+    import shutil
+    import tempfile
+
+    from research_engine_spark.operators.esdsl import (
+        ESQueryError,
+        es_search,
+    )
+    from research_engine_spark.operators.indexer import build_index
+    from research_engine_spark.operators.scorer import IndexReader
+
+    texts = [
+        "alpha beta rest rest rest",        # adjacent: w=1
+        "alpha gap beta rest rest",         # gap 1: w=1/2
+        "alpha gap gap beta rest",          # gap 2: w=1/3
+        "alpha gap gap gap beta",           # gap 3: outside slop 2
+        "alpha beta alpha gap beta",        # pairs: a1->b2 d=1, a3->b5 d=2
+        "beta alpha rest rest rest",        # wrong order: no match
+        "rest rest rest rest rest",
+    ]
+    rows = [(f"c{i}", 0, "user", t, None) for i, t in enumerate(texts)]
+    tx = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "ts timestamp")
+    d = tempfile.mkdtemp(prefix="sloppy_idx_")
+    try:
+        build_index(tx, d, n_buckets=2, analyzer="simple",
+                    with_positions=True)
+        local = IndexReader(spark, d)
+        dist = IndexReader(spark, d, driver_local_max_postings=0,
+                           driver_local_max_vocab=0)
+        body = {"query": {"match_phrase": {"text": {
+            "query": "alpha beta", "slop": 2}}}, "size": 10}
+        got_l = {r.doc_id: r.score for r in
+                 es_search(local, body).collect()}
+        got_d = {r.doc_id: r.score for r in
+                 es_search(dist, body).collect()}
+        assert got_l == got_d  # bit-identical tiers
+        # hand-computed: alpha and beta each appear in 6 of the 7 docs
+        n = 7
+        idf = sum(math.log(1 + (n - 6 + 0.5) / (6 + 0.5))
+                  for _ in range(2))
+        avgdl = 5.0
+        wtf = {0: 1.0, 1: 0.5, 2: 1 / 3, 4: 1.0 + 0.5}
+        want = {doc: idf * w / (w + 1.2 * (1 - 0.75 + 0.75 * 5 / avgdl))
+                for doc, w in wtf.items()}
+        assert set(got_l) == set(want)
+        for doc in want:
+            assert abs(got_l[doc] - want[doc]) < 1e-12
+        # longer phrases reject loudly
+        with pytest.raises(ESQueryError, match="TWO-term"):
+            es_search(local, {"query": {"match_phrase": {"text": {
+                "query": "alpha beta rest", "slop": 1}}}})
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
