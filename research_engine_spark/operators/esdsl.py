@@ -734,6 +734,9 @@ def _clause_pd(ctx: _Ctx, clause: dict):
         out = _phrase_scores_driver_local(
             reader, spec["query"], ctx.k1, ctx.b)
         return _scale_pd(out, float(spec.get("boost", 1.0)))
+    if kind == "span_near":
+        field, sspec = _span_near_parts(body)
+        return _sloppy_phrase_pd(ctx, ctx.reader(field), sspec)
     if kind == "match_phrase_prefix":
         field, spec = _leaf_spec(body)
         reader = ctx.reader(field)
@@ -974,42 +977,78 @@ def _const_docs_df(reader: IndexReader, term_pred,
         "doc_id", F.lit(float(boost)).alias("score"))
 
 
-def _sloppy_phrase_pd(ctx: _Ctx, reader: IndexReader, spec: dict):
-    """match_phrase with slop, serving tier: numpy position-pair
-    weighting over the driver-local positional fetch, or None when
-    over budget."""
-    from .scorer import (
-        _PHRASE_SHIFT,
-        _phrase_prologue,
-        _positions_local,
-    )
+def _sloppy_displacements(slop: int, in_order: bool):
+    """(displacement, weight) pairs: d in [1, slop+1] at Lucene's
+    sloppy weight 1/(1+gap) = 1/|d|, mirrored for unordered matching
+    (span_near in_order=false)."""
+    ds = [(d, 1.0 / d) for d in range(1, slop + 2)]
+    if not in_order:
+        ds += [(-d, 1.0 / d) for d in range(1, slop + 2)]
+    return ds
 
-    slop = int(spec.get("slop", 0))
+
+def _sloppy_prep(ctx: _Ctx, reader: IndexReader, spec: dict):
+    """Shared prologue of the proximity paths: resolve the two terms
+    (analyzed from spec['query'], or raw index terms via
+    spec['_raw_terms'] for span_near), their summed idf, and k1/b.
+    Returns None when a term is absent from the index (no match)."""
+    from .scorer import _phrase_prologue, bm25_idf
+
+    if "_raw_terms" in spec:
+        t_a, t_b = spec["_raw_terms"]
+        ts = reader.term_stats_arrow([t_a, t_b])
+        have = set(ts["term"]) if not ts.empty else set()
+        if {t_a, t_b} - have:
+            return None
+        dfs = dict(zip(ts["term"], ts["df"]))
+        n = reader.stats["n_docs"]
+        sum_idf = float(
+            bm25_idf(n, np.array([dfs[t_a]], dtype=np.int64))[0]
+            + bm25_idf(n, np.array([dfs[t_b]], dtype=np.int64))[0])
+        k1 = reader.stats["k1"] if ctx.k1 is None else ctx.k1
+        b = reader.stats["b"] if ctx.b is None else ctx.b
+        df_sum = int(dfs[t_a] + dfs[t_b])
+        return t_a, t_b, sum_idf, k1, b, df_sum
     ordered_terms, uniq, meta, sum_idf, k1, b = _phrase_prologue(
         reader, spec["query"], ctx.k1, ctx.b)
     _check_sloppy_terms(ordered_terms)
     if len(meta) < len(uniq):
+        return None
+    return (*ordered_terms, sum_idf, k1, b, int(meta["df"].sum()))
+
+
+def _sloppy_phrase_pd(ctx: _Ctx, reader: IndexReader, spec: dict):
+    """match_phrase slop / span_near, serving tier: numpy position-pair
+    weighting over the driver-local positional fetch, or None when
+    over budget."""
+    from .scorer import _PHRASE_SHIFT, _positions_local
+
+    slop = int(spec.get("slop", 0))
+    prep = _sloppy_prep(ctx, reader, spec)
+    if prep is None:
         return _EMPTY_PD.copy()
-    if int(meta["df"].sum()) > reader.driver_local_max_postings:
+    t_a, t_b, sum_idf, k1, b, df_sum = prep
+    if df_sum > reader.driver_local_max_postings:
         return None
     if reader.has_deletes and \
             reader.n_deleted_rows > DRIVER_LOCAL_MAX_DELETES:
         return None
+    uniq = list(dict.fromkeys([t_a, t_b]))
     by_term, dl_docs, dl_vals = _positions_local(reader, uniq)
     if any(t not in by_term for t in uniq):
         return _EMPTY_PD.copy()
-    t_a, t_b = ordered_terms
     _, keys_a = by_term[t_a]
     _, keys_b = by_term[t_b]
     acc: dict[int, float] = {}
-    for d in range(1, slop + 2):
+    for d, w in _sloppy_displacements(slop,
+                                      bool(spec.get("in_order", True))):
         inter = np.intersect1d(keys_a + d, keys_b)
         if not inter.size:
             continue
         docs = inter // _PHRASE_SHIFT
         u, c = np.unique(docs, return_counts=True)
         for doc, n in zip(u.tolist(), c.tolist()):
-            acc[doc] = acc.get(doc, 0.0) + n / d
+            acc[doc] = acc.get(doc, 0.0) + n * w
     if not acc:
         return _EMPTY_PD.copy()
     match_docs = np.fromiter(acc.keys(), dtype=np.int64, count=len(acc))
@@ -1025,6 +1064,40 @@ def _sloppy_phrase_pd(ctx: _Ctx, reader: IndexReader, spec: dict):
             match_docs, scores = match_docs[keep], scores[keep]
     out = pd.DataFrame({"doc_id": match_docs, "score": scores})
     return _scale_pd(out, float(spec.get("boost", 1.0)))
+
+
+def _span_near_parts(body) -> tuple[str, dict]:
+    """Normalize a span_near body to the sloppy-proximity spec:
+    ``{"span_near": {"clauses": [{"span_term": {field: v}}, ...],
+    "slop": N, "in_order": bool, "boost": b}}`` — exactly TWO
+    span_term clauses (the pairwise machinery), one field, raw
+    UNanalyzed index terms (span semantics)."""
+    if not isinstance(body, dict) or not body.get("clauses"):
+        raise ESQueryError("span_near needs a 'clauses' list")
+    clauses = body["clauses"]
+    if len(clauses) != 2:
+        raise ESQueryError(
+            "span_near supports exactly TWO span_term clauses (the "
+            f"pairwise sloppy machinery); got {len(clauses)}")
+    terms, fields = [], []
+    for c in clauses:
+        if not isinstance(c, dict) or len(c) != 1 \
+                or "span_term" not in c:
+            raise ESQueryError(
+                f"span_near clauses must be span_term: {c!r}")
+        [(f, v)] = c["span_term"].items()
+        if isinstance(v, dict):
+            v = v.get("value")
+        fields.append(f)
+        terms.append(str(v))
+    if len(set(fields)) != 1:
+        raise ESQueryError("span_near clauses must target ONE field")
+    return fields[0], {
+        "_raw_terms": terms,
+        "slop": int(body.get("slop", 0)),
+        "in_order": bool(body.get("in_order", True)),
+        "boost": float(body.get("boost", 1.0)),
+    }
 
 
 def _check_sloppy_terms(ordered_terms: list[str]):
@@ -1045,16 +1118,16 @@ def _sloppy_phrase_df(ctx: _Ctx, reader: IndexReader,
     documented deviation from Lucene's greedy single-use matching —
     identical whenever term occurrences don't compete for partners)."""
     from .indexer import decode_positions_block
-    from .scorer import _PHRASE_SHIFT, _phrase_prologue
+    from .scorer import _PHRASE_SHIFT
 
     slop = int(spec.get("slop", 0))
-    ordered_terms, uniq, meta, sum_idf, k1, b = _phrase_prologue(
-        reader, spec["query"], ctx.k1, ctx.b)
-    _check_sloppy_terms(ordered_terms)
     spark = ctx.spark
     empty = spark.createDataFrame([], "doc_id bigint, score double")
-    if len(meta) < len(uniq):
+    prep = _sloppy_prep(ctx, reader, spec)
+    if prep is None:
         return empty
+    t_a, t_b, sum_idf, k1, b, _df_sum = prep
+    uniq = list(dict.fromkeys([t_a, t_b]))
     buckets = sorted(set(reader.bucket_of(uniq).values()))
     posts = (reader.postings
              .filter(F.col("bucket").isin(buckets)
@@ -1081,15 +1154,15 @@ def _sloppy_phrase_df(ctx: _Ctx, reader: IndexReader,
 
     flat = posts.mapInPandas(_flatten,
                              "term string, key long, dl long")
-    t_a, t_b = ordered_terms
     fa = flat.filter(F.col("term") == t_a)
     fb = flat.filter(F.col("term") == t_b).select(
         F.col("key").alias("k"), "dl")
     legs = [
         fa.select((F.col("key") + d).alias("k"),
-                  F.lit(1.0 / d).alias("w"))
+                  F.lit(w).alias("w"))
         .join(fb, "k")
-        for d in range(1, slop + 2)
+        for d, w in _sloppy_displacements(
+            slop, bool(spec.get("in_order", True)))
     ]
     pairs = reduce(DataFrame.unionByName, legs)
     avgdl = float(reader.stats["avgdl"])
@@ -1243,6 +1316,9 @@ def _clause_df(ctx: _Ctx, clause: dict) -> DataFrame:
             return _sloppy_phrase_df(ctx, ctx.reader(field), spec)
         out = phrase_scores(ctx.reader(field), spec["query"], ctx.k1, ctx.b)
         return _scale_df(out, float(spec.get("boost", 1.0)))
+    if kind == "span_near":
+        field, sspec = _span_near_parts(body)
+        return _sloppy_phrase_df(ctx, ctx.reader(field), sspec)
     if kind == "match_phrase_prefix":
         field, spec = _leaf_spec(body)
         out = phrase_prefix_scores(

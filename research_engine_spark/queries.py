@@ -3731,6 +3731,73 @@ def engine_sloppy_phrase_documents(spark, sf_dir):
                     F.round("score", 4).alias("score")))
 
 
+@register("engine_span_near_documents", f"""
+WITH tk AS (
+  SELECT doc_id, {_TOK_SQL} AS tk FROM documents
+),
+corpus AS (SELECT count(*) AS n, sum(len(tk)) AS tok FROM tk),
+dl AS (SELECT doc_id, len(tk) AS dl FROM tk),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df
+  FROM (SELECT doc_id, unnest(tk) AS term FROM tk)
+  WHERE term IN ('table', 'hash') GROUP BY term
+),
+sumidf AS (
+  SELECT sum(ln(1 + (corpus.n - df.df + 0.5) / (df.df + 0.5))) AS s
+  FROM df, corpus
+),
+pa AS (
+  SELECT doc_id, i FROM tk,
+       unnest(generate_series(1, len(tk))) AS g(i)
+  WHERE tk[i] = 'table'
+),
+pb AS (
+  SELECT doc_id, i FROM tk,
+       unnest(generate_series(1, len(tk))) AS g(i)
+  WHERE tk[i] = 'hash'
+),
+w AS (
+  SELECT a.doc_id, sum(1.0 / abs(b.i - a.i)) AS wtf
+  FROM pa a JOIN pb b USING (doc_id)
+  WHERE abs(b.i - a.i) BETWEEN 1 AND 3
+  GROUP BY a.doc_id
+)
+SELECT CAST(w.doc_id AS BIGINT) AS doc_id,
+       round(sumidf.s * w.wtf
+             / (w.wtf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                               / (corpus.tok * 1.0 / corpus.n))), 4)
+         AS score
+FROM w JOIN dl USING (doc_id), corpus, sumidf
+ORDER BY sumidf.s * w.wtf
+         / (w.wtf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                           / (corpus.tok * 1.0 / corpus.n))) DESC,
+         w.doc_id ASC
+LIMIT 10
+""")
+def engine_span_near_documents(spark, sf_dir):
+    """span_near (UNordered) over the REAL positional index,
+    driver-HASH-checked: two span_term clauses within slop 2 in either
+    order — every pair at |displacement| in [1, slop+1] contributes
+    1/|d|, folded by the BM25 phrase shape. The oracle mirrors the
+    mirrored-displacement weighting from raw text positions."""
+    from .operators.esdsl import es_search
+    from .operators.scorer import IndexReader
+
+    reader = IndexReader(spark, _simple_index(spark, sf_dir))
+    hits = es_search(reader, {
+        "query": {"span_near": {
+            "clauses": [{"span_term": {"text": "table"}},
+                        {"span_term": {"text": "hash"}}],
+            "slop": 2, "in_order": False}},
+        "size": 10})
+    docs = spark.read.parquet(
+        _SIMPLE_IDX_CACHE[sf_dir] + "/docs").select(
+        "doc_id", F.substring("conv_id", 2, 9).cast("long").alias("src_id"))
+    return (hits.join(docs, "doc_id")
+            .select(F.col("src_id").alias("doc_id"),
+                    F.round("score", 4).alias("score")))
+
+
 @register("engine_terms_set_documents", f"""
 WITH tk AS (
   SELECT doc_id, CAST(n_chars % 97 AS INT) AS req, {_TOK_SQL} AS tk

@@ -326,3 +326,62 @@ def test_sloppy_phrase_planted_weights(spark):
                 "query": "alpha beta rest", "slop": 1}}}})
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_span_near_unordered_and_ordered(spark):
+    import shutil
+    import tempfile
+
+    from research_engine_spark.operators.esdsl import (
+        ESQueryError,
+        es_search,
+    )
+    from research_engine_spark.operators.indexer import build_index
+    from research_engine_spark.operators.scorer import IndexReader
+
+    texts = [
+        "alpha beta rest rest rest",   # ordered d=1
+        "beta gap alpha rest rest",    # REVERSED, gap 1: unordered only
+        "rest alpha rest beta rest",   # ordered d=2
+        "rest rest rest rest rest",
+    ]
+    rows = [(f"c{i}", 0, "user", t, None) for i, t in enumerate(texts)]
+    tx = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "ts timestamp")
+    d = tempfile.mkdtemp(prefix="span_idx_")
+    try:
+        build_index(tx, d, n_buckets=2, analyzer="simple",
+                    with_positions=True)
+        local = IndexReader(spark, d)
+        dist = IndexReader(spark, d, driver_local_max_postings=0,
+                           driver_local_max_vocab=0)
+
+        def q(in_order):
+            return {"query": {"span_near": {
+                "clauses": [{"span_term": {"text": "alpha"}},
+                            {"span_term": {"text": "beta"}}],
+                "slop": 2, "in_order": in_order}}, "size": 10}
+
+        for r in (local, dist):
+            ordered = {x.doc_id for x in es_search(r, q(True)).collect()}
+            unordered = {x.doc_id
+                         for x in es_search(r, q(False)).collect()}
+            assert ordered == {0, 2}
+            assert unordered == {0, 1, 2}
+        # tiers bit-identical on the unordered path too
+        a = [(x.doc_id, x.score)
+             for x in es_search(local, q(False)).collect()]
+        b = [(x.doc_id, x.score)
+             for x in es_search(dist, q(False)).collect()]
+        assert a == b
+        # error surface
+        with pytest.raises(ESQueryError, match="TWO span_term"):
+            es_search(local, {"query": {"span_near": {
+                "clauses": [{"span_term": {"text": "alpha"}}]}}})
+        with pytest.raises(ESQueryError, match="ONE field"):
+            es_search(local, {"query": {"span_near": {"clauses": [
+                {"span_term": {"text": "alpha"}},
+                {"span_term": {"role": "beta"}}]}}})
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
