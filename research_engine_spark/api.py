@@ -120,6 +120,36 @@ class ResearchEngine:
             })
         return out
 
+    def termvectors(self, doc_id: int,
+                    term_statistics: bool = False) -> dict:
+        """ES ``_termvectors`` endpoint analog: the per-document term
+        vector — (term, tf, positions) from re-analyzing the stored
+        text (the forward operation; ES does the same for non-vectored
+        fields), plus corpus df/cf per term when
+        ``term_statistics=True``. Zero Spark jobs at any corpus size:
+        the doc row is a pyarrow footer-stats probe and term stats are
+        bucket-pruned dictionary reads."""
+        from .functions.analyzer import analyze
+        from .operators.esdsl import _doc_text_arrow
+
+        text = _doc_text_arrow(self.reader, int(doc_id))  # raises on
+        # a missing or deleted id, like the MLT like-by-_id fetch
+        mode = self.reader.stats.get("analyzer", "english_folded")
+        toks = analyze(text, mode=mode)
+        vec: dict[str, dict] = {}
+        for pos, t in enumerate(toks):
+            e = vec.setdefault(t, {"term_freq": 0, "positions": []})
+            e["term_freq"] += 1
+            e["positions"].append(pos)
+        if term_statistics and vec:
+            st = self.reader.term_stats_arrow(sorted(vec))
+            for r in st.itertuples(index=False):
+                if r.term in vec:
+                    vec[r.term]["doc_freq"] = int(r.df)
+                    vec[r.term]["ttf"] = int(r.cf)
+        return {"doc_id": int(doc_id), "field": "text",
+                "doc_length": len(toks), "terms": vec}
+
     def index_stats(self) -> dict:
         """ES ``_cat/indices`` / ``_stats`` analog: one dict of the
         index's vital signs — doc/token/term counts, analyzer, deletes,

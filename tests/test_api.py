@@ -88,3 +88,23 @@ def test_index_stats(engine):
     assert st["n_deleted"] == 0
     assert st["n_segments"] >= 1 and st["n_terms_rows"] > 0
     assert (st["k1"], st["b"]) == (1.2, 0.75)
+
+
+def test_termvectors(engine):
+    from research_engine_spark.functions.analyzer import analyze
+
+    row = engine.reader.docs.select("doc_id", "text").first()
+    tv = engine.termvectors(row.doc_id, term_statistics=True)
+    toks = analyze(row.text, mode=engine.reader.stats.get(
+        "analyzer", "english_folded"))
+    assert tv["doc_length"] == len(toks)
+    # positions reconstruct the analyzed token stream exactly
+    rebuilt = [None] * len(toks)
+    for term, e in tv["terms"].items():
+        assert e["term_freq"] == len(e["positions"])
+        assert e["doc_freq"] >= 1 and e["ttf"] >= e["term_freq"]
+        for p in e["positions"]:
+            rebuilt[p] = term
+    assert rebuilt == toks
+    with pytest.raises(Exception):
+        engine.termvectors(10**12)
