@@ -1962,21 +1962,20 @@ def _eval_body(ctx: _Ctx, body: dict, label: str = "body") -> DataFrame:
 
 
 def _expand_body_qs(body: dict, label: str = "body") -> dict:
-    """Rewrite query_string / simple_query_string nodes (anywhere in
-    the query tree) into the JSON DSL before dispatch, so the text
-    syntaxes inherit the serving/distributed duality and the exact
-    scored primitives of every other clause. Parse errors surface as
-    ESQueryError."""
-    query = body.get("query")
-    if query is None:
-        return body
+    """Rewrite query_string / simple_query_string nodes ANYWHERE in the
+    body (the main query, rescore queries, filters-agg clauses, ...)
+    into the JSON DSL before dispatch, so the text syntaxes inherit the
+    serving/distributed duality and the exact scored primitives of
+    every other clause. The walk only touches single-key
+    {"query_string": ...} / {"simple_query_string": ...} dict nodes.
+    Parse errors surface as ESQueryError."""
     from .querystring import _QSError, expand_query_strings
 
     try:
-        expanded = expand_query_strings(query)
+        expanded = expand_query_strings(body)
     except _QSError as e:
         raise ESQueryError(f"{label}: {e}") from None
-    return body if expanded == query else {**body, "query": expanded}
+    return body if expanded == body else expanded
 
 
 def es_search(index, body: dict, k1: float | None = None,

@@ -209,3 +209,33 @@ def test_es_count_with_query_string(spark, qs_setup):
         {"match": {"text": {"query": "neural"}}},
         {"match": {"text": {"query": "networks"}}}]}}})
     assert n_qs == n_dsl > 0
+
+
+def test_query_string_inside_rescore_and_filters_agg(spark, qs_setup):
+    from research_engine_spark.operators.esdsl import es_aggregations
+
+    local, dist = _readers(spark, qs_setup)
+    # rescore_query as a query_string body
+    qs_body = {"query": {"match": {"text": "neural"}},
+               "rescore": {"window_size": 20, "query": {
+                   "rescore_query": {"query_string": {
+                       "query": '"neural networks"'}},
+                   "rescore_query_weight": 2.0}}, "size": 10}
+    flat_body = {"query": {"match": {"text": "neural"}},
+                 "rescore": {"window_size": 20, "query": {
+                     "rescore_query": {"match_phrase": {
+                         "text": {"query": "neural networks"}}},
+                     "rescore_query_weight": 2.0}}, "size": 10}
+    for r in (local, dist):
+        assert _pairs(es_search(r, qs_body)) == \
+            _pairs(es_search(r, flat_body))
+    # filters-agg clause as a simple_query_string
+    sqs_clause = {"simple_query_string": {"query": "neural + networks"}}
+    dsl_clause = {"bool": {"must": [
+        {"match": {"text": {"query": "neural"}}},
+        {"match": {"text": {"query": "networks"}}}]}}
+    a = es_aggregations(local, {"aggs": {"f": {"filters": {
+        "filters": {"both": sqs_clause}}}}}).collect()
+    b = es_aggregations(local, {"aggs": {"f": {"filters": {
+        "filters": {"both": dsl_clause}}}}}).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
