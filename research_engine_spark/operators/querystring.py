@@ -83,6 +83,12 @@ class _QSError(Exception):
     keeps the real class there)."""
 
 
+class _QSUnsupported(_QSError):
+    """An ENGINE-unsupported feature (numeric fuzziness, phrase slop):
+    always loud — never swallowed by simple_query_string's
+    degrade-to-literal fallback."""
+
+
 def _err(msg: str):
     raise _QSError(msg)
 
@@ -493,8 +499,9 @@ def _sqs_lex(q: str):
             continue
         if kind == "phrase":
             if m.group("phsuf"):
-                _err("simple_query_string: phrase slop is not "
-                     "supported - the engine scores exact phrases")
+                raise _QSUnsupported(
+                    "simple_query_string: phrase slop is not "
+                    "supported - the engine scores exact phrases")
             toks.append(("phrase", m.group("ph")))
         elif kind == "word":
             toks.append(("word", m.group("word")))
@@ -578,8 +585,9 @@ class _SQSParser:
             if val.endswith("~"):
                 val, fuzzy = val[:-1], True
             elif re.search(r"~\d+$", val):
-                _err("simple_query_string: numeric fuzziness (~N) is "
-                     "not supported - use ~ (the Lucene AUTO ladder)")
+                raise _QSUnsupported(
+                    "simple_query_string: numeric fuzziness (~N) is "
+                    "not supported - use ~ (the Lucene AUTO ladder)")
             return _leaf_word(val, None, self.fields, 1.0,
                               fuzzy), False
         _err(f"simple_query_string: unexpected {val!r}")
@@ -601,7 +609,22 @@ def parse_simple_query_string(spec: dict) -> dict:
     toks = _sqs_lex(str(spec["query"]))
     if not toks:
         _err("simple_query_string: empty query")
-    node = _SQSParser(toks, fields, op).parse()
+    try:
+        node = _SQSParser(toks, fields, op).parse()
+    except _QSUnsupported:
+        raise
+    except _QSError:
+        # ES's no-syntax-error contract: malformed operator structure
+        # (unmatched paren, dangling operator) degrades to a plain
+        # bag-of-words query over the default operator
+        words = [w.lstrip("-") for w in
+                 re.findall(r'[^\s()|+"]+', str(spec["query"]))]
+        words = [w for w in words if w]
+        if not words:
+            raise
+        leaves = [_leaf_word(w, None, fields, 1.0, False)
+                  for w in words]
+        node = _maybe_unwrap(op, leaves, [])
     return _boost_node(node, boost) if boost != 1.0 else node
 
 

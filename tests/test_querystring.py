@@ -239,3 +239,15 @@ def test_query_string_inside_rescore_and_filters_agg(spark, qs_setup):
     b = es_aggregations(local, {"aggs": {"f": {"filters": {
         "filters": {"both": dsl_clause}}}}}).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_sqs_degrades_instead_of_erroring():
+    # ES contract: malformed operator structure never raises — it
+    # degrades to a bag-of-words query; engine-unsupported features
+    # (numeric fuzziness, phrase slop) stay loud
+    assert parse_simple_query_string({"query": "(unclosed this"}) == \
+        parse_simple_query_string({"query": "unclosed this"})
+    assert parse_simple_query_string({"query": "a | | b"}) == \
+        parse_simple_query_string({"query": "a | b"})
+    with pytest.raises(Exception, match="fuzziness"):
+        parse_simple_query_string({"query": "(broken foo~2"})
