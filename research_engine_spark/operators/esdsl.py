@@ -2107,7 +2107,7 @@ def _metric_cols(name: str, spec: dict) -> list:
         raise ESQueryError(f"metric agg {name!r} must have one function")
     [(fn, args)] = spec.items()
     field = args.get("field") if isinstance(args, dict) else None
-    if not field:
+    if not field and fn != "weighted_avg":
         raise ESQueryError(f"metric agg {name!r} lacks 'field'")
     if fn in _METRIC_FNS:
         return [_METRIC_FNS[fn](F.col(field)).alias(name)]
@@ -2137,9 +2137,39 @@ def _metric_cols(name: str, spec: dict) -> list:
                 F.max(c).alias(f"{name}_max"),
                 F.avg(c).alias(f"{name}_avg"),
                 F.sum(c).alias(f"{name}_sum")]
+    if fn == "extended_stats":
+        # ES extended_stats: the five stats keys + sum_of_squares,
+        # variance, std_deviation — POPULATION moments, ES's default
+        # (its `variance` key is variance_population). All one-pass
+        # aggregates, so they ride the same single groupBy.
+        c = F.col(field).cast("double")
+        return [F.count(c).alias(f"{name}_count"),
+                F.min(c).alias(f"{name}_min"),
+                F.max(c).alias(f"{name}_max"),
+                F.avg(c).alias(f"{name}_avg"),
+                F.sum(c).alias(f"{name}_sum"),
+                F.sum(c * c).alias(f"{name}_sum_of_squares"),
+                F.var_pop(c).alias(f"{name}_variance"),
+                F.stddev_pop(c).alias(f"{name}_std_deviation")]
+    if fn == "weighted_avg":
+        # ES weighted_avg: {value: {field}, weight: {field}} —
+        # Σ(v·w)/Σ(w), nulls in either column drop the row (ES skips
+        # docs missing the value; a missing weight defaults to 1 only
+        # when `weight.missing` says so — we require both present).
+        vf = (args.get("value") or {}).get("field")
+        wf = (args.get("weight") or {}).get("field")
+        if not vf or not wf:
+            raise ESQueryError(
+                f"weighted_avg {name!r} needs value.field + weight.field")
+        v = F.col(vf).cast("double")
+        w = F.col(wf).cast("double")
+        ok = v.isNotNull() & w.isNotNull()
+        return [(F.sum(F.when(ok, v * w)) / F.sum(F.when(ok, w)))
+                .alias(name)]
     raise ESQueryError(
         f"unsupported metric {fn!r} (have {sorted(_METRIC_FNS)} + "
-        "cardinality, percentiles, stats; top_hits nests only inside a "
+        "cardinality, percentiles, stats, extended_stats, weighted_avg, "
+        "median_absolute_deviation; top_hits nests only inside a "
         "single-level bucket agg)")
 
 
@@ -2299,6 +2329,29 @@ def es_aggregations(index, body: dict, k1: float | None = None,
                   if "top_hits" in dict(s)}
     metric_sub = {n: s for n, s in (sub or {}).items()
                   if "top_hits" not in dict(s) and n not in pipes}
+    # median_absolute_deviation can't be one aggregate column (the
+    # inner per-group median must exist before the outer median of
+    # absolute deviations), so it is split out and computed as a second
+    # groupBy over the SAME match set joined back on the bucket key —
+    # two shuffles of the match set, still never corpus-wide. EXACT
+    # (F.percentile), per the cardinality/percentiles approximation
+    # policy: ES's own MAD is tdigest-approximate, ours is a strict
+    # superset of that guarantee.
+    mads = {n: dict(s)["median_absolute_deviation"]
+            for n, s in metric_sub.items()
+            if "median_absolute_deviation" in dict(s)}
+    metric_sub = {n: s for n, s in metric_sub.items() if n not in mads}
+    if mads and (pipes or siblings or hits_specs):
+        raise ESQueryError(
+            "median_absolute_deviation does not compose with pipeline "
+            "aggs or top_hits")
+    if mads and atype not in ("terms", "histogram", "date_histogram"):
+        raise ESQueryError(
+            "median_absolute_deviation nests inside terms / histogram "
+            "/ date_histogram bucket aggs (or stands alone) only")
+    for n, margs in mads.items():
+        if not (isinstance(margs, dict) and margs.get("field")):
+            raise ESQueryError(f"metric agg {n!r} lacks 'field'")
     if (pipes or siblings) and atype not in _BUCKET_TYPES:
         raise ESQueryError(
             "pipeline aggs need a terms / histogram / date_histogram "
@@ -2388,7 +2441,31 @@ def es_aggregations(index, body: dict, k1: float | None = None,
         return _significant_terms(reader, docs, args)
     else:
         # bare metric agg: one row
+        if atype == "median_absolute_deviation":
+            fld = (args or {}).get("field")
+            if not fld:
+                raise ESQueryError(f"metric agg {name!r} lacks 'field'")
+            c = F.col(fld).cast("double")
+            med = (docs.agg(F.percentile(c, 0.5).alias("_med"))
+                   .withColumn("_j", F.lit(1)))
+            return (docs.withColumn("_j", F.lit(1))
+                    .join(F.broadcast(med), "_j")
+                    .agg(F.percentile(F.abs(c - F.col("_med")), 0.5)
+                         .alias(name)))
         return docs.agg(*_metric_cols(name, {atype: args}))
+    if mads:
+        kcol = _bucket_key(atype, args, "key")
+        meds = docs.groupBy(kcol).agg(*[
+            F.percentile(F.col(a["field"]).cast("double"), 0.5)
+            .alias(f"_med_{n}") for n, a in mads.items()])
+        mad = (docs.withColumn("key", kcol).join(meds, "key")
+               .groupBy("key").agg(*[
+                   F.percentile(F.abs(F.col(a["field"]).cast("double")
+                                      - F.col(f"_med_{n}")), 0.5)
+                   .alias(n) for n, a in mads.items()]))
+        out = out.join(mad, "key", "left")
+        out = (out.orderBy(F.desc("doc_count"), F.asc("key"))
+               if atype == "terms" else out.orderBy(F.asc("key")))
     if pipes or siblings:
         known = set(metric_sub)
         sort_cols = None

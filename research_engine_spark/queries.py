@@ -3431,6 +3431,69 @@ def engine_es_metric_aggs_documents(spark, sf_dir):
         F.col("ti_sum").cast("long").alias("ti_sum"))
 
 
+@register("engine_es_extended_stats_documents", f"""
+WITH tk AS (
+  SELECT doc_id, source, CAST(n_chars % 97 AS INT) AS ti,
+         {_TOK_SQL} AS tk FROM documents
+),
+matched AS (
+  SELECT doc_id, source, ti FROM tk
+  WHERE list_contains(tk, 'table') OR list_contains(tk, 'hash')
+),
+med AS (
+  SELECT source, quantile_cont(ti, 0.50) AS m FROM matched GROUP BY source
+),
+mad AS (
+  SELECT matched.source, quantile_cont(abs(ti - m), 0.50) AS mad
+  FROM matched JOIN med USING (source) GROUP BY matched.source
+)
+SELECT matched.source AS key, CAST(count(*) AS BIGINT) AS doc_count,
+       CAST(count(ti) AS BIGINT) AS xs_count,
+       round(CAST(sum(CAST(ti AS DOUBLE) * ti) AS DOUBLE), 4)
+         AS xs_sum_of_squares,
+       round(var_pop(ti), 4) AS xs_variance,
+       round(stddev_pop(ti), 4) AS xs_std_deviation,
+       round(sum(CAST(ti AS DOUBLE) * ti) / sum(CAST(ti AS DOUBLE)), 4)
+         AS wa,
+       round(any_value(mad.mad), 4) AS mad
+FROM matched JOIN mad USING (source)
+GROUP BY matched.source
+ORDER BY doc_count DESC, key ASC
+""")
+def engine_es_extended_stats_documents(spark, sf_dir):
+    """Round-5 wave: ``extended_stats`` (population moments — ES's
+    variance/std_deviation keys), ``weighted_avg`` (Σvw/Σw), and EXACT
+    ``median_absolute_deviation`` (two-stage: per-bucket median, then
+    median of absolute deviations — two shuffles of the MATCH SET,
+    never corpus-wide) as sub-aggs of a terms bucket through the DSL
+    over the REAL index, driver-HASH-checked: the oracle recomputes
+    population moments (var_pop/stddev_pop), the weighted average, and
+    the two-stage quantile_cont MAD over the regrouped match set."""
+    from .operators.esdsl import es_aggregations
+    from .operators.scorer import IndexReader
+
+    engine_es_aggs_documents(spark, sf_dir)  # ensure the agg index
+    reader = IndexReader(spark, _AGG_IDX_CACHE[sf_dir])
+    out = es_aggregations(reader, {
+        "query": {"match": {"text": "table hash"}},
+        "aggs": {"by_source": {
+            "terms": {"field": "role"},
+            "aggs": {
+                "xs": {"extended_stats": {"field": "turn_idx"}},
+                "wa": {"weighted_avg": {"value": {"field": "turn_idx"},
+                                        "weight": {"field": "turn_idx"}}},
+                "mad": {"median_absolute_deviation":
+                        {"field": "turn_idx"}},
+            }}}})
+    return out.select(
+        "key", "doc_count", "xs_count",
+        F.round("xs_sum_of_squares", 4).alias("xs_sum_of_squares"),
+        F.round("xs_variance", 4).alias("xs_variance"),
+        F.round("xs_std_deviation", 4).alias("xs_std_deviation"),
+        F.round("wa", 4).alias("wa"),
+        F.round("mad", 4).alias("mad"))
+
+
 @register("engine_es_top_hits_documents", f"""
 WITH tk AS (
   SELECT doc_id, source, CAST(n_chars % 97 AS INT) AS ti,

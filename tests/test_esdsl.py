@@ -183,7 +183,7 @@ def test_errors(spark, es_setup):
     local, _ = _readers(spark, d)
     mf = MultiFieldReader(spark, mfd)
     with pytest.raises(ESQueryError, match="unsupported clause"):
-        es_search(local, {"query": {"regexp": {"text": "a.*"}}})
+        es_search(local, {"query": {"percolate": {"field": "text"}}})
     with pytest.raises(ESQueryError, match="fuzziness"):
         es_search(local, {"query": {"match": {
             "text": {"query": Q, "fuzziness": 2}}}})
@@ -643,3 +643,58 @@ def test_filter_missing_global_aggs(spark, es_setup):
     with pytest.raises(ESQueryError, match="not in docs table"):
         es_aggregations(r, {"aggs": {"g": {
             "missing": {"field": "nope"}}}})
+
+
+def test_extended_stats_weighted_avg_mad(spark, es_setup):
+    """Round-5 wave: extended_stats (population moments, ES default),
+    weighted_avg (Σvw/Σw), and EXACT median_absolute_deviation —
+    verified against direct numpy recomputation over the match set,
+    per bucket and bare."""
+    import numpy as np
+    from research_engine_spark.operators.esdsl import es_aggregations
+
+    d, _ = es_setup
+    r = IndexReader(spark, d)
+    out = {x.key: x for x in es_aggregations(r, {
+        "query": {"match": {"text": "neural"}},
+        "aggs": {"by_role": {"terms": {"field": "role"}, "aggs": {
+            "xs": {"extended_stats": {"field": "turn_idx"}},
+            "wa": {"weighted_avg": {"value": {"field": "turn_idx"},
+                                    "weight": {"field": "turn_idx"}}},
+            "mad": {"median_absolute_deviation": {"field": "turn_idx"}},
+        }}}}).collect()}
+    matched = search(r, "neural", k=10**6, with_text=False,
+                     _all_matches=True).select("doc_id")
+    base = r.docs.join(matched, "doc_id", "left_semi").toPandas()
+    assert len(out) > 1
+    for role, grp in base.groupby("role"):
+        got = out[role]
+        ti = grp["turn_idx"].to_numpy(np.float64)
+        assert got.xs_count == len(ti)
+        assert got.xs_sum_of_squares == pytest.approx((ti * ti).sum())
+        assert got.xs_variance == pytest.approx(ti.var())  # population
+        assert got.xs_std_deviation == pytest.approx(ti.std())
+        assert got.wa == pytest.approx((ti * ti).sum() / ti.sum())
+        med = np.percentile(ti, 50, method="linear")
+        assert got.mad == pytest.approx(
+            np.percentile(np.abs(ti - med), 50, method="linear"))
+    # bare MAD: one row over the whole match set
+    ti = base["turn_idx"].to_numpy(np.float64)
+    med = np.percentile(ti, 50, method="linear")
+    row = es_aggregations(r, {
+        "query": {"match": {"text": "neural"}},
+        "aggs": {"m": {"median_absolute_deviation":
+                       {"field": "turn_idx"}}}}).collect()[0]
+    assert row.m == pytest.approx(
+        np.percentile(np.abs(ti - med), 50, method="linear"))
+    # loud errors: missing fields, bad composition
+    with pytest.raises(ESQueryError, match="value.field"):
+        es_aggregations(r, {"aggs": {"by": {
+            "terms": {"field": "role"},
+            "aggs": {"w": {"weighted_avg": {"value": {}}}}}}})
+    with pytest.raises(ESQueryError, match="does not compose"):
+        es_aggregations(r, {"aggs": {"by": {
+            "date_histogram": {"field": "ts", "calendar_interval": "day"},
+            "aggs": {"m": {"median_absolute_deviation":
+                           {"field": "turn_idx"}},
+                     "c": {"cumulative_sum": {"buckets_path": "m"}}}}}})
