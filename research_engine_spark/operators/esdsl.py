@@ -798,10 +798,14 @@ def _clause_pd(ctx: _Ctx, clause: dict):
         return _scale_pd(out, float(body.get("boost", 1.0)))
     if kind == "term":
         field, spec = _value_spec(body)
+        if _keyword_field(ctx, field) is not None:
+            return None  # docs-table metadata read: always distributed
         out = _term_pd(ctx, ctx.reader(field), spec)
         return _scale_pd(out, float(spec.get("boost", 1.0)))
     if kind == "terms":
         field, values, boost = _terms_parts(body)
+        if _keyword_field(ctx, field) is not None:
+            return None  # docs-table metadata read: always distributed
         reader = ctx.reader(field)
         ts = reader.term_stats_arrow(values)
         if ts.empty:
@@ -1220,6 +1224,19 @@ def _terms_set_df(ctx: _Ctx, body) -> DataFrame:
     return _scale_df(out, float(spec.get("boost", 1.0)))
 
 
+def _keyword_field(ctx: _Ctx, field: str):
+    """A term-level clause on a field that is NOT an indexed text field
+    but IS a stored docs-table column gets ES keyword semantics: exact
+    (unanalyzed) value match, constant score = boost. Returns the
+    column name, or None when the field should route to the inverted
+    index (an indexed field, or the single-field-index fallback for
+    names that are not stored columns either)."""
+    if field in ctx.readers:
+        return None
+    docs_cols = next(iter(ctx.readers.values())).docs.columns
+    return field if field in docs_cols else None
+
+
 def _docs_pred_df(ctx: _Ctx, cond, boost: float) -> DataFrame:
     """range/exists: a docs-table metadata predicate, constant-score.
     Filters and the doc_id projection push down to the forward table's
@@ -1367,10 +1384,20 @@ def _clause_df(ctx: _Ctx, clause: dict) -> DataFrame:
         return _scale_df(out, float(body.get("boost", 1.0)))
     if kind == "term":
         field, spec = _value_spec(body)
+        kw = _keyword_field(ctx, field)
+        if kw is not None:
+            return _docs_pred_df(ctx, F.col(kw) == spec["value"],
+                                 float(spec.get("boost", 1.0)))
         out = _term_df(ctx, ctx.reader(field), str(spec["value"]))
         return _scale_df(out, float(spec.get("boost", 1.0)))
     if kind == "terms":
         field, values, boost = _terms_parts(body)
+        kw = _keyword_field(ctx, field)
+        if kw is not None:
+            # raw (un-stringified) values: the stored column keeps its
+            # native type, and ES terms on keyword/numeric is unanalyzed
+            return _docs_pred_df(ctx, F.col(kw).isin(list(body[field])),
+                                 boost)
         reader = ctx.reader(field)
         buckets = sorted({int(v) for v in
                           reader.bucket_of(values).values()})
@@ -2065,7 +2092,8 @@ _METRIC_FNS = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max,
 
 # bucket-agg kinds that can nest inside each other (range buckets can
 # overlap, so range stays single-level by construction)
-_BUCKET_TYPES = frozenset({"terms", "date_histogram", "histogram"})
+_BUCKET_TYPES = frozenset({"terms", "multi_terms", "date_histogram",
+                           "histogram"})
 
 # pipeline aggs: parent kinds nest INSIDE a bucket agg and emit one
 # value (or a reorder/filter) per bucket; sibling kinds sit NEXT TO the
@@ -2307,12 +2335,13 @@ def es_aggregations(index, body: dict, k1: float | None = None,
                     Window.partitionBy(*aliases[:i + 1])))
                 cnt_cols.append(cname)
                 cnt = F.col(cname)
-            if btype == "terms":
+            if btype in ("terms", "multi_terms"):
                 order_cols += [cnt.desc(), F.asc(aliases[i])]
             else:
                 order_cols += [F.asc(aliases[i])]
         for i, (btype, bargs) in enumerate(chain):
-            if btype != "terms" or bargs.get("size") is None:
+            if (btype not in ("terms", "multi_terms")
+                    or bargs.get("size") is None):
                 continue
             # ES per-level truncation: top-size buckets by (count desc,
             # key asc) WITHIN the parent bucket; dropped parents drop
@@ -2345,10 +2374,12 @@ def es_aggregations(index, body: dict, k1: float | None = None,
         raise ESQueryError(
             "median_absolute_deviation does not compose with pipeline "
             "aggs or top_hits")
-    if mads and atype not in ("terms", "histogram", "date_histogram"):
+    if mads and atype not in ("terms", "multi_terms", "histogram",
+                              "date_histogram"):
         raise ESQueryError(
-            "median_absolute_deviation nests inside terms / histogram "
-            "/ date_histogram bucket aggs (or stands alone) only")
+            "median_absolute_deviation nests inside terms / multi_terms "
+            "/ histogram / date_histogram bucket aggs (or stands alone) "
+            "only")
     for n, margs in mads.items():
         if not (isinstance(margs, dict) and margs.get("field")):
             raise ESQueryError(f"metric agg {n!r} lacks 'field'")
@@ -2358,18 +2389,39 @@ def es_aggregations(index, body: dict, k1: float | None = None,
             "bucket agg")
     if (pipes or siblings) and hits_specs:
         raise ESQueryError("pipeline aggs do not compose with top_hits")
-    if hits_specs and atype not in ("terms", "date_histogram",
-                                    "histogram"):
+    if hits_specs and atype not in ("terms", "multi_terms",
+                                    "date_histogram", "histogram"):
         raise ESQueryError("top_hits nests only inside a bucket agg")
     if len(hits_specs) > 1:
         raise ESQueryError("at most one top_hits sub-agg per bucket agg")
     subcols = [c for n, s in metric_sub.items() for c in _metric_cols(n, s)]
-    if atype == "terms":
+    if atype in ("terms", "multi_terms"):
         out = (docs.groupBy(_bucket_key(atype, args, "key"))
                .agg(F.count(F.lit(1)).alias("doc_count"), *subcols)
+               .where(F.col("key").isNotNull())
                .orderBy(F.desc("doc_count"), F.asc("key")))
         if "size" in args:
             out = out.limit(int(args["size"]))
+    elif atype == "rare_terms":
+        # ES rare_terms: the long tail — buckets whose doc_count is at
+        # most max_doc_count, ordered doc_count ASC then key. ES's is
+        # CuckooFilter-approximate (may miss rare terms); ours is EXACT
+        # (same one groupBy as terms + a bucket-frame filter), a strict
+        # superset of its guarantee — consistent with the cardinality /
+        # percentiles approximation policy. No size/pipes/top_hits,
+        # like ES.
+        if hits_specs:
+            raise ESQueryError("top_hits is not supported inside "
+                               "rare_terms")
+        maxdc = int(args.get("max_doc_count", 1))
+        if not 1 <= maxdc <= 100:
+            raise ESQueryError("rare_terms max_doc_count must be in "
+                               "[1, 100] (ES bound)")
+        return (docs.groupBy(_bucket_key("terms", args, "key"))
+                .agg(F.count(F.lit(1)).alias("doc_count"), *subcols)
+                .where(F.col("key").isNotNull()
+                       & (F.col("doc_count") <= maxdc))
+                .orderBy(F.asc("doc_count"), F.asc("key")))
     elif atype in ("date_histogram", "histogram"):
         out = (docs.groupBy(_bucket_key(atype, args, "key"))
                .agg(F.count(F.lit(1)).alias("doc_count"), *subcols)
@@ -2408,6 +2460,41 @@ def es_aggregations(index, body: dict, k1: float | None = None,
                 fdocs.agg(F.count(F.lit(1)).alias("doc_count"), *subcols)
                 .select(F.lit(fname).alias("key"), "*"))
         return reduce(DataFrame.unionByName, frames)
+    elif atype == "adjacency_matrix":
+        # ES adjacency_matrix: one bucket per named filter plus one per
+        # PAIRWISE intersection (key "a&b", names in sorted order),
+        # empty buckets omitted. Each named clause is evaluated ONCE
+        # (its doc_id set is a DataFrame reused across legs); the
+        # n·(n+1)/2 legs are intersections of doc_id sets + one global
+        # agg each — n is the user-written filter count (ES caps at
+        # 100), so the leg count is tiny and each leg never touches
+        # more than the outer match set.
+        if hits_specs:
+            raise ESQueryError("top_hits is not supported inside "
+                               "adjacency_matrix")
+        named = args.get("filters")
+        if not named or not isinstance(named, dict):
+            raise ESQueryError(
+                "adjacency_matrix needs a {name: clause} dict")
+        sep = str(args.get("separator", "&"))
+        names = sorted(named)
+        sets = {n: docs.join(_clause_df(ctx, named[n]).select("doc_id"),
+                             "doc_id", "left_semi") for n in names}
+        frames = []
+        for i, n1 in enumerate(names):
+            for key, leg in (
+                    [(n1, sets[n1])]
+                    + [(f"{n1}{sep}{n2}",
+                        sets[n1].join(sets[n2].select("doc_id"),
+                                      "doc_id", "left_semi"))
+                       for n2 in names[i + 1:]]):
+                cols = [c for n, s in metric_sub.items()
+                        for c in _metric_cols(n, s)]
+                frames.append(
+                    leg.agg(F.count(F.lit(1)).alias("doc_count"), *cols)
+                    .select(F.lit(key).alias("key"), "*"))
+        return (reduce(DataFrame.unionByName, frames)
+                .where(F.col("doc_count") > 0).orderBy(F.asc("key")))
     elif atype == "filter":
         # ES filter agg (singular): ONE unnamed sub-filter bucket over
         # the outer match set — the anonymous sibling of `filters`
@@ -2465,7 +2552,8 @@ def es_aggregations(index, body: dict, k1: float | None = None,
                    .alias(n) for n, a in mads.items()]))
         out = out.join(mad, "key", "left")
         out = (out.orderBy(F.desc("doc_count"), F.asc("key"))
-               if atype == "terms" else out.orderBy(F.asc("key")))
+               if atype in ("terms", "multi_terms")
+               else out.orderBy(F.asc("key")))
     if pipes or siblings:
         known = set(metric_sub)
         sort_cols = None
@@ -2481,7 +2569,8 @@ def es_aggregations(index, body: dict, k1: float | None = None,
         # selector filters) give no order guarantee on their own
         if sort_cols is None:
             sort_cols = ([F.desc("doc_count"), F.asc("key")]
-                         if atype == "terms" else [F.asc("key")])
+                         if atype in ("terms", "multi_terms")
+                         else [F.asc("key")])
         return out.orderBy(*sort_cols)
     if not hits_specs:
         return out
@@ -2490,8 +2579,8 @@ def es_aggregations(index, body: dict, k1: float | None = None,
                         scored_match=matched_scores)
     # flatten ES's buckets-with-hits: one row per (bucket, hit), bucket
     # columns repeated — buckets keep their order, hits theirs within
-    order = ([F.desc("doc_count"), F.asc("key")] if atype == "terms"
-             else [F.asc("key")])
+    order = ([F.desc("doc_count"), F.asc("key")]
+             if atype in ("terms", "multi_terms") else [F.asc("key")])
     return (out.join(hits, "key").orderBy(*order, F.asc("hit_rank")))
 
 
@@ -2897,6 +2986,22 @@ def _composite_agg(docs: DataFrame, args: dict,
 
 def _bucket_key(atype: str, args: dict, alias: str):
     """The grouping expression of one bucket-agg level."""
+    if atype == "multi_terms":
+        # ES multi_terms: buckets keyed by a tuple of field values;
+        # we emit ES's key_as_string ("v1|v2"), which keeps the key a
+        # single orderable column through nesting/pipelines. Nulls in
+        # any key field drop the doc from the agg, like ES.
+        specs = args.get("terms")
+        if (not specs or not isinstance(specs, list) or len(specs) < 2
+                or not all(isinstance(s, dict) and s.get("field")
+                           for s in specs)):
+            raise ESQueryError(
+                "multi_terms needs a 'terms' list of two or more "
+                "{'field': ...} entries")
+        cols = [F.col(s["field"]).cast("string") for s in specs]
+        notnull = reduce(lambda a, b: a & b,
+                         [c.isNotNull() for c in cols])
+        return F.when(notnull, F.concat_ws("|", *cols)).alias(alias)
     field = args.get("field")
     if not field:
         raise ESQueryError(f"bucket agg lacks 'field': {args!r}")

@@ -3494,6 +3494,102 @@ def engine_es_extended_stats_documents(spark, sf_dir):
         F.round("mad", 4).alias("mad"))
 
 
+@register("engine_es_multi_terms_documents", f"""
+WITH tk AS (
+  SELECT doc_id, source, CAST(n_chars % 97 AS INT) AS ti,
+         {_TOK_SQL} AS tk FROM documents
+),
+matched AS (
+  SELECT doc_id, source, ti FROM tk
+  WHERE list_contains(tk, 'table') OR list_contains(tk, 'hash')
+)
+SELECT source || '|' || CAST(ti AS VARCHAR) AS key,
+       CAST(count(*) AS BIGINT) AS doc_count,
+       CAST(sum(ti) AS BIGINT) AS ti_sum
+FROM matched GROUP BY source, ti
+ORDER BY doc_count DESC, key ASC
+""")
+def engine_es_multi_terms_documents(spark, sf_dir):
+    """Round-5 wave: ``multi_terms`` bucket agg — tuple keys emitted as
+    ES's key_as_string ("role|turn"), one groupBy for the whole tuple,
+    metric sub-aggs riding along — through the DSL over the REAL index,
+    driver-HASH-checked against the two-key regroup of the match set."""
+    from .operators.esdsl import es_aggregations
+    from .operators.scorer import IndexReader
+
+    engine_es_aggs_documents(spark, sf_dir)  # ensure the agg index
+    reader = IndexReader(spark, _AGG_IDX_CACHE[sf_dir])
+    out = es_aggregations(reader, {
+        "query": {"match": {"text": "table hash"}},
+        "aggs": {"mt": {
+            "multi_terms": {"terms": [{"field": "role"},
+                                      {"field": "turn_idx"}]},
+            "aggs": {"ti_sum": {"sum": {"field": "turn_idx"}}}}}})
+    return out.select("key", "doc_count",
+                      F.col("ti_sum").cast("long").alias("ti_sum"))
+
+
+@register("engine_es_rare_adjacency_documents", f"""
+WITH tk AS (
+  SELECT doc_id, source, CAST(n_chars % 97 AS INT) AS ti,
+         {_TOK_SQL} AS tk FROM documents
+),
+matched AS (
+  SELECT doc_id, source, ti,
+         list_contains(tk, 'hash') AS has_hash FROM tk
+  WHERE list_contains(tk, 'table') OR list_contains(tk, 'hash')
+),
+rare AS (
+  SELECT 'rare:' || CAST(ti AS VARCHAR) AS key,
+         CAST(count(*) AS BIGINT) AS doc_count
+  FROM matched GROUP BY ti HAVING count(*) <= 40
+),
+adj AS (
+  SELECT 'adj:' || key AS key, doc_count FROM (
+    SELECT 'hash' AS key,
+           CAST(count(*) FILTER (has_hash) AS BIGINT) AS doc_count
+    FROM matched
+    UNION ALL
+    SELECT 'hash&src1', CAST(count(*) FILTER (
+        has_hash AND source = 'src1') AS BIGINT) FROM matched
+    UNION ALL
+    SELECT 'src1', CAST(count(*) FILTER (source = 'src1') AS BIGINT)
+    FROM matched
+  ) WHERE doc_count > 0
+)
+SELECT key, doc_count FROM rare
+UNION ALL
+SELECT key, doc_count FROM adj
+ORDER BY key ASC
+""")
+def engine_es_rare_adjacency_documents(spark, sf_dir):
+    """Round-5 wave: ``rare_terms`` (exact long tail — ES's is
+    CuckooFilter-approximate, ours a strict superset of that guarantee)
+    and ``adjacency_matrix`` (named filters + pairwise intersections,
+    the src1 leg exercising the keyword-field term clause on a stored
+    docs column), both through the DSL over the REAL index and
+    driver-HASH-checked; the two frames union under a key prefix."""
+    from .operators.esdsl import es_aggregations
+    from .operators.scorer import IndexReader
+
+    engine_es_aggs_documents(spark, sf_dir)  # ensure the agg index
+    reader = IndexReader(spark, _AGG_IDX_CACHE[sf_dir])
+    q = {"match": {"text": "table hash"}}
+    rare = es_aggregations(reader, {"query": q, "aggs": {"rt": {
+        "rare_terms": {"field": "turn_idx", "max_doc_count": 40}}}})
+    adj = es_aggregations(reader, {"query": q, "aggs": {"am": {
+        "adjacency_matrix": {"filters": {
+            "hash": {"match": {"text": "hash"}},
+            "src1": {"term": {"role": "src1"}},
+        }}}}})
+    out = (rare.select(F.concat(F.lit("rare:"),
+                                F.col("key").cast("string")).alias("key"),
+                       "doc_count")
+           .unionByName(adj.select(
+               F.concat(F.lit("adj:"), "key").alias("key"), "doc_count")))
+    return out.orderBy("key")
+
+
 @register("engine_es_top_hits_documents", f"""
 WITH tk AS (
   SELECT doc_id, source, CAST(n_chars % 97 AS INT) AS ti,

@@ -698,3 +698,92 @@ def test_extended_stats_weighted_avg_mad(spark, es_setup):
             "aggs": {"m": {"median_absolute_deviation":
                            {"field": "turn_idx"}},
                      "c": {"cumulative_sum": {"buckets_path": "m"}}}}}})
+
+
+def test_multi_terms_rare_terms_adjacency(spark, es_setup):
+    """Round-5 wave: multi_terms (tuple buckets, key_as_string),
+    rare_terms (exact long tail, doc_count asc), adjacency_matrix
+    (filters + pairwise intersections, empty buckets omitted)."""
+    from research_engine_spark.operators.esdsl import es_aggregations
+
+    d, _ = es_setup
+    r = IndexReader(spark, d)
+    q = {"match": {"text": "neural"}}
+    matched = search(r, "neural", k=10**6, with_text=False,
+                     _all_matches=True).select("doc_id")
+    base = r.docs.join(matched, "doc_id", "left_semi").toPandas()
+
+    # multi_terms == pandas two-key groupby, keys joined by "|"
+    out = es_aggregations(r, {"query": q, "aggs": {"mt": {
+        "multi_terms": {"terms": [{"field": "role"},
+                                  {"field": "turn_idx"}]}}}}).toPandas()
+    want = (base.groupby(["role", "turn_idx"]).size()
+            .reset_index(name="n"))
+    want["key"] = want["role"] + "|" + want["turn_idx"].astype(str)
+    assert dict(zip(out["key"], out["doc_count"])) == \
+        dict(zip(want["key"], want["n"]))
+    # ordering: doc_count desc then key asc; size truncates
+    pairs = list(zip(-out["doc_count"], out["key"]))
+    assert pairs == sorted(pairs)
+    top3 = es_aggregations(r, {"query": q, "aggs": {"mt": {
+        "multi_terms": {"terms": [{"field": "role"},
+                                  {"field": "turn_idx"}],
+                        "size": 3}}}}).toPandas()
+    assert top3["key"].tolist() == out["key"].tolist()[:3]
+
+    # rare_terms: exactly the keys whose count <= max_doc_count
+    out = es_aggregations(r, {"query": q, "aggs": {"rt": {
+        "rare_terms": {"field": "turn_idx",
+                       "max_doc_count": 2}}}}).toPandas()
+    cnt = base.groupby("turn_idx").size()
+    assert sorted(out["key"].astype(int).tolist()) == \
+        sorted(cnt[cnt <= 2].index.tolist())
+    assert (out["doc_count"] <= 2).all()
+    pairs = list(zip(out["doc_count"], out["key"].astype(int)))
+    assert pairs == sorted(pairs)
+
+    # adjacency_matrix: per-filter buckets + nonzero pairwise
+    # intersections, keys sorted; 'nomatch' legs omitted
+    out = es_aggregations(r, {"query": q, "aggs": {"am": {
+        "adjacency_matrix": {"filters": {
+            "usr": {"term": {"role": "user"}},
+            "net": {"match": {"text": "networks"}},
+            "zzz": {"match": {"text": "zzznomatch"}},
+        }}}}}).toPandas()
+    got = dict(zip(out["key"], out["doc_count"]))
+    nets = {x.doc_id for x in
+            search(r, "networks", k=10**6, with_text=False,
+                   _all_matches=True).select("doc_id").collect()}
+    usr_ids = set(base.loc[base["role"] == "user", "doc_id"])
+    m_ids = set(base["doc_id"])
+    want = {"usr": len(usr_ids), "net": len(m_ids & nets),
+            "net&usr": len(usr_ids & nets)}
+    assert got == {k: v for k, v in want.items() if v > 0}
+    assert out["key"].tolist() == sorted(out["key"].tolist())
+
+
+def test_term_on_stored_keyword_field(spark, es_setup):
+    """term/terms on a field that is a stored docs column (not an
+    indexed text field) get ES keyword semantics — exact unanalyzed
+    value match, constant score = boost — on both evaluation paths."""
+    d, _ = es_setup
+    local, dist = _readers(spark, d)
+    n_user = dist.docs.filter("role = 'user'").count()
+    body = {"query": {"term": {"role": {"value": "user", "boost": 2.0}}},
+            "size": 10**6}
+    for r in (local, dist):
+        rows = es_search(r, body).collect()
+        assert len(rows) == n_user > 0
+        assert all(x.score == 2.0 for x in rows)
+    n_ut = dist.docs.filter("role in ('user', 'tool')").count()
+    body = {"query": {"terms": {"role": ["user", "tool"]}}, "size": 10**6}
+    for r in (local, dist):
+        assert es_search(r, body).count() == n_ut
+    # numeric stored column: raw (unstringified) comparison
+    n_t3 = dist.docs.filter("turn_idx = 3").count()
+    got = es_search(dist, {"query": {"terms": {"turn_idx": [3]}},
+                           "size": 10**6}).count()
+    assert got == n_t3 > 0
+    # an indexed field name still routes to the inverted index
+    assert es_search(dist, {"query": {"term": {"text": "neural"}},
+                            "size": 5}).count() == 5
