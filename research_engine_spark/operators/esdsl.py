@@ -64,7 +64,11 @@ score_mode total|multiply|avg|max|min, chainable with non-increasing
 windows; zero-job on the serving tier when every clause fits), query,
 size (ES default 10), from, search_after ([last_score, last_doc_id]
 cursor — constant-cost deep pagination; default relevance sort only),
-_source (docs-column projection), highlight.
+_source (docs-column projection), highlight, and knn (ES 8.x top-level
+dense-vector search over a stored array<float> docs column — exact
+brute force, cosine | dot_product | l2_norm | max_inner_product with
+ES's _score transforms, alone or hybrid-summed with `query`, one or
+many clauses folding in fixed order; see _knn_df).
 
 Term-level scale posture: the distributed prefix/wildcard paths never
 enumerate the expansion driver-side — the pattern pushes into the
@@ -1828,17 +1832,138 @@ def _rescore_combine_np(base, resc, qw: float, rqw: float, mode: str):
     return np.where(np.isnan(r), b, comb)
 
 
+_KNN_SIMS = ("cosine", "dot_product", "l2_norm", "max_inner_product")
+
+
+def _knn_parts(body: dict) -> list[dict] | None:
+    """Parse the top-level ``knn`` search key (ES 8.x: dict or list of
+    dicts, each {field, query_vector, k[, num_candidates, boost,
+    similarity]}). Returns None when absent."""
+    specs = body.get("knn")
+    if specs is None:
+        return None
+    entries = specs if isinstance(specs, list) else [specs]
+    if not entries:
+        raise ESQueryError("knn must be non-empty")
+    out = []
+    for e in entries:
+        if not isinstance(e, dict):
+            raise ESQueryError(f"knn entry must be a dict: {e!r}")
+        bad = set(e) - {"field", "query_vector", "k", "num_candidates",
+                        "boost", "similarity"}
+        if bad:
+            raise ESQueryError(f"unsupported knn keys: {sorted(bad)}")
+        if "field" not in e or "query_vector" not in e:
+            raise ESQueryError("knn needs 'field' and 'query_vector'")
+        qv = e["query_vector"]
+        if not isinstance(qv, (list, tuple)) or not qv or not all(
+                isinstance(x, (int, float)) for x in qv):
+            raise ESQueryError("knn query_vector must be a non-empty "
+                               "numeric list")
+        k = int(e.get("k", DEFAULT_SIZE))
+        if k <= 0:
+            raise ESQueryError("knn k must be > 0")
+        nc = int(e.get("num_candidates", max(k, 100)))
+        if nc < k:
+            raise ESQueryError(
+                f"knn num_candidates ({nc}) must be >= k ({k}) — ES "
+                "rejects this too")
+        sim = str(e.get("similarity", "cosine"))
+        if sim not in _KNN_SIMS:
+            raise ESQueryError(
+                f"knn similarity {sim!r} unsupported {_KNN_SIMS}")
+        out.append({"field": str(e["field"]),
+                    "query_vector": [float(x) for x in qv],
+                    "k": k, "boost": float(e.get("boost", 1.0)),
+                    "similarity": sim})
+    return out
+
+
+def _knn_df(ctx: _Ctx, spec: dict) -> DataFrame:
+    """One knn clause -> its top-k (doc_id, score) frame. EXACT
+    brute-force over the stored dense-vector docs column (ES's
+    num_candidates is an HNSW breadth knob — a no-op here, where every
+    answer is exact: a strict superset of ES's approximate-recall
+    guarantee, consistent with the cardinality/percentiles policy).
+    Scale: the dot/norm folds are JVM-side higher-order functions over
+    the pruned (doc_id, field) scan + one TakeOrderedAndProject — no
+    shuffle, no crossJoin, no Python. Scores use ES's dense_vector
+    ``_score`` transforms so knn and BM25 contributions are additively
+    comparable (both positive, knn in (0, 1] for cosine)."""
+    from .similarity import _dot, _norm
+
+    reader = next(iter(ctx.readers.values()))
+    field, qv = spec["field"], spec["query_vector"]
+    if field not in reader.docs.columns:
+        raise ESQueryError(
+            f"knn field {field!r} not in docs table "
+            f"{sorted(reader.docs.columns)}")
+    vec = F.col(field)
+    dot = _dot(vec, qv)
+    qn = float(np.linalg.norm(np.asarray(qv, dtype=np.float64)))
+    sim = spec["similarity"]
+    if sim == "cosine":
+        score = (F.lit(1.0) + dot / (_norm(vec) * F.lit(qn))) / F.lit(2.0)
+    elif sim == "dot_product":
+        score = (F.lit(1.0) + dot) / F.lit(2.0)
+    elif sim == "l2_norm":
+        sq = F.aggregate(
+            F.zip_with(vec, F.array(*[F.lit(float(x)) for x in qv]),
+                       lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x)
+        score = F.lit(1.0) / (F.lit(1.0) + sq)
+    else:  # max_inner_product
+        score = F.when(dot < 0, F.lit(1.0) / (F.lit(1.0) - dot)) \
+            .otherwise(dot + F.lit(1.0))
+    docs = reader.live_only(reader.docs)
+    topk = (docs.where(vec.isNotNull())
+            .select("doc_id", score.alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(spec["k"]))
+    return _scale_df(topk, spec["boost"])
+
+
 def _eval_body(ctx: _Ctx, body: dict, label: str = "body") -> DataFrame:
     """One query body -> its paginated (doc_id, score) top-k frame.
     The ONE place the serving-vs-distributed dispatch, search_after
     cursor predicate, and from/size pagination live — shared by
     es_search and es_msearch so the two entry points can never return
     different pages for the same body."""
-    if "query" not in body:
-        raise ESQueryError(f"{label} lacks 'query'")
+    knn = _knn_parts(body)
+    if "query" not in body and knn is None:
+        raise ESQueryError(f"{label} lacks 'query' (or 'knn')")
     k = int(body.get("size", DEFAULT_SIZE))
     frm = int(body.get("from", 0))
     after = _search_after_parts(body)
+    if knn is not None:
+        # ES 8.x top-level knn search, alone or hybrid with `query`:
+        # each knn clause contributes boost·similarity for its OWN
+        # top-k docs only; a `query` contributes its score for every
+        # match; a doc found by several legs sums them (ES's hybrid
+        # combination). Always distributed — the dense-vector column
+        # scan is outside the postings budgets. The legs fold by
+        # full-outer joins in FIXED clause order (knn legs first, then
+        # query), so the float sum is reproducible at any leg count —
+        # same determinism contract as the should-clause fold.
+        if (after is not None or _rescore_parts(body) is not None
+                or _sort_parts(body) is not None
+                or body.get("collapse") is not None):
+            raise ESQueryError(
+                "knn composes with query/size/from only (no "
+                "search_after/rescore/sort/collapse)")
+        frames = [_knn_df(ctx, s) for s in knn]
+        if "query" in body:
+            frames.append(_clause_df(ctx, body["query"]))
+        cur = frames[0].withColumnRenamed("score", "_s0")
+        for i, f in enumerate(frames[1:], 1):
+            cur = cur.join(f.withColumnRenamed("score", f"_s{i}"),
+                           "doc_id", "full_outer")
+        total = F.coalesce(F.col("_s0"), F.lit(0.0))
+        for i in range(1, len(frames)):
+            total = total + F.coalesce(F.col(f"_s{i}"), F.lit(0.0))
+        topk = (cur.select("doc_id", total.alias("score"))
+                .orderBy(F.desc("score"), F.asc("doc_id")))
+        return topk.offset(frm).limit(k) if frm else topk.limit(k)
     rescores = _rescore_parts(body)
     if rescores is not None:
         # top-k window rescoring (ES `rescore`): the classic
@@ -2024,6 +2149,10 @@ def es_search(index, body: dict, k1: float | None = None,
         if len(fields) != 1:
             raise ESQueryError("highlight needs exactly one field")
         hl_field = fields[0]
+        if "query" not in body:
+            raise ESQueryError(
+                "highlight needs a 'query' (knn-only bodies have no "
+                "query text to highlight)")
         if hl_field not in source:
             source = source + [hl_field]
     if not source:

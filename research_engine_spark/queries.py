@@ -3235,6 +3235,89 @@ def engine_search_after_documents(spark, sf_dir):
 
 
 _AGG_IDX_CACHE: dict[str, str] = {}
+_KNN_IDX_CACHE: dict[str, str] = {}
+
+
+@register("engine_es_knn_documents", f"""
+WITH base AS (
+  SELECT d.doc_id, d.text, e.embedding
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+),
+toks AS (
+  SELECT doc_id, unnest({_TOK_SQL}) AS term
+  FROM (SELECT doc_id, text FROM base) documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+corpus AS (SELECT count(*) AS n, sum(dl) AS tok FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+qterms AS (SELECT unnest(['spark','join','shuffle']) AS term),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks
+  WHERE term IN (SELECT term FROM qterms) GROUP BY term
+),
+bm AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (corpus.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                         / (corpus.tok * 1.0 / corpus.n))) ) AS s
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), corpus
+  GROUP BY tf.doc_id
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+knn AS (
+  SELECT doc_id,
+         3.0 * (1 + list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                           CAST(qv AS DOUBLE[]))) / 2 AS s
+  FROM base, q
+  ORDER BY s DESC, doc_id ASC LIMIT 20
+)
+SELECT doc_id, round(coalesce(knn.s, 0) + coalesce(bm.s, 0), 4) AS score
+FROM knn FULL OUTER JOIN bm USING (doc_id)
+ORDER BY score DESC, doc_id ASC LIMIT 12
+""")
+def engine_es_knn_documents(spark, sf_dir):
+    """Round-5 wave: ES 8.x top-level ``knn`` search, HYBRID with a
+    match query, through the DSL over a REAL index whose forward table
+    stores the embeddings column (build_index stored_fields) —
+    driver-HASH-checked. The knn leg is exact brute-force cosine with
+    ES's (1+cos)/2 _score transform and boost 3.0, contributing only
+    for its top-20 docs; the BM25 leg contributes for every match; the
+    hybrid sum and final top-12 mirror ES's combination. The corpus is
+    documents ⋈ embeddings on doc_id=vec_id (both sides of the check
+    restrict identically — at big-sf the embeddings table is a
+    subset)."""
+    import tempfile
+
+    from .operators.esdsl import es_search
+    from .operators.indexer import build_index
+    from .operators.scorer import IndexReader
+
+    emb = _t(spark, sf_dir, "embeddings")
+    if sf_dir not in _KNN_IDX_CACHE:
+        d = _t(spark, sf_dir, "documents")
+        tx = (d.join(emb, d["doc_id"] == emb["vec_id"])
+              .select(
+                  F.format_string("c%09d", F.col("doc_id")).alias("conv_id"),
+                  F.lit(0).alias("turn_idx"),
+                  F.lit("user").alias("role"),
+                  F.col("text"),
+                  F.lit(None).cast("timestamp").alias("ts"),
+                  F.col("embedding").alias("emb")))
+        idx = tempfile.mkdtemp(prefix="engine_knn_idx_")
+        build_index(tx, idx, n_buckets=8, analyzer="simple",
+                    stored_fields=["emb"])
+        _KNN_IDX_CACHE[sf_dir] = idx
+    reader = IndexReader(spark, _KNN_IDX_CACHE[sf_dir])
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    out = es_search(reader, {
+        "query": {"match": {"text": "spark join shuffle"}},
+        "knn": {"field": "emb", "query_vector": qv, "k": 20,
+                "boost": 3.0},
+        "size": 12, "_source": ["conv_id"]})
+    return out.select(
+        F.substring("conv_id", 2, 9).cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"))
 
 
 @register("engine_es_aggs_documents", f"""

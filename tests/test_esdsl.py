@@ -787,3 +787,87 @@ def test_term_on_stored_keyword_field(spark, es_setup):
     # an indexed field name still routes to the inverted index
     assert es_search(dist, {"query": {"term": {"text": "neural"}},
                             "size": 5}).count() == 5
+
+
+@pytest.fixture(scope="module")
+def knn_setup(spark):
+    """A small index whose docs table stores a deterministic 4-dim
+    dense-vector column (build_index stored_fields plumbing)."""
+    from pyspark.sql import functions as F
+
+    tx = synth_transcripts(spark, n_convs=30, seed=33)
+    dims = [((F.col("turn_idx") * m + o) % 17).cast("double") / 17.0 - 0.5
+            for m, o in ((7, 1), (11, 3), (5, 9), (13, 2))]
+    tx = tx.withColumn("emb", F.array(*dims))
+    d = tempfile.mkdtemp(prefix="esdsl_knn_")
+    build_index(tx, d, n_buckets=4, stored_fields=["emb"])
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_knn_search(spark, knn_setup):
+    """Top-level knn: exact brute-force similarity over the stored
+    vector column, ES _score transforms, hybrid sum with `query`."""
+    r = IndexReader(spark, knn_setup)
+    docs = r.docs.select("doc_id", "emb").toPandas()
+    X = np.stack(docs["emb"].to_numpy())
+    ids = docs["doc_id"].to_numpy(np.int64)
+    qv = [0.25, -0.125, 0.5, -0.0625]
+    q = np.asarray(qv, dtype=np.float64)
+
+    def np_topk(scores, k):
+        order = np.lexsort((ids, -scores))[:k]
+        return list(zip(ids[order],
+                        np.round(scores[order], 10).tolist()))
+
+    # cosine (default): (1 + cos)/2, top-k by (score desc, doc_id asc)
+    cos = (1.0 + (X @ q) / (np.linalg.norm(X, axis=1)
+                            * np.linalg.norm(q))) / 2.0
+    got = _pairs(es_search(r, {"knn": {"field": "emb",
+                                       "query_vector": qv, "k": 7},
+                               "size": 7}))
+    assert got == np_topk(cos, 7)
+
+    # l2_norm and max_inner_product transforms
+    l2 = 1.0 / (1.0 + ((X - q) ** 2).sum(axis=1))
+    got = _pairs(es_search(r, {"knn": {"field": "emb", "query_vector": qv,
+                                       "k": 5, "similarity": "l2_norm"},
+                               "size": 5}))
+    assert got == np_topk(l2, 5)
+    dot = X @ q
+    mip = np.where(dot < 0, 1.0 / (1.0 - dot), dot + 1.0)
+    got = _pairs(es_search(
+        r, {"knn": {"field": "emb", "query_vector": qv, "k": 5,
+                    "similarity": "max_inner_product"}, "size": 5}))
+    assert got == np_topk(mip, 5)
+
+    # hybrid: query contributes to every match, knn (boosted) only to
+    # its own top-k docs; both legs sum where they overlap
+    body = {"query": {"match": {"text": "neural networks"}},
+            "knn": {"field": "emb", "query_vector": qv, "k": 10,
+                    "boost": 3.0},
+            "size": 2000}
+    got = dict(_pairs(es_search(r, body)))
+    match_sc = dict(_pairs(search(r, "neural networks", k=10**6,
+                                  with_text=False, _all_matches=True)))
+    knn_sc = dict(np_topk(3.0 * cos, 10))
+    want = {i: round(match_sc.get(i, 0.0) + knn_sc.get(i, 0.0), 10)
+            for i in set(match_sc) | set(knn_sc)}
+    assert {i: round(s, 9) for i, s in got.items()} == \
+        {i: round(s, 9) for i, s in want.items()}
+
+    # loud rejections
+    for bad in (
+            {"knn": {"field": "emb", "query_vector": qv, "k": 5,
+                     "num_candidates": 2}},
+            {"knn": {"field": "emb", "query_vector": qv,
+                     "similarity": "hamming"}},
+            {"knn": {"field": "nope", "query_vector": qv}},
+            {"knn": {"field": "emb", "query_vector": []}},
+            {"knn": {"field": "emb", "query_vector": qv},
+             "sort": [{"turn_idx": "asc"}]},
+            {"knn": {"field": "emb", "query_vector": qv},
+             "highlight": {"fields": {"text": {}}}},
+    ):
+        with pytest.raises(ESQueryError):
+            es_search(r, bad).collect()
