@@ -24,7 +24,13 @@ builds), match_phrase, match_phrase_prefix (the LAST analyzed token is
 a term prefix, expanded in term-dictionary order capped at
 max_expansions; combined phrase frequency over all completions, prefix-
 position idf from the max expansion df — the Lucene MultiPhraseQuery
-convention; operators/scorer.py:_phrase_prefix_prologue), constant_score
+convention; operators/scorer.py:_phrase_prefix_prologue),
+match_bool_prefix (analyzed tokens as term clauses + the last as a
+prefix clause in a bool per operator/minimum_should_match — ES's
+documented construction; _mbp_rewrite), rank_feature (stored positive
+numeric column through saturation | log | sigmoid | linear with ES's
+formulas; default saturation pivot = the EXACT geometric mean where ES
+approximates; _rank_feature_df), constant_score
 (filter + boost), multi_match (best_fields | most_fields | phrase |
 cross_fields, ``field^boost`` specs, tie_breaker, fuzziness on the
 non-phrase types — cross_fields is term-centric: per analyzed term a
@@ -710,6 +716,95 @@ def _cross_fields_rewrite(ctx: _Ctx, body: dict) -> dict:
     return out
 
 
+def _mbp_rewrite(ctx: _Ctx, body: dict) -> dict:
+    """``match_bool_prefix``: the analyzed tokens become term clauses
+    and the LAST one a prefix clause, combined in a bool per
+    ``operator`` (default or) / ``minimum_should_match`` — ES's
+    documented construction ("constructs a bool query from the terms…
+    the last term is used in a prefix query"). Token order comes from
+    the positional analyzer pass (not the deduped bag), so "quick br"
+    prefixes on "br" even when the query repeats terms."""
+    from ..functions.analyzer import analyze
+
+    field, spec = _leaf_spec(body)
+    reader = ctx.reader(field)
+    toks = analyze(str(spec["query"]),
+                   mode=reader.stats.get("analyzer", "english_folded"))
+    if not toks:
+        raise ESQueryError(
+            "match_bool_prefix query analyzed to no tokens")
+    clauses = [{"term": {field: {"value": t}}} for t in toks[:-1]]
+    clauses.append({"prefix": {field: {
+        "value": toks[-1],
+        "max_expansions": int(spec.get("max_expansions", 50))}}})
+    if str(spec.get("operator", "or")).lower() == "and":
+        return {"bool": {"must": clauses}}
+    out = {"bool": {"should": clauses}}
+    msm = spec.get("minimum_should_match")
+    if msm is not None:
+        out["bool"]["minimum_should_match"] = msm
+    return out
+
+
+def _rank_feature_df(ctx: _Ctx, body: dict) -> DataFrame:
+    """``rank_feature``: score docs by a stored positive numeric column
+    through one of ES's four transforms — saturation x/(x+pivot) (the
+    default; pivot defaults to the field's geometric mean, which ES
+    approximates and we compute EXACTLY — deterministic superset, same
+    policy as cardinality/percentiles), log ln(scaling_factor + x),
+    sigmoid x^e/(x^e + pivot^e), linear x — times boost. Matches only
+    docs where the field is present and > 0 (rank_feature fields store
+    positive values). Always distributed: one pruned (doc_id, field)
+    docs scan, predicate pushed down."""
+    if not isinstance(body, dict) or "field" not in body:
+        raise ESQueryError("rank_feature needs 'field'")
+    field = str(body["field"])
+    reader = next(iter(ctx.readers.values()))
+    if field not in reader.docs.columns:
+        raise ESQueryError(
+            f"rank_feature field {field!r} not in docs table "
+            f"{sorted(reader.docs.columns)}")
+    fns = [k for k in ("saturation", "log", "sigmoid", "linear")
+           if k in body]
+    if len(fns) > 1:
+        raise ESQueryError(
+            f"rank_feature takes at most one function, got {fns}")
+    bad = set(body) - {"field", "boost", "saturation", "log", "sigmoid",
+                       "linear"}
+    if bad:
+        raise ESQueryError(f"unsupported rank_feature keys: {sorted(bad)}")
+    boost = float(body.get("boost", 1.0))
+    x = F.col(field).cast("double")
+    docs = (reader.live_only(reader.docs.select("doc_id", field))
+            .where(x.isNotNull() & (x > 0)))
+    fn = fns[0] if fns else "saturation"
+    args = body.get(fn) if isinstance(body.get(fn), dict) else {}
+    if fn == "saturation":
+        pivot = args.get("pivot")
+        if pivot is None:
+            row = docs.agg(F.exp(F.avg(F.log(x))).alias("g")).first()
+            pivot = float(row["g"]) if row["g"] is not None else 1.0
+        pivot = float(pivot)
+        if pivot <= 0:
+            raise ESQueryError("saturation pivot must be > 0")
+        s = x / (x + F.lit(pivot))
+    elif fn == "log":
+        sf = float(args.get("scaling_factor", 1.0))
+        if sf <= 0:
+            raise ESQueryError("log scaling_factor must be > 0")
+        s = F.log(F.lit(sf) + x)
+    elif fn == "sigmoid":
+        if "pivot" not in args or "exponent" not in args:
+            raise ESQueryError("sigmoid needs 'pivot' and 'exponent'")
+        p, e = float(args["pivot"]), float(args["exponent"])
+        if p <= 0 or e <= 0:
+            raise ESQueryError("sigmoid pivot/exponent must be > 0")
+        s = F.pow(x, F.lit(e)) / (F.pow(x, F.lit(e)) + F.lit(p ** e))
+    else:
+        s = x
+    return docs.select("doc_id", (F.lit(boost) * s).alias("score"))
+
+
 def _clause_pd(ctx: _Ctx, clause: dict):
     if not isinstance(clause, dict) or len(clause) != 1:
         raise ESQueryError(f"clause must have exactly one key: {clause!r}")
@@ -750,6 +845,13 @@ def _clause_pd(ctx: _Ctx, clause: dict):
             reader, spec["query"], ctx.k1, ctx.b,
             int(spec.get("max_expansions", 50)))
         return _scale_pd(out, float(spec.get("boost", 1.0)))
+    if kind == "match_bool_prefix":
+        _, spec = _leaf_spec(body)
+        out = _clause_pd(ctx, _mbp_rewrite(ctx, body))
+        return None if out is None else _scale_pd(
+            out, float(spec.get("boost", 1.0)))
+    if kind == "rank_feature":
+        return None  # docs-table numeric read: always distributed
     if kind == "fuzzy":
         # term-level fuzzy: the UNanalyzed value expanded within Lucene
         # AUTO edit distance, each expansion a weighted term clause
@@ -1346,6 +1448,12 @@ def _clause_df(ctx: _Ctx, clause: dict) -> DataFrame:
             ctx.reader(field), spec["query"], ctx.k1, ctx.b,
             int(spec.get("max_expansions", 50)))
         return _scale_df(out, float(spec.get("boost", 1.0)))
+    if kind == "match_bool_prefix":
+        _, spec = _leaf_spec(body)
+        out = _clause_df(ctx, _mbp_rewrite(ctx, body))
+        return _scale_df(out, float(spec.get("boost", 1.0)))
+    if kind == "rank_feature":
+        return _rank_feature_df(ctx, body)
     if kind == "fuzzy":
         field, spec = _value_spec(body)
         if _fuzzy_flag({"fuzziness": spec.get("fuzziness", "AUTO")}) \

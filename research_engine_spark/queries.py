@@ -3320,6 +3320,96 @@ def engine_es_knn_documents(spark, sf_dir):
         F.round("score", 4).alias("score"))
 
 
+@register("engine_es_rank_feature_documents", f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+corpus AS (SELECT count(*) AS n, sum(dl) AS tok FROM dl),
+tf AS (
+  SELECT doc_id, count(*) AS tf FROM toks WHERE term = 'shuffle'
+  GROUP BY doc_id
+),
+df AS (SELECT count(*) AS df FROM tf),
+bm AS (
+  SELECT tf.doc_id,
+         ln(1 + (corpus.n - df.df + 0.5) / (df.df + 0.5))
+         * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                    / (corpus.tok * 1.0 / corpus.n))) AS s
+  FROM tf JOIN dl USING (doc_id), corpus, df
+)
+SELECT bm.doc_id,
+       round(bm.s + 0.3 * d.n_chars / (d.n_chars + 50.0), 4) AS score
+FROM bm JOIN documents d USING (doc_id)
+ORDER BY score DESC, doc_id ASC LIMIT 15
+""")
+def engine_es_rank_feature_documents(spark, sf_dir):
+    """Round-5 wave: ``rank_feature`` through the DSL over the REAL
+    index — the ES idiom bool{must: match, should: rank_feature} where
+    a stored positive numeric column (n_chars) adds a saturation term
+    x/(x+pivot)·boost to the relevance score — driver-HASH-checked
+    against the BM25 CTE + the same closed form."""
+    from .operators.esdsl import es_search
+    from .operators.scorer import IndexReader
+
+    reader = IndexReader(spark, _simple_index(spark, sf_dir))
+    out = es_search(reader, {
+        "query": {"bool": {
+            "must": [{"match": {"text": "shuffle"}}],
+            "should": [{"rank_feature": {
+                "field": "n_chars", "saturation": {"pivot": 50},
+                "boost": 0.3}}]}},
+        "size": 15, "_source": ["conv_id"]})
+    return out.select(
+        F.substring("conv_id", 2, 9).cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"))
+
+
+@register("engine_es_mbp_documents", f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+corpus AS (SELECT count(*) AS n, sum(dl) AS tok FROM dl),
+tf AS (
+  SELECT doc_id, count(*) AS tf FROM toks WHERE term = 'shuffle'
+  GROUP BY doc_id
+),
+df AS (SELECT count(*) AS df FROM tf),
+bm AS (
+  SELECT tf.doc_id,
+         ln(1 + (corpus.n - df.df + 0.5) / (df.df + 0.5))
+         * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                    / (corpus.tok * 1.0 / corpus.n))) AS s
+  FROM tf JOIN dl USING (doc_id), corpus, df
+),
+pref AS (
+  SELECT DISTINCT doc_id FROM toks WHERE term LIKE 'jo%'
+)
+SELECT doc_id,
+       round(coalesce(bm.s, 0) + CASE WHEN pref.doc_id IS NOT NULL
+                                      THEN 1.0 ELSE 0 END, 4) AS score
+FROM bm FULL OUTER JOIN pref USING (doc_id)
+ORDER BY score DESC, doc_id ASC LIMIT 20
+""")
+def engine_es_mbp_documents(spark, sf_dir):
+    """Round-5 wave: ``match_bool_prefix`` through the DSL over the
+    REAL index — "shuffle jo" analyzes to a BM25 term clause plus a
+    constant-score prefix clause on the last token, summed as a bool
+    should — driver-HASH-checked against the BM25 CTE + a LIKE 'jo%'
+    existence leg."""
+    from .operators.esdsl import es_search
+    from .operators.scorer import IndexReader
+
+    reader = IndexReader(spark, _simple_index(spark, sf_dir))
+    out = es_search(reader, {
+        "query": {"match_bool_prefix": {"text": "shuffle jo"}},
+        "size": 20, "_source": ["conv_id"]})
+    return out.select(
+        F.substring("conv_id", 2, 9).cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"))
+
+
 @register("engine_es_aggs_documents", f"""
 WITH tk AS (
   SELECT doc_id, source, n_chars, {_TOK_SQL} AS tk FROM documents

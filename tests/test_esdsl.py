@@ -871,3 +871,89 @@ def test_knn_search(spark, knn_setup):
     ):
         with pytest.raises(ESQueryError):
             es_search(r, bad).collect()
+
+
+def test_match_bool_prefix(spark, es_setup):
+    """match_bool_prefix == bool(term... + prefix(last)) on both
+    paths; operator:and == bool must; empty analysis rejected."""
+    d, _ = es_setup
+    local, dist = _readers(spark, d)
+    body = {"query": {"match_bool_prefix": {"text": "neural netw"}},
+            "size": 10**6}
+    manual = {"query": {"bool": {"should": [
+        {"term": {"text": {"value": "neural"}}},
+        {"prefix": {"text": {"value": "netw"}}}]}}, "size": 10**6}
+    want = _pairs(es_search(dist, manual))
+    for r in (local, dist):
+        assert _pairs(es_search(r, body)) == want
+    banded = {"query": {"match_bool_prefix": {
+        "text": {"query": "neural netw", "operator": "and"}}},
+        "size": 10**6}
+    manual_and = {"query": {"bool": {"must": [
+        {"term": {"text": {"value": "neural"}}},
+        {"prefix": {"text": {"value": "netw"}}}]}}, "size": 10**6}
+    want_and = _pairs(es_search(dist, manual_and))
+    assert len(want_and) < len(want)
+    for r in (local, dist):
+        assert _pairs(es_search(r, banded)) == want_and
+    with pytest.raises(ESQueryError):
+        es_search(dist, {"query": {"match_bool_prefix": {"text": "!!"}}})
+
+
+def test_rank_feature(spark, knn_setup):
+    """rank_feature: ES's four transforms over a stored numeric docs
+    column, positive-only match set, exact-geometric-mean default
+    pivot."""
+    from research_engine_spark.operators.esdsl import es_search
+
+    r = IndexReader(spark, knn_setup)
+    docs = r.docs.select("doc_id", "turn_idx").toPandas()
+    pos = docs[docs["turn_idx"] > 0]
+    t = pos["turn_idx"].to_numpy(np.float64)
+    ids = pos["doc_id"].to_numpy(np.int64)
+
+    def np_top(scores, k):
+        order = np.lexsort((ids, -scores))[:k]
+        return list(zip(ids[order], np.round(scores[order], 10)))
+
+    got = _pairs(es_search(r, {"query": {"rank_feature": {
+        "field": "turn_idx", "saturation": {"pivot": 8},
+        "boost": 0.7}}, "size": 25}))
+    assert got == np_top(0.7 * t / (t + 8.0), 25)
+    # default pivot: exact geometric mean of the positive values
+    got = _pairs(es_search(r, {"query": {"rank_feature": {
+        "field": "turn_idx"}}, "size": 25}))
+    g = float(np.exp(np.mean(np.log(t))))
+    assert got == np_top(t / (t + g), 25)
+    got = _pairs(es_search(r, {"query": {"rank_feature": {
+        "field": "turn_idx", "log": {"scaling_factor": 2}}},
+        "size": 25}))
+    assert got == np_top(np.log(2.0 + t), 25)
+    got = _pairs(es_search(r, {"query": {"rank_feature": {
+        "field": "turn_idx", "sigmoid": {"pivot": 7, "exponent": 0.6}}},
+        "size": 25}))
+    assert got == np_top(t ** 0.6 / (t ** 0.6 + 7.0 ** 0.6), 25)
+    # the ES idiom: relevance + rank_feature as an additive should leg
+    hp = es_search(r, {"query": {"bool": {
+        "must": [{"match": {"text": "neural"}}],
+        "should": [{"rank_feature": {"field": "turn_idx",
+                                     "saturation": {"pivot": 8}}}]}},
+        "size": 10**6}).toPandas()
+    bp = es_search(
+        r, {"query": {"match": {"text": "neural"}},
+            "size": 10**6}).toPandas()
+    base = dict(zip(bp["doc_id"], bp["score"]))
+    sat = dict(zip(ids.tolist(), t / (t + 8.0)))
+    got = dict(zip(hp["doc_id"], hp["score"]))
+    assert set(got) == set(base)
+    assert all(abs(s - (base[i] + sat.get(i, 0.0))) < 1e-9
+               for i, s in got.items())
+    for bad in (
+            {"rank_feature": {"field": "nope"}},
+            {"rank_feature": {"field": "turn_idx", "log": {},
+                              "linear": {}}},
+            {"rank_feature": {"field": "turn_idx",
+                              "sigmoid": {"pivot": 7}}},
+    ):
+        with pytest.raises(ESQueryError):
+            es_search(r, {"query": bad}).collect()
