@@ -2335,8 +2335,14 @@ _BUCKET_TYPES = frozenset({"terms", "multi_terms", "date_histogram",
 # pipeline aggs: parent kinds nest INSIDE a bucket agg and emit one
 # value (or a reorder/filter) per bucket; sibling kinds sit NEXT TO the
 # bucket agg at the top level and reduce its buckets to scalars
-_PARENT_PIPE = frozenset({"derivative", "cumulative_sum", "bucket_script",
+_PARENT_PIPE = frozenset({"derivative", "cumulative_sum", "moving_fn",
+                          "serial_diff", "bucket_script",
                           "bucket_selector", "bucket_sort"})
+
+# moving_fn whitelisted window functions (ES MovingFunctions.* — the
+# script is a fixed call form, ast-free: no string eval anywhere)
+_MOVING_FNS = {"max": F.max, "min": F.min, "sum": F.sum,
+               "unweightedAvg": F.avg, "stdDev": F.stddev_pop}
 _SIBLING_PIPE = {"avg_bucket": F.avg, "sum_bucket": F.sum,
                  "min_bucket": F.min, "max_bucket": F.max,
                  "stats_bucket": None}
@@ -2395,6 +2401,21 @@ def _metric_cols(name: str, spec: dict) -> list:
                     .alias(_pct_alias(name, p)) for p in pcts]
         return [F.percentile(field, p / 100.0).alias(_pct_alias(name, p))
                 for p in pcts]
+    if fn == "percentile_ranks":
+        # ES percentile_ranks: for each given value v, the percentage
+        # of observed values <= v. tdigest-approximate in ES; EXACT
+        # here (one avg of a boolean per value — rides the same
+        # groupBy), the same determinism policy as percentiles.
+        vals = args.get("values")
+        if (not vals or not isinstance(vals, (list, tuple))
+                or not all(isinstance(v, (int, float)) for v in vals)):
+            raise ESQueryError(
+                f"percentile_ranks {name!r} needs a numeric 'values' "
+                "list")
+        c = F.col(field).cast("double")
+        return [(F.lit(100.0)
+                 * F.avg((c <= F.lit(float(v))).cast("double")))
+                .alias(_pct_alias(name, float(v))) for v in vals]
     if fn == "stats":
         c = F.col(field)
         return [F.count(c).alias(f"{name}_count"),
@@ -2433,9 +2454,9 @@ def _metric_cols(name: str, spec: dict) -> list:
                 .alias(name)]
     raise ESQueryError(
         f"unsupported metric {fn!r} (have {sorted(_METRIC_FNS)} + "
-        "cardinality, percentiles, stats, extended_stats, weighted_avg, "
-        "median_absolute_deviation; top_hits nests only inside a "
-        "single-level bucket agg)")
+        "cardinality, percentiles, percentile_ranks, stats, "
+        "extended_stats, weighted_avg, median_absolute_deviation; "
+        "top_hits nests only inside a single-level bucket agg)")
 
 
 def es_aggregations(index, body: dict, k1: float | None = None,
@@ -2755,6 +2776,48 @@ def es_aggregations(index, body: dict, k1: float | None = None,
         # ES global agg: ignore the query — the whole live corpus
         gdocs = reader.live_only(reader.docs)
         return gdocs.agg(F.count(F.lit(1)).alias("doc_count"), *subcols)
+    elif atype in ("sampler", "diversified_sampler"):
+        # ES sampler / diversified_sampler: sub-aggs over the top
+        # shard_size best-scoring matched docs (diversified first caps
+        # each distinct field value at max_docs_per_value). ES's is
+        # per-shard and order-approximate; ours is the deterministic
+        # global equivalent of one logical shard — top-n by (score
+        # desc, doc_id asc), exact and reproducible. One bucket row,
+        # like `filter`. Scale: the sample is one
+        # TakeOrderedAndProject over the match frame (diversified adds
+        # one window shuffle on the field), never corpus-sized.
+        if matched_scores is None:
+            raise ESQueryError(
+                f"{atype} needs a scoring query — under match_all "
+                "there is no score to sample by")
+        n = int((args or {}).get("shard_size", 100))
+        if n <= 0:
+            raise ESQueryError(f"{atype} shard_size must be > 0")
+        ranked = matched_scores
+        if atype == "diversified_sampler":
+            from pyspark.sql import Window
+
+            field = (args or {}).get("field")
+            if not field:
+                raise ESQueryError("diversified_sampler needs 'field'")
+            if field not in docs.columns:
+                raise ESQueryError(
+                    f"diversified_sampler field {field!r} not in docs "
+                    f"table {sorted(docs.columns)}")
+            mpv = int(args.get("max_docs_per_value", 1))
+            if mpv <= 0:
+                raise ESQueryError("max_docs_per_value must be > 0")
+            w = Window.partitionBy(field).orderBy(
+                F.desc("score"), F.asc("doc_id"))
+            ranked = (matched_scores
+                      .join(reader.docs.select("doc_id", field),
+                            "doc_id", "left")
+                      .withColumn("_rn", F.row_number().over(w))
+                      .filter(F.col("_rn") <= mpv))
+        top = (ranked.orderBy(F.desc("score"), F.asc("doc_id"))
+               .limit(n).select("doc_id"))
+        sdocs = docs.join(top, "doc_id", "left_semi")
+        return sdocs.agg(F.count(F.lit(1)).alias("doc_count"), *subcols)
     elif atype == "significant_terms":
         if sub:
             raise ESQueryError("significant_terms takes no sub-aggs")
@@ -2937,6 +3000,44 @@ def _apply_parent_pipes(out: DataFrame, pipes: dict, atype: str,
             else:
                 out = out.withColumn(name, F.sum(src).over(
                     w.rowsBetween(Window.unboundedPreceding, 0)))
+            known.add(name)
+        elif ptype in ("moving_fn", "serial_diff"):
+            # ES moving_fn: a whitelisted MovingFunctions.* over the
+            # `window` buckets BEFORE the current one (shift slides the
+            # frame; shift=window is "trailing window including
+            # current"). serial_diff: value - value[lag buckets back].
+            # Both need an ordered histogram parent, like derivative;
+            # leading buckets whose frame is empty yield null (ES
+            # returns null/skips there too).
+            if atype not in ("date_histogram", "histogram"):
+                raise ESQueryError(
+                    f"{ptype} needs an ordered histogram parent (ES "
+                    "rejects it under terms too)")
+            src = F.col(_pipe_src(args.get("buckets_path"), known,
+                                  name)).cast("double")
+            if ptype == "serial_diff":
+                lag = int(args.get("lag", 1))
+                if lag <= 0:
+                    raise ESQueryError("serial_diff lag must be > 0")
+                out = out.withColumn(name, src - F.lag(src, lag).over(w))
+            else:
+                import re as _re
+
+                win = int(args.get("window", 5))
+                if win <= 0:
+                    raise ESQueryError("moving_fn window must be > 0")
+                shift = int(args.get("shift", 0))
+                script = str(args.get("script", "")).strip()
+                m = _re.fullmatch(r"MovingFunctions\.(\w+)\(values\)",
+                                  script)
+                if not m or m.group(1) not in _MOVING_FNS:
+                    raise ESQueryError(
+                        f"moving_fn script must be one of "
+                        f"MovingFunctions.{{{'|'.join(sorted(_MOVING_FNS))}}}"
+                        f"(values), got {script!r}")
+                frame = w.rowsBetween(-win + shift, -1 + shift)
+                out = out.withColumn(
+                    name, _MOVING_FNS[m.group(1)](src).over(frame))
             known.add(name)
         elif ptype == "bucket_script":
             paths = args.get("buckets_path")

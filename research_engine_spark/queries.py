@@ -3763,6 +3763,107 @@ def engine_es_rare_adjacency_documents(spark, sf_dir):
     return out.orderBy("key")
 
 
+@register("engine_es_sampler_documents", f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+corpus AS (SELECT count(*) AS n, sum(dl) AS tok FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN ('table', 'hash') GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (corpus.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                         / (corpus.tok * 1.0 / corpus.n))) ) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), corpus
+  GROUP BY tf.doc_id
+),
+top AS (SELECT doc_id FROM scored ORDER BY score DESC, doc_id ASC
+        LIMIT 25)
+SELECT CAST(count(*) AS BIGINT) AS doc_count,
+       round(avg(n_chars % 97), 4) AS avg_turn
+FROM documents JOIN top USING (doc_id)
+""")
+def engine_es_sampler_documents(spark, sf_dir):
+    """Round-5 wave: ``sampler`` agg through the DSL over the REAL
+    index — sub-aggs over the deterministic global top-25 best-scoring
+    matches (ES's is per-shard order-approximate; ours exact) —
+    driver-HASH-checked against the BM25 CTE's top-25."""
+    from .operators.esdsl import es_aggregations
+    from .operators.scorer import IndexReader
+
+    engine_es_aggs_documents(spark, sf_dir)  # ensure the agg index
+    reader = IndexReader(spark, _AGG_IDX_CACHE[sf_dir])
+    out = es_aggregations(reader, {
+        "query": {"match": {"text": "table hash"}},
+        "aggs": {"s": {"sampler": {"shard_size": 25},
+                       "aggs": {"avg_turn": {
+                           "avg": {"field": "turn_idx"}}}}}})
+    return out.select(F.col("doc_count").cast("long").alias("doc_count"),
+                      F.round("avg_turn", 4).alias("avg_turn"))
+
+
+@register("engine_es_moving_fn_documents", f"""
+WITH tk AS (
+  SELECT doc_id, CAST(n_chars % 97 AS INT) AS ti, {_TOK_SQL} AS tk
+  FROM documents
+),
+matched AS (
+  SELECT doc_id, ti FROM tk
+  WHERE list_contains(tk, 'table') OR list_contains(tk, 'hash')
+),
+buckets AS (
+  SELECT CAST(floor(ti / 10.0) * 10 AS DOUBLE) AS key,
+         CAST(count(*) AS BIGINT) AS doc_count,
+         CAST(sum(ti) AS DOUBLE) AS m,
+         round(100.0 * avg(CASE WHEN ti <= 30 THEN 1.0 ELSE 0.0 END), 4)
+           AS pr_30
+  FROM matched GROUP BY 1
+)
+SELECT key, doc_count, m, pr_30,
+       round(sum(m) OVER (ORDER BY key
+                          ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 4)
+         AS mv,
+       round(m - lag(m, 2) OVER (ORDER BY key), 4) AS sd
+FROM buckets ORDER BY key ASC
+""")
+def engine_es_moving_fn_documents(spark, sf_dir):
+    """Round-5 wave: ``moving_fn`` (trailing-window sum, exclusive of
+    current) and ``serial_diff`` (lag 2) parent pipelines plus an
+    exact ``percentile_ranks`` metric, all riding one histogram
+    groupBy through the DSL over the REAL index — driver-HASH-checked
+    against DuckDB window functions (leading NULLs match on both
+    sides)."""
+    from .operators.esdsl import es_aggregations
+    from .operators.scorer import IndexReader
+
+    engine_es_aggs_documents(spark, sf_dir)  # ensure the agg index
+    reader = IndexReader(spark, _AGG_IDX_CACHE[sf_dir])
+    out = es_aggregations(reader, {
+        "query": {"match": {"text": "table hash"}},
+        "aggs": {"h": {
+            "histogram": {"field": "turn_idx", "interval": 10},
+            "aggs": {"m": {"sum": {"field": "turn_idx"}},
+                     "pr": {"percentile_ranks": {
+                         "field": "turn_idx", "values": [30]}},
+                     "mv": {"moving_fn": {
+                         "buckets_path": "m", "window": 3,
+                         "script": "MovingFunctions.sum(values)"}},
+                     "sd": {"serial_diff": {"buckets_path": "m",
+                                            "lag": 2}}}}}})
+    return out.select(
+        F.col("key").cast("double").alias("key"),
+        F.col("doc_count").cast("long").alias("doc_count"),
+        F.col("m").cast("double").alias("m"),
+        F.round("pr_30", 4).alias("pr_30"),
+        F.round("mv", 4).alias("mv"),
+        F.round("sd", 4).alias("sd")).orderBy("key")
+
+
 @register("engine_es_top_hits_documents", f"""
 WITH tk AS (
   SELECT doc_id, source, CAST(n_chars % 97 AS INT) AS ti,

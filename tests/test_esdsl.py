@@ -957,3 +957,82 @@ def test_rank_feature(spark, knn_setup):
     ):
         with pytest.raises(ESQueryError):
             es_search(r, {"query": bad}).collect()
+
+
+def test_sampler_percentile_ranks_moving_fn(spark, es_setup):
+    """Round-5 wave: sampler / diversified_sampler (deterministic
+    exact top-scored sample), percentile_ranks (exact), moving_fn +
+    serial_diff parent pipelines over an ordered histogram."""
+    from research_engine_spark.operators.esdsl import es_aggregations
+
+    d, _ = es_setup
+    r = IndexReader(spark, d)
+    q = {"match": {"text": "neural"}}
+    sc = search(r, "neural", k=10**6, with_text=False,
+                _all_matches=True).select("doc_id", "score").toPandas()
+    docs = r.docs.select("doc_id", "role", "turn_idx").toPandas()
+    base = (sc.merge(docs, on="doc_id")
+            .sort_values(["score", "doc_id"], ascending=[False, True]))
+
+    out = es_aggregations(r, {"query": q, "aggs": {"s": {
+        "sampler": {"shard_size": 20},
+        "aggs": {"a": {"avg": {"field": "turn_idx"}}}}}}).collect()
+    top = base.head(20)
+    assert out[0].doc_count == len(top) == 20
+    assert abs(out[0].a - top["turn_idx"].mean()) < 1e-9
+
+    out = es_aggregations(r, {"query": q, "aggs": {"s": {
+        "diversified_sampler": {"shard_size": 10, "field": "role",
+                                "max_docs_per_value": 2},
+        "aggs": {"a": {"avg": {"field": "turn_idx"}}}}}}).collect()
+    div = (base.groupby("role", group_keys=False).head(2)
+           .sort_values(["score", "doc_id"],
+                        ascending=[False, True]).head(10))
+    assert out[0].doc_count == len(div)
+    assert abs(out[0].a - div["turn_idx"].mean()) < 1e-9
+
+    out = es_aggregations(r, {"query": q, "aggs": {"pr": {
+        "percentile_ranks": {"field": "turn_idx",
+                             "values": [50, 150]}}}}).collect()
+    t = base["turn_idx"].to_numpy(np.float64)
+    assert abs(out[0].pr_50 - 100.0 * (t <= 50).mean()) < 1e-9
+    assert abs(out[0].pr_150 - 100.0 * (t <= 150).mean()) < 1e-9
+
+    out = es_aggregations(r, {"query": q, "aggs": {"h": {
+        "histogram": {"field": "turn_idx", "interval": 50},
+        "aggs": {"m": {"sum": {"field": "turn_idx"}},
+                 "mv": {"moving_fn": {"buckets_path": "m", "window": 3,
+                        "script": "MovingFunctions.sum(values)"}},
+                 "sd": {"serial_diff": {"buckets_path": "m",
+                                        "lag": 2}}}}}}).toPandas()
+    m = out["m"].to_numpy(np.float64)
+    mv = out["mv"].to_numpy(np.float64)
+    sd = out["sd"].to_numpy(np.float64)
+    assert len(m) >= 4
+    for i in range(len(m)):
+        if i == 0:
+            assert np.isnan(mv[i])
+        else:
+            assert abs(mv[i] - m[max(0, i - 3):i].sum()) < 1e-9
+        if i < 2:
+            assert np.isnan(sd[i])
+        else:
+            assert abs(sd[i] - (m[i] - m[i - 2])) < 1e-9
+
+    with pytest.raises(ESQueryError):  # match_all has no scores
+        es_aggregations(r, {"aggs": {"s": {"sampler": {}}}}).collect()
+    with pytest.raises(ESQueryError):  # moving_fn under terms
+        es_aggregations(r, {"query": q, "aggs": {"t": {
+            "terms": {"field": "role"},
+            "aggs": {"m": {"sum": {"field": "turn_idx"}},
+                     "mv": {"moving_fn": {
+                         "buckets_path": "m", "window": 2,
+                         "script": "MovingFunctions.sum(values)"}}}}}}
+        ).collect()
+    with pytest.raises(ESQueryError):  # script not whitelisted
+        es_aggregations(r, {"query": q, "aggs": {"h": {
+            "histogram": {"field": "turn_idx", "interval": 50},
+            "aggs": {"m": {"sum": {"field": "turn_idx"}},
+                     "mv": {"moving_fn": {
+                         "buckets_path": "m", "window": 2,
+                         "script": "params.x * 2"}}}}}}).collect()
