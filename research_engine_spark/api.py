@@ -326,6 +326,16 @@ class ResearchEngine:
 
         return _es(self.reader, body, k1=k1, b=b)
 
+    def es_scroll(self, body: dict, k1: float | None = None,
+                  b: float | None = None):
+        """ES ``_search?scroll`` analog: a generator of size-row hit
+        pages covering EVERY match in stable order, cursor-driven
+        (search_after internally; the pinned reader is the
+        point-in-time). See operators/esdsl.py:es_scroll."""
+        from .operators.esdsl import es_scroll as _scroll
+
+        return _scroll(self.reader, body, k1=k1, b=b)
+
     def phrase_search(self, phrase: str, top_k: int = DEFAULT_TOP_K,
                       **kwargs) -> DataFrame:
         return phrase_search(self.reader, phrase, k=top_k, with_text=True,

@@ -3367,6 +3367,40 @@ def _bucket_key(atype: str, args: dict, alias: str):
     raise ESQueryError(f"unsupported bucket agg {atype!r}")
 
 
+def es_scroll(index, body: dict, k1: float | None = None,
+              b: float | None = None):
+    """ES ``scroll`` analog: iterate ALL hits of a query body as
+    successive ``size``-row pages (ES default 10) in the stable
+    (score desc, doc_id asc) order. Driven by the ``search_after``
+    cursor internally — ES 8.x itself deprecates scroll contexts in
+    favor of search_after + point-in-time, and the IndexReader's
+    committed-segment fence IS the PIT here: a scroll opened on a
+    reader never sees appends or compactions committed after that
+    reader was constructed (operators/generations.py pinned readers),
+    so pages tile exactly even under concurrent writes. Yields lists
+    of Rows; each page costs one top-k query (zero Spark jobs on the
+    serving tier inside budgets — deep scrolls never grow per-page
+    cost, unlike from/size). Bodies carrying their own pagination or
+    ordering keys are rejected loudly, like ES's scroll API."""
+    bad = sorted(set(body) & {"from", "search_after", "sort",
+                              "collapse", "rescore", "knn"})
+    if bad:
+        raise ESQueryError(f"scroll does not compose with {bad}")
+    size = int(body.get("size", DEFAULT_SIZE))
+    after = None
+    while True:
+        b2 = dict(body)
+        if after is not None:
+            b2["search_after"] = list(after)
+        rows = es_search(index, b2, k1=k1, b=b).collect()
+        if not rows:
+            break
+        yield rows
+        if len(rows) < size:
+            break
+        after = (float(rows[-1]["score"]), int(rows[-1]["doc_id"]))
+
+
 def es_msearch(index, bodies: list[dict] | dict[str, dict],
                k1: float | None = None,
                b: float | None = None) -> DataFrame:

@@ -1036,3 +1036,25 @@ def test_sampler_percentile_ranks_moving_fn(spark, es_setup):
                      "mv": {"moving_fn": {
                          "buckets_path": "m", "window": 2,
                          "script": "params.x * 2"}}}}}}).collect()
+
+
+def test_scroll(spark, es_setup):
+    """es_scroll pages tile exactly the full (score desc, doc_id asc)
+    ordering on both evaluation paths; pagination keys rejected."""
+    from research_engine_spark.operators.esdsl import es_scroll
+
+    d, _ = es_setup
+    local, dist = _readers(spark, d)
+    want = _pairs(es_search(dist, {"query": {"match": {"text": Q}},
+                                   "size": 10**6}))
+    for r in (local, dist):
+        pages = list(es_scroll(r, {"query": {"match": {"text": Q}},
+                                   "size": 7}))
+        assert all(len(p) == 7 for p in pages[:-1])
+        assert 0 < len(pages[-1]) <= 7
+        got = [(x.doc_id, round(float(x.score), 10))
+               for p in pages for x in p]
+        assert got == [(i, round(float(s), 10)) for i, s in want]
+    with pytest.raises(ESQueryError, match="scroll does not compose"):
+        next(es_scroll(dist, {"query": {"match": {"text": Q}},
+                              "from": 3}))
