@@ -386,6 +386,34 @@ def run_once(spark, sf_dir: str, cores: int, warm: bool) -> dict:
         "phrase": {"size": 3, "max_errors": 2}}}).collect()
     queries_sec["phrase_suggest"] = round(time.monotonic() - t0, 3)
 
+    # --- 2m. round-5 closing wave (non-headline): sampler+moving_fn agg
+    # body (one groupBy + bucket-frame windows + a top-k sample leg) and
+    # a 5-page scroll (constant per-page cursor cost) -----------------------
+    from research_engine_spark.operators.esdsl import es_scroll
+
+    t0 = time.monotonic()
+    _es_aggs(reader, {
+        "query": {"match": {"text": "neural networks"}},
+        "aggs": {"h": {
+            "histogram": {"field": "turn_idx", "interval": 10},
+            "aggs": {"m": {"sum": {"field": "turn_idx"}},
+                     "pr": {"percentile_ranks": {
+                         "field": "turn_idx", "values": [50]}},
+                     "mv": {"moving_fn": {
+                         "buckets_path": "m", "window": 3,
+                         "script": "MovingFunctions.sum(values)"}},
+                     "sd": {"serial_diff": {"buckets_path": "m",
+                                            "lag": 2}}}}}}).collect()
+    queries_sec["agg_sampler_moving"] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    pages = 0
+    for _page in es_scroll(reader, {"query": {
+            "match": {"text": "neural networks"}}, "size": 200}):
+        pages += 1
+        if pages >= 5:
+            break
+    queries_sec["scroll_5x200"] = round(time.monotonic() - t0, 3)
+
     # --- 2e. delete lifecycle on the main index (last reader use) ----------
     # tombstone ~1/16 of docs, search through the tombstones, physically
     # purge via compaction, search again — the ES delete_by_query +
