@@ -184,6 +184,23 @@ class ResearchEngine:
             "disk_bytes": int(disk),
         }
 
+    def field_caps(self) -> dict:
+        """ES ``_field_caps`` analog: per queryable field, its type and
+        capabilities — ``searchable`` (backs the inverted index: the
+        analyzed text field), ``aggregatable`` (a stored forward-table
+        column usable in aggs / sort / collapse / rank_feature / knn).
+        Driver-side schema metadata only, zero Spark jobs."""
+        caps = {}
+        for f in self.reader.docs.schema.fields:
+            if f.name == "doc_id":
+                continue
+            caps[f.name] = {
+                "type": f.dataType.simpleString(),
+                "searchable": f.name == "text",
+                "aggregatable": True,
+            }
+        return caps
+
     def gc(self, keep: int = 1) -> list[str]:
         """Reclaim physical dirs of generations outside the retention
         window (Iceberg expireSnapshots analog). keep=1 keeps only the

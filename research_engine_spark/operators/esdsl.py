@@ -30,7 +30,11 @@ prefix clause in a bool per operator/minimum_should_match — ES's
 documented construction; _mbp_rewrite), rank_feature (stored positive
 numeric column through saturation | log | sigmoid | linear with ES's
 formulas; default saturation pivot = the EXACT geometric mean where ES
-approximates; _rank_feature_df), constant_score
+approximates; _rank_feature_df), distance_feature (closeness of a
+stored numeric column to origin: boost·pivot/(pivot+|x−origin|)),
+pinned (explicit ids ranked above every organic hit in the given
+order — Lucene's Float.MAX_VALUE/2-minus-rank convention), wrapper
+(base64-encoded JSON clause, decoded and dispatched), constant_score
 (filter + boost), multi_match (best_fields | most_fields | phrase |
 cross_fields, ``field^boost`` specs, tie_breaker, fuzziness on the
 non-phrase types — cross_fields is term-centric: per analyzed term a
@@ -805,6 +809,90 @@ def _rank_feature_df(ctx: _Ctx, body: dict) -> DataFrame:
     return docs.select("doc_id", (F.lit(boost) * s).alias("score"))
 
 
+# pinned docs rank above ANY organic hit, in the given order — Lucene's
+# PinnedQueryBuilder shape (Float.MAX_VALUE/2 minus the pin rank), with
+# the rank step widened to 1e30: at 1.7e38 a float64 ulp is ~3.8e22, so
+# Lucene's literal "-rank" would tie every pin and lose the order
+_PINNED_BASE = 1.7014117331926443e38
+_PINNED_STEP = 1e30
+_PINNED_MAX_IDS = 100  # ES's cap
+
+
+def _wrapper_rewrite(body) -> dict:
+    """ES ``wrapper`` query: a base64-encoded JSON clause, decoded and
+    dispatched like any other (ES uses it to smuggle query bodies
+    through JSON-hostile transports)."""
+    import base64
+    import json
+
+    if not isinstance(body, dict) or "query" not in body:
+        raise ESQueryError("wrapper needs 'query' (base64-encoded JSON)")
+    try:
+        inner = json.loads(base64.b64decode(str(body["query"]),
+                                            validate=True))
+    except Exception as e:
+        raise ESQueryError(
+            f"wrapper query is not base64-encoded JSON: {e}")
+    if not isinstance(inner, dict):
+        raise ESQueryError("wrapper query must decode to a clause dict")
+    return inner
+
+
+def _pinned_parts(body) -> tuple[list[int], dict]:
+    """ES ``pinned`` query: promote explicit doc ids above every
+    organic hit, in the given order."""
+    if not isinstance(body, dict) or "ids" not in body \
+            or "organic" not in body:
+        raise ESQueryError("pinned needs 'ids' and 'organic'")
+    ids = body["ids"]
+    if not isinstance(ids, (list, tuple)) or not ids:
+        raise ESQueryError("pinned ids must be a non-empty list")
+    if len(ids) > _PINNED_MAX_IDS:
+        raise ESQueryError(
+            f"pinned supports at most {_PINNED_MAX_IDS} ids (ES cap)")
+    if len(set(int(i) for i in ids)) != len(ids):
+        raise ESQueryError("pinned ids must be distinct")
+    return [int(i) for i in ids], body["organic"]
+
+
+def _distance_feature_df(ctx: _Ctx, body: dict) -> DataFrame:
+    """ES ``distance_feature``: score docs by closeness of a stored
+    numeric column to ``origin`` — boost · pivot/(pivot + |x − origin|)
+    (the published formula for numeric/date fields; geo is out of
+    scope, no geo data exists in this engine). Matches docs where the
+    field is present. Same pruned docs-scan shape as rank_feature."""
+    if not isinstance(body, dict) or not {"field", "origin",
+                                          "pivot"} <= set(body):
+        raise ESQueryError(
+            "distance_feature needs 'field', 'origin', and 'pivot'")
+    bad = set(body) - {"field", "origin", "pivot", "boost"}
+    if bad:
+        raise ESQueryError(
+            f"unsupported distance_feature keys: {sorted(bad)}")
+    field = str(body["field"])
+    reader = next(iter(ctx.readers.values()))
+    if field not in reader.docs.columns:
+        raise ESQueryError(
+            f"distance_feature field {field!r} not in docs table "
+            f"{sorted(reader.docs.columns)}")
+    try:
+        origin = float(body["origin"])
+        pivot = float(body["pivot"])
+    except (TypeError, ValueError):
+        raise ESQueryError(
+            "distance_feature origin/pivot must be numeric (dates: "
+            "pass epoch numbers; geo is unsupported)")
+    if pivot <= 0:
+        raise ESQueryError("distance_feature pivot must be > 0")
+    boost = float(body.get("boost", 1.0))
+    x = F.col(field).cast("double")
+    docs = (reader.live_only(reader.docs.select("doc_id", field))
+            .where(x.isNotNull()))
+    score = F.lit(boost) * F.lit(pivot) / (F.lit(pivot)
+                                           + F.abs(x - F.lit(origin)))
+    return docs.select("doc_id", score.alias("score"))
+
+
 def _clause_pd(ctx: _Ctx, clause: dict):
     if not isinstance(clause, dict) or len(clause) != 1:
         raise ESQueryError(f"clause must have exactly one key: {clause!r}")
@@ -932,6 +1020,23 @@ def _clause_pd(ctx: _Ctx, clause: dict):
             "doc_id": present,
             "score": np.full(present.size,
                              float((body or {}).get("boost", 1.0)))})
+    if kind == "wrapper":
+        return _clause_pd(ctx, _wrapper_rewrite(body))
+    if kind == "distance_feature":
+        return None  # docs-table numeric read: always distributed
+    if kind == "pinned":
+        ids, organic = _pinned_parts(body)
+        org = _clause_pd(ctx, organic)
+        if org is None:
+            return None
+        reader = next(iter(ctx.readers.values()))
+        pset = set(_ids_present_arrow(reader, ids).tolist())
+        rows = [(i, _PINNED_BASE - pos * _PINNED_STEP)
+                for pos, i in enumerate(ids) if i in pset]
+        pinned = pd.DataFrame(rows, columns=["doc_id", "score"]) \
+            if rows else _EMPTY_PD.copy()
+        org = org[~org["doc_id"].isin({i for i, _ in rows})]
+        return pd.concat([pinned, org], ignore_index=True)
     if kind == "more_like_this":
         out = _clause_pd(ctx, _mlt_rewrite(ctx, body))
         return _scale_pd(out, float(body.get("boost", 1.0)))
@@ -1559,6 +1664,26 @@ def _clause_df(ctx: _Ctx, clause: dict) -> DataFrame:
         return docs.select(
             "doc_id",
             F.lit(float((body or {}).get("boost", 1.0))).alias("score"))
+    if kind == "wrapper":
+        return _clause_df(ctx, _wrapper_rewrite(body))
+    if kind == "distance_feature":
+        return _distance_feature_df(ctx, body)
+    if kind == "pinned":
+        ids, organic = _pinned_parts(body)
+        org = _clause_df(ctx, organic)
+        reader = next(iter(ctx.readers.values()))
+        spark = ctx.spark
+        ranked = spark.createDataFrame(
+            [(int(i), _PINNED_BASE - pos * _PINNED_STEP)
+             for pos, i in enumerate(ids)],
+            "doc_id long, score double")
+        live = reader.live_only(
+            reader.docs.select("doc_id")
+            .where(F.col("doc_id").isin(ids)))
+        pinned = ranked.join(F.broadcast(live), "doc_id", "left_semi")
+        return (org.join(F.broadcast(pinned.select("doc_id")),
+                         "doc_id", "left_anti")
+                .unionByName(pinned))
     if kind == "more_like_this":
         out = _clause_df(ctx, _mlt_rewrite(ctx, body))
         return _scale_df(out, float(body.get("boost", 1.0)))

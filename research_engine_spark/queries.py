@@ -3327,7 +3327,7 @@ WITH toks AS (
 dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
 corpus AS (SELECT count(*) AS n, sum(dl) AS tok FROM dl),
 tf AS (
-  SELECT doc_id, count(*) AS tf FROM toks WHERE term = 'shuffle'
+  SELECT doc_id, count(*) AS tf FROM toks WHERE term = 'spark'
   GROUP BY doc_id
 ),
 df AS (SELECT count(*) AS df FROM tf),
@@ -3355,7 +3355,7 @@ def engine_es_rank_feature_documents(spark, sf_dir):
     reader = IndexReader(spark, _simple_index(spark, sf_dir))
     out = es_search(reader, {
         "query": {"bool": {
-            "must": [{"match": {"text": "shuffle"}}],
+            "must": [{"match": {"text": "spark"}}],
             "should": [{"rank_feature": {
                 "field": "n_chars", "saturation": {"pivot": 50},
                 "boost": 0.3}}]}},
@@ -3372,7 +3372,7 @@ WITH toks AS (
 dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
 corpus AS (SELECT count(*) AS n, sum(dl) AS tok FROM dl),
 tf AS (
-  SELECT doc_id, count(*) AS tf FROM toks WHERE term = 'shuffle'
+  SELECT doc_id, count(*) AS tf FROM toks WHERE term = 'spark'
   GROUP BY doc_id
 ),
 df AS (SELECT count(*) AS df FROM tf),
@@ -3394,7 +3394,7 @@ ORDER BY score DESC, doc_id ASC LIMIT 20
 """)
 def engine_es_mbp_documents(spark, sf_dir):
     """Round-5 wave: ``match_bool_prefix`` through the DSL over the
-    REAL index — "shuffle jo" analyzes to a BM25 term clause plus a
+    REAL index — "spark jo" analyzes to a BM25 term clause plus a
     constant-score prefix clause on the last token, summed as a bool
     should — driver-HASH-checked against the BM25 CTE + a LIKE 'jo%'
     existence leg."""
@@ -3403,7 +3403,7 @@ def engine_es_mbp_documents(spark, sf_dir):
 
     reader = IndexReader(spark, _simple_index(spark, sf_dir))
     out = es_search(reader, {
-        "query": {"match_bool_prefix": {"text": "shuffle jo"}},
+        "query": {"match_bool_prefix": {"text": "spark jo"}},
         "size": 20, "_source": ["conv_id"]})
     return out.select(
         F.substring("conv_id", 2, 9).cast("long").alias("doc_id"),
@@ -3761,6 +3761,95 @@ def engine_es_rare_adjacency_documents(spark, sf_dir):
            .unionByName(adj.select(
                F.concat(F.lit("adj:"), "key").alias("key"), "doc_count")))
     return out.orderBy("key")
+
+
+@register("engine_es_distance_feature_documents", """
+SELECT doc_id,
+       round(0.5 * 80.0 / (80.0 + abs(n_chars - 300.0)), 4) AS score
+FROM documents
+ORDER BY score DESC, doc_id ASC LIMIT 15
+""")
+def engine_es_distance_feature_documents(spark, sf_dir):
+    """Round-5 closing corner: ``distance_feature`` through the DSL
+    over the REAL index — closeness of the stored n_chars column to
+    origin 300, boost·pivot/(pivot+|x−origin|) — driver-HASH-checked
+    against the closed form."""
+    from .operators.esdsl import es_search
+    from .operators.scorer import IndexReader
+
+    reader = IndexReader(spark, _simple_index(spark, sf_dir))
+    out = es_search(reader, {
+        "query": {"distance_feature": {"field": "n_chars",
+                                       "origin": 300, "pivot": 80,
+                                       "boost": 0.5}},
+        "size": 15, "_source": ["conv_id"]})
+    return out.select(
+        F.substring("conv_id", 2, 9).cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"))
+
+
+@register("engine_es_pinned_documents", f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+corpus AS (SELECT count(*) AS n, sum(dl) AS tok FROM dl),
+tf AS (
+  SELECT doc_id, count(*) AS tf FROM toks WHERE term = 'spark'
+  GROUP BY doc_id
+),
+df AS (SELECT count(*) AS df FROM tf),
+bm AS (
+  SELECT tf.doc_id,
+         ln(1 + (corpus.n - df.df + 0.5) / (df.df + 0.5))
+         * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                    / (corpus.tok * 1.0 / corpus.n))) AS score
+  FROM tf JOIN dl USING (doc_id), corpus, df
+),
+pinned AS (
+  SELECT d.doc_id, p.score
+  FROM (VALUES (42, 1.7014117331926443e38),
+               (7,  1.7014117331926443e38 - 1e30)) AS p(doc_id, score)
+  JOIN documents d USING (doc_id)
+),
+united AS (
+  SELECT doc_id, score FROM pinned
+  UNION ALL
+  SELECT doc_id, score FROM bm
+  WHERE doc_id NOT IN (SELECT doc_id FROM pinned)
+)
+SELECT doc_id,
+       CASE WHEN score > 1e30
+            THEN (1.7014117331926443e38 - score) / 1e30
+            ELSE round(score, 4) END AS score
+FROM (SELECT doc_id, score FROM united
+      ORDER BY score DESC, doc_id ASC LIMIT 20) t
+ORDER BY score ASC
+""")
+def engine_es_pinned_documents(spark, sf_dir):
+    """Round-5 closing corner: ``pinned`` query through the DSL over
+    the REAL index — explicit ids ranked above every organic hit in
+    the given order (Float.MAX_VALUE/2 base, 1e30 rank step so float64
+    preserves the order), organic = the BM25 match minus the pins —
+    driver-HASH-checked against a VALUES + BM25 CTE union."""
+    from .operators.esdsl import es_search
+    from .operators.scorer import IndexReader
+
+    reader = IndexReader(spark, _simple_index(spark, sf_dir))
+    out = es_search(reader, {
+        "query": {"pinned": {"ids": [42, 7],
+                             "organic": {"match": {"text": "spark"}}}},
+        "size": 20, "_source": ["conv_id"]})
+    sc = F.col("score")
+    # report pinned rows as their exact pin rank: DuckDB's round() on a
+    # 1.7e38 double perturbs it by one ulp, so the raw sentinel scores
+    # can't be hash-compared — the rank (an exact small float) can
+    mapped = F.when(sc > 1e30,
+                    (F.lit(1.7014117331926443e38) - sc) / F.lit(1e30)) \
+        .otherwise(F.round(sc, 4))
+    return out.select(
+        F.substring("conv_id", 2, 9).cast("long").alias("doc_id"),
+        mapped.alias("score")).orderBy("score")
 
 
 @register("engine_es_sampler_documents", f"""

@@ -1058,3 +1058,75 @@ def test_scroll(spark, es_setup):
     with pytest.raises(ESQueryError, match="scroll does not compose"):
         next(es_scroll(dist, {"query": {"match": {"text": Q}},
                               "from": 3}))
+
+
+def test_wrapper_pinned_distance_feature(spark, es_setup):
+    """Round-5 closing corners: wrapper (base64 clause), pinned
+    (explicit ids above every organic hit, given order),
+    distance_feature (closeness scoring on a stored numeric column)."""
+    import base64
+    import json
+
+    d, _ = es_setup
+    local, dist = _readers(spark, d)
+
+    # wrapper == the decoded clause, both paths
+    inner = {"match": {"text": Q}}
+    b64 = base64.b64encode(json.dumps(inner).encode()).decode()
+    want = _pairs(es_search(dist, {"query": inner, "size": 10}))
+    for r in (local, dist):
+        got = _pairs(es_search(
+            r, {"query": {"wrapper": {"query": b64}}, "size": 10}))
+        assert got == want
+
+    # pinned: the given ids (that exist) lead in order, organic follows
+    # unchanged minus the pinned ids; unknown ids are dropped
+    organic = {"match": {"text": Q}}
+    base = _pairs(es_search(dist, {"query": organic, "size": 10**6}))
+    pins = [base[5][0], base[2][0], 10**9]  # two real hits + a ghost
+    for r in (local, dist):
+        got = _pairs(es_search(r, {"query": {"pinned": {
+            "ids": pins, "organic": organic}}, "size": 10**6}))
+        assert [i for i, _ in got[:2]] == pins[:2]
+        assert got[0][1] > got[1][1] > 1e30
+        rest = [i for i, _ in got[2:]]
+        assert rest == [i for i, _ in base if i not in pins[:2]]
+
+    # distance_feature: boost * pivot / (pivot + |x - origin|)
+    r = dist
+    docs = r.docs.select("doc_id", "turn_idx").toPandas()
+    t = docs["turn_idx"].to_numpy(np.float64)
+    ids = docs["doc_id"].to_numpy(np.int64)
+    sc = 2.0 * 25.0 / (25.0 + np.abs(t - 40.0))
+    order = np.lexsort((ids, -sc))[:15]
+    want = list(zip(ids[order], np.round(sc[order], 10)))
+    got = _pairs(es_search(r, {"query": {"distance_feature": {
+        "field": "turn_idx", "origin": 40, "pivot": 25, "boost": 2.0}},
+        "size": 15}))
+    assert got == want
+
+    # loud error surface
+    for bad in (
+            {"wrapper": {"query": "!!!notb64"}},
+            {"pinned": {"ids": [], "organic": organic}},
+            {"pinned": {"ids": [1, 1], "organic": organic}},
+            {"pinned": {"ids": list(range(101)), "organic": organic}},
+            {"distance_feature": {"field": "turn_idx", "origin": 1}},
+            {"distance_feature": {"field": "nope", "origin": 1,
+                                  "pivot": 5}},
+            {"distance_feature": {"field": "turn_idx", "origin": 1,
+                                  "pivot": 0}},
+    ):
+        with pytest.raises(ESQueryError):
+            es_search(dist, {"query": bad}).collect()
+
+
+def test_field_caps(spark, es_setup):
+    from research_engine_spark.api import ResearchEngine
+
+    d, _ = es_setup
+    caps = ResearchEngine(spark, d).field_caps()
+    assert caps["text"]["searchable"] and caps["text"]["type"] == "string"
+    assert caps["turn_idx"]["aggregatable"]
+    assert not caps["role"]["searchable"]
+    assert "doc_id" not in caps
