@@ -2809,6 +2809,12 @@ def es_aggregations(index, body: dict, k1: float | None = None,
         out = (docs.groupBy(_bucket_key(atype, args, "key"))
                .agg(F.count(F.lit(1)).alias("doc_count"), *subcols)
                .orderBy(F.asc("key")))
+    elif atype == "auto_date_histogram":
+        if hits_specs or pipes or siblings:
+            raise ESQueryError(
+                "auto_date_histogram composes with metric sub-aggs "
+                "only (no top_hits / pipelines)")
+        return _auto_date_histogram(docs, args, subcols)
     elif atype == "range":
         if hits_specs:
             raise ESQueryError("top_hits is not supported inside range")
@@ -3288,6 +3294,72 @@ def _top_hits_df(docs: DataFrame, key_col, hspec: dict,
             .withColumn("hit_rank", F.row_number().over(w))
             .filter(F.col("hit_rank") <= size)
             .select("key", "doc_id", *src, "hit_rank"))
+
+
+# auto_date_histogram rounding ladder: (label, seconds) fixed tiers,
+# then calendar tiers — ES's AutoDateHistogramAggregationBuilder set
+_ADH_FIXED = [("1s", 1), ("5s", 5), ("10s", 10), ("30s", 30),
+              ("1m", 60), ("5m", 300), ("10m", 600), ("30m", 1800),
+              ("1h", 3600), ("3h", 10800), ("12h", 43200),
+              ("1d", 86400), ("7d", 604800)]
+_ADH_YEARS = [1, 5, 10, 20, 50, 100]
+
+
+def _auto_date_histogram(docs: DataFrame, args: dict,
+                         subcols: list) -> DataFrame:
+    """ES ``auto_date_histogram``: pick the smallest interval from the
+    ES rounding ladder such that the bucket count stays within the
+    ``buckets`` target (default 10), then one date_histogram groupBy at
+    that interval. The pick is DETERMINISTIC from the matched docs'
+    (min, max) timestamp span — one tiny two-scalar agg — where ES
+    re-buckets adaptively during collection (same final ladder, our
+    pick is reproducible by construction; calendar tiers use 30-day
+    months / 365-day years for the span test, ES's own rough
+    durations). Returns (key, doc_count, <metrics>, interval) ordered
+    by key; the interval label rides as a constant column (ES returns
+    it beside the buckets)."""
+    field = (args or {}).get("field")
+    if not field:
+        raise ESQueryError("auto_date_histogram needs 'field'")
+    if field not in docs.columns:
+        raise ESQueryError(
+            f"auto_date_histogram field {field!r} not in docs table "
+            f"{sorted(docs.columns)}")
+    target = int((args or {}).get("buckets", 10))
+    if target <= 0:
+        raise ESQueryError("auto_date_histogram buckets must be > 0")
+    ts = F.col(field)
+    row = docs.agg(F.min(ts).alias("lo"), F.max(ts).alias("hi")).first()
+    lo, hi = row["lo"], row["hi"]
+    if lo is None:
+        return (docs.where(F.lit(False))
+                .select(ts.alias("key"),
+                        F.lit(0).cast("long").alias("doc_count"),
+                        F.lit("1s").alias("interval")))
+    span = (hi - lo).total_seconds()
+    label, key = None, None
+    for lab, sec in _ADH_FIXED:
+        if span / sec + 1 <= target:
+            label = lab
+            key = F.timestamp_seconds(
+                F.floor(F.unix_timestamp(ts) / sec) * sec)
+            break
+    if label is None and span / (30 * 86400) + 1 <= target:
+        label, key = "1M", F.date_trunc("month", ts)
+    if label is None and span / (90 * 86400) + 1 <= target:
+        label, key = "3M", F.date_trunc("quarter", ts)
+    if label is None:
+        for n in _ADH_YEARS:
+            if span / (n * 365 * 86400) + 1 <= target or n == 100:
+                label = f"{n}y"
+                yr = (F.floor(F.year(ts) / n) * n).cast("int")
+                key = F.make_date(yr, F.lit(1), F.lit(1)) \
+                    .cast("timestamp")
+                break
+    return (docs.groupBy(key.alias("key"))
+            .agg(F.count(F.lit(1)).alias("doc_count"), *subcols)
+            .withColumn("interval", F.lit(label))
+            .orderBy(F.asc("key")))
 
 
 def _range_agg(docs: DataFrame, args: dict, metric_sub: dict) -> DataFrame:

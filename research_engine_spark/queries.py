@@ -3444,7 +3444,12 @@ def engine_es_aggs_documents(spark, sf_dir):
             (F.col("n_chars") % 97).cast("int").alias("turn_idx"),
             F.col("source").alias("role"),
             F.col("text"),
-            F.lit(None).cast("timestamp").alias("ts"),
+            # deterministic ts with a CONSTANT ~720h span at every
+            # scale (doc_id mod 720 hours past a fixed epoch), so the
+            # auto_date_histogram ladder pick is scale-independent
+            (F.lit("2024-01-01").cast("timestamp")
+             + F.make_interval(hours=(F.col("doc_id") % 720)
+                               .cast("int"))).alias("ts"),
         )
         idx = tempfile.mkdtemp(prefix="engine_agg_idx_")
         build_index(tx, idx, n_buckets=4, analyzer="simple")
@@ -3700,6 +3705,47 @@ def engine_es_multi_terms_documents(spark, sf_dir):
             "aggs": {"ti_sum": {"sum": {"field": "turn_idx"}}}}}})
     return out.select("key", "doc_count",
                       F.col("ti_sum").cast("long").alias("ti_sum"))
+
+
+@register("engine_es_auto_dh_documents", f"""
+WITH tk AS (
+  SELECT doc_id, CAST(n_chars % 97 AS INT) AS ti,
+         1704067200 + (doc_id % 720) * 3600 AS ts_s,
+         {_TOK_SQL} AS tk
+  FROM documents
+),
+matched AS (
+  SELECT doc_id, ti, ts_s FROM tk
+  WHERE list_contains(tk, 'table') OR list_contains(tk, 'hash')
+)
+SELECT CAST(floor(ts_s / 604800.0) * 604800 AS BIGINT) AS key_s,
+       CAST(count(*) AS BIGINT) AS doc_count,
+       CAST(max(ti) AS INT) AS m,
+       '7d' AS interval
+FROM matched GROUP BY 1 ORDER BY key_s ASC
+""")
+def engine_es_auto_dh_documents(spark, sf_dir):
+    """Round-5 closing corner: ``auto_date_histogram`` through the DSL
+    over the REAL index — the interval picked deterministically from
+    the matched span (the agg index's ts spans a CONSTANT ~720h at
+    every scale, so the ladder lands on 7d everywhere) — driver-HASH-
+    checked against the fixed-interval SQL regroup, epoch-seconds keys
+    to sidestep timestamp canonicalization."""
+    from .operators.esdsl import es_aggregations
+    from .operators.scorer import IndexReader
+
+    engine_es_aggs_documents(spark, sf_dir)  # ensure the agg index
+    reader = IndexReader(spark, _AGG_IDX_CACHE[sf_dir])
+    out = es_aggregations(reader, {
+        "query": {"match": {"text": "table hash"}},
+        "aggs": {"a": {
+            "auto_date_histogram": {"field": "ts", "buckets": 10},
+            "aggs": {"m": {"max": {"field": "turn_idx"}}}}}})
+    return out.select(
+        F.unix_timestamp("key").cast("long").alias("key_s"),
+        F.col("doc_count").cast("long").alias("doc_count"),
+        F.col("m").cast("int").alias("m"),
+        F.col("interval")).orderBy("key_s")
 
 
 @register("engine_es_rare_adjacency_documents", f"""

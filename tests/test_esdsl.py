@@ -1130,3 +1130,52 @@ def test_field_caps(spark, es_setup):
     assert caps["turn_idx"]["aggregatable"]
     assert not caps["role"]["searchable"]
     assert "doc_id" not in caps
+
+
+def test_auto_date_histogram(spark, es_setup):
+    """auto_date_histogram: smallest ladder interval fitting the
+    bucket target, buckets == pandas recompute at that interval,
+    metric sub-aggs ride along."""
+    from research_engine_spark.operators.esdsl import (
+        _ADH_FIXED,
+        es_aggregations,
+    )
+
+    d, _ = es_setup
+    r = IndexReader(spark, d)
+    q = {"match": {"text": "neural"}}
+    base = (r.docs.join(
+        search(r, "neural", k=10**6, with_text=False,
+               _all_matches=True).select("doc_id"), "doc_id",
+        "left_semi").select("doc_id", "ts", "turn_idx").toPandas())
+    span = (base["ts"].max() - base["ts"].min()).total_seconds()
+
+    for target in (4, 12, 40):
+        out = es_aggregations(r, {"query": q, "aggs": {"a": {
+            "auto_date_histogram": {"field": "ts", "buckets": target},
+            "aggs": {"m": {"max": {"field": "turn_idx"}}}}}}).toPandas()
+        assert len(out) <= target
+        assert out["doc_count"].sum() == len(base)
+        label = out["interval"].iloc[0]
+        secs = dict(_ADH_FIXED)
+        assert label in secs  # this corpus spans days, not years
+        sec = secs[label]
+        assert span / sec + 1 <= target  # fits...
+        smaller = [s for _, s in _ADH_FIXED if s < sec]
+        if smaller:  # ...and is the SMALLEST ladder entry that fits
+            assert span / smaller[-1] + 1 > target
+        grp = base.assign(
+            key=(base["ts"].astype("int64") // 10**9 // sec) * sec)
+        want = grp.groupby("key").agg(n=("doc_id", "count"),
+                                      m=("turn_idx", "max"))
+        got_keys = out["key"].astype("int64") // 10**9
+        assert dict(zip(got_keys, out["doc_count"])) == \
+            dict(want["n"])
+        assert dict(zip(got_keys, out["m"])) == dict(want["m"])
+        assert list(got_keys) == sorted(got_keys)
+
+    with pytest.raises(ESQueryError):
+        es_aggregations(r, {"query": q, "aggs": {"a": {
+            "auto_date_histogram": {"field": "ts"},
+            "aggs": {"c": {"cumulative_sum":
+                           {"buckets_path": "_count"}}}}}}).collect()
