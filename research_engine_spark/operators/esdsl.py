@@ -59,12 +59,19 @@ like-tf * idf ranked, tf/df-windowed, top max_query_terms — compiled
 to a bool should of term clauses with "30%" minimum_should_match and
 a must_not ids exclusion of the inputs; see _mlt_rewrite), boosting
 (positive scores, demoted by negative_boost where the negative clause
-also matches), and function_score (field_value_factor with
-none/log1p/sqrt/square modifiers, {filter, weight} functions, and the
-gauss/exp/linear decay functions over numeric docs columns — combined
-per score_mode multiply|sum|max|min|avg, applied per boost_mode
-multiply|sum|replace with an optional max_boost cap — always
-distributed: a rescoring scan over docs columns / filter sets).
+also matches), function_score (field_value_factor with
+none/log1p/sqrt/square modifiers, {filter, weight, script_score}
+functions, and the gauss/exp/linear decay functions over numeric docs
+columns — combined per score_mode multiply|sum|max|min|avg, applied
+per boost_mode multiply|sum|replace with an optional max_boost cap —
+always distributed: a rescoring scan over docs columns / filter sets),
+and script_score (the documented Painless subset of
+functions/painless.py — arithmetic, Math.*, saturation, sigmoid over
+_score / doc['field'].value / params — compiled to ONE Catalyst
+expression distributed, numpy on the serving tier; scripts whose every
+op is IEEE-exact stay bit-identical across paths, transcendental
+scripts run distributed on both; min_score drops hits below the
+threshold).
 Body keys: collapse ({field} — best hit per forward-table group,
 distributed window), sort (docs-table fields / _score / _doc, asc or
 desc, missing-last, doc_id tiebreak — always distributed, one pruned
@@ -457,16 +464,21 @@ def _function_score_parts(ctx: _Ctx, body: dict):
             "function_score supports field_value_factor OR functions, "
             "not both")
     top_decays = _DECAY_KINDS & set(body)
-    if not fvf and not funcs and "weight" not in body and not top_decays:
+    if not fvf and not funcs and "weight" not in body \
+            and not top_decays and "script_score" not in body:
         raise ESQueryError(
             "function_score needs field_value_factor, functions, "
-            "weight, or a decay (gauss/exp/linear)")
-    if not fvf and not funcs and (top_decays or "weight" in body):
+            "weight, script_score, or a decay (gauss/exp/linear)")
+    if not fvf and not funcs \
+            and (top_decays or "weight" in body
+                 or "script_score" in body):
         # ES single-function shorthand: the function keys live directly
         # in the function_score body
         fn = {dk: body[dk] for dk in top_decays}
         if "weight" in body:
             fn["weight"] = body["weight"]
+        if "script_score" in body:
+            fn["script_score"] = body["script_score"]
         funcs = [fn]
     boost_mode = str(body.get("boost_mode", "multiply"))
     if boost_mode not in _FS_BOOST_MODES:
@@ -485,11 +497,20 @@ def _function_score_parts(ctx: _Ctx, body: dict):
                 f"field_value_factor modifier {modifier!r} unsupported "
                 f"{_FVF_MODIFIERS}")
     for fn in funcs:
-        if not isinstance(fn, dict) or not ({"weight"} | _DECAY_KINDS) & set(fn):
+        if not isinstance(fn, dict) \
+                or not ({"weight", "script_score"} | _DECAY_KINDS) & set(fn):
             raise ESQueryError(
-                "each function needs 'weight' or a decay "
-                "(gauss/exp/linear); script_score is unsupported")
-        bad = set(fn) - ({"weight", "filter"} | _DECAY_KINDS)
+                "each function needs 'weight', 'script_score', or a "
+                "decay (gauss/exp/linear)")
+        if "script_score" in fn:
+            ss = fn["script_score"]
+            if not isinstance(ss, dict) or "script" not in ss \
+                    or set(ss) - {"script"}:
+                raise ESQueryError(
+                    "function script_score needs exactly {'script': ...}")
+            _script_parse(ss["script"])  # validate eagerly
+        bad = set(fn) - ({"weight", "filter", "script_score"}
+                         | _DECAY_KINDS)
         if bad:
             raise ESQueryError(f"unsupported function keys: {sorted(bad)}")
         decays = _DECAY_KINDS & set(fn)
@@ -518,6 +539,49 @@ def _function_score_parts(ctx: _Ctx, body: dict):
     max_boost = body.get("max_boost")
     return (body["query"], fvf or None, funcs, boost_mode, score_mode,
             None if max_boost is None else float(max_boost))
+
+
+def _script_parse(spec):
+    """Parse an ES ``script`` spec ({"source": ..., "params": {...}}
+    or the inline-string shorthand) into a painless AST (params are
+    constant-folded)."""
+    from ..functions import painless
+
+    if isinstance(spec, str):
+        spec = {"source": spec}
+    if not isinstance(spec, dict) or "source" not in spec:
+        raise ESQueryError("script needs {'source': ..., 'params': {}}")
+    bad = set(spec) - {"source", "params", "lang"}
+    if bad:
+        raise ESQueryError(f"unsupported script keys: {sorted(bad)}")
+    if spec.get("lang", "painless") != "painless":
+        raise ESQueryError(f"unsupported script lang {spec['lang']!r}")
+    try:
+        return painless.parse_script(str(spec["source"]),
+                                     spec.get("params"))
+    except painless.PainlessError as e:
+        raise ESQueryError(f"script_score script: {e}") from e
+
+
+def _script_score_parts(body):
+    """Validate a script_score body -> (query, ast, min_score, boost).
+    The script is the documented Painless subset of
+    functions/painless.py (ES script-score semantics: the script value
+    REPLACES the inner query's score; boost then multiplies;
+    min_score drops hits whose FINAL boosted score is below the
+    threshold; ES's negative-score
+    runtime error is not enforced — scripts here are static
+    expressions, keep them non-negative)."""
+    if not isinstance(body, dict) or "query" not in body \
+            or "script" not in body:
+        raise ESQueryError("script_score needs 'query' and 'script'")
+    bad = set(body) - {"query", "script", "min_score", "boost"}
+    if bad:
+        raise ESQueryError(f"unsupported script_score keys: {sorted(bad)}")
+    ast = _script_parse(body["script"])
+    ms = body.get("min_score")
+    return (body["query"], ast, None if ms is None else float(ms),
+            float(body.get("boost", 1.0)))
 
 
 # ---------------------------------------------------------------------------
@@ -1057,6 +1121,30 @@ def _clause_pd(ctx: _Ctx, clause: dict):
         mask = pos["doc_id"].isin(set(neg["doc_id"].tolist())).to_numpy()
         out = pos.copy()
         out["score"] = np.where(mask, sc * nb, sc)
+        return out
+    if kind == "script_score":
+        from ..functions import painless
+        query, ast, min_score, boost = _script_score_parts(body)
+        if painless.doc_fields(ast):
+            return None  # docs-column read: always distributed
+        if not painless.is_exact(ast):
+            # transcendental call (log/exp/pow/sigmoid): libm and the
+            # JVM may differ by an ulp, so the bit-identity guarantee
+            # requires the distributed path on BOTH sides
+            return None
+        base = _clause_pd(ctx, query)
+        if base is None:
+            return None
+        if base.empty:
+            return base
+        out = base.copy()
+        out["score"] = painless.to_numpy(ast)(
+            out["score"].to_numpy(np.float64), {})
+        out = _scale_pd(out, boost)
+        if min_score is not None:
+            # min_score excludes on the FINAL (boosted) score — same
+            # order as _script_score_df
+            out = out[out["score"] >= min_score]
         return out
     if kind == "function_score":
         _function_score_parts(ctx, body)  # validate eagerly, then go
@@ -1701,6 +1789,8 @@ def _clause_df(ctx: _Ctx, clause: dict) -> DataFrame:
                         F.when(F.col("_neg").isNotNull(),
                                F.col("score") * F.lit(nb))
                         .otherwise(F.col("score")).alias("score")))
+    if kind == "script_score":
+        return _script_score_df(ctx, body)
     if kind == "function_score":
         return _function_score_df(ctx, body)
     if kind == "bool":
@@ -1712,6 +1802,37 @@ def _clause_df(ctx: _Ctx, clause: dict) -> DataFrame:
             else 1.0
         return docs.select("doc_id", F.lit(boost).alias("score"))
     raise ESQueryError(f"unsupported clause type {kind!r}")
+
+
+def _script_score_df(ctx: _Ctx, body: dict) -> DataFrame:
+    """script_score, distributed: base scores from the inner query,
+    the painless AST compiled to ONE Catalyst expression (no UDF —
+    stays inside whole-stage codegen), an optional pruned docs join
+    for doc['field'].value reads (missing values coalesce to 0.0),
+    then min_score filter and boost. The match frame is never
+    corpus-sized unless the inner query is."""
+    from ..functions import painless
+
+    query, ast, min_score, boost = _script_score_parts(body)
+    base = _clause_df(ctx, query)
+    fields = painless.doc_fields(ast)
+    if fields:
+        reader = next(iter(ctx.readers.values()))
+        missing = sorted(set(fields) - set(reader.docs.columns))
+        if missing:
+            raise ESQueryError(
+                f"script doc fields not in docs table: {missing} "
+                f"(have {sorted(reader.docs.columns)})")
+        base = base.join(reader.docs.select("doc_id", *fields),
+                         "doc_id", "left")
+    col = painless.to_column(
+        ast, F.col("score"),
+        lambda f_: F.coalesce(F.col(f_).cast("double"), F.lit(0.0)))
+    out = _scale_df(
+        base.select("doc_id", col.cast("double").alias("score")), boost)
+    if min_score is not None:
+        out = out.where(F.col("score") >= F.lit(min_score))
+    return out
 
 
 def _function_score_df(ctx: _Ctx, body: dict) -> DataFrame:
@@ -1747,16 +1868,22 @@ def _function_score_df(ctx: _Ctx, body: dict) -> DataFrame:
                            "doc_id", "left")
         fval = v
     else:
+        from ..functions import painless
+
         joined = base
-        decay_fields = sorted({
-            next(iter(fn[dk])) for fn in funcs
-            for dk in (_DECAY_KINDS & set(fn))})
+        asts = {id(fn): _script_parse(fn["script_score"]["script"])
+                for fn in funcs if "script_score" in fn}
+        decay_fields = sorted(
+            {next(iter(fn[dk])) for fn in funcs
+             for dk in (_DECAY_KINDS & set(fn))}
+            | {f for ast in asts.values()
+               for f in painless.doc_fields(ast)})
         if decay_fields:
             missing = sorted(set(decay_fields)
                              - set(reader.docs.columns))
             if missing:
                 raise ESQueryError(
-                    f"decay fields not in docs table: {missing}")
+                    f"decay/script fields not in docs table: {missing}")
             joined = joined.join(
                 reader.docs.select("doc_id", *decay_fields),
                 "doc_id", "left")
@@ -1766,6 +1893,13 @@ def _function_score_df(ctx: _Ctx, body: dict) -> DataFrame:
             for dk in _DECAY_KINDS & set(fn):
                 field, params = next(iter(fn[dk].items()))
                 val = val * _decay_expr(dk, str(field), params)
+            if "script_score" in fn:
+                # ES: function value = script result; weight multiplies.
+                # _score inside the script is the INNER query's score.
+                val = val * painless.to_column(
+                    asts[id(fn)], F.col("score"),
+                    lambda f_: F.coalesce(F.col(f_).cast("double"),
+                                          F.lit(0.0)))
             if "filter" in fn:
                 m = (_clause_df(ctx, fn["filter"])
                      .select("doc_id").distinct()

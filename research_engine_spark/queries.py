@@ -3338,10 +3338,14 @@ bm AS (
                     / (corpus.tok * 1.0 / corpus.n))) AS s
   FROM tf JOIN dl USING (doc_id), corpus, df
 )
-SELECT bm.doc_id,
-       round(bm.s + 0.3 * d.n_chars / (d.n_chars + 50.0), 4) AS score
-FROM bm JOIN documents d USING (doc_id)
-ORDER BY score DESC, doc_id ASC LIMIT 15
+SELECT doc_id, round(sc, 4) AS score FROM (
+  SELECT bm.doc_id AS doc_id,
+         bm.s + 0.3 * d.n_chars / (d.n_chars + 50.0) AS sc
+  FROM bm JOIN documents d USING (doc_id)
+)
+-- order by the UNROUNDED score (the engine's internal top-k key):
+-- at 1.2M docs the rounded value ties across the LIMIT boundary
+ORDER BY sc DESC, doc_id ASC LIMIT 15
 """)
 def engine_es_rank_feature_documents(spark, sf_dir):
     """Round-5 wave: ``rank_feature`` through the DSL over the REAL
@@ -3359,6 +3363,58 @@ def engine_es_rank_feature_documents(spark, sf_dir):
             "should": [{"rank_feature": {
                 "field": "n_chars", "saturation": {"pivot": 50},
                 "boost": 0.3}}]}},
+        "size": 15, "_source": ["conv_id"]})
+    return out.select(
+        F.substring("conv_id", 2, 9).cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"))
+
+
+@register("engine_es_script_score_documents", f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+corpus AS (SELECT count(*) AS n, sum(dl) AS tok FROM dl),
+tf AS (
+  SELECT doc_id, count(*) AS tf FROM toks WHERE term = 'query'
+  GROUP BY doc_id
+),
+df AS (SELECT count(*) AS df FROM tf),
+bm AS (
+  SELECT tf.doc_id,
+         ln(1 + (corpus.n - df.df + 0.5) / (df.df + 0.5))
+         * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                    / (corpus.tok * 1.0 / corpus.n))) AS s
+  FROM tf JOIN dl USING (doc_id), corpus, df
+)
+SELECT doc_id, round(sc, 4) AS score FROM (
+  SELECT bm.doc_id AS doc_id,
+         (bm.s / (bm.s + 1.0) * 2.0
+          + sqrt(d.n_chars * 1.0) / 20.0) * 1.5 AS sc
+  FROM bm JOIN documents d USING (doc_id)
+)
+ORDER BY sc DESC, doc_id ASC LIMIT 15
+""")
+def engine_es_script_score_documents(spark, sf_dir):
+    """Round-5 wave: ``script_score`` through the DSL over the REAL
+    index — the painless-subset script ``saturation(_score, pivot)*2 +
+    Math.sqrt(doc['n_chars'].value)/20`` (params folded, compiled to
+    ONE Catalyst expression, boost applied after) — driver-HASH-checked
+    against the BM25 CTE + the same closed form. Every op in the
+    script (divide, sqrt, multiply, add) is IEEE-exact, so the oracle's
+    unrounded ordering key is ulp-safe across engines."""
+    from .operators.esdsl import es_search
+    from .operators.scorer import IndexReader
+
+    reader = IndexReader(spark, _simple_index(spark, sf_dir))
+    out = es_search(reader, {
+        "query": {"script_score": {
+            "query": {"match": {"text": "query"}},
+            "script": {
+                "source": "saturation(_score, params.pivot) * 2 "
+                          "+ Math.sqrt(doc['n_chars'].value) / 20",
+                "params": {"pivot": 1.0}},
+            "boost": 1.5}},
         "size": 15, "_source": ["conv_id"]})
     return out.select(
         F.substring("conv_id", 2, 9).cast("long").alias("doc_id"),
@@ -3386,11 +3442,15 @@ bm AS (
 pref AS (
   SELECT DISTINCT doc_id FROM toks WHERE term LIKE 'jo%'
 )
-SELECT doc_id,
-       round(coalesce(bm.s, 0) + CASE WHEN pref.doc_id IS NOT NULL
-                                      THEN 1.0 ELSE 0 END, 4) AS score
-FROM bm FULL OUTER JOIN pref USING (doc_id)
-ORDER BY score DESC, doc_id ASC LIMIT 20
+SELECT doc_id, round(sc, 4) AS score FROM (
+  SELECT doc_id,
+         coalesce(bm.s, 0) + CASE WHEN pref.doc_id IS NOT NULL
+                                  THEN 1.0 ELSE 0 END AS sc
+  FROM bm FULL OUTER JOIN pref USING (doc_id)
+)
+-- order by the UNROUNDED score (the engine's internal top-k key):
+-- at 1.2M docs the rounded value ties across the LIMIT boundary
+ORDER BY sc DESC, doc_id ASC LIMIT 20
 """)
 def engine_es_mbp_documents(spark, sf_dir):
     """Round-5 wave: ``match_bool_prefix`` through the DSL over the

@@ -220,9 +220,13 @@ def test_function_score_errors(spark, stored_setup):
     with pytest.raises(ESQueryError, match="score_mode"):
         fs({"query": {"match": {"text": Q}}, "weight": 2.0,
             "score_mode": "first"})
-    with pytest.raises(ESQueryError, match="unsupported function keys"):
+    with pytest.raises(ESQueryError,
+                       match="function script_score needs exactly"):
         fs({"query": {"match": {"text": Q}},
             "functions": [{"weight": 1.0, "script_score": {}}]})
+    with pytest.raises(ESQueryError, match="unsupported function keys"):
+        fs({"query": {"match": {"text": Q}},
+            "functions": [{"weight": 1.0, "random_score": {}}]})
     with pytest.raises(ESQueryError, match="weight"):
         fs({"query": {"match": {"text": Q}},
             "functions": [{"filter": {"match": {"text": Q}}}]})
@@ -579,7 +583,8 @@ def test_decay_errors(spark, stored_setup):
         fs({"query": {"match": {"text": Q}},
             "functions": [{"gauss": {"n_chars": {"origin": 0, "scale": 1}},
                            "exp": {"n_chars": {"origin": 0, "scale": 1}}}]})
-    with pytest.raises(ESQueryError, match="decay fields not in docs"):
+    with pytest.raises(ESQueryError,
+                       match="decay/script fields not in docs"):
         fs({"query": {"match": {"text": Q}},
             "linear": {"nope": {"origin": 0.0, "scale": 1.0}}})
     with pytest.raises(ESQueryError, match="exactly one"):
