@@ -81,7 +81,11 @@ score_mode total|multiply|avg|max|min, chainable with non-increasing
 windows; zero-job on the serving tier when every clause fits), query,
 size (ES default 10), from, search_after ([last_score, last_doc_id]
 cursor — constant-cost deep pagination; default relevance sort only),
-_source (docs-column projection), highlight, and knn (ES 8.x top-level
+_source (docs-column projection), highlight, min_score (drop hits
+scoring below the threshold BEFORE pagination, on every result-shaping
+mode — plain/sort/collapse/knn-hybrid, both eval paths; rejected with
+rescore, where ES's pre-rescore-only application would surprise),
+and knn (ES 8.x top-level
 dense-vector search over a stored array<float> docs column — exact
 brute force, cosine | dot_product | l2_norm | max_inner_product with
 ES's _score transforms, alone or hybrid-summed with `query`, one or
@@ -2302,6 +2306,9 @@ def _eval_body(ctx: _Ctx, body: dict, label: str = "body") -> DataFrame:
     k = int(body.get("size", DEFAULT_SIZE))
     frm = int(body.get("from", 0))
     after = _search_after_parts(body)
+    ms = body.get("min_score")
+    if ms is not None:
+        ms = float(ms)
     if knn is not None:
         # ES 8.x top-level knn search, alone or hybrid with `query`:
         # each knn clause contributes boost·similarity for its OWN
@@ -2328,11 +2335,17 @@ def _eval_body(ctx: _Ctx, body: dict, label: str = "body") -> DataFrame:
         total = F.coalesce(F.col("_s0"), F.lit(0.0))
         for i in range(1, len(frames)):
             total = total + F.coalesce(F.col(f"_s{i}"), F.lit(0.0))
-        topk = (cur.select("doc_id", total.alias("score"))
-                .orderBy(F.desc("score"), F.asc("doc_id")))
+        topk = cur.select("doc_id", total.alias("score"))
+        if ms is not None:
+            topk = topk.where(F.col("score") >= F.lit(ms))
+        topk = topk.orderBy(F.desc("score"), F.asc("doc_id"))
         return topk.offset(frm).limit(k) if frm else topk.limit(k)
     rescores = _rescore_parts(body)
     if rescores is not None:
+        if ms is not None:
+            raise ESQueryError(
+                "min_score with rescore is unsupported (apply the "
+                "threshold inside the rescore stages instead)")
         # top-k window rescoring (ES `rescore`): the classic
         # cheap-match-then-expensive-requery pattern. Each stage takes
         # the top window_size hits of the current ordering, combines
@@ -2422,6 +2435,8 @@ def _eval_body(ctx: _Ctx, body: dict, label: str = "body") -> DataFrame:
             raise ESQueryError(
                 f"sort fields not in docs table: {missing}")
         scored = _clause_df(ctx, body["query"])
+        if ms is not None:
+            scored = scored.where(F.col("score") >= F.lit(ms))
         if fields:
             scored = scored.join(reader.docs.select("doc_id", *fields),
                                  "doc_id", "left")
@@ -2450,6 +2465,8 @@ def _eval_body(ctx: _Ctx, body: dict, label: str = "body") -> DataFrame:
         from pyspark.sql import Window
 
         scored = _clause_df(ctx, body["query"])
+        if ms is not None:
+            scored = scored.where(F.col("score") >= F.lit(ms))
         joined = scored.join(reader.docs.select("doc_id", field),
                              "doc_id", "left")
         w = Window.partitionBy(field).orderBy(
@@ -2460,6 +2477,8 @@ def _eval_body(ctx: _Ctx, body: dict, label: str = "body") -> DataFrame:
         return topk.offset(frm).limit(k) if frm else topk.limit(k)
     local = _clause_pd(ctx, body["query"])
     if local is not None:
+        if ms is not None:
+            local = local[local["score"].to_numpy(np.float64) >= ms]
         if after is not None:
             s, d = after
             sc = local["score"].to_numpy(np.float64)
@@ -2470,6 +2489,8 @@ def _eval_body(ctx: _Ctx, body: dict, label: str = "body") -> DataFrame:
             kind="mergesort")[frm:frm + k]
         return _topk_pd_to_df(ctx.spark, ordered[["doc_id", "score"]], k)
     scored = _clause_df(ctx, body["query"])
+    if ms is not None:
+        scored = scored.where(F.col("score") >= F.lit(ms))
     if after is not None:
         s, d = after
         scored = scored.filter(

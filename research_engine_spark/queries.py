@@ -3421,6 +3421,39 @@ def engine_es_script_score_documents(spark, sf_dir):
         F.round("score", 4).alias("score"))
 
 
+@register("engine_es_min_score_documents", """
+SELECT doc_id, round(sc, 4) AS score FROM (
+  SELECT doc_id,
+         3.0 * 40.0 / (40.0 + abs(n_chars - 200.0)) AS sc
+  FROM documents
+)
+WHERE sc >= 2.0
+ORDER BY sc DESC, doc_id ASC
+""")
+def engine_es_min_score_documents(spark, sf_dir):
+    """Top-level ``min_score`` through the DSL: the threshold fully
+    DETERMINES the result set (size far exceeds the survivor count, so
+    every excluded row is min_score's doing, not the LIMIT's). The
+    scored clause is distance_feature — boost·pivot/(pivot+|x−origin|)
+    over the stored n_chars column — whose every op (int subtract, abs,
+    add, divide, multiply) is IEEE correctly-rounded, so Spark and
+    DuckDB produce bit-identical doubles and the >= cut can never flip
+    a boundary doc between engines (the same reasoning that ordered the
+    rank_feature/mbp oracles by the unrounded key)."""
+    from .operators.esdsl import es_search
+    from .operators.scorer import IndexReader
+
+    reader = IndexReader(spark, _simple_index(spark, sf_dir))
+    out = es_search(reader, {
+        "query": {"distance_feature": {
+            "field": "n_chars", "origin": 200, "pivot": 40,
+            "boost": 3.0}},
+        "min_score": 2.0, "size": 10**7, "_source": ["conv_id"]})
+    return out.select(
+        F.substring("conv_id", 2, 9).cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"))
+
+
 @register("engine_es_mbp_documents", f"""
 WITH toks AS (
   SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents

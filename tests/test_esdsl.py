@@ -1179,3 +1179,54 @@ def test_auto_date_histogram(spark, es_setup):
             "auto_date_histogram": {"field": "ts"},
             "aggs": {"c": {"cumulative_sum":
                            {"buckets_path": "_count"}}}}}}).collect()
+
+
+def test_min_score_top_level(spark, es_setup):
+    """Top-level `min_score`: hits scoring below the threshold are
+    excluded BEFORE pagination, identically on the serving and
+    distributed paths and under every result-shaping mode (plain,
+    sort, collapse, knn-hybrid); rescore rejects it loudly."""
+    d, _ = es_setup
+    local, dist = _readers(spark, d)
+    q = {"match": {"text": Q}}
+    base = _pairs(es_search(dist, {"query": q, "size": 10**6}))
+    distinct = sorted({s for _, s in base}, reverse=True)
+    assert len(distinct) > 3
+    # midway between two adjacent distinct values: no score ties the
+    # cut, so rounding in _pairs can't flip a boundary doc
+    mid = len(distinct) // 2
+    cut = (distinct[mid] + distinct[mid + 1]) / 2.0
+    want = [(i, s) for i, s in base if s >= cut]
+    assert 0 < len(want) < len(base)
+    for r in (local, dist):
+        got = _pairs(es_search(
+            r, {"query": q, "min_score": cut, "size": 10**6}))
+        assert got == want
+        # pagination applies AFTER the cut
+        page = _pairs(es_search(
+            r, {"query": q, "min_score": cut, "from": 2, "size": 3}))
+        assert page == want[2:5]
+
+    # with a field sort: the survivor set is the same, order by field
+    srt = es_search(dist, {"query": q, "min_score": cut, "size": 10**6,
+                           "sort": [{"turn_idx": "asc"}]})
+    assert sorted(i for i, _ in _pairs(srt)) == \
+        sorted(i for i, _ in want)
+
+    # with collapse: groups form over survivors only
+    col = _pairs(es_search(dist, {"query": q, "min_score": cut,
+                                  "size": 10**6,
+                                  "collapse": {"field": "role"}}))
+    assert set(col) <= set(want)
+    assert all(s >= cut for _, s in col)
+
+    # a cut above the max score yields zero rows, not an error
+    top = max(s for _, s in base)
+    assert es_search(dist, {"query": q, "min_score": top * 2 + 1,
+                            "size": 10}).count() == 0
+
+    with pytest.raises(ESQueryError, match="min_score with rescore"):
+        es_search(dist, {
+            "query": q, "min_score": cut,
+            "rescore": {"window_size": 20,
+                        "query": {"rescore_query": q}}}).collect()
