@@ -2961,19 +2961,25 @@ def es_aggregations(index, body: dict, k1: float | None = None,
                        & (F.col("doc_count") <= maxdc))
                 .orderBy(F.asc("doc_count"), F.asc("key")))
     elif atype in ("date_histogram", "histogram"):
+        # docs with a null field don't bucket (ES drops missing-field
+        # docs from histograms; pair with a `missing` agg to count them)
         out = (docs.groupBy(_bucket_key(atype, args, "key"))
                .agg(F.count(F.lit(1)).alias("doc_count"), *subcols)
+               .where(F.col("key").isNotNull())
                .orderBy(F.asc("key")))
+        out = _hist_mdc(out, atype, args)
     elif atype == "auto_date_histogram":
         if hits_specs or pipes or siblings:
             raise ESQueryError(
                 "auto_date_histogram composes with metric sub-aggs "
                 "only (no top_hits / pipelines)")
         return _auto_date_histogram(docs, args, subcols)
-    elif atype == "range":
+    elif atype in ("range", "date_range"):
         if hits_specs:
-            raise ESQueryError("top_hits is not supported inside range")
-        return _range_agg(docs, args, metric_sub)
+            raise ESQueryError(
+                f"top_hits is not supported inside {atype}")
+        return _range_agg(docs, args, metric_sub,
+                          date=atype == "date_range")
     elif atype == "composite":
         if hits_specs:
             raise ESQueryError("top_hits is not supported inside "
@@ -3513,18 +3519,133 @@ def _auto_date_histogram(docs: DataFrame, args: dict,
                 break
     return (docs.groupBy(key.alias("key"))
             .agg(F.count(F.lit(1)).alias("doc_count"), *subcols)
+            .where(F.col("key").isNotNull())
             .withColumn("interval", F.lit(label))
             .orderBy(F.asc("key")))
 
 
-def _range_agg(docs: DataFrame, args: dict, metric_sub: dict) -> DataFrame:
-    """ES ``range`` agg, faithfully: ranges are [from, to), MAY overlap
-    (a doc lands in every matching bucket — why this cannot be one
-    groupBy), empty buckets are returned with doc_count 0, and buckets
-    come back in the order given. One filtered global-agg leg per range
-    unioned — Catalyst shares the scan across legs, and the range count
-    is user-written and small. Key format: "from-to" with "*" for an
-    open edge (numbers via %g)."""
+_MAX_BUCKETS = 65536  # ES search.max_buckets default
+
+_DH_STEP = {"minute": 60, "hour": 3600, "day": 86400, "week": 604800}
+
+
+def _hist_mdc(out: DataFrame, atype: str, args: dict) -> DataFrame:
+    """ES ``min_doc_count`` / ``extended_bounds`` on histogram /
+    date_histogram bucket frames. min_doc_count > 1 filters buckets;
+    min_doc_count 0 RETURNS the empty buckets between the first and
+    last populated key (metric sub-aggs null, doc_count 0 — what ES
+    pipeline aggs like derivative/moving_fn expect to slide over), with
+    ``extended_bounds: {min, max}`` widening that span (numeric
+    histogram only). The engine default stays min_doc_count 1 — sparse
+    output, a documented deviation from ES's histogram default of 0 —
+    because sparse frames are what every hash-checked row and pipeline
+    test was built on and the dense ladder is opt-in.
+
+    Scale posture: the ladder is built driver-side from the (min, max)
+    bucket keys — bucket-count rows (capped at ES's search.max_buckets
+    65536, loudly), never corpus-sized — and joined back as a
+    LocalRelation. Ladder keys are computed as (idx · interval + off)
+    with integer-valued idx doubles, the SAME IEEE ops as the groupBy's
+    floor-key, so generated and populated keys compare bit-identically.
+    Gap-filled empty buckets can't carry top_hits rows (the flattened
+    bucket×hit output has no empty-hits representation)."""
+    mdc = int(args.get("min_doc_count", 1))
+    eb = args.get("extended_bounds")
+    if mdc < 0:
+        raise ESQueryError("min_doc_count must be >= 0")
+    if eb is not None:
+        if mdc != 0:
+            raise ESQueryError(
+                "extended_bounds needs min_doc_count 0 (ES consults it "
+                "only when empty buckets are returned)")
+        if atype != "histogram" or not isinstance(eb, dict) \
+                or not {"min", "max"} <= set(eb):
+            raise ESQueryError(
+                "extended_bounds takes {'min', 'max'} on a numeric "
+                "histogram")
+    if mdc == 1:
+        return out
+    if mdc > 1:
+        return (out.where(F.col("doc_count") >= mdc)
+                .orderBy(F.asc("key")))
+    spark = out.sparkSession
+    row = out.agg(F.min("key").alias("lo"), F.max("key").alias("hi")) \
+        .first()
+    lo, hi = row["lo"], row["hi"]
+    fill = [F.coalesce(F.col(c), F.lit(0)).alias(c)
+            if c == "doc_count" else c for c in out.columns]
+    if atype == "histogram":
+        interval = float(args["interval"])
+        off = float(args.get("offset", 0.0))
+        if eb is not None:
+            import math
+
+            for v in (float(eb["min"]), float(eb["max"])):
+                k = math.floor((v - off) / interval) * interval + off
+                lo = k if lo is None else min(lo, k)
+                hi = k if hi is None else max(hi, k)
+        if lo is None:
+            return out
+        lo_idx = round((lo - off) / interval)
+        n = round((hi - off) / interval) - lo_idx + 1
+        if n > _MAX_BUCKETS:
+            raise ESQueryError(
+                f"min_doc_count 0 would return {n} buckets "
+                f"(max {_MAX_BUCKETS}) — raise 'interval'")
+        keys = [(float(lo_idx + i) * interval + off,) for i in range(n)]
+        ladder = spark.createDataFrame(keys, "key double")
+    else:
+        if lo is None:
+            return out
+        unit = args.get("calendar_interval",
+                        args.get("fixed_interval", "day"))
+        import datetime as _dt
+
+        keys, cur = [], lo
+        while cur <= hi and len(keys) <= _MAX_BUCKETS:
+            keys.append((cur,))
+            if unit == "month":
+                y, m = divmod(cur.month, 12)
+                cur = cur.replace(year=cur.year + y, month=m + 1)
+            elif unit == "year":
+                cur = cur.replace(year=cur.year + 1)
+            else:
+                cur = cur + _dt.timedelta(seconds=_DH_STEP[unit])
+        if len(keys) > _MAX_BUCKETS:
+            raise ESQueryError(
+                f"min_doc_count 0 would exceed {_MAX_BUCKETS} buckets "
+                "— use a coarser interval")
+        ladder = spark.createDataFrame(keys, "key timestamp")
+    return (ladder.join(out, "key", "left")
+            .select(*fill).orderBy(F.asc("key")))
+
+
+def _range_bound(v, date: bool, what: str):
+    """One range edge as (Column, label). Numeric ranges take numbers;
+    date_range takes ISO-8601 strings (kept verbatim as the key label)
+    or epoch-millis numbers — both resolve to a timestamp literal."""
+    if not date:
+        return F.lit(float(v)), "%g" % float(v)
+    if isinstance(v, (int, float)) and not isinstance(v, bool):
+        return F.timestamp_millis(F.lit(int(v))), str(int(v))
+    if isinstance(v, str):
+        return F.to_timestamp(F.lit(v)), v
+    raise ESQueryError(
+        f"date_range {what} must be an ISO-8601 string or "
+        f"epoch-millis number: {v!r}")
+
+
+def _range_agg(docs: DataFrame, args: dict, metric_sub: dict,
+               date: bool = False) -> DataFrame:
+    """ES ``range`` / ``date_range`` aggs, faithfully: ranges are
+    [from, to), MAY overlap (a doc lands in every matching bucket —
+    why this cannot be one groupBy), empty buckets are returned with
+    doc_count 0, and buckets come back in the order given. One
+    filtered global-agg leg per range unioned — Catalyst shares the
+    scan across legs, and the range count is user-written and small.
+    Key format: "from-to" with "*" for an open edge (numbers via %g;
+    date_range keeps the user's ISO spelling verbatim — deterministic
+    where ES reformats through the field's date format)."""
     field = args.get("field")
     ranges = args.get("ranges")
     if not field or not ranges or not isinstance(ranges, list):
@@ -3535,12 +3656,14 @@ def _range_agg(docs: DataFrame, args: dict, metric_sub: dict) -> DataFrame:
         if lo is None and hi is None:
             raise ESQueryError(f"range #{i} needs 'from' and/or 'to'")
         cond = F.lit(True)
+        lo_lab = hi_lab = "*"
         if lo is not None:
-            cond = cond & (F.col(field) >= F.lit(float(lo)))
+            lo_col, lo_lab = _range_bound(lo, date, f"range #{i} from")
+            cond = cond & (F.col(field) >= lo_col)
         if hi is not None:
-            cond = cond & (F.col(field) < F.lit(float(hi)))
-        label = ("*" if lo is None else "%g" % float(lo)) + "-" + \
-                ("*" if hi is None else "%g" % float(hi))
+            hi_col, hi_lab = _range_bound(hi, date, f"range #{i} to")
+            cond = cond & (F.col(field) < hi_col)
+        label = lo_lab + "-" + hi_lab
         subcols = [c for n, s in metric_sub.items()
                    for c in _metric_cols(n, s)]
         frames.append(
@@ -3696,6 +3819,12 @@ def _bucket_key(atype: str, args: dict, alias: str):
     if not field:
         raise ESQueryError(f"bucket agg lacks 'field': {args!r}")
     if atype == "terms":
+        # ES `missing` param: null field values bucket under the given
+        # substitute (must be type-compatible with the column — a
+        # mismatch fails analysis loudly) instead of being dropped
+        if "missing" in args:
+            return F.coalesce(F.col(field),
+                              F.lit(args["missing"])).alias(alias)
         return F.col(field).alias(alias)
     if atype == "date_histogram":
         interval = args.get("calendar_interval",

@@ -3539,10 +3539,18 @@ def engine_es_aggs_documents(spark, sf_dir):
             F.col("text"),
             # deterministic ts with a CONSTANT ~720h span at every
             # scale (doc_id mod 720 hours past a fixed epoch), so the
-            # auto_date_histogram ladder pick is scale-independent
-            (F.lit("2024-01-01").cast("timestamp")
-             + F.make_interval(hours=(F.col("doc_id") % 720)
-                               .cast("int"))).alias("ts"),
+            # auto_date_histogram ladder pick is scale-independent;
+            # NULL on the doc_id%97==3 slice so the `missing` agg has a
+            # real bucket to count (date buckets drop null-ts docs, ES
+            # semantics — both oracles mirror the slice). The slice
+            # can't move the span: hours 0 and 719 are hit by doc_ids
+            # not ≡3 (mod 97) at every sf.
+            F.when(F.col("doc_id") % 97 == 3,
+                   F.lit(None).cast("timestamp"))
+            .otherwise(
+                F.lit("2024-01-01").cast("timestamp")
+                + F.make_interval(hours=(F.col("doc_id") % 720)
+                                  .cast("int"))).alias("ts"),
         )
         idx = tempfile.mkdtemp(prefix="engine_agg_idx_")
         build_index(tx, idx, n_buckets=4, analyzer="simple")
@@ -3815,7 +3823,8 @@ SELECT CAST(floor(ts_s / 604800.0) * 604800 AS BIGINT) AS key_s,
        CAST(count(*) AS BIGINT) AS doc_count,
        CAST(max(ti) AS INT) AS m,
        '7d' AS interval
-FROM matched GROUP BY 1 ORDER BY key_s ASC
+-- doc_id%97==3 has NULL ts in the agg index: date buckets drop it
+FROM matched WHERE doc_id % 97 <> 3 GROUP BY 1 ORDER BY key_s ASC
 """)
 def engine_es_auto_dh_documents(spark, sf_dir):
     """Round-5 closing corner: ``auto_date_histogram`` through the DSL
@@ -4226,6 +4235,101 @@ def engine_es_range_documents(spark, sf_dir):
                       F.round("avg_ti", 4).alias("avg_ti"))
 
 
+@register("engine_es_date_range_documents", f"""
+WITH tk AS (
+  SELECT doc_id, CAST(n_chars % 97 AS INT) AS ti,
+         1704067200 + (doc_id % 720) * 3600 AS ts_s,
+         {_TOK_SQL} AS tk
+  FROM documents
+),
+-- doc_id%97==3 has NULL ts in the agg index: every bounded range
+-- predicate is NULL for it, so it lands in no bucket
+matched AS (
+  SELECT doc_id, ti, ts_s FROM tk
+  WHERE (list_contains(tk, 'table') OR list_contains(tk, 'hash'))
+    AND doc_id % 97 <> 3
+)
+SELECT '*-2024-01-10' AS key, CAST(count(*) AS BIGINT) AS doc_count,
+       round(avg(ti), 4) AS avg_ti
+FROM matched WHERE ts_s < 1704844800
+UNION ALL
+SELECT '2024-01-05-2024-01-20', CAST(count(*) AS BIGINT),
+       round(avg(ti), 4)
+FROM matched WHERE ts_s >= 1704412800 AND ts_s < 1705708800
+UNION ALL
+SELECT '2024-01-20-*', CAST(count(*) AS BIGINT), round(avg(ti), 4)
+FROM matched WHERE ts_s >= 1705708800
+""")
+def engine_es_date_range_documents(spark, sf_dir):
+    """``date_range`` bucket agg (round-5 closing) through the DSL
+    over the REAL index, driver-HASH-checked: [from, to) on the stored
+    ts column with ISO-string edges kept verbatim as keys, OVERLAPPING
+    ranges (the middle bucket straddles both neighbors), open edges,
+    and NULL-ts docs (the doc_id%97==3 slice) landing in no bucket —
+    the oracle recomputes the epoch arithmetic and the null exclusion
+    from raw doc_ids."""
+    from .operators.esdsl import es_aggregations
+    from .operators.scorer import IndexReader
+
+    engine_es_aggs_documents(spark, sf_dir)  # ensure the agg index
+    reader = IndexReader(spark, _AGG_IDX_CACHE[sf_dir])
+    out = es_aggregations(reader, {
+        "query": {"match": {"text": "table hash"}},
+        "aggs": {"dr": {
+            "date_range": {"field": "ts", "ranges": [
+                {"to": "2024-01-10"},
+                {"from": "2024-01-05", "to": "2024-01-20"},
+                {"from": "2024-01-20"}]},
+            "aggs": {"avg_ti": {"avg": {"field": "turn_idx"}}}}}})
+    return out.select("key", "doc_count",
+                      F.round("avg_ti", 4).alias("avg_ti"))
+
+
+@register("engine_es_hist_mdc0_documents", f"""
+WITH tk AS (
+  SELECT doc_id, CAST(n_chars % 97 AS INT) AS ti, {_TOK_SQL} AS tk
+  FROM documents
+),
+matched AS (
+  SELECT doc_id, ti FROM tk
+  WHERE list_contains(tk, 'table') OR list_contains(tk, 'hash')
+),
+buckets AS (
+  SELECT CAST(floor(ti / 10.0) * 10 AS DOUBLE) AS key,
+         CAST(count(*) AS BIGINT) AS doc_count,
+         round(avg(ti), 4) AS avg_ti
+  FROM matched GROUP BY 1
+)
+SELECT CAST(g.k AS DOUBLE) AS key,
+       COALESCE(b.doc_count, 0) AS doc_count, b.avg_ti
+FROM generate_series(-30, 120, 10) g(k)
+LEFT JOIN buckets b ON b.key = g.k
+ORDER BY key ASC
+""")
+def engine_es_hist_mdc0_documents(spark, sf_dir):
+    """``min_doc_count: 0`` + ``extended_bounds`` (round-5 closing)
+    through the DSL over the REAL index, driver-HASH-checked: the
+    histogram returns the FULL dense bucket ladder from the
+    extended_bounds floor (-30) to its ceiling bucket (120) — empty
+    edge buckets with doc_count 0 and NULL metric — with populated
+    buckets identical to the sparse default. The oracle rebuilds the
+    ladder with generate_series + a left join."""
+    from .operators.esdsl import es_aggregations
+    from .operators.scorer import IndexReader
+
+    engine_es_aggs_documents(spark, sf_dir)  # ensure the agg index
+    reader = IndexReader(spark, _AGG_IDX_CACHE[sf_dir])
+    out = es_aggregations(reader, {
+        "query": {"match": {"text": "table hash"}},
+        "aggs": {"h": {
+            "histogram": {"field": "turn_idx", "interval": 10.0,
+                          "min_doc_count": 0,
+                          "extended_bounds": {"min": -30, "max": 120}},
+            "aggs": {"avg_ti": {"avg": {"field": "turn_idx"}}}}}})
+    return out.select("key", "doc_count",
+                      F.round("avg_ti", 4).alias("avg_ti"))
+
+
 @register("engine_es_sig_terms_documents", f"""
 WITH tk AS (
   SELECT doc_id, {_TOK_SQL} AS tk FROM documents
@@ -4533,16 +4637,17 @@ UNION ALL
 SELECT 'global', CAST(count(*) AS BIGINT), round(avg(ti), 4) FROM tk
 UNION ALL
 SELECT 'missing', CAST(count(*) AS BIGINT), round(avg(ti), 4)
-FROM matched
+FROM matched WHERE doc_id % 97 = 3
 """)
 def engine_es_misc_aggs_documents(spark, sf_dir):
     """The single-bucket agg trio (round 5) through the DSL over the
     REAL index, driver-HASH-checked: ``filter`` (one unnamed sub-filter
     bucket — a term clause intersecting the match set), ``global``
     (ignores the query: the whole live corpus), and ``missing`` (docs
-    whose field is null — ts is null for every doc in this index
-    build, so the bucket equals the match set), each carrying an avg
-    metric the oracle recomputes from raw text."""
+    whose field is null — the agg index nulls ts on the doc_id%97==3
+    slice exactly so this bucket is a real non-trivial subset of the
+    match set), each carrying an avg metric the oracle recomputes from
+    raw text."""
     from .operators.esdsl import es_aggregations
     from .operators.scorer import IndexReader
 

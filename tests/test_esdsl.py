@@ -1230,3 +1230,119 @@ def test_min_score_top_level(spark, es_setup):
             "query": q, "min_score": cut,
             "rescore": {"window_size": 20,
                         "query": {"rescore_query": q}}}).collect()
+
+
+def test_date_range_missing_param_min_doc_count(spark, es_setup):
+    """Round-5 additions: date_range buckets ([from,to) on a timestamp
+    column, overlap allowed, verbatim ISO keys), the terms `missing`
+    param (nulls bucket under the substitute), and histogram /
+    date_histogram min_doc_count — >1 filters buckets, 0 returns the
+    empty buckets of the span (extended_bounds widens it), with the
+    ladder keys bit-identical to populated groupBy keys."""
+    import pandas as pd
+
+    from research_engine_spark.operators.esdsl import es_aggregations
+
+    d, _ = es_setup
+    r = IndexReader(spark, d)
+    q = {"match": {"text": "neural"}}
+    base = (search(r, "neural", k=10**6, with_text=False,
+                   _all_matches=True).select("doc_id")
+            .join(r.docs, "doc_id").toPandas())
+
+    # date_range: [from,to) semantics, overlapping + open-edged ranges
+    ts = base["ts"]
+    lo_iso = str(ts.quantile(0.25).floor("s"))
+    hi_iso = str(ts.quantile(0.75).floor("s"))
+    out = es_aggregations(r, {"query": q, "aggs": {"g": {
+        "date_range": {"field": "ts", "ranges": [
+            {"from": lo_iso, "to": hi_iso},
+            {"from": lo_iso},
+            {"to": lo_iso},
+        ]}}}}).toPandas()
+    lo_t, hi_t = pd.Timestamp(lo_iso), pd.Timestamp(hi_iso)
+    want = [int(((ts >= lo_t) & (ts < hi_t)).sum()),
+            int((ts >= lo_t).sum()), int((ts < lo_t).sum())]
+    assert out["doc_count"].tolist() == want
+    assert out["key"].tolist() == [f"{lo_iso}-{hi_iso}",
+                                   f"{lo_iso}-*", f"*-{lo_iso}"]
+    assert want[0] > 0 and want[1] != want[0]
+
+    # terms `missing`: nulls bucket under the substitute (tool is null
+    # on every non-tool turn in this corpus)
+    tx = synth_transcripts(spark, n_convs=20, seed=77)
+    import tempfile as _tf
+
+    d2 = _tf.mkdtemp(prefix="esdsl_missing_")
+    build_index(tx, d2, n_buckets=2, stored_fields=["tool"])
+    r2 = IndexReader(spark, d2)
+    got = es_aggregations(r2, {"query": {"match_all": {}}, "aggs": {
+        "g": {"terms": {"field": "tool", "missing": "(none)",
+                        "size": 100}}}}).toPandas()
+    tools = r2.docs.select("tool").toPandas()["tool"]
+    exp = tools.fillna("(none)").value_counts()
+    assert dict(zip(got["key"], got["doc_count"])) == dict(exp)
+    assert "(none)" in set(got["key"])
+    # without `missing`, nulls are dropped
+    got0 = es_aggregations(r2, {"query": {"match_all": {}}, "aggs": {
+        "g": {"terms": {"field": "tool", "size": 100}}}}).toPandas()
+    assert dict(zip(got0["key"], got0["doc_count"])) == \
+        dict(tools.dropna().value_counts())
+
+    # histogram min_doc_count: default sparse frame as the reference
+    hargs = {"field": "turn_idx", "interval": 50.0}
+    dflt = es_aggregations(r, {"query": q, "aggs": {"g": {
+        "histogram": hargs}}}).toPandas()
+    # >1 filters
+    flt = es_aggregations(r, {"query": q, "aggs": {"g": {
+        "histogram": {**hargs, "min_doc_count": 2}}}}).toPandas()
+    assert flt["key"].tolist() == \
+        dflt[dflt["doc_count"] >= 2]["key"].tolist()
+    # 0 fills the span; populated buckets unchanged, fills are 0
+    full = es_aggregations(r, {"query": q, "aggs": {"g": {
+        "histogram": {**hargs, "min_doc_count": 0},
+        "aggs": {"m": {"avg": {"field": "turn_idx"}}}}}}).toPandas()
+    ks = full["key"].to_numpy()
+    assert np.allclose(np.diff(ks), 50.0)
+    assert ks[0] == dflt["key"].min() and ks[-1] == dflt["key"].max()
+    pop = full[full["doc_count"] > 0]
+    assert dict(zip(pop["key"], pop["doc_count"])) == \
+        dict(zip(dflt["key"], dflt["doc_count"]))
+    empt = full[full["doc_count"] == 0]
+    assert empt["m"].isna().all()
+    # extended_bounds widens beyond the data span
+    ext = es_aggregations(r, {"query": q, "aggs": {"g": {
+        "histogram": {**hargs, "min_doc_count": 0,
+                      "extended_bounds": {"min": -100,
+                                          "max": ks[-1] + 100}}}}}) \
+        .toPandas()
+    assert ext["key"].iloc[0] == -100.0
+    assert ext["key"].iloc[-1] == (ks[-1] + 100) // 50 * 50
+    assert ext["doc_count"].sum() == dflt["doc_count"].sum()
+
+    # date_histogram min_doc_count 0: consecutive day ladder
+    dh = es_aggregations(r, {"query": q, "aggs": {"g": {
+        "date_histogram": {"field": "ts", "calendar_interval": "day",
+                           "min_doc_count": 0}}}}).toPandas()
+    days = pd.to_datetime(dh["key"])
+    assert (days.diff().dropna() == pd.Timedelta(days=1)).all()
+    assert dh["doc_count"].sum() == len(base)
+
+    # loud error surface
+    for bad in (
+            {"histogram": {**hargs, "min_doc_count": 1,
+                           "extended_bounds": {"min": 0, "max": 1}}},
+            {"date_histogram": {"field": "ts",
+                                "calendar_interval": "day",
+                                "min_doc_count": 0,
+                                "extended_bounds": {"min": 0,
+                                                    "max": 1}}},
+            {"histogram": {**hargs, "min_doc_count": -1}},
+            {"date_range": {"field": "ts",
+                            "ranges": [{"from": {"bad": 1}}]}},
+    ):
+        with pytest.raises(ESQueryError):
+            es_aggregations(r, {"query": q, "aggs": {"g": bad}})
+    import shutil as _sh
+
+    _sh.rmtree(d2, ignore_errors=True)
