@@ -2765,6 +2765,18 @@ def es_aggregations(index, body: dict, k1: float | None = None,
     carries them alongside), resolved against the FINAL frame — after
     parent pipelines, selector, and sort truncation.
 
+    Bucket-shape options: ``range`` / ``date_range`` ([from, to),
+    overlap allowed, empty buckets doc_count 0; date edges as ISO
+    strings or epoch millis with verbatim keys), terms ``missing``
+    (nulls bucket under the substitute), histogram / date_histogram
+    ``min_doc_count`` (>1 filters; 0 returns the dense empty-bucket
+    ladder of the span — driver-built, capped at ES's 65536
+    max_buckets — which is what derivative/moving_fn expect to slide
+    over) and numeric-histogram ``extended_bounds``. The engine
+    DEFAULT stays min_doc_count 1 (sparse), a documented deviation
+    from ES's dense histogram default. Docs with a null bucket field
+    drop from date/numeric histogram buckets (ES semantics).
+
     Spark-first: the match set (doc_ids only, never scores into the
     agg) left-semi-joins the forward docs table and the buckets are one
     ``groupBy`` — aggregation over matching docs is exactly the shape
