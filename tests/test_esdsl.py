@@ -1320,6 +1320,19 @@ def test_date_range_missing_param_min_doc_count(spark, es_setup):
     assert ext["key"].iloc[-1] == (ks[-1] + 100) // 50 * 50
     assert ext["doc_count"].sum() == dflt["doc_count"].sum()
 
+    # pipeline aggs slide over the gap-filled ladder (the canonical
+    # ES use of min_doc_count 0): derivative of _count sees the empty
+    # buckets as 0, not a skipped key
+    der = es_aggregations(r, {"query": q, "aggs": {"g": {
+        "histogram": {**hargs, "min_doc_count": 0},
+        "aggs": {"d": {"derivative": {"buckets_path": "_count"}}}}}}) \
+        .toPandas()
+    assert der["key"].tolist() == full["key"].tolist()
+    cnt = full["doc_count"].to_numpy(np.float64)
+    assert der["d"].iloc[0] is None or np.isnan(der["d"].iloc[0])
+    assert np.allclose(der["d"].to_numpy(np.float64)[1:],
+                       np.diff(cnt))
+
     # date_histogram min_doc_count 0: consecutive day ladder
     dh = es_aggregations(r, {"query": q, "aggs": {"g": {
         "date_histogram": {"field": "ts", "calendar_interval": "day",
