@@ -2864,6 +2864,15 @@ def es_aggregations(index, body: dict, k1: float | None = None,
         from pyspark.sql import Window
 
         aliases = ["key"] + [f"key{i + 1}" for i in range(1, len(chain))]
+        for t, a in chain:
+            if "min_doc_count" in a or "extended_bounds" in a:
+                # the dense-ladder/filter machinery is single-level
+                # (_hist_mdc); silently ignoring it here would return
+                # sparse buckets a caller asked to be dense
+                raise ESQueryError(
+                    "min_doc_count / extended_bounds are not supported "
+                    "inside a nested bucket chain (single-level "
+                    "histogram / date_histogram only)")
         keys = [_bucket_key(t, a, al)
                 for (t, a), al in zip(chain, aliases)]
         if any("top_hits" in dict(s) for s in leaf_metrics.values()):

@@ -1351,6 +1351,8 @@ def test_date_range_missing_param_min_doc_count(spark, es_setup):
                                 "extended_bounds": {"min": 0,
                                                     "max": 1}}},
             {"histogram": {**hargs, "min_doc_count": -1}},
+            {"histogram": {**hargs, "min_doc_count": 0},
+             "aggs": {"t": {"terms": {"field": "role"}}}},
             {"date_range": {"field": "ts",
                             "ranges": [{"from": {"bad": 1}}]}},
     ):
