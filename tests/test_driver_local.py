@@ -475,3 +475,27 @@ def test_blockmax_respects_tombstones_and_budget(spark, blockmax_setup,
     out = _pdf(search(r, "the", k=5, with_text=False, prune_stats=st2))
     assert st2.get("path") != "driver_local_blockmax"
     assert 0 not in set(out["doc_id"])
+
+
+def test_blockmax_maxscore_essential_lists(spark, tmp_path):
+    """MaxScore essential-list partition (r6): on a HOMOGENEOUS corpus
+    (burstiness 0 — skyline block maxima cannot separate blocks, the
+    shape where the r5 gate kept 100% of blocks and fell back) a
+    stopword∧content query must still serve driver-locally: the
+    stopword's gub stays below θ so its list is non-essential, phase A
+    decodes only the content terms' postings, and the tightened
+    candidate bound (fully-decoded terms carry zero slack) keeps the
+    phase-B rescore within budget. Bit-identical to distributed."""
+    d = str(tmp_path / "ms_idx")
+    tx = synth_transcripts(spark, n_convs=900, seed=11, burstiness=0.0)
+    build_index(tx, d, n_buckets=4)
+    q = "what is the neural network"
+    sdf = _sum_df(spark, d, q)
+    loc, st, dist = _pair(spark, d, q, 5, budget=sdf - 1)
+    assert st.get("path") == "driver_local_blockmax", st
+    # essential restriction: phase A decoded strictly fewer postings
+    # than the flat Σ df (the non-essential hot terms were skipped)
+    assert st["blockmax_kept_postings"] < sdf, st
+    assert st["n_keep"] < st["n_blocks"], st
+    assert list(loc["doc_id"]) == list(dist["doc_id"])
+    assert np.allclose(loc["score"], dist["score"], rtol=0, atol=0)

@@ -175,8 +175,12 @@ def test_prune_two_phase_multi_term(spark, tmp_path):
     idx = str(tmp_path / "skew2_idx")
     build_index(df, idx, n_buckets=4)
     # budget 0: these assert the DISTRIBUTED block-max machinery
-    # engages; the tiny corpus would otherwise go driver-local
-    reader = IndexReader(spark, idx, driver_local_max_postings=0)
+    # engages; the tiny corpus would otherwise go driver-local.
+    # prune_spark_min_postings=0: the multi-term two-phase path is
+    # latency-gated to large posting volumes in production (r6) — this
+    # test exercises the machinery itself on a tiny corpus
+    reader = IndexReader(spark, idx, driver_local_max_postings=0,
+                         prune_spark_min_postings=0)
 
     stats: dict = {}
     pruned = search(reader, "alpha beta", k=10, prune=True,
