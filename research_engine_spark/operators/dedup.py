@@ -439,51 +439,73 @@ def duplicate_spans(df: DataFrame, text_col: str = "text",
     fraction reported — the filter knob is ``dup_frac``.
 
     Where the paper builds a corpus-wide suffix array (quadratic-ish
-    memory pressure, single machine), the Spark shape is two shuffles
-    at ANY corpus size: (1) groupBy(gram-hash) with map-side partial
-    counts to find duplicated grams, semi-joined back to occurrences
-    (AQE handles boilerplate-gram skew); (2) one window per doc over
-    its dup-gram START OFFSETS — the classic gaps-and-islands interval
-    union, O(doc grams) rows per partition key, never corpus-sized.
+    memory pressure, single machine), the Spark shape is bounded-shuffle
+    at ANY corpus size (r6 restructure, guide §2.3/§2.4 — the r5 version
+    shuffled the full gram set TWICE and ran two per-doc windows plus two
+    groupBys): (1) ONE groupBy(gram-hash) with map-side partial counts
+    finds duplicated grams — the only corpus-sized shuffle, 12 bytes per
+    gram; (2) occurrences semi-join that (typically small) dup-gram set —
+    AQE turns it into a broadcast semi join at runtime when the set fits,
+    so the gram stream itself is never shuffled again (falls back to a
+    shuffled join on pathologically duplicated corpora); (3) the
+    gaps-and-islands interval union collapses to ONE groupBy(doc_id) over
+    dup occurrences only, folding the sorted start offsets with a JVM
+    higher-order aggregate (each gram contributes the part of its span
+    past the running max end — exactly the island-union coverage).
     Grams are xxhash64 digests of the joined tokens (64-bit collisions
     merely over-count a span; the oracle twin uses raw gram strings).
 
     Returns one row per input doc: (doc_id, n_tokens, dup_grams,
     covered_tokens, dup_frac) — docs shorter than ``k`` tokens report
     zeros, like every other stats operator in this module."""
-    from pyspark.sql import Window
-
-    toks = F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+    # parallelism floor (guide §2.5 input skew): a small/compacted corpus
+    # arrives as few parquet splits, serializing the CPU-heavy
+    # tokenize+gram pass onto one task; round-robin the raw rows up to
+    # the session parallelism first. At scale the input is already wide
+    # and this is a no-op.
+    spark = df.sparkSession
+    p = int(spark.sparkContext.defaultParallelism)
+    src = df.select(F.col(id_col).alias("doc_id"),
+                    F.col(text_col).alias("_txt"))
+    if src.rdd.getNumPartitions() < p:
+        src = src.repartition(p)
+    toks = F.filter(F.split(F.lower(F.col("_txt")), r"[^a-z0-9]+"),
                     lambda t: t != "")
-    base = (df.select(F.col(id_col).alias("doc_id"), toks.alias("_tk"))
+    base = (src.select("doc_id", toks.alias("_tk"))
             .withColumn("n_tokens", F.size("_tk")))
     grams = (base.filter(F.col("n_tokens") >= k)
              .select("doc_id", F.posexplode(F.expr(
                  f"transform(sequence(1, size(_tk) - {k} + 1), "
                  f"i -> xxhash64(concat_ws(' ', slice(_tk, i, {k}))))"
              )).alias("start", "gram")))
-    dup_grams = (grams.groupBy("gram")
+    # hash-cluster the gram stream ONCE: the duplicate-count groupBy and
+    # the occurrence semi-join both consume this exact exchange (AQE
+    # ReusedExchange), so the tokenize+gram pass runs once and neither
+    # consumer adds a corpus-sized shuffle of its own (guide §2.4)
+    occ = grams.repartition("gram")
+    dup_grams = (occ.groupBy("gram")
                  .agg(F.count(F.lit(1)).alias("_c"))
                  .filter(F.col("_c") >= min_count)
                  .select("gram"))
-    dup = grams.join(dup_grams, "gram", "left_semi")
-    w_prev = (Window.partitionBy("doc_id").orderBy("start")
-              .rowsBetween(Window.unboundedPreceding, -1))
-    w_run = (Window.partitionBy("doc_id").orderBy("start")
-             .rowsBetween(Window.unboundedPreceding, 0))
-    isl = (dup
-           .withColumn("_prev_end", F.max(F.col("start") + k).over(w_prev))
-           .withColumn("_new", (F.col("_prev_end").isNull()
-                                | (F.col("start") >= F.col("_prev_end")))
-                       .cast("int"))
-           .withColumn("_iid", F.sum("_new").over(w_run)))
-    per_doc = (isl.groupBy("doc_id", "_iid")
-               .agg((F.max("start") + F.lit(k) - F.min("start"))
-                    .alias("_cov"),
-                    F.count(F.lit(1)).alias("_ng"))
-               .groupBy("doc_id")
-               .agg(F.sum("_ng").alias("dup_grams"),
-                    F.sum("_cov").alias("covered_tokens")))
+    dup = occ.join(dup_grams, "gram", "left_semi")
+    # interval-union coverage as ONE fold over the doc's sorted dup-gram
+    # starts: each gram [s, s+k) adds the part of its span past the
+    # running max end pe — within an island that is s+k-pe, at an island
+    # break the full k — so the total equals Σ islands (max s + k - min s)
+    per_doc = (dup.groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("dup_grams"),
+                    (F.aggregate(
+                        F.array_sort(F.collect_list(
+                            F.col("start").cast("long"))),
+                        F.struct(F.lit(0).cast("long").alias("cov"),
+                                 F.lit(-1).cast("long").alias("pe")),
+                        lambda acc, s: F.struct(
+                            (acc["cov"] + F.greatest(
+                                s + F.lit(k) - F.greatest(acc["pe"], s),
+                                F.lit(0).cast("long"))).alias("cov"),
+                            F.greatest(acc["pe"],
+                                       s + F.lit(k)).alias("pe")),
+                    ))["cov"].alias("covered_tokens")))
     return (base.select("doc_id", "n_tokens")
             .join(per_doc, "doc_id", "left")
             .select("doc_id", "n_tokens",

@@ -31,6 +31,13 @@ from pyspark.sql import functions as F
 
 _HEX = "0123456789abcdef"
 
+# pack_sequences pins its ranged frame so the totals collect and the
+# caller's final action share one computation; the pin from the PREVIOUS
+# call is released on the next call (ADVICE r5: repeated calls in a long
+# session otherwise accumulate cached partitions). An output DataFrame
+# consumed after a later pack_sequences call simply recomputes.
+_RANGED_PINS: list = []
+
 
 def _shard_expr(id_col: str, n_shards: int, seed: int):
     """shard = (first 4 hex digits of md5(f"{seed}:{id}")) mod n_shards
@@ -96,19 +103,34 @@ def pack_sequences(df: DataFrame, seq_len: int, id_col: str = "doc_id",
     if n_partitions is None:
         n_partitions = int(spark.conf.get(
             "spark.sql.shuffle.partitions", "32"))
-    toks = F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+    src = df.select(F.col(id_col).alias("doc_id"),
+                    F.col(text_col).alias("_txt"))
+    # parallelism floor (guide §2.5): a compacted corpus arrives as one
+    # parquet split, serializing the tokenize pass (which otherwise runs
+    # TWICE below — once for the range-partitioner's sample, once for
+    # the real shuffle) onto one task. No-op on already-wide inputs.
+    p = int(spark.sparkContext.defaultParallelism)
+    if src.rdd.getNumPartitions() < p:
+        src = src.repartition(p)
+    toks = F.filter(F.split(F.lower(F.col("_txt")), r"[^a-z0-9]+"),
                     lambda t: t != "")
-    base = df.select(F.col(id_col).alias("doc_id"),
-                     F.size(toks).alias("n_tokens"))
+    base = src.select("doc_id", F.size(toks).alias("n_tokens"))
     ranged = (base.repartitionByRange(n_partitions, "doc_id")
               .withColumn("pid", F.spark_partition_id()))
     w = Window.partitionBy("pid").orderBy("doc_id")
+    while _RANGED_PINS:
+        _RANGED_PINS.pop().unpersist()
     ranged = ranged.withColumn(
         "local_cum",
         F.sum("n_tokens").over(w).cast("long") - F.col("n_tokens")
     ).persist()
-    rows = (ranged.groupBy("pid")
-            .agg(F.sum("n_tokens").alias("tot")).collect())
+    _RANGED_PINS.append(ranged)
+    try:
+        rows = (ranged.groupBy("pid")
+                .agg(F.sum("n_tokens").alias("tot")).collect())
+    except Exception:
+        ranged.unpersist()
+        raise
     totals = {r["pid"]: int(r["tot"]) for r in rows}
     bases, acc = [], 0
     for pid in sorted(totals):

@@ -31,6 +31,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _wide(df: DataFrame) -> DataFrame:
+    """Parallelism floor before CPU-heavy per-row work (tokenize /
+    explode / hashing): a small or compacted table arrives as one
+    parquet split, which would serialize the whole map stage onto one
+    task (guide §2.5 input skew). Round-robins up to the session
+    parallelism; a no-op when the scan is already wide (at real scale it
+    always is). Results are partitioning-independent, so plans above are
+    unchanged."""
+    sc = df.sparkSession.sparkContext
+    p = int(sc.defaultParallelism)
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 def register(name: str, sql: str | None = None):
     def deco(fn):
         Q[name] = fn
@@ -83,16 +98,30 @@ ORDER BY revenue DESC, orderkey ASC
 LIMIT 10
 """)
 def q03(spark, sf_dir):
-    """Join chain + grouped agg + distributed top-k (J2/A3/T1)."""
+    """Join chain + grouped agg + distributed top-k (J2/A3/T1).
+
+    r6 shape (guide §2.3 "aggregate before you shuffle" + §3.1): lineitem
+    pre-aggregates revenue per orderkey in the scan stage (map-side
+    partials — the one corpus-sized shuffle now moves (orderkey, partial)
+    pairs instead of 6M wide rows), and both dimension sides broadcast
+    (customer, then the customer-filtered orderkey set), so no other
+    exchange exists. Equivalent to the oracle's join-then-group because
+    revenue groups by o_orderkey = l_orderkey and c_custkey is unique
+    (TPC-H PK) — hash-verified against the oracle at every sf."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
+    rev = (li.groupBy(F.col("l_orderkey").alias("orderkey"))
+           .agg(F.sum(F.col("l_extendedprice")
+                      * (1 - F.col("l_discount"))).alias("_rev")))
+    o2 = (o.select("o_orderkey", "o_custkey")
+          .join(F.broadcast(c.select("c_custkey")),
+                F.col("c_custkey") == F.col("o_custkey"))
+          .select("o_orderkey"))
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy(F.col("o_orderkey").alias("orderkey"))
-        .agg(F.round(F.sum(F.col("l_extendedprice")
-                           * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        rev.join(F.broadcast(o2),
+                 F.col("orderkey") == F.col("o_orderkey"))
+        .select("orderkey", F.round(F.col("_rev"), 2).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("orderkey"))
         .limit(10)
     )
@@ -353,7 +382,7 @@ LIMIT 40
 def term_frequencies(spark, sf_dir):
     """Tokenize + explode + term-frequency aggregate (A6/F1, the SPIMI map
     stage over the documents analog)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _wide(_t(spark, sf_dir, "documents"))
     toks = F.filter(F.split(F.lower(F.col("text")), r"[^a-z0-9]+"),
                     lambda t: t != "")
     return (
@@ -717,7 +746,7 @@ FROM fp GROUP BY f
 def exact_dedup_documents(spark, sf_dir):
     """Exact dedup by digest: keeper per duplicate group (A7 scaled —
     hash-groupBy, never pairwise)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _wide(_t(spark, sf_dir, "documents"))
     return (
         d.withColumn("fingerprint", TS.fingerprint(F.col("text")))
         .groupBy("fingerprint")
@@ -1080,28 +1109,47 @@ def bm25_documents(spark, sf_dir):
     """Flagship: BM25 top-k computed with pure DataFrame ops over the
     documents table (R1/A5/A6/J6/T1 in one plan; SQL-portable analyzer —
     regex tokens, no stemming — so DuckDB can replay it exactly)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _wide(_t(spark, sf_dir, "documents"))
     qset = ["spark", "join", "shuffle"]
     toks_arr = F.filter(F.split(F.lower(F.col("text")), r"[^a-z0-9]+"),
                         lambda t: t != "")
-    toks = d.select("doc_id", F.explode(toks_arr).alias("term"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    corpus = dl.agg(F.count(F.lit(1)).alias("n"),
-                    F.sum("dl").alias("tok")).collect()[0]
-    n_docs, avgdl = int(corpus["n"]), float(corpus["tok"]) / int(corpus["n"])
-    tf = (toks.filter(F.col("term").isin(qset))
-          .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")))
-    df_t = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    idf = F.log(1.0 + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    # r6 shape (guide §2.3): the r5 version exploded the 12M-token stream
+    # and aggregated it TWICE across two actions (a corpus-stats driver
+    # collect, then the scoring plan). Now per-term tf and dl are array
+    # expressions inside ONE tokenize projection (no token row ever
+    # exists), corpus stats ride as a broadcast 1-row frame, and the
+    # stacked (doc, term, tf, dl) frame — only docs containing query
+    # terms — is hash-clustered once and reused by the df aggregate and
+    # the scoring join (AQE ReusedExchange).
+    def _eq(term):
+        lit = F.lit(term)
+        return lambda x: x == lit
+
+    tf_cols = [F.size(F.filter(toks_arr, _eq(t))).alias(f"_tf{i}")
+               for i, t in enumerate(qset)]
+    base = d.select("doc_id", F.size(toks_arr).alias("dl"), *tf_cols)
+    corpus = base.agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("tok"))
+    tfl = (base.select(
+        "doc_id", "dl",
+        F.expr("stack(3, 'spark', _tf0, 'join', _tf1, 'shuffle', _tf2) "
+               "AS (term, tf)"))
+        .filter(F.col("tf") > 0)
+        .repartition("doc_id"))
+    df_t = tfl.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # identical float expression tree to the r5 literal-based form:
+    # n/tok enter as broadcast columns, avgdl = tok/n is the same IEEE
+    # double division the driver used to do in Python
+    idf = F.log(1.0 + (F.col("n") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
     scored = (
-        tf.join(F.broadcast(df_t.withColumn("idf", idf).select("term", "idf")),
-                "term")
-        .join(dl, "doc_id")
+        tfl.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn("idf", idf)
         .withColumn(
             "partial",
             F.col("idf") * F.col("tf")
             / (F.col("tf") + 1.2 * (1 - 0.75 + 0.75 * F.col("dl")
-                                    / F.lit(avgdl))),
+                                    / (F.col("tok") / F.col("n")))),
         )
         .groupBy("doc_id")
         .agg(F.sum("partial").alias("score"))

@@ -40,6 +40,15 @@ def get_spark(
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(max(n, 8)))
+        # input split size, parameterised (guide §6): local single-file
+        # test tables are 20-130MB with multi-MB row groups, so 128MB
+        # splits serialize their scans onto 1-2 tasks; 16MB restores scan
+        # parallelism without fragmenting small files (openCostInBytes
+        # still packs them). On a real cluster with TB-scale inputs set
+        # SPARK_GRAFT_MAX_PARTITION_BYTES=512m+ to cut task-scheduling
+        # overhead (§2.2: fewer, larger map tasks).
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
