@@ -1344,7 +1344,14 @@ def compact_index(
     snaps = sorted(census) if census is not None else [
         r["snapshot_id"] for r in
         postings.select("snapshot_id").distinct().collect()]
-    n_blocks_before = postings.count()
+    # block counts are parquet footer metadata — zero Spark jobs (r6)
+    try:
+        import pyarrow.dataset as pads
+
+        n_blocks_before = int(pads.dataset(
+            post_path, format="parquet").count_rows())
+    except Exception:
+        n_blocks_before = postings.count()
     if not purge and len(snaps) <= 1:
         return {"compacted": False, "n_snapshots_before": len(snaps),
                 "n_blocks_before": int(n_blocks_before),
@@ -1436,7 +1443,13 @@ def compact_index(
     # lineage: rewritten from the compacted postings so the invariant
     # "lineage covers every current posting exactly once" holds
     compacted_tbl = spark.read.schema(staged_schema).parquet(staged_post)
-    n_blocks_after = compacted_tbl.count()
+    try:
+        import pyarrow.dataset as pads
+
+        n_blocks_after = int(pads.dataset(
+            staged_post, format="parquet").count_rows())
+    except Exception:
+        n_blocks_after = compacted_tbl.count()
     lineage = (
         compacted_tbl.groupBy("partition_id")
         .agg(

@@ -70,7 +70,13 @@ PARTIAL_SCHEMA = "doc_id bigint, term string, partial double, gub double"
 # numpy scorer is the same decode + same bm25_tf_part + the same
 # term-sorted strict left fold as _sum_deterministic — bit-identity vs
 # the distributed path is pytest-guarded on the full reference set.
-DRIVER_TOPK_MAX_POSTINGS = 262_144
+# The constant is a LATENCY ENVELOPE divided by measured decode
+# throughput: r5 set 262_144 against the per-block decode loop
+# (~0.6M postings/s single-thread); the r6 batched decode
+# (codec.decode_blocks_flat) measures ~6M postings/s on the same
+# hardware, so 4x keeps the worst-case serve inside the same
+# sub-quarter-second envelope with most of the gain held in reserve.
+DRIVER_TOPK_MAX_POSTINGS = 1_048_576
 # tombstone sets larger than this stay on the executors (the Spark path
 # anti-joins them); below it the distinct ids are a driver-side mask
 DRIVER_LOCAL_MAX_DELETES = 2_000_000
@@ -1400,9 +1406,23 @@ def _decode_partials_factory(avgdl: float, k1: float, b: float,
     return score_blocks
 
 
-def _sum_deterministic(partials: DataFrame) -> DataFrame:
+def _sum_deterministic(partials: DataFrame,
+                       n_clauses: int | None = None) -> DataFrame:
     """Per-doc score = fold of partials in term-sorted order (float64
-    determinism across partitionings/runs; SURVEY §7 hard-part 1)."""
+    determinism across partitionings/runs; SURVEY §7 hard-part 1).
+
+    n_clauses: when the caller knows the clause table holds ≤ 2 rows, a
+    doc carries at most two partials and the fold is a plain F.sum —
+    bit-identical (IEEE-754 addition is commutative: 0.0+a+b vs 0.0+b+a
+    round identically; only 3+ addends are association-sensitive) —
+    which swaps the ObjectHashAggregate + per-doc array sort for a
+    codegen HashAggregate with map-side partial aggregation (guide
+    §2.3: aggregate before you shuffle)."""
+    if n_clauses is not None and n_clauses <= 2:
+        return partials.groupBy("doc_id").agg(
+            F.sum("partial").alias("score"),
+            F.sum("gub").alias("contrib_gub"),
+        )
     return partials.groupBy("doc_id").agg(
         F.aggregate(
             F.array_sort(F.collect_list(F.struct("term", "partial"))),
@@ -1413,6 +1433,34 @@ def _sum_deterministic(partials: DataFrame) -> DataFrame:
     )
 
 
+def _clause_matching(reader: IndexReader, meta: pd.DataFrame):
+    """Bucket/term-pruned postings scan with the per-clause (qtf, idf,
+    gub) weights attached. With unique clause terms (every non-fuzzy
+    query) the weights are LITERAL CASE columns — exact double literals,
+    no broadcast-exchange job per query; duplicate clause terms (fuzzy
+    expansion collisions) need the row-duplicating broadcast join."""
+    spark = reader.spark
+    buckets = sorted({int(v) for v in
+                      reader.bucket_of(meta["term"].tolist()).values()})
+    scan = reader.postings.filter(
+        F.col("bucket").isin(buckets)
+        & F.col("term").isin(meta["term"].tolist()))
+    if meta["term"].is_unique:
+        for col in ("qtf", "idf", "gub"):
+            expr = None
+            for t, v in zip(meta["term"], meta[col]):
+                cond = F.col("term") == F.lit(t)
+                expr = (F.when(cond, F.lit(float(v))) if expr is None
+                        else expr.when(cond, F.lit(float(v))))
+            scan = scan.withColumn(col, expr)
+        return scan
+    info = spark.createDataFrame(
+        meta[["term", "qtf", "idf", "gub"]],
+        "term string, qtf double, idf double, gub double",
+    )
+    return scan.join(F.broadcast(info), "term", "inner")
+
+
 def _all_match_scores(reader: IndexReader, meta: pd.DataFrame,
                       k1: float, b: float) -> DataFrame:
     """FULL scored set (doc_id, score) for an explicit clause-meta frame
@@ -1421,26 +1469,15 @@ def _all_match_scores(reader: IndexReader, meta: pd.DataFrame,
     deterministic per-doc fold — the ``_all_matches=True`` execution of
     search(), factored so DSL clauses that assemble their own meta
     (term-level ``fuzzy``) reuse it verbatim."""
-    spark = reader.spark
     avgdl = reader.stats["avgdl"]
-    buckets = sorted({int(v) for v in
-                      reader.bucket_of(meta["term"].tolist()).values()})
-    info = spark.createDataFrame(
-        meta[["term", "qtf", "idf", "gub"]],
-        "term string, qtf double, idf double, gub double",
-    )
-    matching = (
-        reader.postings.filter(
-            F.col("bucket").isin(buckets) & F.col("term").isin(
-                meta["term"].tolist())
-        ).join(F.broadcast(info), "term", "inner")
-    )
+    matching = _clause_matching(reader, meta)
     partials = matching.select(
         "term", "qtf", "idf", "gub", "doc_gaps", "tfs", "dls"
     ).mapInPandas(_decode_partials_factory(avgdl, k1, b),
                   schema=PARTIAL_SCHEMA)
     return reader.live_only(
-        _sum_deterministic(partials).select("doc_id", "score"))
+        _sum_deterministic(partials,
+                           n_clauses=len(meta)).select("doc_id", "score"))
 
 
 def search(
@@ -1527,18 +1564,7 @@ def search(
         if local is not None:
             return local
 
-    buckets = sorted({int(v) for v in
-                      reader.bucket_of(meta["term"].tolist()).values()})
-    info = spark.createDataFrame(
-        meta[["term", "qtf", "idf", "gub"]],
-        "term string, qtf double, idf double, gub double",
-    )
-    matching = (
-        reader.postings.filter(
-            F.col("bucket").isin(buckets) & F.col("term").isin(
-                meta["term"].tolist())
-        ).join(F.broadcast(info), "term", "inner")
-    )
+    matching = _clause_matching(reader, meta)
     # EXACT block upper bound recomputed at query time from the stored
     # (tf, dl) skyline: valid for any (k1, b) AND robust to incremental
     # appends (which change N/avgdl). A pure column expression —
@@ -1561,7 +1587,8 @@ def search(
             scored = partials.select(
                 "doc_id", F.col("partial").alias("score"))
         else:
-            scored = _sum_deterministic(partials).select("doc_id", "score")
+            scored = _sum_deterministic(
+                partials, n_clauses=len(meta)).select("doc_id", "score")
         return (reader.live_only(scored)
                 .orderBy(F.desc("score"), F.asc("doc_id")).limit(int(k)))
 
@@ -1737,8 +1764,8 @@ def search(
             approx = _sum_deterministic(
                 pruned.select(*pay).mapInPandas(
                     _decode_partials_factory(avgdl, k1, b),
-                    schema=PARTIAL_SCHEMA)
-            ).persist()
+                    schema=PARTIAL_SCHEMA),
+                n_clauses=len(meta)).persist()
             # θ'' = max(θ, k-th approx) — approx ≤ true, so still a valid
             # lower bound on the true k-th score.
             kth_rows = (approx.select("score")
@@ -1779,7 +1806,8 @@ def search(
                 # broadcast can be released immediately (ADVICE r2: each
                 # pruned query otherwise leaked one candidate-id broadcast
                 # for the SparkSession lifetime)
-                topk_rows = (_sum_deterministic(rescored)
+                topk_rows = (_sum_deterministic(rescored,
+                                                n_clauses=len(meta))
                              .select("doc_id", "score")
                              .orderBy(F.desc("score"), F.asc("doc_id"))
                              .limit(int(k))
@@ -1964,12 +1992,19 @@ def search_many(
             (F.col("qtf") * F.col("idf") * F.col("tf_part")).alias("partial"),
         )
     )
-    scored = reader.live_only(partials.groupBy("qid", "doc_id").agg(
-        F.aggregate(
-            F.array_sort(F.collect_list(F.struct("term", "partial"))),
-            F.lit(0.0),
-            lambda acc, x: acc + x["partial"],
-        ).alias("score")))
+    # ≤2 clauses per query -> plain sum is bit-identical (IEEE addition
+    # commutes; see _sum_deterministic) and keeps map-side partial agg
+    if int(allmeta.groupby("qid").size().max()) <= 2:
+        per_doc = partials.groupBy("qid", "doc_id").agg(
+            F.sum("partial").alias("score"))
+    else:
+        per_doc = partials.groupBy("qid", "doc_id").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("term", "partial"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["partial"],
+            ).alias("score"))
+    scored = reader.live_only(per_doc)
     # two-stage exact top-k: the union of per-subgroup top-k contains the
     # global top-k, and stage 2 ranks ≤ n_sub*k rows per query
     sub = F.pmod(F.hash("doc_id"), F.lit(int(n_sub)))
@@ -2080,7 +2115,7 @@ def _positions_local(reader: IndexReader, terms: list[str]):
     Absent terms are simply missing keys — presence policy is the
     caller's (a fixed phrase term must be present; a prefix expansion
     set only needs one)."""
-    from .indexer import decode_positions_block
+    from .indexer import decode_positions_flat
 
     import pyarrow.dataset as pads
 
@@ -2096,35 +2131,36 @@ def _positions_local(reader: IndexReader, terms: list[str]):
             continue
         ds = pads.dataset(p, format="parquet")
         frames.append(ds.to_table(
-            columns=["term", "doc_gaps", "dls", "poss"],
+            columns=["term", "doc_gaps", "tfs", "dls", "poss"],
             filter=flt).to_pandas())
     rows = (pd.concat(frames, ignore_index=True) if frames
-            else pd.DataFrame(columns=["term", "doc_gaps", "dls", "poss"]))
-    per_term_docs: dict[str, list] = {}
-    per_term_keys: dict[str, list] = {}
-    dl_pairs: dict[int, int] = {}
-    for row in rows.itertuples(index=False):
-        doc_ids = delta_decode(vb_decode(bytes(row.doc_gaps)))
-        dls = vb_decode(bytes(row.dls)).astype(np.int64)
-        poss = decode_positions_block(bytes(row.poss), doc_ids.size)
-        lens = np.fromiter((p.size for p in poss), dtype=np.int64,
-                           count=doc_ids.size)
-        docs_rep = np.repeat(doc_ids, lens)
-        pos_flat = (np.concatenate(poss).astype(np.int64) if lens.sum()
-                    else np.empty(0, np.int64))
-        per_term_docs.setdefault(row.term, []).append(docs_rep)
-        per_term_keys.setdefault(row.term, []).append(
-            docs_rep * _PHRASE_SHIFT + pos_flat)
-        dl_pairs.update(zip(doc_ids.tolist(), dls.tolist()))
-    by_term = {t: (np.concatenate(per_term_docs[t]),
-                   np.concatenate(per_term_keys[t]))
-               for t in per_term_keys}
-    dl_docs = np.fromiter(dl_pairs.keys(), dtype=np.int64,
-                          count=len(dl_pairs))
-    dl_vals = np.fromiter(dl_pairs.values(), dtype=np.int64,
-                          count=len(dl_pairs))
-    o = np.argsort(dl_docs)
-    return by_term, dl_docs[o], dl_vals[o]
+            else pd.DataFrame(
+                columns=["term", "doc_gaps", "tfs", "dls", "poss"]))
+    if not len(rows):
+        return {}, np.empty(0, np.int64), np.empty(0, np.int64)
+    # batch decode (r6, guide §4.2): gaps/tfs/dls in one numpy pass, the
+    # position streams in one more (n_positions == tf by construction) —
+    # the r5 per-block loop with a per-posting position split and a
+    # Python dict for the dl map dominated driver-local phrase latency
+    doc_ids, tfs, dls, blk_counts = decode_blocks_flat(
+        rows["doc_gaps"].tolist(), rows["tfs"].tolist(),
+        rows["dls"].tolist())
+    pos_flat = decode_positions_flat(
+        [bytes(x) for x in rows["poss"]], tfs)
+    docs_rep = np.repeat(doc_ids, tfs)
+    keys = docs_rep * _PHRASE_SHIFT + pos_flat
+    present = list(dict.fromkeys(rows["term"].tolist()))
+    t_rank = {t: r for r, t in enumerate(present)}
+    blk_rank = np.fromiter((t_rank[t] for t in rows["term"].tolist()),
+                           dtype=np.int64, count=len(rows))
+    post_rank = np.repeat(blk_rank, blk_counts)
+    pos_rank = np.repeat(post_rank, tfs)
+    by_term = {}
+    for t, r in t_rank.items():
+        sel = pos_rank == r
+        by_term[t] = (docs_rep[sel], keys[sel])
+    uid, first = np.unique(doc_ids, return_index=True)
+    return by_term, uid.astype(np.int64), dls[first]
 
 
 def _phrase_scores_driver_local(reader: IndexReader, phrase: str,
