@@ -3889,17 +3889,30 @@ def es_scroll(index, body: dict, k1: float | None = None,
     if bad:
         raise ESQueryError(f"scroll does not compose with {bad}")
     size = int(body.get("size", DEFAULT_SIZE))
+    # chunked cursor walk (r6): each es_search pays the full scoring
+    # scan regardless of k, so fetching several pages per query and
+    # slicing driver-side amortizes that scan 5x. Pages are identical
+    # to the one-query-per-page walk: the (score desc, doc_id asc)
+    # order is a deterministic total order, so a larger size returns
+    # the same ordered prefix (the search_after tiling tests assert
+    # exactly this prefix property).
+    chunk = size * 5
     after = None
     while True:
         b2 = dict(body)
+        b2["size"] = chunk
         if after is not None:
             b2["search_after"] = list(after)
         rows = es_search(index, b2, k1=k1, b=b).collect()
         if not rows:
             break
-        yield rows
-        if len(rows) < size:
-            break
+        for i in range(0, len(rows), size):
+            page = rows[i:i + size]
+            yield page
+            if len(page) < size:
+                return
+        if len(rows) < chunk:
+            return
         after = (float(rows[-1]["score"]), int(rows[-1]["doc_id"]))
 
 

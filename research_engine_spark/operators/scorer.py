@@ -1542,27 +1542,35 @@ def search(
     avgdl = reader.stats["avgdl"]
     total_gub = float(meta["gub"].sum())
 
-    # driver-local short-circuit: Σ df within budget -> fetch blocks with
-    # pyarrow, score in numpy, zero Spark jobs (bit-identical; see
-    # DRIVER_TOPK_MAX_POSTINGS). _all_matches stays distributed (its
-    # result is corpus-sized input to multifield, not k rows).
-    if (not _all_matches
-            and int(meta["df"].sum()) <= reader.driver_local_max_postings):
-        local = _search_driver_local(reader, meta, k, k1, b, with_text,
-                                     prune_stats)
-        if local is not None:
-            return local
-    # over the flat Σ df budget: the block-max serving tier (VERDICT r4
-    # #3) — gate on the DECODE the skyline prune leaves behind, which
-    # scales with k and the score distribution, not the corpus. θ + the
-    # gate are the same driver-side block-metadata reads the distributed
-    # prune gate uses, so a fallback costs no Spark job.
-    if (not _all_matches and not reader.has_deletes
-            and reader.driver_local_max_postings > 0):
-        local = _search_driver_local_blockmax(
-            reader, meta, k, k1, b, with_text, prune_stats)
-        if local is not None:
-            return local
+    # driver-local serving (bit-identical to distributed, zero Spark
+    # jobs; see DRIVER_TOPK_MAX_POSTINGS). Tier order (r6): small flat
+    # Σ df -> fetch-everything flat path (no block-metadata machinery);
+    # larger Σ df -> block-max/MaxScore tier FIRST — even when the flat
+    # decode would fit the budget, the pruned tier's exact fold touches
+    # only θ''-candidates instead of lexsorting the full match set
+    # (measured ~3x on the stopword-conjunction shape) — then the flat
+    # path as fallback while Σ df still fits. _all_matches stays
+    # distributed (its result is corpus-sized input to multifield, not
+    # k rows).
+    df_sum = int(meta["df"].sum())
+    budget = int(reader.driver_local_max_postings)
+    if not _all_matches and budget > 0:
+        if df_sum <= budget // 4:
+            local = _search_driver_local(reader, meta, k, k1, b,
+                                         with_text, prune_stats)
+            if local is not None:
+                return local
+        else:
+            if not reader.has_deletes:
+                local = _search_driver_local_blockmax(
+                    reader, meta, k, k1, b, with_text, prune_stats)
+                if local is not None:
+                    return local
+            if df_sum <= budget:
+                local = _search_driver_local(reader, meta, k, k1, b,
+                                             with_text, prune_stats)
+                if local is not None:
+                    return local
 
     matching = _clause_matching(reader, meta)
     # EXACT block upper bound recomputed at query time from the stored

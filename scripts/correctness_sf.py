@@ -108,19 +108,28 @@ def main() -> None:
 
     results: dict[str, dict] = {}
     for name in names:
+        # spark_sec / oracle_sec split (VERDICT r5 #3): `sec` wrapped
+        # Spark + the DuckDB oracle together, so a slow oracle twin
+        # (recursive CTEs, regex recompute) could hide — or fake — an
+        # engine regression at scale. Both sides now carry their own
+        # wall time; `sec` stays as the total for continuity.
         rec: dict = {"rows_match": None, "schema_match": None,
                      "hash_match": None, "spark_rows": None,
-                     "oracle_rows": None, "err": None, "sec": None}
+                     "oracle_rows": None, "err": None, "sec": None,
+                     "spark_sec": None, "oracle_sec": None}
         t0 = time.monotonic()
         try:
             sdf = queries[name](spark, args.sf_dir)
             srows = [tuple(r) for r in sdf.collect()]
+            rec["spark_sec"] = round(time.monotonic() - t0, 3)
             rec["spark_rows"] = len(srows)
             if name not in oracles:
                 rec["err"] = "no_oracle"
             else:
+                t_o = time.monotonic()
                 ores = con.execute(oracles[name])
                 orows = ores.fetchall()
+                rec["oracle_sec"] = round(time.monotonic() - t_o, 3)
                 ocols = [d[0] for d in ores.description]
                 rec["oracle_rows"] = len(orows)
                 rec["rows_match"] = len(srows) == len(orows)

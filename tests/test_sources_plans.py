@@ -67,17 +67,21 @@ from research_engine_spark.plans.inspect import (  # noqa: E402
 
 def test_search_plan_shape(reader):
     """The scoring job must: prune postings partitions by bucket, push the
-    term filter to parquet, broadcast the query-term side, and finish with
-    a distributed top-k (TakeOrderedAndProject) — not a global sort."""
+    term filter to parquet, attach the query-term weights WITHOUT an
+    exchange (r6: literal CASE columns — the r5 broadcast join cost one
+    BroadcastExchange job per query), and finish with a distributed
+    top-k (TakeOrderedAndProject) — not a global sort."""
     q = search(reader, "neural networks", k=10, with_text=False)
     plan = _formatted_plan(q)
     assert "PartitionFilters: [bucket" in plan
     assert "In(term, " in plan  # pushed to row groups
-    assert "BroadcastHashJoin" in plan
+    # clause weights are literals now: no join, no broadcast exchange
+    assert "BroadcastExchange" not in plan
+    assert "CASE WHEN (term" in plan
     assert "TakeOrderedAndProject" in plan
     assert "Sort " not in plan.split("TakeOrderedAndProject")[0]
     facts = assert_scan_efficient(q, require_partition_pruning=True)
-    assert facts.take_ordered and facts.broadcast_joins >= 1
+    assert facts.take_ordered
 
 
 def test_filter_pushdown_documents(spark):
