@@ -903,7 +903,18 @@ def _wrapper_rewrite(body) -> dict:
             f"wrapper query is not base64-encoded JSON: {e}")
     if not isinstance(inner, dict):
         raise ESQueryError("wrapper query must decode to a clause dict")
-    return inner
+    # the text-syntax expansion pass runs BEFORE clause dispatch, so a
+    # decoded payload holding a query_string / simple_query_string
+    # clause must expand here or it would be rejected as unsupported
+    # even though both grammars are supported (ADVICE r5)
+    from .querystring import expand_query_strings
+
+    try:
+        return expand_query_strings(inner)
+    except ESQueryError:
+        raise
+    except Exception as e:
+        raise ESQueryError(f"wrapper query payload: {e}")
 
 
 def _pinned_parts(body) -> tuple[list[int], dict]:
@@ -1287,7 +1298,17 @@ def _const_docs_df(reader: IndexReader, term_pred,
 def _sloppy_displacements(slop: int, in_order: bool):
     """(displacement, weight) pairs: d in [1, slop+1] at Lucene's
     sloppy weight 1/(1+gap) = 1/|d|, mirrored for unordered matching
-    (span_near in_order=false)."""
+    (span_near in_order=false).
+
+    DOCUMENTED DEVIATION (ADVICE r5 medium): ``match_phrase`` with
+    ``slop`` keeps in_order=True, so transposed occurrences ("b a" for
+    query "a b") never match even at slop >= 2, where ES/Lucene's
+    sloppy matcher WOULD match them (at transposition cost — weight
+    1/(d+2) for the reversed pair). Unordered matching is reachable
+    explicitly via ``span_near`` with ``in_order: false``. The
+    in-order restriction is part of this engine's hash-checked
+    ``engine_sloppy_phrase_documents`` contract; also recorded in
+    OPERATORS.md."""
     ds = [(d, 1.0 / d) for d in range(1, slop + 2)]
     if not in_order:
         ds += [(-d, 1.0 / d) for d in range(1, slop + 2)]
@@ -3650,6 +3671,17 @@ def _range_bound(v, date: bool, what: str):
     if isinstance(v, (int, float)) and not isinstance(v, bool):
         return F.timestamp_millis(F.lit(int(v))), str(int(v))
     if isinstance(v, str):
+        # validate driver-side (ADVICE r5): F.to_timestamp yields NULL
+        # silently for malformed strings and ES date-math ('now-1d/d'),
+        # which would return an empty bucket instead of failing loudly
+        import datetime as _dt
+
+        try:
+            _dt.datetime.fromisoformat(v.replace("Z", "+00:00"))
+        except ValueError:
+            raise ESQueryError(
+                f"date_range {what} is not a parseable ISO-8601 "
+                f"datetime: {v!r} (ES date-math is not supported)")
         return F.to_timestamp(F.lit(v)), v
     raise ESQueryError(
         f"date_range {what} must be an ISO-8601 string or "
@@ -4317,6 +4349,13 @@ def es_phrase_suggest(index, body: dict) -> DataFrame:
         gen = dict(gens[0])
         g_mode = str(gen.get("suggest_mode", "missing"))
         g_edits = int(gen.get("max_edits", 2))
+        if g_edits not in (1, 2):
+            # ES's own bound; also keeps the distributed candidate
+            # tier's levenshtein prefilter threshold (2 * max_edits)
+            # aligned with the driver-local tier (ADVICE r5: max_edits
+            # 3 silently lost candidates on the JVM path only)
+            raise ESQueryError(
+                "direct_generator max_edits must be 1 or 2 (ES limit)")
         g_plen = int(gen.get("prefix_length", 1))
         g_minlen = int(gen.get("min_word_length", 4))
         g_size = int(gen.get("size", 5))

@@ -1079,6 +1079,17 @@ def test_wrapper_pinned_distance_feature(spark, es_setup):
             r, {"query": {"wrapper": {"query": b64}}, "size": 10}))
         assert got == want
 
+    # wrapper smuggling a query_string payload (ADVICE r5: the text-
+    # syntax expansion pass ran before dispatch, so the decoded clause
+    # was rejected as unsupported) == the expanded clause directly
+    qs_inner = {"query_string": {"query": Q, "default_field": "text"}}
+    qs_b64 = base64.b64encode(json.dumps(qs_inner).encode()).decode()
+    want_qs = _pairs(es_search(dist, {"query": qs_inner, "size": 10}))
+    for r in (local, dist):
+        got = _pairs(es_search(
+            r, {"query": {"wrapper": {"query": qs_b64}}, "size": 10}))
+        assert got == want_qs
+
     # pinned: the given ids (that exist) lead in order, organic follows
     # unchanged minus the pinned ids; unknown ids are dropped
     organic = {"match": {"text": Q}}
