@@ -55,7 +55,17 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3,
                   id_col: str = "doc_id") -> DataFrame:
     """(id, shingle) pairs: distinct n-word shingles of the normalized
-    text. Built-in expressions only (split + transform + slice)."""
+    text. Built-in expressions only (split + transform + slice).
+
+    Parallelism floor (r6, guide §2.5): a small/compacted corpus
+    arrives as few parquet splits, serializing the normalize+shingle
+    explode — the CPU-heavy part of every dedup operator built on this
+    primitive — onto one task. Round-robin the raw rows up to session
+    parallelism first; a no-op on already-wide inputs."""
+    sc = df.sparkSession.sparkContext
+    p = int(sc.defaultParallelism)
+    if df.rdd.getNumPartitions() < p:
+        df = df.repartition(p)
     toks = F.split(normalize_text(F.col(text_col)), " ")
     k = F.size(toks) - F.lit(n - 1)
     # guard: Spark sequence(1, k) with k < 1 yields a DESCENDING sequence,
@@ -94,14 +104,17 @@ def ngram_jaccard_pairs(
     same elements from numerator and denominator; the skew fixture test
     plants a 30%-df shingle and asserts planted pairs survive.
     """
-    sh = word_shingles(df, text_col, n, id_col)
+    # hash-cluster the shingle stream ONCE (r6, guide §2.4): the df-cap
+    # aggregate, both sides of the pair self-join, and the set-size
+    # aggregate all consume this exact exchange (ReusedExchange), so the
+    # normalize+shingle pass runs once instead of once per consumer and
+    # the self-join needs no exchange of its own (co-partitioned).
+    sh = word_shingles(df, text_col, n, id_col).repartition("shingle")
     if max_shingle_df is not None:
         cold = (sh.groupBy("shingle")
                 .agg(F.count(F.lit(1)).alias("_sdf"))
                 .filter(F.col("_sdf") <= int(max_shingle_df))
                 .select("shingle"))
-        # inner join on shingle — same key as the pair self-join below, so
-        # AQE coalesces these into one exchange reuse, not a second shuffle
         sh = sh.join(cold, "shingle")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")

@@ -259,47 +259,51 @@ def rechunk_conversations(
     stream (reference geometry: 800/200, MIN_DOC_TOKENS=50,
     MIN_CHUNK_TOKENS=100 — chunk_pdfs_oai.py:31-34, chunk_pdfs_final.py:44).
 
-    applyInPandas per conversation: turns sorted by turn_idx, whitespace
-    tokens concatenated, windows of `window_tokens` stepping by
-    (window - overlap); short docs and short trailing chunks are dropped
-    exactly like the reference (chunk_pdfs_oai.py:119-120, :314-315 analog).
+    Pure Catalyst (r6 — the r5 ``applyInPandas`` dispatched one Python
+    call per conversation, ~50k per sweep at sf1.0; guide §4.1 "prefer
+    built-ins"): one groupBy assembles each conversation's token stream
+    (turns sorted by turn_idx, whitespace tokens, empty strings
+    dropped — exactly Python ``str.split()``), then the reference
+    boundary loop becomes array arithmetic: candidate starts are the
+    multiples of ``step = window - overlap`` up to the FIRST start
+    whose window reaches the end (the loop breaks once j == n), short
+    chunks drop before indexing (``chunk_index`` counts emitted chunks
+    only), short docs drop entirely. Exact reference semantics
+    (chunk_pdfs_oai.py:71-80, :119-120; chunk_pdfs_final.py:314-315) —
+    hash-checked by the SQL oracle twin and the geometry unit tests.
     """
     step = window_tokens - overlap
-
-    def chunk(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("turn_idx")
-        toks: list[str] = []
-        for t in pdf["text"]:
-            if t:
-                toks.extend(t.split())
-        if len(toks) < min_doc_tokens:
-            return pd.DataFrame(
-                columns=["conv_id", "chunk_index", "chunk_text",
-                         "token_count"])
-        # exact reference boundary semantics (chunk_pdfs_oai.py:71-80):
-        # i=0; while i<n: yield [i, min(n, i+size)); stop once the window
-        # reaches the end; step = size - overlap. Short chunks dropped
-        # afterwards (chunk_pdfs_final.py:314-315).
-        rows = []
-        idx = 0
-        n = len(toks)
-        i = 0
-        while i < n:
-            j = min(n, i + window_tokens)
-            window = toks[i:j]
-            if len(window) >= min_chunk_tokens:
-                rows.append({
-                    "conv_id": pdf["conv_id"].iloc[0],
-                    "chunk_index": idx,
-                    "chunk_text": " ".join(window),
-                    "token_count": len(window),
-                })
-                idx += 1
-            if j >= n:
-                break
-            i += step
-        return pd.DataFrame(rows, columns=["conv_id", "chunk_index",
-                                           "chunk_text", "token_count"])
-
-    return (transcripts.select("conv_id", "turn_idx", "text")
-            .groupBy("conv_id").applyInPandas(chunk, schema=CHUNK_SCHEMA))
+    size, mindoc, minchunk = window_tokens, min_doc_tokens, \
+        min_chunk_tokens
+    turn_toks = F.filter(F.split(F.col("text"), r"\s+"),
+                         lambda t: t != "")
+    grouped = (
+        transcripts.select("conv_id", "turn_idx", "text")
+        .groupBy("conv_id")
+        .agg(F.flatten(F.transform(
+            F.array_sort(F.collect_list(
+                F.struct("turn_idx", turn_toks.alias("_tk")))),
+            lambda x: x["_tk"])).alias("_toks"))
+        .withColumn("_n", F.size("_toks"))
+        .filter(F.col("_n") >= int(mindoc))
+    )
+    # last start = first multiple of step whose window reaches the end
+    smax = F.greatest(
+        F.lit(0),
+        (F.floor((F.col("_n") - F.lit(size) + F.lit(step) - 1)
+                 / F.lit(step)) * F.lit(step)).cast("int"))
+    chunks = F.filter(
+        F.transform(
+            F.filter(F.sequence(F.lit(0), F.col("_n") - 1, F.lit(step)),
+                     lambda s: s <= smax),
+            lambda s: F.struct(
+                F.array_join(F.slice(F.col("_toks"), s + 1, size), " ")
+                .alias("txt"),
+                F.least(F.col("_n") - s, F.lit(size)).alias("len"))),
+        lambda c: c["len"] >= F.lit(minchunk))
+    return (grouped.select(
+        "conv_id", F.posexplode(chunks).alias("chunk_index", "_c"))
+        .select("conv_id",
+                F.col("chunk_index").cast("int"),
+                F.col("_c.txt").alias("chunk_text"),
+                F.col("_c.len").cast("int").alias("token_count")))

@@ -509,7 +509,7 @@ def gopher_repetition_documents(spark, sf_dir):
     for ALL n's — the 100 TB shape (counts stay distributed; no per-doc
     driver loop). The oracle recomputes every n-gram count, the
     tie-broken top gram, and both fractions from raw text."""
-    d = _t(spark, sf_dir, "documents")
+    d = _wide(_t(spark, sf_dir, "documents"))
     m = GP.repetition_metrics(d, top_ns=(2, 3), dup_ns=(5,))
     return (
         m.orderBy(F.desc("top2_frac"), F.asc("doc_id")).limit(20)
@@ -563,7 +563,7 @@ def gopher_quality_documents(spark, sf_dir):
     census over word count, mean word length, alphabetic-word ratio,
     and required-word presence — pure column expressions, one
     map-side-combinable aggregate."""
-    d = _t(spark, sf_dir, "documents")
+    d = _wide(_t(spark, sf_dir, "documents"))
     flags = GP.doc_quality_flags(F.col("text"))
     fd = d.select(*[v.alias(k) for k, v in flags.items()])
     allok = (F.col("ok_word_count") & F.col("ok_mean_word_len")
@@ -1205,7 +1205,7 @@ def bm25_batch_documents(spark, sf_dir):
     computed once for the term union, per-query weights joined in, top-10
     per query via a qid-PARTITIONED window (distributed across queries,
     never a single-partition rank)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _wide(_t(spark, sf_dir, "documents"))
     union_terms = sorted({t for ts in _BATCH_QSETS.values() for t in ts})
     qterms = spark.createDataFrame(
         [(qid, t) for qid, ts in _BATCH_QSETS.items() for t in ts],
@@ -1738,7 +1738,7 @@ def rechunk_documents(spark, sf_dir):
     DuckDB-checked against the same boundary semantics."""
     from .operators.retrieval_extras import rechunk_conversations
 
-    d = _t(spark, sf_dir, "documents").select(
+    d = _wide(_t(spark, sf_dir, "documents")).select(
         F.col("doc_id").cast("string").alias("conv_id"),
         F.lit(0).alias("turn_idx"), "text")
     chunks = rechunk_conversations(d, window_tokens=20, overlap=5,
